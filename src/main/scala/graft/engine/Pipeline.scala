@@ -1,0 +1,97 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's macro lifecycle (SURVEY §3): extract → load → validate,
+  * three sequential stages folded to an exit code (the Airflow DAG contract,
+  * dags/etl_dag_updt.py:73). Each stage is one lazy Catalyst plan ending in
+  * one atomic write — the reference's per-chunk network round-trips
+  * disappear.
+  *
+  * Scale note: stage boundaries are durable parquet tables (restartable,
+  * inspectable), writes are all-or-nothing, and the analytics table is
+  * partitioned by `load_date` so daily consumers prune to one partition.
+  */
+object Pipeline {
+
+  final case class StageReport(name: String, ok: Boolean, detail: String)
+
+  final case class RunReport(stages: Seq[StageReport]) {
+    def exitCode: Int = if (stages.forall(_.ok)) 0 else 1
+  }
+
+  /** Stage 1 — extract: landing CSV → normalized columns → staging parquet.
+    * Applies the schema-evolution decision (all three outcomes degenerate to
+    * an atomic overwrite for a parquet warehouse; the decision is still
+    * computed and reported to preserve the reference's observable policy).
+    */
+  def extract(spark: SparkSession, landingCsv: String, stagingDir: String)
+      : StageReport = {
+    val raw = Sources.readCsvInferred(spark, landingCsv)
+    if (raw.isEmpty)
+      return StageReport("extract", ok = false, "empty API dataset") // P7 guard
+    val normalized = Schemas.normalizeColumns(raw)
+    val existing =
+      try Some(spark.read.parquet(stagingDir).schema)
+      catch { case _: Throwable => None }
+    val decision = Evolution.plan(existing, normalized.schema)
+    Sinks.overwriteParquet(normalized, stagingDir)
+    StageReport("extract", ok = true, s"evolution=$decision")
+  }
+
+  /** Stage 2 — load: staging → reference-ordered cleaning → warn-only
+    * validation with audit side-output → analytics parquet partitioned by
+    * load_date. One job, atomic.
+    */
+  def load(spark: SparkSession, stagingDir: String, analyticsDir: String,
+      auditDir: Option[String] = None,
+      rangeCol: Option[(String, Double, Double)] = None): StageReport = {
+    val staged = spark.read.parquet(stagingDir)
+    val cleaned = Cleaning.cleanAll(staged)
+    rangeCol.foreach { case (c, lo, hi) =>
+      val bad = cleaned.filter(col(c) < lo || col(c) > hi)
+      auditDir.foreach(Sinks.writeAuditCsv(bad, _))
+    }
+    Sinks.overwritePartitioned(cleaned, analyticsDir)
+    StageReport("load", ok = true, s"analytics=$analyticsDir")
+  }
+
+  /** Stage 3 — validate: single-pass multi-aggregate check suite over the
+    * analytics table (the validator's one-statement shape).
+    */
+  def validate(spark: SparkSession, analyticsDir: String,
+      checks: DataFrame => Seq[Checks.Check],
+      required: Set[String] = Set.empty): StageReport = {
+    val df =
+      try spark.read.parquet(analyticsDir)
+      catch {
+        case _: Throwable =>
+          return StageReport("validate", ok = false, "table does not exist")
+      }
+    val schemaRes =
+      if (required.nonEmpty) Seq(Checks.requiredColumns(df, required)) else Nil
+    if (schemaRes.exists(r => !r.passed))
+      return StageReport("validate", ok = false,
+        s"missing required columns: ${Schemas.missingRequired(df.schema, required).mkString(",")}")
+    val suite = Checks.run(df, checks(df))
+    StageReport("validate", ok = suite.passed,
+      suite.results.map(r => s"${r.name}=${r.value}:${if (r.passed) "ok" else if (r.blocking) "FAIL" else "warn"}")
+        .mkString(" "))
+  }
+
+  /** Full run with exit-code fold; later stages skipped on blocking failure
+    * (the DAG's sequential trigger rule).
+    */
+  def run(spark: SparkSession, landingCsv: String, stagingDir: String,
+      analyticsDir: String, auditDir: Option[String],
+      checks: DataFrame => Seq[Checks.Check],
+      required: Set[String] = Set.empty): RunReport = {
+    val s1 = extract(spark, landingCsv, stagingDir)
+    if (!s1.ok) return RunReport(Seq(s1))
+    val s2 = load(spark, stagingDir, analyticsDir, auditDir)
+    if (!s2.ok) return RunReport(Seq(s1, s2))
+    val s3 = validate(spark, analyticsDir, checks, required)
+    RunReport(Seq(s1, s2, s3))
+  }
+}

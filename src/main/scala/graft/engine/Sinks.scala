@@ -1,0 +1,57 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Writers (SURVEY §2.1 S2, S5-S7, S9, S11).
+  *
+  * The reference's three sinks (chunked CSV to GCS, batched INSERTs to
+  * PostgreSQL, replace-then-append BigQuery loads) become declarative writes:
+  *
+  *   - chunking        → `maxRecordsPerFile` (executors split files; no
+  *                       driver-side `iloc` slicing, data_extractor.py:206-217)
+  *   - replace+append  → ONE atomic `mode(Overwrite)` job (fixes the partial-
+  *                       load hazard of data_loader.py:429-433)
+  *   - cleanup         → Hadoop FS recursive delete (data_extractor.py:137-149)
+  *
+  * Scale note: writes are executor-parallel and commit-protocol atomic.
+  * Partitioning the analytics table by `load_date` (the column the reference
+  * stamps per load) gives free partition pruning for daily queries.
+  */
+object Sinks {
+
+  /** Reference S2: slice into ≤`chunkRows`-row CSV files with headers. */
+  def writeChunkedCsv(df: DataFrame, dir: String, chunkRows: Int = 50000): Unit =
+    df.write
+      .option("header", "true")
+      .option("maxRecordsPerFile", chunkRows.toLong)
+      .mode(SaveMode.Overwrite)
+      .csv(dir)
+
+  /** Atomic truncate-and-reload (reference S9 semantics, one job). */
+  def overwriteParquet(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Analytics write partitioned by load_date → partition pruning for the
+    * daily-refresh access pattern (SURVEY §4.2).
+    */
+  def overwritePartitioned(df: DataFrame, dir: String,
+      partitionCol: String = "load_date"): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(dir)
+
+  def appendParquet(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(dir)
+
+  /** Reference S11: failed-validation rows → audit CSV. */
+  def writeAuditCsv(badRows: DataFrame, path: String): Unit =
+    badRows.write.option("header", "true").mode(SaveMode.Overwrite).csv(path)
+
+  /** Reference S5: transient cleanup via Hadoop FS (works for any scheme —
+    * file://, hdfs://, gs:// — the URI picks the implementation).
+    */
+  def deleteRecursive(df: DataFrame, path: String): Boolean = {
+    val spark = df.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers (SURVEY §2.1 S1-S4, S8).
+  *
+  * The reference's HTTP-fetch → chunked-CSV-staging → paged-JDBC-read chain
+  * collapses to declarative scans: Spark lists/globs/parallelizes file reads
+  * natively, and Catalyst pushes filters and column pruning into the parquet
+  * reader (row-group + min/max pruning). The serial OFFSET/LIMIT pagination
+  * (data_loader.py:412-421, O(n²) rescans) has no equivalent here —
+  * partitioned parallel scans replace it with strictly better semantics.
+  *
+  * Scale note: every reader returns a lazy plan; nothing is materialized on
+  * the driver. At 100 TB the same code runs with more input splits — no
+  * driver-memory proportionality anywhere.
+  */
+object Sources {
+
+  /** Schema-inferred CSV read with headers — the Spark restatement of the
+    * reference's `pd.read_csv` landing parse (data_extractor.py:197).
+    * For production-scale reads pass an explicit schema (inference scans the
+    * data once); inference here mirrors the reference's dynamic-schema
+    * semantics (SURVEY §1.3.1).
+    */
+  def readCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** CSV read with a known schema — the scalable path (single pass). */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Fixture table loader: `table(spark, sfDir, "lineitem")`. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

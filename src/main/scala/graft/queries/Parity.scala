@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Cleaning, Sources}
+
+/** Parity query surface — the reference's operator inventory (SURVEY §2.2,
+  * §2.4, §2.6-2.8, §2.11) as driver-checkable (Spark, DuckDB-SQL) pairs over
+  * the fixture tables.
+  *
+  * Determinism rules for oracle hash parity:
+  *   - every query ends in a total ORDER BY;
+  *   - double aggregates are rounded (sums 2dp, avgs 4dp) so parallel
+  *     summation order can't surface in the hash;
+  *   - derived integer columns are cast to long/BIGINT on both sides.
+  *
+  * Scale notes: every query is a single Catalyst plan — partial+final hash
+  * aggregation (map-side combine), filter/projection pushdown into parquet,
+  * TakeOrderedAndProject for top-k (no full sort). No collects.
+  */
+object Parity {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship: TPC-H Q1 shape — scan, filter pushdown, projection, 8-way
+    // multi-aggregate, sort. (Reference A1-A3 single-pass style at
+    // data_validator.py:88-98, on the lineitem fixture.)
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A1: bare row count (the validator's MIN_EXPECTED_ROWS probe).
+    "q_row_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))),
+
+    // A1+A2+A3 in ONE pass — the validator's single multi-aggregate
+    // statement (data_validator.py:88-98) shape: count, 3× exact
+    // COUNT(DISTINCT), 2× COUNTIF-null.
+    "q_validate_metrics" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        countDistinct(col("o_orderpriority")).as("n_priority"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(when(col("o_totalprice").isNull, true)).as("nulls_totalprice"),
+        count(when(col("o_orderdate").isNull, true)).as("nulls_orderdate"))),
+
+    // A4: exact dedup == SELECT DISTINCT (survivor identity immaterial).
+    "q_dedup_exact" -> ((s, dir) =>
+      Cleaning.dedupExact(
+        t(s, dir, "lineitem").select("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A5: duplicate count = count − distinct-count, one aggregate pass.
+    "q_dup_count" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        (count(lit(1)) -
+          countDistinct(col("o_orderstatus"), col("o_orderpriority")))
+          .as("dup_rows"))),
+
+    // A5 detail: per-group duplicate multiplicities (GROUP BY … HAVING>1).
+    "q_dup_groups" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
+
+    // F1-F3: the cleaning projection — fill-then-lower-then-trim on strings
+    // (exact reference order, data_loader.py:331-332) + numeric zero-fill.
+    "q_cleaning" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        coalesce(col("l_quantity"), lit(0.0)).as("qty_filled"),
+        Cleaning.cleanedString(col("l_returnflag")).as("flag_clean"),
+        Cleaning.cleanedString(col("l_linestatus")).as("status_clean"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P5: range-check violation set (values outside [5, 45]; rows reported,
+    // not dropped — warn-only semantics).
+    "q_range_violations" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") < 5 || col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P4: cross-table logical consistency — lineitems shipped before their
+    // order date (the yearstart>yearend analog over the fixtures).
+    "q_consistency_violations" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") < col("o_orderdate"))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // U1: union + dedup of two violation sets (reference's anomaly concat,
+    // minus its NameError bug).
+    "q_union_dedup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_quantity") > 49)
+        .select("l_orderkey", "l_linenumber")
+      val b = li.filter(col("l_discount") > 0.09)
+        .select("l_orderkey", "l_linenumber")
+      a.unionByName(b).dropDuplicates()
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // O: top-k — Catalyst plans TakeOrderedAndProject (no full sort).
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    // F4/F5 adjacent: date-part extraction + monthly aggregate.
+    "q_date_parts" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("yr", "mo")),
+
+    // Grouping sets: ROLLUP over the star schema (free via Catalyst Expand).
+    "q_rollup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_row_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+
+    "q_validate_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT o_orderstatus) AS n_status,
+        |  count(DISTINCT o_orderpriority) AS n_priority,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS nulls_totalprice,
+        |  count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS nulls_orderdate
+        |FROM orders""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_dup_count" ->
+      """SELECT count(*) - count(DISTINCT (o_orderstatus, o_orderpriority))
+        |  AS dup_rows
+        |FROM orders""".stripMargin,
+
+    "q_dup_groups" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |HAVING count(*) > 1
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_cleaning" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(l_quantity, 0.0) AS qty_filled,
+        |  trim(lower(coalesce(l_returnflag, 'Unknown'))) AS flag_clean,
+        |  trim(lower(coalesce(l_linestatus, 'Unknown'))) AS status_clean
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_range_violations" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity < 5 OR l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_consistency_violations" ->
+      """SELECT l_orderkey, l_linenumber
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate < o_orderdate
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_union_dedup" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 49
+        |UNION
+        |SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_discount > 0.09
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT r_name, n_name,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+  )
+}
