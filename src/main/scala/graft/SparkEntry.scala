@@ -15,6 +15,9 @@ object SparkEntry {
   private def registry: Seq[(Map[String, (SparkSession, String) => DataFrame],
       Map[String, String])] = Seq(
     (Parity.queries, Parity.oracles),
+    (Joins.queries, Joins.oracles),
+    (Windows.queries, Windows.oracles),
+    (Events.queries, Events.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -36,5 +36,19 @@ object Sources {
 
   /** Fixture table loader: `table(spark, sfDir, "lineitem")`. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events fixture carries a parquet TIMESTAMP(NANOS) column, which
+    * Spark 4 rejects by default. Read nanos as long (legacy conf) and
+    * convert to a microsecond timestamp with INTEGRAL division — epoch
+    * nanos (~1.7e18) exceed double's 2^53 mantissa, so a floating-point
+    * divide would corrupt timestamps.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    import org.apache.spark.sql.functions._
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

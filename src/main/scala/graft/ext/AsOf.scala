@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, the most recent right row
+  * with `right.ts <= left.ts` sharing the key (SURVEY §2.3 extended surface).
+  *
+  * Spark-first design: instead of the naive non-equi self-join (quadratic
+  * per key — each left row rescans every right row for its key), tag and
+  * UNION the two sides, then take a running `last(..., ignoreNulls)` over a
+  * single (key, ts)-ordered window. Cost: ONE shuffle on the key + a
+  * per-partition sort — linear in |left|+|right|, skew-bounded by the
+  * hottest key, no broadcast requirement on either side. This survives a
+  * 100× scale-up where the nested-loop form does not.
+  */
+object AsOf {
+
+  /** Enrich `left` with the latest preceding right-side timestamp and a
+    * running count of preceding right rows, per key.
+    *
+    * @param left     probe side
+    * @param right    reference side (e.g. the events to look up)
+    * @param keyCol   equi key on both sides
+    * @param leftTs   left timestamp column name
+    * @param rightTs  right timestamp column name
+    * @return left rows + `asof_ts` (nullable) + `asof_count` (0 if none)
+    */
+  def enrich(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__rts", lit(null).cast("timestamp"))
+    val r = right.select(
+      col(keyCol),
+      col(rightTs).as("__ts"),
+      lit(0).as("__side"),
+      col(rightTs).as("__rts"))
+    // align schemas: right side carries nulls for left-only columns
+    val rAligned = leftCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((leftCols.map(col) ++ Seq(col("__ts"), col("__side"), col("__rts"))): _*)
+    val unioned = l.select((leftCols.map(col) ++
+      Seq(col("__ts"), col("__side"), col("__rts"))): _*).unionByName(rAligned)
+
+    // right rows sort BEFORE left rows at equal ts (side 0 < 1): an event at
+    // exactly the probe instant counts as "preceding or equal".
+    val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
+      .withColumn("asof_count",
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).over(w))
+      .filter(col("__side") === 1)
+      .drop("__ts", "__side", "__rts")
+  }
+}

@@ -1,0 +1,142 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora (north-star extension):
+  * exact (hash), MinHash+LSH, SimHash-banded, and n-gram Jaccard.
+  *
+  * Scale design — the whole point of these algorithms is avoiding the O(n²)
+  * all-pairs comparison:
+  *
+  *   - exact:    one hash-agg on md5(text) — never groups on the body.
+  *   - MinHash:  explode shingles (map-side), ONE hash-agg to k-min
+  *     signatures (8 numbers per doc regardless of doc size), band the
+  *     signature, and self-join on (band_idx, band_hash) — candidate pairs
+  *     only materialize for docs that actually collide. Shuffle volume is
+  *     O(docs × bands), not O(docs²).
+  *   - SimHash:  one explode + hash-agg per doc → 16-bit signature; banded
+  *     equi-join on 4-bit blocks, Hamming-distance filter on the survivors.
+  *   - Jaccard:  equi-join on shared shingles (inverted-index join) — pairs
+  *     with zero overlap never meet. Hot shingles would skew the join at
+  *     scale; the MinHash path is the production default, this is the
+  *     exact-verification pass run on LSH candidates.
+  */
+object Dedup {
+
+  /** n-token shingles of a text column (empty-safe: short docs collapse to
+    * one whole-text shingle).
+    */
+  def shingles(textCol: Column, n: Int = 5): Column = {
+    val toks = split(textCol, " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, n))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Exploded (doc_id, shingle) view. */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame =
+    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+
+  /** MinHash signatures: k independent hash functions simulated as
+    * md5("j:" ++ shingle), lexicographic min per doc. Returns one row per
+    * doc with columns h0..h{k-1}.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, shingleN: Int = 5): DataFrame = {
+    val exploded = docShingles(docs, idCol, textCol, shingleN)
+    val mins = (0 until k).map(j =>
+      min(md5(concat(lit(s"$j:"), col("shingle")).cast("binary"))).as(s"h$j"))
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: hash adjacent signature pairs into `k/2`-wide bands and
+    * emit (doc, band_idx, band_hash). Docs sharing ANY band are candidates.
+    */
+  def lshBands(signatures: DataFrame, idCol: String, k: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val bandCols = (0 until k by rowsPerBand).map { j =>
+      md5(concat((j until j + rowsPerBand).map(i => col(s"h$i")): _*)
+        .cast("binary"))
+    }
+    signatures.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Candidate near-duplicate pairs (a < b) from MinHash + LSH. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 5): DataFrame = {
+    val bands = lshBands(
+      minhashSignatures(docs, idCol, textCol, k, shingleN), idCol, k,
+      rowsPerBand)
+    val a = bands.select(col(idCol).as("doc_a"), col("band_idx"),
+      col("band_hash"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band_idx").as("bi"),
+      col("band_hash").as("bh"))
+    a.join(b, a("band_idx") === b("bi") && a("band_hash") === b("bh") &&
+        a("doc_a") < b("doc_b"))
+      .select("doc_a", "doc_b").dropDuplicates()
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
+    * (inverted-index join), thresholded.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 5): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, shingleN).distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("doc_b"), col("shingle").as("sh_b"))
+    val common = a.join(b,
+        a("shingle") === b("sh_b") && a("doc_a") < b("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard", round(
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash signatures per doc: explode tokens, one hash-agg. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      positions: Int = 16): DataFrame = {
+    val aggs = Text.simhashAggs(col("tok"), positions)
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), Text.simhashSignature(positions).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the signature into 4-char blocks, join on
+    * any exact block (LSH), then filter by Hamming distance ≤ maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, positions: Int = 16): DataFrame = {
+    val sig = simhashSignatures(docs, idCol, textCol, positions)
+    val blocks = sig.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        substring(col("simhash"), j * 4 + 1, 4)): _*))
+        .as(Seq("block_idx", "block")))
+    val a = blocks.select(col(idCol).as("doc_a"),
+      col("simhash").as("sig_a"), col("block_idx"), col("block"))
+    val b = blocks.select(col(idCol).as("doc_b"),
+      col("simhash").as("sig_b"), col("block_idx").as("bi"),
+      col("block").as("bb"))
+    val hamming = (1 to positions).map(p =>
+      when(substring(col("sig_a"), p, 1) =!= substring(col("sig_b"), p, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    a.join(b, a("block_idx") === b("bi") && a("block") === b("bb") &&
+        a("doc_a") < b("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (north-star extension): image/audio/video as
+  * opaque BINARY columns + typed metadata, with decode/feature-extraction
+  * running executor-side over batched partitions.
+  *
+  * The Spark-side plumbing is real and tested: schema, partition-parallel
+  * mapPartitions, per-record feature rows. The DECODE step is a STUB — this
+  * container has no image/audio codecs — clearly isolated in [[decodeStub]];
+  * a production deployment swaps in a real codec there and nothing else
+  * changes.
+  *
+  * Scale notes: media bytes never reach the driver; features are computed in
+  * one narrow (shuffle-free) pass; downstream analytics operate on the small
+  * typed feature columns, never re-reading blobs. With parquet, the binary
+  * column is only materialized for rows that survive pushed-down metadata
+  * filters.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, media: Array[Byte])
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      content_hash: String,
+      stub_width: Long,
+      stub_height: Long,
+      stub_channels: Long)
+
+  /** STUB decoder: stands in for an image/audio codec (not present in this
+    * environment). Deterministic fake dimensions derived from the payload
+    * so tests and oracles can pin the plumbing end-to-end.
+    */
+  def decodeStub(bytes: Array[Byte]): (Long, Long, Long) = {
+    val n = bytes.length.toLong
+    val width = 32L + n % 224L
+    val height = 32L + (n * 7L) % 224L
+    val channels = if (java.lang.Integer.parseInt(
+        md5Hex(bytes).substring(0, 1), 16) >= 8) 3L else 1L
+    (width, height, channels)
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** Executor-side feature extraction over batched partitions — the Scala
+    * analog of a vectorized decode UDF: one codec instance per partition,
+    * streaming through records without materializing the partition.
+    */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition decoder setup would go here (codec handles, buffers)
+      it.map { r =>
+        val (w, h, c) = decodeStub(r.media)
+        MediaFeatures(r.doc_id, r.media.length.toLong, md5Hex(r.media),
+          w, h, c)
+      }
+    }
+  }
+
+  /** Build a media table from the documents fixture: the text bytes stand in
+    * for an encoded payload (opaque binary + metadata columns).
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[MediaRecord]
+  }
+}

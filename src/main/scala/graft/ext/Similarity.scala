@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star extension): exact cosine via
+  * array higher-order functions, brute-force top-k as the correctness
+  * baseline, and an IVF (inverted-file) variant as the scale path.
+  *
+  * All arithmetic is forced to DOUBLE before multiplying — float32 inputs
+  * stay bit-exact when widened, so Spark and the oracle compute identical
+  * products; only summation order can differ, absorbed by round(…, 6).
+  *
+  * Scale design: brute force is O(queries × corpus) — fine for a query
+  * batch against a broadcast corpus shard, quadratic and banned for
+  * corpus × corpus. IVF assigns every vector to its nearest of k centroids
+  * (one broadcast join), then searches only the query's cluster — the
+  * shuffle-free pruning that makes ANN feasible at 100 TB. Norms are
+  * computed ONCE per row (projection), never per pair.
+  */
+object Similarity {
+
+  /** Element-wise double-cast of a float array column. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product (left-to-right, deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Corpus with precomputed double vector + norm (compute once, reuse). */
+  def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  /** Brute-force exact top-k: each query (small side, broadcast) against
+    * the whole corpus. Returns (query_id, neighbor_id, sim, rank).
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val corpus = withNorm(emb, idCol, vecCol)
+    val queries = corpus.filter(queryPred)
+      .select(col(idCol).as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val sims = corpus.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** All near-duplicate pairs (a < b) with cosine ≥ threshold. Quadratic —
+    * correctness baseline; production path is LSH/IVF candidate generation
+    * plus this as the verify step on candidates only.
+    */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val c = withNorm(emb, idCol, vecCol)
+    val a = c.select(col(idCol).as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = c.select(col(idCol).as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** IVF: assign every vector to its nearest centroid (broadcast), search
+    * only within the query's cluster. Returns
+    * (query_id, neighbor_id, cluster_id, sim, rank).
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      centroidPred: Column, queryPred: Column, k: Int): DataFrame = {
+    val corpus = withNorm(emb, idCol, vecCol)
+    val centroids = corpus.filter(centroidPred)
+      .select(col(idCol).as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    // nearest-centroid assignment: broadcast the centroids, rank per vector
+    val wAssign = Window.partitionBy(col(idCol))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .select(col(idCol), col("v"), col("nrm"), col("cent_id"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+          .as("csim"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col(idCol), col("v"), col("nrm"),
+        col("cent_id").as("cluster_id"))
+    val queries = assigned.filter(queryPred)
+      .select(col(idCol).as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cluster_id").as("qc"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(queries),
+        col("cluster_id") === col("qc") && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("cluster_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

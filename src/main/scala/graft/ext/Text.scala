@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for the documents table (north-star
+  * extension: language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * Everything here is built-in Catalyst expressions (split / HOFs / regex /
+  * md5) — codegen'd, no UDFs, so the scan → projection pipeline stays inside
+  * whole-stage codegen and scales linearly with no shuffle at all. The only
+  * shuffling text operator is SimHash (one explode + hash-agg, see
+  * [[simhashAggs]]).
+  */
+object Text {
+
+  /** Whitespace tokens (fixture text is single-space separated). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def nTokens(c: Column): Column = size(tokens(c)).cast("long")
+
+  def nDistinctTokens(c: Column): Column =
+    size(array_distinct(tokens(c))).cast("long")
+
+  /** BPE-ish regex token count: alnum runs, the cheap proxy for subword
+    * token budgeting. RE2-safe pattern (works in DuckDB too).
+    */
+  def nRegexTokens(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-z0-9]+"), lit(0))).cast("long")
+
+  /** Mean token length = non-space chars / tokens. */
+  def avgTokenLen(c: Column): Column =
+    round(length(regexp_replace(c, " ", "")).cast("double") / nTokens(c), 4)
+
+  /** Count of tokens in a stopword set (array HOF, no explode). */
+  def stopwordCount(c: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isInCollection(stopwords))).cast("long")
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small; deterministic.
+    */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "los", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  /** Language-ID: argmax of stopword hits, first-listed language wins ties
+    * (so the result is deterministic).
+    */
+  def langId(c: Column): Column = {
+    val scores = StopwordSets.map { case (lang, words) =>
+      lang -> stopwordCount(c, words)
+    }
+    scores.tail.foldLeft(
+      (lit(scores.head._1), scores.head._2)) { case ((bestL, bestS), (l, s)) =>
+        (when(s > bestS, lit(l)).otherwise(bestL),
+          when(s > bestS, s).otherwise(bestS))
+    }._1
+  }
+
+  /** Quality score ∈ [0,1]: length, stopword density, lexical diversity.
+    * Fixed weights; rounded for oracle stability.
+    */
+  def qualityScore(c: Column): Column = {
+    val nt = nTokens(c).cast("double")
+    val stopRatio = stopwordCount(c, StopwordSets.head._2).cast("double") / nt
+    val diversity = nDistinctTokens(c).cast("double") / nt
+    round(
+      lit(0.5) * least(nt / 50.0, lit(1.0)) +
+      lit(0.3) * least(stopRatio * 10.0, lit(1.0)) +
+      lit(0.2) * diversity, 4)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized text — the exact-
+    * dedup key (at 100 TB: group/join on the 32-char hash, never the body).
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(trim(c), "\\s+", " ").cast("binary"))
+
+  /** SimHash over `positions` hex positions of per-token md5: majority vote
+    * of the nibble's top bit. Returns the aggregate expressions to apply
+    * after exploding tokens — one hash-agg shuffle keyed by doc id.
+    */
+  def simhashAggs(tokenCol: Column, positions: Int = 16): Seq[Column] =
+    (1 to positions).map { p =>
+      sum(when(substring(md5(tokenCol.cast("binary")), p, 1) >= "8", 1)
+        .otherwise(-1)).as(s"b$p")
+    }
+
+  /** Assemble the simhash signature string from the [[simhashAggs]] sums. */
+  def simhashSignature(positions: Int = 16): Column =
+    concat((1 to positions).map(p =>
+      when(col(s"b$p") > 0, "1").otherwise("0")): _*)
+}

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Sources
+
+/** Join family over the star schema (SURVEY §2.3 — absent in the reference,
+  * part of the declared capability surface).
+  *
+  * Scale strategy per join:
+  *   - fact⋈fact (lineitem⋈orders): shuffle hash / sort-merge on the key,
+  *     AQE re-plans at runtime; both sides co-partition on the join key so
+  *     this is the minimum shuffle the semantics allow.
+  *   - fact⋈dim (nation, region, bands): explicit `broadcast()` — dims stay
+  *     O(100s of rows..MBs) at ANY scale factor, so the build side never
+  *     shuffles and the probe side streams map-side.
+  *   - customer at 100 TB is NOT broadcastable → left to Catalyst/AQE,
+  *     which picks broadcast at small SF and sort-merge at scale.
+  *   - semi/anti: `left_semi`/`left_anti` — no payload duplication, the
+  *     probe side never widens.
+  *   - band (theta) join: broadcast nested loop with the 4-row band table as
+  *     the build side — the only NLJ in the surface, and its small side is
+  *     constant-size by construction.
+  */
+object Joins {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  private def revenue = round(
+    sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Equi inner join fact⋈fact + aggregate.
+    "q_join_inner" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Full star chain: two fact joins + two broadcast dim joins.
+    "q_join_star" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Left semi: customers with at least one order (EXISTS).
+    "q_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Left anti: customers with no orders (NOT EXISTS).
+    "q_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Left outer + aggregate: line count per order including empty orders.
+    "q_join_outer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+        .groupBy(col("o_orderkey"))
+        .agg(count(col("l_orderkey")).as("n_lines"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Full outer of two aggregates: customers vs suppliers per nation.
+    "q_join_full" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").groupBy(col("s_nationkey").as("snk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, c("nk") === su("snk"), "full")
+        .select(
+          coalesce(col("nk"), col("snk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    // Band (theta / range) join: parts into price bands — broadcast nested
+    // loop with a constant-size build side.
+    "q_join_band" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val bands = s.createDataFrame(Seq(
+        ("b1_under_925", 0.0, 925.0),
+        ("b2_925_950", 925.0, 950.0),
+        ("b3_950_975", 950.0, 975.0),
+        ("b4_over_975", 975.0, 1e9))).toDF("band", "lo", "hi")
+      p.join(broadcast(bands),
+          p("p_retailprice") >= bands("lo") && p("p_retailprice") < bands("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(avg(col("p_retailprice")), 4).as("avg_price"))
+        .orderBy(col("band"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_star" ->
+      """SELECT r_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_lines
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT coalesce(nk, snk) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust,
+        |  coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |      FROM customer GROUP BY c_nationkey) c
+        |FULL JOIN (SELECT s_nationkey AS snk, count(*) AS n_supp
+        |      FROM supplier GROUP BY s_nationkey) s
+        |ON nk = snk
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_join_band" ->
+      """SELECT band, count(*) AS n_parts,
+        |  round(avg(p_retailprice), 4) AS avg_price
+        |FROM part
+        |JOIN (VALUES ('b1_under_925', 0.0, 925.0),
+        |             ('b2_925_950', 925.0, 950.0),
+        |             ('b3_950_975', 950.0, 975.0),
+        |             ('b4_over_975', 975.0, 1e9)) AS b(band, lo, hi)
+        |ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+  )
+}

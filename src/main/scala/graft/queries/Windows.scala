@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Sources
+import graft.ext.AsOf
+
+/** Window-function surface (SURVEY §2.5 — extended; the reference has none).
+  *
+  * Every window here partitions by a key whose cardinality GROWS with the
+  * data (custkey, user_id) — so at 100 TB the hash shuffle spreads evenly
+  * and no single partition exceeds one key's rows. No global (unpartitioned)
+  * windows anywhere: those serialize onto one task and are banned from this
+  * surface. Final `orderBy` is presentation-only (driver compares sorted).
+  */
+object Windows {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Ranking: top-3 orders per customer (deterministic tiebreak).
+    "q_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Dedup-keep-latest: one row per user, newest event wins (the
+    // incremental-load dedup the reference would need the moment loads stop
+    // being truncate-and-reload; SURVEY §2.5).
+    "q_dedup_latest" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    }),
+
+    // Running (cumulative) sum per user in event-time order.
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 2).as("running_value"))
+        .orderBy("event_id")
+    }),
+
+    // Lag: milliseconds since the user's previous event.
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w))
+            .as("ms_since_prev"))
+        .orderBy("event_id")
+    }),
+
+    // Moving average over a 4-row frame (3 preceding + current).
+    "q_window_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(avg(col("value")).over(w), 4).as("avg_4"))
+        .orderBy("event_id")
+    }),
+
+    // As-of join: each error event enriched with the latest preceding click
+    // (union + running-last — ONE shuffle, no quadratic self-join; see
+    // graft.ext.AsOf).
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+      val clicks = ev.filter(col("event_type") === "click")
+      AsOf.enrich(errors, clicks, "user_id", "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          col("asof_ts").as("last_click_ts"),
+          col("asof_count").as("n_prior_clicks"))
+        .orderBy("event_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_dedup_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+        |  epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS ms_since_prev
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_window_moving_avg" ->
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS avg_4
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        |  max(c.ts) AS last_click_ts,
+        |  count(c.event_id) AS n_prior_clicks
+        |FROM events e
+        |LEFT JOIN events c ON c.user_id = e.user_id
+        |  AND c.event_type = 'click' AND c.ts <= e.ts
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id, e.user_id
+        |ORDER BY e.event_id""".stripMargin,
+  )
+}
