@@ -31,7 +31,7 @@ object Dedup {
     val toks = split(textCol, " ")
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, n))))
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
   }
 
