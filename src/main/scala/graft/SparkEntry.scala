@@ -18,6 +18,8 @@ object SparkEntry {
     (Joins.queries, Joins.oracles),
     (Windows.queries, Windows.oracles),
     (Events.queries, Events.oracles),
+    (Docs.queries, Docs.oracles),
+    (Vectors.queries, Vectors.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

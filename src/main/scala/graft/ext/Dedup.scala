@@ -105,7 +105,7 @@ object Dedup {
 
   /** SimHash signatures per doc: explode tokens, one hash-agg. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      positions: Int = 16): DataFrame = {
+      positions: Int = 64): DataFrame = {
     val aggs = Text.simhashAggs(col("tok"), positions)
     docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col(idCol))
@@ -113,15 +113,20 @@ object Dedup {
       .select(col(idCol), Text.simhashSignature(positions).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the signature into 4-char blocks, join on
-    * any exact block (LSH), then filter by Hamming distance ≤ maxHamming.
+  /** SimHash near-dup pairs: band the signature into 4 blocks of
+    * `positions/4` bits, join on any exact block (LSH), then filter by
+    * Hamming distance ≤ maxHamming. With the default 64-bit signature each
+    * band key carries 16 bits (~2^16 buckets), so docs only meet when a
+    * quarter of their signature matches exactly — candidate volume stays
+    * proportional to true near-dups, not to n².
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, positions: Int = 16): DataFrame = {
+      maxHamming: Int = 3, positions: Int = 64): DataFrame = {
+    val bandWidth = positions / 4
     val sig = simhashSignatures(docs, idCol, textCol, positions)
     val blocks = sig.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(j =>
-        substring(col("simhash"), j * 4 + 1, 4)): _*))
+        substring(col("simhash"), j * bandWidth + 1, bandWidth)): _*))
         .as(Seq("block_idx", "block")))
     val a = blocks.select(col(idCol).as("doc_a"),
       col("simhash").as("sig_a"), col("block_idx"), col("block"))

@@ -75,27 +75,39 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
-  /** IVF: assign every vector to its nearest centroid (broadcast), search
-    * only within the query's cluster. Returns
+  /** IVF: assign every vector to its nearest centroid, search only within
+    * the query's cluster. Returns
     * (query_id, neighbor_id, cluster_id, sim, rank).
+    *
+    * Assignment is a map-side argmax: the centroid set collapses to ONE row
+    * holding a sorted array of (cent_id, vector, norm) structs, broadcast to
+    * every partition, and each corpus vector folds over it picking the
+    * best-cosine centroid (ties → lowest cent_id, since the array is sorted
+    * and only a strictly-greater sim displaces the accumulator). Zero
+    * shuffle, no row expansion — the corpus is never replicated k× the way a
+    * crossJoin+window assignment would.
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       centroidPred: Column, queryPred: Column, k: Int): DataFrame = {
     val corpus = withNorm(emb, idCol, vecCol)
-    val centroids = corpus.filter(centroidPred)
-      .select(col(idCol).as("cent_id"), col("v").as("cv"),
-        col("nrm").as("cn"))
-    // nearest-centroid assignment: broadcast the centroids, rank per vector
-    val wAssign = Window.partitionBy(col(idCol))
-      .orderBy(col("csim").desc, col("cent_id").asc)
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .select(col(idCol), col("v"), col("nrm"), col("cent_id"),
-        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
-          .as("csim"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
+    val centArr = corpus.filter(centroidPred)
+      .agg(array_sort(collect_list(
+        struct(col(idCol).as("cent_id"), col("v").as("cv"),
+          col("nrm").as("cn")))).as("cents"))
+    val best = aggregate(
+      col("cents"),
+      struct(lit(-1L).as("cent_id"), lit(-2.0).as("csim")),
+      (acc, c) => {
+        val csim = round(
+          dot(col("v"), c.getField("cv")) /
+            (col("nrm") * c.getField("cn")), 6)
+        when(csim > acc.getField("csim"),
+          struct(c.getField("cent_id").as("cent_id"), csim.as("csim")))
+          .otherwise(acc)
+      })
+    val assigned = corpus.crossJoin(broadcast(centArr))
       .select(col(idCol), col("v"), col("nrm"),
-        col("cent_id").as("cluster_id"))
+        best.getField("cent_id").as("cluster_id"))
     val queries = assigned.filter(queryPred)
       .select(col(idCol).as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cluster_id").as("qc"))

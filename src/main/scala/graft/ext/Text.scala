@@ -78,18 +78,27 @@ object Text {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(trim(c), "\\s+", " ").cast("binary"))
 
-  /** SimHash over `positions` hex positions of per-token md5: majority vote
-    * of the nibble's top bit. Returns the aggregate expressions to apply
-    * after exploding tokens — one hash-agg shuffle keyed by doc id.
+  /** SimHash over `positions` bit positions: majority vote of the top bit of
+    * hex nibble p of the per-token md5 (positions ≤ 32 read md5(tok),
+    * positions 33-64 read md5("x:" ++ tok) — two hashes give 64 independent
+    * bits). Returns the aggregate expressions to apply after exploding
+    * tokens — one hash-agg shuffle keyed by doc id.
+    *
+    * 64 positions (not 16): with 4 LSH bands the band key is then 16 bits,
+    * so bucket cardinality is ~2^16 and the banded self-join stays a real
+    * LSH join instead of degenerating to all-pairs (16-bit signatures give
+    * only 16 distinct values per 4-bit band — O(n²/64) in disguise).
     */
-  def simhashAggs(tokenCol: Column, positions: Int = 16): Seq[Column] =
+  def simhashAggs(tokenCol: Column, positions: Int = 64): Seq[Column] =
     (1 to positions).map { p =>
-      sum(when(substring(md5(tokenCol.cast("binary")), p, 1) >= "8", 1)
-        .otherwise(-1)).as(s"b$p")
+      val (h, off) =
+        if (p <= 32) (md5(tokenCol.cast("binary")), p)
+        else (md5(concat(lit("x:"), tokenCol).cast("binary")), p - 32)
+      sum(when(substring(h, off, 1) >= "8", 1).otherwise(-1)).as(s"b$p")
     }
 
   /** Assemble the simhash signature string from the [[simhashAggs]] sums. */
-  def simhashSignature(positions: Int = 16): Column =
+  def simhashSignature(positions: Int = 64): Column =
     concat((1 to positions).map(p =>
       when(col(s"b$p") > 0, "1").otherwise("0")): _*)
 }

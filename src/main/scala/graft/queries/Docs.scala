@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Sources
+import graft.ext.{Dedup, Multimodal, Text}
+
+/** LLM-training-data operators over the documents fixture (north star:
+  * dedup, text analysis, multimodal columns) as driver-checkable
+  * (Spark, DuckDB-SQL) pairs.
+  *
+  * No terminal ORDER BY anywhere — the driver's checker sorts rows by all
+  * columns before hashing, so a presentation sort would only add a global
+  * exchange that dominates at scale.
+  *
+  * Scale notes per query:
+  *   - text stats / fingerprint / multimodal: pure codegen'd projections
+  *     (and one narrow mapPartitions for the media decode) — no shuffle.
+  *   - minhash: explode→hash-agg→banded equi-join, shuffle O(docs × bands).
+  *   - simhash: explode→hash-agg→banded equi-join on 16-bit blocks.
+  *   - jaccard: inverted-index join on shared shingles — the exact-verify
+  *     pass for LSH candidates, quadratic only within a shared-shingle
+  *     bucket.
+  */
+object Docs {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Text analysis: token counts (whitespace + BPE-ish regex), mean token
+    // length, n-gram-heuristic language ID, quality score, fingerprint —
+    // one codegen'd projection, zero shuffle.
+    "q_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.nTokens(col("text")).as("n_tokens"),
+        Text.nDistinctTokens(col("text")).as("n_distinct_tokens"),
+        Text.nRegexTokens(col("text")).as("n_regex_tokens"),
+        Text.avgTokenLen(col("text")).as("avg_token_len"),
+        Text.langId(col("text")).as("lang_id"),
+        Text.qualityScore(col("text")).as("quality"),
+        Text.fingerprint(col("text")).as("fingerprint"))),
+
+    // Exact dedup by md5 fingerprint: group on the 32-char hash (never the
+    // body), count multiplicity, keep the lowest doc_id as survivor.
+    "q_dedup_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
+        .groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))),
+
+    // MinHash+LSH candidate pairs: 8 hashes, 4 bands × 2 rows.
+    "q_dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Exact n-gram Jaccard over shared-shingle pairs (the LSH verify pass).
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)),
+
+    // SimHash near-dup pairs: 64-bit signature, 4×16-bit LSH bands,
+    // Hamming ≤ 3 on candidates.
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Multimodal plumbing: opaque binary payload → executor-side batched
+    // feature extraction (decode step stubbed, Spark plumbing real).
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.mediaTable(s, dir)).toDF()),
+  )
+
+  /** DuckDB shingle CTE shared by the dedup oracles — mirrors
+    * [[graft.ext.Dedup.shingles]]: 5-token shingles, whole-text fallback
+    * for short docs. DuckDB `range(1, n)` is end-exclusive like Spark's
+    * `sequence(1, n-1)`+transform bound; `t[i:i+4]` is 1-based inclusive
+    * like Spark's `slice(t, i, 5)`.
+    */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |    THEN list_transform(range(1, len(t) - 3),
+      |           i -> array_to_string(t[i:i+4], ' '))
+      |    ELSE [array_to_string(t, ' ')] END) AS shingle
+      |  FROM toks)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """WITH x AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |y AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+        |      AS n_regex_tokens,
+        |    len(list_filter(toks,
+        |      x -> list_contains(['the','a','of','and','to'], x))) AS s_en,
+        |    len(list_filter(toks,
+        |      x -> list_contains(['el','la','de','los','y'], x))) AS s_es,
+        |    len(list_filter(toks,
+        |      x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+        |    len(list_filter(toks,
+        |      x -> list_contains(['le','les','et','des','une'], x))) AS s_fr
+        |  FROM x)
+        |SELECT doc_id, n_tokens, n_distinct_tokens, n_regex_tokens,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tokens, 4)
+        |    AS avg_token_len,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_id,
+        |  round(0.5 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+        |      + 0.3 * least(CAST(s_en AS DOUBLE) / n_tokens * 10.0, 1.0)
+        |      + 0.2 * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens), 4)
+        |    AS quality,
+        |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM y""".stripMargin,
+
+    "q_dedup_fingerprint" ->
+      """SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint,
+        |  count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_minhash_pairs" ->
+      s"""WITH $shingleCte,
+        |m AS (
+        |  SELECT doc_id,
+        |    min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+        |    min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+        |    min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+        |    min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM m
+        |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM m
+        |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM m
+        |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM m)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        |  AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH $shingleCte,
+        |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
+        |    AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
+        |  >= 0.5""".stripMargin,
+
+    // 64-bit simhash: positions 1-32 from md5(tok), 33-64 from md5('x:'+tok);
+    // bit = majority vote of the nibble's top bit; 4 bands of 16 bits.
+    "q_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, p.p,
+        |    CASE WHEN sum(CASE WHEN substring(
+        |        CASE WHEN p.p <= 32 THEN md5(tk) ELSE md5('x:' || tk) END,
+        |        CASE WHEN p.p <= 32 THEN p.p ELSE p.p - 32 END, 1) >= '8'
+        |      THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS b
+        |  FROM tok, (SELECT unnest(range(1, 65)) AS p) p
+        |  GROUP BY doc_id, p.p),
+        |sig AS (
+        |  SELECT doc_id, string_agg(b, '' ORDER BY p) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |blocks AS (
+        |  SELECT doc_id, simhash, b.i AS block_idx,
+        |    substring(simhash, b.i * 16 + 1, 16) AS block
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS i) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sig_a, b.simhash AS sig_b
+        |  FROM blocks a JOIN blocks b
+        |    ON a.block_idx = b.block_idx AND a.block = b.block
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(len(list_filter(range(1, 65),
+        |    p -> substring(sig_a, p, 1) != substring(sig_b, p, 1)))
+        |    AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE len(list_filter(range(1, 65),
+        |  p -> substring(sig_a, p, 1) != substring(sig_b, p, 1))) <= 3"""
+        .stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash,
+        |  32 + CAST(octet_length(encode(text)) AS BIGINT) % 224 AS stub_width,
+        |  32 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 224 AS stub_height,
+        |  CASE WHEN substring(md5(text), 1, 1) >= '8'
+        |    THEN CAST(3 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+        |    AS stub_channels
+        |FROM documents""".stripMargin,
+  )
+}

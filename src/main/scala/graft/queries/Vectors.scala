@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Sources
+import graft.ext.Similarity
+
+/** Similarity search over the embeddings fixture (north star: ANN over an
+  * Array[Float] column) as driver-checkable (Spark, DuckDB-SQL) pairs.
+  *
+  * The DuckDB twins compute the dot product as the SAME sequential
+  * left-fold Spark's `aggregate` HOF performs (list_reduce over per-index
+  * products), so double arithmetic is bit-identical on both sides and the
+  * round(…, 6) columns compare exactly.
+  *
+  * Scale notes: brute force broadcasts the (small) query set and streams
+  * the corpus — O(queries × corpus), the correctness baseline and the
+  * verify pass on ANN candidates. IVF assigns clusters with a zero-shuffle
+  * argmax over broadcast centroids and probes only the query's cluster.
+  * Norms are computed once per row, never per pair.
+  */
+object Vectors {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact brute-force cosine top-5 for every 25th vector as query.
+    "q_sim_topk_brute" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", col("vec_id") % 25 === 0, k = 5)),
+
+    // All-pairs cosine near-dups ≥ 0.35 (fixture max sim ≈ 0.51) —
+    // quadratic verify-pass baseline.
+    "q_sim_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", 0.35)),
+
+    // IVF ANN: vectors 0-9 as centroids, every 25th vector as query, top-5
+    // within the query's cluster only.
+    "q_sim_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, col("vec_id") % 25 === 0, k = 5)),
+  )
+
+  /** Sequential-fold cosine matching [[graft.ext.Similarity.dot]]:
+    * products per index left-to-right, fold with + — bit-identical to
+    * Spark's `aggregate(zip_with(...))`.
+    */
+  private def cos(a: String, b: String): String =
+    s"""round(
+       |  list_reduce(list_transform(range(1, 65),
+       |    i -> $a.v[i] * $b.v[i]), (x, y) -> x + y)
+       |  / ($a.nrm * $b.nrm), 6)""".stripMargin
+
+  private val withNorm =
+    """e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]),
+      |      (x, y) -> x + y)) AS nrm
+      |  FROM e)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_topk_brute" ->
+      s"""WITH $withNorm,
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    ${cos("n", "q")} AS sim
+        |  FROM c n, c q
+        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM sims)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_sim_neardup" ->
+      s"""WITH $withNorm
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  ${cos("a", "b")} AS sim
+        |FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |WHERE ${cos("a", "b")} >= 0.35""".stripMargin,
+
+    "q_sim_ivf" ->
+      s"""WITH $withNorm,
+        |cent AS (SELECT vec_id AS cent_id, v, nrm FROM c WHERE vec_id < 10),
+        |asgn AS (
+        |  SELECT vec_id, cent_id AS cluster_id FROM (
+        |    SELECT x.vec_id, cent.cent_id,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY ${cos("x", "cent")} DESC, cent.cent_id ASC) AS rn
+        |    FROM c x, cent)
+        |  WHERE rn = 1),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    na.cluster_id, ${cos("n", "q")} AS sim
+        |  FROM c q JOIN asgn qa ON qa.vec_id = q.vec_id
+        |  JOIN asgn na ON na.cluster_id = qa.cluster_id
+        |  JOIN c n ON n.vec_id = na.vec_id
+        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, cluster_id, sim, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM sims)
+        |WHERE rank <= 5""".stripMargin,
+  )
+}
