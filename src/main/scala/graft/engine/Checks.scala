@@ -36,14 +36,23 @@ object Checks {
     def warnings: Seq[CheckResult] = results.filter(r => !r.passed && !r.blocking)
   }
 
-  /** Evaluate all checks in one aggregate pass. */
+  /** Evaluate all checks in one aggregate pass.
+    *
+    * A NULL metric FAILS its check (fail-closed): `max(ts)` over an empty
+    * table is NULL, and coercing it to 0 would make a blocking freshness
+    * gate pass vacuously on exactly the input it exists to catch.
+    */
   def run(df: DataFrame, checks: Seq[Check]): SuiteResult = {
     require(checks.nonEmpty, "empty check suite")
     val aggs = checks.map(c => c.metric.cast("double").as(c.name))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     SuiteResult(checks.zipWithIndex.map { case (c, i) =>
-      val v = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
-      CheckResult(c.name, v, c.passes(v), c.blocking)
+      if (row.isNullAt(i))
+        CheckResult(c.name, Double.NaN, passed = false, c.blocking)
+      else {
+        val v = row.getDouble(i)
+        CheckResult(c.name, v, c.passes(v), c.blocking)
+      }
     })
   }
 
@@ -74,11 +83,18 @@ object Checks {
     Check(s"consistency_$name", count(when(predicate, true)),
       _ == 0, blocking = false)
 
-  /** A5 warn: duplicate full rows == 0 (count − distinct-count). */
+  /** A5 warn: duplicate full rows == 0 (count − distinct-count).
+    *
+    * The distinct count runs over ONE struct of all columns, not a bare
+    * column list: multi-argument COUNT(DISTINCT c1..cn) skips any tuple
+    * containing a NULL, which would report every null-bearing row as a
+    * duplicate. A struct with null fields is itself non-null, so this
+    * matches `dropDuplicates().count()` semantics in a single pass.
+    */
   def duplicateCount(df: DataFrame): Check = {
     val cols = df.columns.map(col).toIndexedSeq
     Check("duplicate_rows",
-      count(lit(1)) - countDistinct(cols.head, cols.tail: _*),
+      count(lit(1)) - countDistinct(struct(cols: _*)),
       _ == 0, blocking = false)
   }
 
@@ -104,5 +120,6 @@ object Checks {
     * NameError bug.
     */
   def violations(df: DataFrame, predicates: Seq[Column]): DataFrame =
-    predicates.map(df.filter).reduce(_ unionByName _).dropDuplicates()
+    if (predicates.isEmpty) df.limit(0)
+    else predicates.map(df.filter).reduce(_ unionByName _).dropDuplicates()
 }

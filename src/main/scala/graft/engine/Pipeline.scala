@@ -32,9 +32,11 @@ object Pipeline {
     if (raw.isEmpty)
       return StageReport("extract", ok = false, "empty API dataset") // P7 guard
     val normalized = Schemas.normalizeColumns(raw)
+    // AnalysisException only: a missing table is expected (→ CreateNew);
+    // corrupt files or OOM must propagate, not masquerade as "new table".
     val existing =
       try Some(spark.read.parquet(stagingDir).schema)
-      catch { case _: Throwable => None }
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     val decision = Evolution.plan(existing, normalized.schema)
     Sinks.overwriteParquet(normalized, stagingDir)
     StageReport("extract", ok = true, s"evolution=$decision")
@@ -66,7 +68,7 @@ object Pipeline {
     val df =
       try spark.read.parquet(analyticsDir)
       catch {
-        case _: Throwable =>
+        case _: org.apache.spark.sql.AnalysisException =>
           return StageReport("validate", ok = false, "table does not exist")
       }
     val schemaRes =

@@ -32,8 +32,7 @@ object Events {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
         .select(col("window.start").as("bucket"), col("event_type"),
-          col("n"), col("total"))
-        .orderBy("bucket", "event_type")),
+          col("n"), col("total"))),
 
     // Sliding 1-hour window, 30-minute slide: each event lands in 2 buckets
     // (Spark emits w/slide windows per row via Expand — map-side, no join).
@@ -42,23 +41,20 @@ object Events {
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
         .select(col("window.start").as("window_start"), col("event_type"),
-          col("n"), col("total"))
-        .orderBy("window_start", "event_type")),
+          col("n"), col("total"))),
 
     // Batch sessionization: 30-minute inactivity gap per user.
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(t(s, dir, "events"), "user_id", "ts",
           tieBreak = "event_id", gapMillis = 30 * 60 * 1000L,
-          valueCol = "value")
-        .orderBy("user_id", "session_id")),
+          valueCol = "value")),
 
     // JSON scalar extraction from the props column (F-extension; the
     // reference carries WKT/JSON-ish payloads as opaque text).
     "q_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .orderBy("event_id")),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
     // JSON values aggregated: distribution stats of props.k per event type.
     "q_json_agg" -> ((s, dir) =>
@@ -69,8 +65,7 @@ object Events {
         .agg(count(lit(1)).as("n"),
           sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"),
-          max(col("k")).as("max_k"))
-        .orderBy("event_type")),
+          max(col("k")).as("max_k"))),
   )
 
   val oracles: Map[String, String] = Map(

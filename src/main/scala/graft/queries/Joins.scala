@@ -40,7 +40,6 @@ object Joins {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
-        .orderBy(col("o_orderpriority"))
     }),
 
     // Full star chain: two fact joins + two broadcast dim joins.
@@ -56,7 +55,6 @@ object Joins {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
-        .orderBy(col("r_name"))
     }),
 
     // Left semi: customers with at least one order (EXISTS).
@@ -65,7 +63,6 @@ object Joins {
       val o = t(s, dir, "orders")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     }),
 
     // Left anti: customers with no orders (NOT EXISTS).
@@ -74,7 +71,6 @@ object Joins {
       val o = t(s, dir, "orders")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     }),
 
     // Left outer + aggregate: line count per order including empty orders.
@@ -84,7 +80,6 @@ object Joins {
       o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
         .groupBy(col("o_orderkey"))
         .agg(count(col("l_orderkey")).as("n_lines"))
-        .orderBy(col("o_orderkey"))
     }),
 
     // Full outer of two aggregates: customers vs suppliers per nation.
@@ -98,7 +93,6 @@ object Joins {
           coalesce(col("nk"), col("snk")).as("nationkey"),
           coalesce(col("n_cust"), lit(0L)).as("n_cust"),
           coalesce(col("n_supp"), lit(0L)).as("n_supp"))
-        .orderBy("nationkey")
     }),
 
     // Band (theta / range) join: parts into price bands — broadcast nested
@@ -115,7 +109,6 @@ object Joins {
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_parts"),
           round(avg(col("p_retailprice")), 4).as("avg_price"))
-        .orderBy(col("band"))
     }),
   )
 

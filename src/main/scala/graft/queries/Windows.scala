@@ -13,7 +13,8 @@ import graft.ext.AsOf
   * data (custkey, user_id) — so at 100 TB the hash shuffle spreads evenly
   * and no single partition exceeds one key's rows. No global (unpartitioned)
   * windows anywhere: those serialize onto one task and are banned from this
-  * surface. Final `orderBy` is presentation-only (driver compares sorted).
+  * surface. No terminal ORDER BY — the driver compares sorted, so a
+  * presentation sort would only add a global exchange.
   */
 object Windows {
 
@@ -30,7 +31,6 @@ object Windows {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-        .orderBy("o_custkey", "rn")
     }),
 
     // Dedup-keep-latest: one row per user, newest event wins (the
@@ -43,7 +43,6 @@ object Windows {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("user_id", "event_id", "event_type", "value")
-        .orderBy("user_id")
     }),
 
     // Running (cumulative) sum per user in event-time order.
@@ -54,7 +53,6 @@ object Windows {
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
           round(sum(col("value")).over(w), 2).as("running_value"))
-        .orderBy("event_id")
     }),
 
     // Lag: milliseconds since the user's previous event.
@@ -65,7 +63,6 @@ object Windows {
         .select(col("event_id"), col("user_id"),
           (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w))
             .as("ms_since_prev"))
-        .orderBy("event_id")
     }),
 
     // Moving average over a 4-row frame (3 preceding + current).
@@ -76,7 +73,6 @@ object Windows {
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
           round(avg(col("value")).over(w), 4).as("avg_4"))
-        .orderBy("event_id")
     }),
 
     // As-of join: each error event enriched with the latest preceding click
@@ -90,7 +86,6 @@ object Windows {
         .select(col("event_id"), col("user_id"),
           col("asof_ts").as("last_click_ts"),
           col("asof_count").as("n_prior_clicks"))
-        .orderBy("event_id")
     }),
   )
 
