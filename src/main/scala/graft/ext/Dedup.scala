@@ -103,11 +103,15 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** SimHash signatures per doc: explode tokens, one hash-agg. */
+  /** SimHash signatures per doc: explode tokens, project the two per-token
+    * md5s once, one hash-agg of 64 majority-vote sums.
+    */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       positions: Int = 64): DataFrame = {
-    val aggs = Text.simhashAggs(col("tok"), positions)
+    val (ha, hb) = Text.simhashHashes(col("tok"))
+    val aggs = Text.simhashAggs(col("ha"), col("hb"), positions)
     docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol), ha.as("ha"), hb.as("hb"))
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), Text.simhashSignature(positions).as("simhash"))
@@ -122,26 +126,41 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, positions: Int = 64): DataFrame = {
+    require(positions % 4 == 0 && positions <= 64,
+      s"positions must be a multiple of 4 and <= 64, got $positions")
     val bandWidth = positions / 4
+    // Pack the bit-string into two longs once per doc: per-pair Hamming is
+    // then two XOR+bit_count ops instead of `positions` substring compares.
+    // Token distributions correlate in real corpora, so band buckets can be
+    // fat — per-candidate work and the width of what flows through the join
+    // both matter.
+    val hiWidth = math.min(32, positions)
     val sig = simhashSignatures(docs, idCol, textCol, positions)
-    val blocks = sig.select(col(idCol), col("simhash"),
+      .withColumn("sig_hi",
+        conv(substring(col("simhash"), 1, hiWidth), 2, 10).cast("long"))
+      .withColumn("sig_lo",
+        if (positions > 32)
+          conv(substring(col("simhash"), 33, positions - 32), 2, 10)
+            .cast("long")
+        else lit(0L))
+    val blocks = sig.select(col(idCol), col("sig_hi"), col("sig_lo"),
       posexplode(array((0 until 4).map(j =>
         substring(col("simhash"), j * bandWidth + 1, bandWidth)): _*))
         .as(Seq("block_idx", "block")))
-    val a = blocks.select(col(idCol).as("doc_a"),
-      col("simhash").as("sig_a"), col("block_idx"), col("block"))
-    val b = blocks.select(col(idCol).as("doc_b"),
-      col("simhash").as("sig_b"), col("block_idx").as("bi"),
+    val a = blocks.select(col(idCol).as("doc_a"), col("sig_hi").as("hi_a"),
+      col("sig_lo").as("lo_a"), col("block_idx"), col("block"))
+    val b = blocks.select(col(idCol).as("doc_b"), col("sig_hi").as("hi_b"),
+      col("sig_lo").as("lo_b"), col("block_idx").as("bi"),
       col("block").as("bb"))
-    val hamming = (1 to positions).map(p =>
-      when(substring(col("sig_a"), p, 1) =!= substring(col("sig_b"), p, 1), 1)
-        .otherwise(0)).reduce(_ + _)
+    // Filter on Hamming BEFORE deduplicating: only true near-dups (a tiny
+    // set) reach the dedup shuffle, not every banded candidate.
     a.join(b, a("block_idx") === b("bi") && a("block") === b("bb") &&
         a("doc_a") < b("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", hamming.cast("long"))
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
   }
 }

@@ -24,9 +24,14 @@ object Similarity {
   /** Element-wise double-cast of a float array column. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product (left-to-right, deterministic). */
+  /** Sequential-fold dot product (left-to-right, deterministic). Backed by
+    * a codegen'd native expression ([[graft.functions.DotProduct]]) — the
+    * HOF composition `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` is
+    * semantically identical but interpreted, which dominates all-pairs
+    * scans.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.vecDot(a, b)
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 

@@ -89,11 +89,20 @@ object Text {
     * LSH join instead of degenerating to all-pairs (16-bit signatures give
     * only 16 distinct values per 4-bit band — O(n²/64) in disguise).
     */
-  def simhashAggs(tokenCol: Column, positions: Int = 64): Seq[Column] =
+  /** The two per-token hashes feeding [[simhashAggs]] — project these ONCE
+    * per token row before aggregating: 64 aggregate expressions each
+    * recomputing md5 would do 64 digests/row instead of 2.
+    */
+  def simhashHashes(tokenCol: Column): (Column, Column) =
+    (md5(tokenCol.cast("binary")),
+      md5(concat(lit("x:"), tokenCol).cast("binary")))
+
+  /** Aggregates over pre-projected hash columns `ha` (positions 1-32) and
+    * `hb` (33-64).
+    */
+  def simhashAggs(ha: Column, hb: Column, positions: Int): Seq[Column] =
     (1 to positions).map { p =>
-      val (h, off) =
-        if (p <= 32) (md5(tokenCol.cast("binary")), p)
-        else (md5(concat(lit("x:"), tokenCol).cast("binary")), p - 32)
+      val (h, off) = if (p <= 32) (ha, p) else (hb, p - 32)
       sum(when(substring(h, off, 1) >= "8", 1).otherwise(-1)).as(s"b$p")
     }
 
