@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One shared local session for the whole test run (suites share the JVM
+  * under sbt's forked test runner; building a session per suite would
+  * dominate wall-clock).
+  */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+}

@@ -1,0 +1,109 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** End-to-end pipeline run on a CDC-shaped landing CSV — the reference's
+  * actual product (/root/reference/dags/etl_dag_updt.py:73: extractor >>
+  * loader >> validator), on a temp warehouse.
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = TestSpark.spark
+  private var root: Path = _
+
+  override def beforeAll(): Unit = { root = Files.createTempDirectory("graft-pipe") }
+  override def afterAll(): Unit = {
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
+  private def writeLanding(name: String, lines: Seq[String]): String = {
+    val p = root.resolve(name)
+    Files.write(p, lines.mkString("\n").getBytes)
+    p.toString
+  }
+
+  private val header = "YearStart,YearEnd,Location Abbr,Topic,Data-Value,Report Date"
+  private val goodRows = Seq(
+    header,
+    "2020,2021,CA,  Asthma ,12.5,2024-01-02",
+    "2020,2021,CA,  Asthma ,12.5,2024-01-02", // exact dup -> dropped
+    "2021,2020,NY,,150.0,not-a-date",         // year violation + null topic
+    "2019,2022,TX,Diabetes,55.0,2024-02-03")
+
+  test("full run: extract -> load -> validate, exit 0, observable outputs") {
+    val landing = writeLanding("landing.csv", goodRows)
+    val staging = root.resolve("staging").toString
+    val analytics = root.resolve("analytics").toString
+    val audit = root.resolve("audit").toString
+
+    val report = Pipeline.run(spark, landing, staging, analytics, Some(audit),
+      df => Seq(
+        Checks.rowCountMin(1),
+        Checks.distinctMin("yearstart", 2),
+        Checks.nullCount("topic"),
+        Checks.duplicateCount(df)),
+      required = Set("yearstart", "topic", "loaded_at", "load_date"))
+
+    assert(report.stages.map(_.name) == Seq("extract", "load", "validate"))
+    assert(report.exitCode == 0, report.stages.mkString("; "))
+
+    // staging: normalized column names, all rows (cleaning happens in load)
+    val staged = spark.read.parquet(staging)
+    assert(staged.columns.toSeq ==
+      Seq("yearstart", "yearend", "location_abbr", "topic", "data_value",
+        "report_date"))
+    assert(staged.count() == 4)
+
+    // analytics: deduped + cleaned + metadata, partitioned by load_date
+    val out = spark.read.parquet(analytics)
+    assert(out.count() == 3)
+    assert(out.columns.contains("loaded_at") && out.columns.contains("load_date"))
+    val topics = out.select("topic").collect().map(_.getString(0)).toSet
+    assert(topics == Set("asthma", "unknown", "diabetes")) // fill->lower->trim
+    assert(new java.io.File(analytics).listFiles()
+      .exists(_.getName.startsWith("load_date=")))
+  }
+
+  test("extract evolution decision is reported across runs") {
+    val landing = writeLanding("landing2.csv", goodRows)
+    val staging = root.resolve("staging2").toString
+    val first = Pipeline.extract(spark, landing, staging)
+    assert(first.ok && first.detail.contains("CreateNew"))
+    val second = Pipeline.extract(spark, landing, staging)
+    assert(second.ok && second.detail.contains("Truncate"))
+    val drifted = writeLanding("landing3.csv",
+      Seq("YearStart,NewCol", "2020,x"))
+    val third = Pipeline.extract(spark, drifted, staging)
+    assert(third.ok && third.detail.contains("Recreate"))
+  }
+
+  test("empty landing dataset blocks the run (P7 guard)") {
+    val landing = writeLanding("empty.csv", Seq(header))
+    val report = Pipeline.run(spark, landing,
+      root.resolve("s3").toString, root.resolve("a3").toString, None,
+      _ => Seq(Checks.rowCountMin(1)))
+    assert(report.exitCode == 1)
+    assert(report.stages.map(_.name) == Seq("extract"))
+  }
+
+  test("validate on a missing analytics table fails, blocking") {
+    val r = Pipeline.validate(spark, root.resolve("nope").toString,
+      _ => Seq(Checks.rowCountMin(1)))
+    assert(!r.ok && r.detail.contains("does not exist"))
+  }
+
+  test("validate enforces the required-column contract") {
+    import spark.implicits._
+    val dir = root.resolve("contract").toString
+    Seq((1L, "x")).toDF("yearstart", "topic").write.parquet(dir)
+    val r = Pipeline.validate(spark, dir, _ => Seq(Checks.rowCountMin(1)),
+      required = Set("yearstart", "topic", "loaded_at"))
+    assert(!r.ok && r.detail.contains("loaded_at"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = TestSpark.spark
+  private var root: Path = _
+
+  override def beforeAll(): Unit = { root = Files.createTempDirectory("graft-sinks") }
+  override def afterAll(): Unit = {
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
+  test("writeChunkedCsv splits at chunkRows per file (reference S2)") {
+    import spark.implicits._
+    val dir = root.resolve("chunks").toString
+    val df = (1 to 250).toDF("n").coalesce(1)
+    Sinks.writeChunkedCsv(df, dir, chunkRows = 100)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(files.length == 3) // 100+100+50
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == 250)
+  }
+
+  test("overwriteParquet is truncate-and-reload (atomic, one job)") {
+    import spark.implicits._
+    val dir = root.resolve("ow").toString
+    Sinks.overwriteParquet(Seq(1, 2, 3).toDF("n"), dir)
+    Sinks.overwriteParquet(Seq(9).toDF("n"), dir)
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("overwritePartitioned lays out load_date= partitions") {
+    import spark.implicits._
+    val dir = root.resolve("part").toString
+    val df = Seq((1, "2024-01-01"), (2, "2024-01-02"))
+      .toDF("n", "load_date")
+    Sinks.overwritePartitioned(df, dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("load_date=")).map(_.getName).sorted
+    assert(parts.toSeq ==
+      Seq("load_date=2024-01-01", "load_date=2024-01-02"))
+  }
+
+  test("appendParquet adds rows without truncating") {
+    import spark.implicits._
+    val dir = root.resolve("app").toString
+    Sinks.overwriteParquet(Seq(1).toDF("n"), dir)
+    Sinks.appendParquet(Seq(2).toDF("n"), dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("deleteRecursive removes the transient dir (reference S5)") {
+    import spark.implicits._
+    val dir = root.resolve("tmpout").toString
+    val df = Seq(1).toDF("n")
+    Sinks.writeChunkedCsv(df, dir)
+    assert(new java.io.File(dir).exists())
+    assert(Sinks.deleteRecursive(df, dir))
+    assert(!new java.io.File(dir).exists())
+  }
+}

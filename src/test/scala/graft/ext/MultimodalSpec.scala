@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The decode step is a declared stub (no codecs in this environment); what
+  * these tests pin is the REAL part — schema, batched partition-parallel
+  * extraction, deterministic per-record features.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("extractFeatures: executor-side features over binary payloads") {
+    import spark.implicits._
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "hello".getBytes("UTF-8")),
+      Multimodal.MediaRecord(2L, Array.emptyByteArray))
+      .toDS()
+    val out = Multimodal.extractFeatures(recs).collect()
+      .sortBy(_.doc_id)
+    assert(out.length == 2)
+    val h = out(0)
+    assert(h.n_bytes == 5L)
+    assert(h.content_hash == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+    assert(h.stub_width == 32L + 5 % 224)
+    assert(h.stub_height == 32L + (5 * 7) % 224)
+    assert(Set(1L, 3L).contains(h.stub_channels))
+    assert(out(1).n_bytes == 0L)
+  }
+
+  test("decodeStub is deterministic in the payload") {
+    val b = "same bytes".getBytes("UTF-8")
+    assert(Multimodal.decodeStub(b) == Multimodal.decodeStub(b))
+  }
+
+  test("mediaTable exposes documents as (doc_id, binary media)") {
+    val ds = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+    val r = ds.head()
+    assert(r.media.nonEmpty)
+    assert(ds.schema.fields.map(_.name).toSeq == Seq("doc_id", "media"))
+  }
+}

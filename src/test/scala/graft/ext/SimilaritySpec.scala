@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def emb(rows: (Long, Seq[Float], Int)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+  }
+
+  test("dot and cosine on known vectors (codegen'd DotProduct)") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.cosine(col("a"), col("a")).as("self")).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("DotProduct: null element poisons the sum to NULL (HOF parity)") {
+    import spark.implicits._
+    val df = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+    assert(df.select(Similarity.dot(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("DotProduct casts float arrays implicitly") {
+    val df = emb((1L, Seq(1f, 0f), 0))
+    val r = df.select(
+      Similarity.dot(col("embedding"), col("embedding"))).head()
+    assert(r.getDouble(0) == 1.0)
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic tiebreak") {
+    val df = emb(
+      (0L, Seq(1f, 0f), 0),   // query
+      (1L, Seq(1f, 0.1f), 0), // nearest
+      (2L, Seq(1f, 1f), 0),
+      (3L, Seq(0f, 1f), 0))   // orthogonal
+    val out = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      col("vec_id") === 0, k = 2).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L)) // ranks
+  }
+
+  test("nearDupPairs thresholds and orders pairs a < b") {
+    val df = emb(
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(1f, 0.01f), 0),
+      (3L, Seq(0f, 1f), 0))
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("ivfTopK assigns clusters by nearest centroid and searches within") {
+    // Two clean clusters around the axes; centroids 1 and 4.
+    val df = emb(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0), (3L, Seq(0.8f, 0.2f), 0),
+      (4L, Seq(0f, 1f), 1), (5L, Seq(0.1f, 0.9f), 1), (6L, Seq(0.2f, 0.8f), 1))
+    val out = Similarity.ivfTopK(df, "vec_id", "embedding",
+      col("vec_id") === 1 || col("vec_id") === 4,
+      col("vec_id") === 2 || col("vec_id") === 5, k = 5)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    // query 2 only sees cluster-1 members {1,3}; query 5 sees {4,6}
+    assert(byQuery(2L).map(_.getLong(1)).toSet == Set(1L, 3L))
+    assert(byQuery(5L).map(_.getLong(1)).toSet == Set(4L, 6L))
+    assert(byQuery(2L).map(_.getLong(2)).toSet == Set(1L)) // cluster_id
+    assert(byQuery(5L).map(_.getLong(2)).toSet == Set(4L))
+  }
+
+  test("ivf assignment ties break to the lowest cent_id") {
+    val df = emb(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0), // identical centroids
+      (3L, Seq(1f, 0f), 0))
+    val out = Similarity.ivfTopK(df, "vec_id", "embedding",
+      col("vec_id") <= 2, col("vec_id") === 3, k = 5)
+    assert(out.collect().map(_.getLong(2)).toSet == Set(1L))
+  }
+}
