@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.9 stretch goal): the streaming
+  * restatement of the batch event-time queries in graft.queries.Events.
+  * Verified by ScalaTest with MemoryStream (graft.streaming.StreamsSpec) —
+  * streaming output has no DuckDB oracle.
+  *
+  * Design: every transform takes a DataFrame/Dataset and returns a lazy
+  * plan, so the SAME code serves `spark.read` (batch backfill) and
+  * `spark.readStream` (incremental) — the Kappa-style pattern. State is
+  * bounded by watermarks: aggregation state for windows older than the
+  * watermark is dropped, and sessions time out via event-time timers, so
+  * executors hold O(open windows + open sessions), not history.
+  */
+object Streams {
+
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+      value: Double, ts: Timestamp)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  private[streaming] final case class SessionState(start: Timestamp,
+      end: Timestamp, n: Long, total: Double)
+
+  /** File-based streaming source over an events directory (the streaming
+    * twin of Sources.events; schema must be known up front for streams).
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, ts TIMESTAMP")
+      .parquet(dir)
+
+  /** Tumbling event-time window counts with a watermark: late rows beyond
+    * `watermarkDelay` are dropped and window state for closed windows is
+    * reclaimed. Works in batch mode too (watermark is a no-op there).
+    */
+  def tumblingAgg(events: DataFrame, windowDur: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Sliding-window variant (each event lands in windowDur/slide windows). */
+  def slidingAgg(events: DataFrame, windowDur: String = "1 hour",
+      slide: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Stateful sessionization: 30-minute-gap sessions per user via
+    * flatMapGroupsWithState with event-time timeouts — the streaming twin
+    * of graft.ext.Sessionize. A session closes when a same-user event
+    * arrives more than `gapMillis` later, or when the watermark passes
+    * session_end + gap (timeout), so state size tracks OPEN sessions only.
+    */
+  def sessionize(events: Dataset[Event], gapMillis: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(updateSessions(gapMillis))
+  }
+
+  private[streaming] def updateSessions(gapMillis: Long)(
+      user: Long, batch: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(Session(user, s.start, s.end, s.n, s.total))
+    } else {
+      val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var cur = state.getOption
+      batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        cur match {
+          case Some(s) if e.ts.getTime - s.end.getTime > gapMillis =>
+            closed += Session(user, s.start, s.end, s.n, s.total)
+            cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+          case Some(s) =>
+            val end = if (e.ts.getTime > s.end.getTime) e.ts else s.end
+            cur = Some(s.copy(end = end, n = s.n + 1, total = s.total + e.value))
+          case None =>
+            cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+        }
+      }
+      cur match {
+        case Some(s) =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end.getTime + gapMillis)
+        case None => ()
+      }
+      closed.iterator
+    }
+  }
+}

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.Streams.Event
+
+/** MemoryStream-driven verification of the streaming surface (no DuckDB
+  * oracle exists for streams — SURVEY §7.4).
+  */
+class StreamsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def runBatches[T](q: StreamingQuery)(steps: (() => T)*): Unit = {
+    steps.foreach { step => step(); q.processAllAvailable() }
+    q.stop()
+  }
+
+  test("tumblingAgg counts per 10-minute window, drops late rows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.tumblingAgg(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("update").start()
+    runBatches(q)(
+      () => in.addData(
+        Event(1, 1, "click", 1.0, ts(1)),
+        Event(2, 1, "click", 2.0, ts(4)),
+        Event(3, 2, "view", 5.0, ts(12))),
+      // watermark is now 12:00-5min = 07:00 -> a 10:00:00 row in the first
+      // window is late-but-within... then one BEYOND the watermark:
+      () => in.addData(Event(4, 3, "click", 8.0, ts(25))),
+      // watermark 20:00; this row (window 00-10) is older -> dropped
+      () => in.addData(Event(5, 9, "click", 100.0, ts(2))))
+    val out = spark.table("tumbling")
+      .selectExpr("cast(bucket as string)", "event_type", "n", "total")
+      .collect().map(_.toSeq).toSet
+    assert(out.contains(Seq("2024-01-01 10:00:00", "click", 2L, 3.0)))
+    assert(out.contains(Seq("2024-01-01 10:10:00", "view", 1L, 5.0)))
+    assert(out.contains(Seq("2024-01-01 10:20:00", "click", 1L, 8.0)))
+    // the late event must NOT have bumped window 10:00 to n=3
+    assert(!out.exists(r => r.head == "2024-01-01 10:00:00" && r(2) == 3L))
+  }
+
+  test("slidingAgg lands each event in two overlapping windows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.slidingAgg(in.toDF(), "10 minutes", "5 minutes",
+        "1 minute")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("update").start()
+    runBatches(q)(() => in.addData(Event(1, 1, "click", 1.0, ts(7))))
+    val starts = spark.table("sliding")
+      .selectExpr("cast(window_start as string)").collect().map(_.getString(0))
+    assert(starts.toSet ==
+      Set("2024-01-01 10:00:00", "2024-01-01 10:05:00"))
+  }
+
+  test("sessionize emits a session after the gap, via event-time timeout") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionize(in.toDS(), gapMillis = 10 * 60 * 1000L,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    runBatches(q)(
+      // one burst for user 1: minutes 1,3,5
+      () => in.addData(
+        Event(1, 1, "click", 1.0, ts(1)),
+        Event(2, 1, "click", 2.0, ts(3)),
+        Event(3, 1, "view", 3.0, ts(5))),
+      // much later event advances the watermark past 05+gap -> timeout
+      () => in.addData(Event(9, 2, "click", 0.5, ts(40))),
+      // and one more batch so the timer actually fires
+      () => in.addData(Event(10, 2, "click", 0.5, ts(45))))
+    val rows = spark.table("sessions")
+      .selectExpr("user_id", "cast(session_start as string)",
+        "cast(session_end as string)", "n_events", "total_value")
+      .collect().map(_.toSeq)
+    assert(rows.contains(Seq(1L, "2024-01-01 10:01:00",
+      "2024-01-01 10:05:00", 3L, 6.0)))
+  }
+
+  test("sessionize splits on in-batch gaps without waiting for timeout") {
+    val sessions = Streams.updateSessions(gapMillis = 10 * 60 * 1000L)(
+      7L,
+      Iterator(
+        Event(1, 7, "a", 1.0, ts(0)),
+        Event(2, 7, "a", 1.0, ts(2)),
+        Event(3, 7, "a", 4.0, ts(30)), // 28-min gap -> closes first session
+        Event(4, 7, "a", 1.0, ts(35))),
+      new FakeGroupState(None)).toSeq
+    assert(sessions ==
+      Seq(Streams.Session(7L, ts(0), ts(2), 2L, 2.0)))
+  }
+
+  test("batch mode runs the same plans (Kappa pattern)") {
+    import spark.implicits._
+    val batch = Seq(
+      Event(1, 1, "click", 1.0, ts(1)),
+      Event(2, 1, "click", 2.0, ts(14))).toDF()
+    val out = Streams.tumblingAgg(batch, "10 minutes").collect()
+    assert(out.length == 2)
+  }
+}
+
+/** Minimal GroupState stub for direct unit-testing of the session fold
+  * (Spark's TestGroupState covers the same need but is tied to internal
+  * construction; this keeps the test self-contained).
+  */
+class FakeGroupState[S](initial: Option[S])
+    extends org.apache.spark.sql.streaming.GroupState[S] {
+  private var v: Option[S] = initial
+  private var removed = false
+  override def exists: Boolean = v.isDefined
+  override def get: S = v.get
+  override def getOption: Option[S] = v
+  override def update(newValue: S): Unit = { v = Some(newValue) }
+  override def remove(): Unit = { v = None; removed = true }
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(durationMs: Long): Unit = ()
+  override def setTimeoutDuration(duration: String): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
