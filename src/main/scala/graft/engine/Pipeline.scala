@@ -82,6 +82,16 @@ object Pipeline {
         .mkString(" "))
   }
 
+  /** Stage 0 — fetch (reference S1): HTTP GET with retry/backoff into the
+    * landing file; see graft.engine.Fetch for the policy.
+    */
+  def fetch(url: String, landingFile: String,
+      config: Fetch.Config = Fetch.Config()): StageReport = {
+    val r = Fetch.fetchToLanding(url, landingFile, config)
+    StageReport("fetch", ok = r.ok,
+      s"status=${r.status} attempts=${r.attempts} bytes=${r.bytes} ${r.detail}")
+  }
+
   /** Full run with exit-code fold; later stages skipped on blocking failure
     * (the DAG's sequential trigger rule).
     */
@@ -95,5 +105,19 @@ object Pipeline {
     if (!s2.ok) return RunReport(Seq(s1, s2))
     val s3 = validate(spark, analyticsDir, checks, required)
     RunReport(Seq(s1, s2, s3))
+  }
+
+  /** Full run from a remote source: fetch → extract → load → validate (the
+    * reference's complete DAG including the HTTP front door).
+    */
+  def runFromUrl(spark: SparkSession, url: String, landingFile: String,
+      stagingDir: String, analyticsDir: String, auditDir: Option[String],
+      checks: DataFrame => Seq[Checks.Check],
+      required: Set[String] = Set.empty,
+      fetchConfig: Fetch.Config = Fetch.Config()): RunReport = {
+    val s0 = fetch(url, landingFile, fetchConfig)
+    if (!s0.ok) return RunReport(Seq(s0))
+    RunReport(s0 +: run(spark, landingFile, stagingDir, analyticsDir,
+      auditDir, checks, required).stages)
   }
 }
