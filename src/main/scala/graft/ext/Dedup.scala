@@ -80,6 +80,34 @@ object Dedup {
       .select("doc_a", "doc_b").dropDuplicates()
   }
 
+  /** Production near-dup composition: MinHash+LSH candidate generation,
+    * then exact Jaccard computed ON CANDIDATES ONLY. This is the shape that
+    * scales: the expensive exact measure touches O(candidates), not
+    * O(shared-shingle pairs) — at 100 TB the candidate set is proportional
+    * to true near-dups (plus LSH false positives), while the full
+    * inverted-index join of [[jaccardPairs]] grows with every hot shingle.
+    */
+  def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 8, rowsPerBand: Int = 2,
+      shingleN: Int = 5): DataFrame = {
+    val cand = minhashPairs(docs, idCol, textCol, k, rowsPerBand, shingleN)
+    val sh = docShingles(docs, idCol, textCol, shingleN).distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val common = cand.join(a, Seq("doc_a")).join(b, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard", round(
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
     * (inverted-index join), thresholded.
     */

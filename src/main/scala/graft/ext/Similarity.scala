@@ -80,6 +80,50 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Random-hyperplane (sign) LSH for cosine near-dups: `planes`
+    * deterministic ±1 hyperplanes (sign = md5 parity of "plane:dim", so any
+    * engine can regenerate them), signature bit j = sign(v · h_j), banded
+    * into 4 blocks; candidate pairs share ≥1 block and are then verified
+    * with EXACT cosine ≥ threshold.
+    *
+    * This is the scale path the all-pairs [[nearDupPairs]] baseline exists
+    * to verify: candidates ∝ near-dups (collision probability falls with
+    * angle: P[bit agree] = 1 − θ/π), so the exact measure runs on a sliver
+    * of the n² pair space. Signature computation is `planes` codegen'd dot
+    * products against literal arrays — one projection, no shuffle.
+    */
+  def cosineLshPairs(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, planes: Int = 16): DataFrame = {
+    require(planes % 4 == 0, s"planes must be a multiple of 4, got $planes")
+    val corpus = withNorm(emb, idCol, vecCol)
+    val signs: IndexedSeq[Seq[Double]] = (0 until planes).map { j =>
+      (0 until dim).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$j:$i".getBytes("UTF-8"))
+        if (((d(0) & 0xFF) >> 4) >= 8) 1.0 else -1.0
+      }
+    }
+    val sigCol = concat(signs.map(s =>
+      when(dot(col("v"), typedlit(s)) > 0, "1").otherwise("0")): _*)
+    val bandWidth = planes / 4
+    val blocks = corpus.withColumn("sig", sigCol)
+      .select(col(idCol), col("v"), col("nrm"),
+        posexplode(array((0 until 4).map(j =>
+          substring(col("sig"), j * bandWidth + 1, bandWidth)): _*))
+          .as(Seq("block_idx", "block")))
+    val a = blocks.select(col(idCol).as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), col("block_idx"), col("block"))
+    val b = blocks.select(col(idCol).as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("block_idx").as("bi"), col("block").as("bb"))
+    a.join(b, a("block_idx") === b("bi") && a("block") === b("bb") &&
+        a("vec_a") < b("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+      .dropDuplicates("vec_a", "vec_b")
+  }
+
   /** IVF: assign every vector to its nearest centroid, search only within
     * the query's cluster. Returns
     * (query_id, neighbor_id, cluster_id, sim, rank).

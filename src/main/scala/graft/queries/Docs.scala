@@ -65,6 +65,12 @@ object Docs {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
 
+    // The production composition: MinHash-LSH candidates verified by exact
+    // Jaccard on candidates only.
+    "q_dedup_minhash_verified" -> ((s, dir) =>
+      Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+        0.5)),
+
     // Multimodal plumbing: opaque binary payload → executor-side batched
     // feature extraction (decode step stubbed, Spark plumbing real).
     "q_multimodal_meta" -> ((s, dir) =>
@@ -149,6 +155,42 @@ object Docs {
         |common AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
         |  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
+        |    AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
+        |  >= 0.5""".stripMargin,
+
+    "q_dedup_minhash_verified" ->
+      s"""WITH $shingleCte,
+        |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |m AS (
+        |  SELECT doc_id,
+        |    min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+        |    min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+        |    min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+        |    min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM m
+        |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM m
+        |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM m
+        |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM m),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN d a ON a.doc_id = c.doc_a
+        |  JOIN d b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         |  round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)

@@ -43,6 +43,12 @@ object Vectors {
     "q_sim_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, col("vec_id") % 25 === 0, k = 5)),
+
+    // Scale path: random-hyperplane LSH candidates verified by exact
+    // cosine — the composition nearDupPairs exists to baseline.
+    "q_sim_neardup_lsh" -> ((s, dir) =>
+      Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, threshold = 0.35)),
   )
 
   /** Sequential-fold cosine matching [[graft.ext.Similarity.dot]]:
@@ -85,6 +91,40 @@ object Vectors {
         |  ${cos("a", "b")} AS sim
         |FROM c a JOIN c b ON a.vec_id < b.vec_id
         |WHERE ${cos("a", "b")} >= 0.35""".stripMargin,
+
+    // Hyperplane signs regenerate from md5 parity of "plane:dim" — same
+    // string, same digest, same signature on both engines.
+    "q_sim_neardup_lsh" ->
+      s"""WITH $withNorm,
+        |planes AS (
+        |  SELECT j.j, list_transform(range(1, 65),
+        |    i -> CASE WHEN substring(md5(CAST(j.j AS VARCHAR) || ':' ||
+        |           CAST(i - 1 AS VARCHAR)), 1, 1) >= '8'
+        |         THEN 1.0 ELSE -1.0 END) AS h
+        |  FROM (SELECT unnest(range(0, 16)) AS j) j),
+        |bits AS (
+        |  SELECT c.vec_id, p.j,
+        |    CASE WHEN list_reduce(list_transform(range(1, 65),
+        |        i -> c.v[i] * p.h[i]), (x, y) -> x + y) > 0
+        |      THEN '1' ELSE '0' END AS b
+        |  FROM c, planes p),
+        |sig AS (
+        |  SELECT vec_id, string_agg(b, '' ORDER BY j) AS sig
+        |  FROM bits GROUP BY vec_id),
+        |blocks AS (
+        |  SELECT s.vec_id, b.i AS block_idx,
+        |    substring(sig, b.i * 4 + 1, 4) AS block
+        |  FROM sig s, (SELECT unnest(range(0, 4)) AS i) b),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM blocks a JOIN blocks b
+        |    ON a.block_idx = b.block_idx AND a.block = b.block
+        |    AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, ${cos("x", "y")} AS sim
+        |FROM cand
+        |JOIN c x ON x.vec_id = vec_a
+        |JOIN c y ON y.vec_id = vec_b
+        |WHERE ${cos("x", "y")} >= 0.35""".stripMargin,
 
     "q_sim_ivf" ->
       s"""WITH $withNorm,
