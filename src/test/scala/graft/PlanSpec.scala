@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the properties that make these queries
+  * survive a 100× scale-up, pinned so a refactor can't silently lose them.
+  * Checked on the physical plan string at sf0.001 (plan shape, not data).
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString()
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q1_agg prunes columns: no l_comment in the read schema") {
+    val p = plan("q1_agg")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_comment"))
+  }
+
+  test("q_text_stats reads only doc_id and text") {
+    val p = plan("q_text_stats")
+    assert(!p.contains("n_chars") && !p.contains("source"))
+  }
+
+  test("q_join_star broadcasts the dimension tables") {
+    val p = plan("q_join_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+  }
+
+  test("q_topk plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("non-LIMIT queries carry no terminal global sort") {
+    for (q <- Seq("q_cleaning", "q_join_inner", "q_dedup_exact",
+        "q_range_violations", "q_date_parts")) {
+      val p = plan(q)
+      assert(!p.contains("rangepartitioning"),
+        s"$q still plans a global range-partitioned sort")
+    }
+  }
+
+  test("windows partition by a data-scaled key (no global window)") {
+    for (q <- Seq("q_window_topn", "q_dedup_latest", "q_window_running")) {
+      val p = plan(q)
+      // a global window would hash-partition on nothing / a constant
+      assert(!p.contains("hashpartitioning(1 "),
+        s"$q appears to use a constant partition key")
+    }
+  }
+
+  test("ivf assignment is an argmax projection, not a window over the corpus") {
+    // exactly ONE Window node (the final per-query rank, partitioned by
+    // query_id); the old crossJoin+row_number assignment added a second
+    // one partitioned by vec_id over the k×-expanded corpus
+    val p = plan("q_sim_ivf")
+    assert("Window \\[".r.findAllIn(p).size == 1)
+    assert(p.contains("windowspecdefinition(query_id"))
+    assert(!p.contains("windowspecdefinition(vec_id"))
+    assert(p.contains("vec_dot")) // native expression in use
+  }
+
+  test("similarity pairs use the native dot product, not interpreted HOFs") {
+    val p = plan("q_sim_neardup")
+    assert(p.contains("vec_dot"))
+    assert(!p.contains("zip_with")) // the interpreted form it replaced
+    assert(p.contains("BroadcastExchange")) // build side broadcast, not shuffled
+  }
+
+  test("multi-aggregate validation is a single pass (one aggregate subtree)") {
+    val p = plan("q_validate_metrics")
+    // expand-based distinct rewrite: one Expand, partial+final HashAggregate
+    assert(p.contains("Expand") && p.contains("HashAggregate"))
+  }
+}
