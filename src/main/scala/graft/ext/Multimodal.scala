@@ -64,6 +64,27 @@ object Multimodal {
     }
   }
 
+  /** Metadata-only feature projection via BUILT-IN expressions (length, md5,
+    * arithmetic on them): codegen'd, no JVM object serialization, and
+    * metadata-only queries keep column pruning — the blob feeds two scalar
+    * expressions instead of surfacing as a JVM byte array. Produces the same
+    * rows as [[extractFeatures]] (the stub decode is arithmetic on size and
+    * hash, so it is expressible both ways); a REAL codec is not, which is
+    * exactly when the mapPartitions path earns its keep.
+    */
+  def mediaMeta(df: org.apache.spark.sql.DataFrame, idCol: String,
+      mediaCol: String): org.apache.spark.sql.DataFrame = {
+    val nBytes = length(col(mediaCol)).cast("long")
+    df.select(
+      col(idCol),
+      nBytes.as("n_bytes"),
+      md5(col(mediaCol)).as("content_hash"),
+      (lit(32L) + nBytes % 224L).as("stub_width"),
+      (lit(32L) + (nBytes * 7L) % 224L).as("stub_height"),
+      when(substring(md5(col(mediaCol)), 1, 1) >= "8", 3L).otherwise(1L)
+        .as("stub_channels"))
+  }
+
   /** Build a media table from the documents fixture: the text bytes stand in
     * for an encoded payload (opaque binary + metadata columns).
     */

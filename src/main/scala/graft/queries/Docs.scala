@@ -71,10 +71,13 @@ object Docs {
       Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
         0.5)),
 
-    // Multimodal plumbing: opaque binary payload → executor-side batched
-    // feature extraction (decode step stubbed, Spark plumbing real).
+    // Multimodal metadata: built-in length/md5 expressions over the opaque
+    // binary payload (codegen'd; the mapPartitions decode path —
+    // Multimodal.extractFeatures — is ScalaTest-verified to produce the
+    // same rows and is the slot a real codec plugs into).
     "q_multimodal_meta" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.mediaTable(s, dir)).toDF()),
+      Multimodal.mediaMeta(Multimodal.mediaTable(s, dir).toDF(),
+        "doc_id", "media")),
   )
 
   /** DuckDB shingle CTE shared by the dedup oracles — mirrors

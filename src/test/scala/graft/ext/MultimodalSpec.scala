@@ -35,6 +35,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub(b) == Multimodal.decodeStub(b))
   }
 
+  test("mediaMeta (built-in exprs) matches extractFeatures (mapPartitions)") {
+    val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+    val viaExprs = Multimodal.mediaMeta(media.toDF(), "doc_id", "media")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val viaJvm = Multimodal.extractFeatures(media).toDF()
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(viaExprs.toSeq == viaJvm.toSeq)
+  }
+
   test("mediaTable exposes documents as (doc_id, binary media)") {
     val ds = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val r = ds.head()
