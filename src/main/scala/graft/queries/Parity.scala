@@ -139,6 +139,21 @@ object Parity {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("revenue"))),
 
+    // Set ops (SURVEY §2.7): INTERSECT/EXCEPT with SQL distinct semantics.
+    "q_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val y94 = o.filter(year(col("o_orderdate")) === 1994).select("o_custkey")
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      y94.intersect(y95)
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val y94 = o.filter(year(col("o_orderdate")) === 1994).select("o_custkey")
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      y94.except(y95)
+    }),
+
     // Grouping sets: ROLLUP over the star schema (free via Catalyst Expand).
     "q_rollup" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -230,6 +245,18 @@ object Parity {
         |  count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995"""
+        .stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995"""
+        .stripMargin,
 
     "q_rollup" ->
       """SELECT r_name, n_name,
