@@ -67,6 +67,18 @@ object Checks {
     Check(s"distinct_${colName}_min_$min", countDistinct(col(colName)),
       _ >= min, blocking = true)
 
+  /** A2 at 100 TB: HLL++ approximate distinct floor. The exact
+    * `distinctMin` stays the oracle-checked default; at scale the
+    * expand-based exact rewrite multiplies shuffle volume per distinct
+    * aggregate, while HLL++ is one fixed-size sketch per partition. Floors
+    * tolerate approximation by construction — a ≥10-locations gate doesn't
+    * care about ±2% on 10,000.
+    */
+  def approxDistinctMin(colName: String, min: Long,
+      rsd: Double = 0.05): Check =
+    Check(s"approx_distinct_${colName}_min_$min",
+      approx_count_distinct(col(colName), rsd), _ >= min, blocking = true)
+
   /** A3 warn: null count on a critical column == 0. */
   def nullCount(colName: String): Check =
     Check(s"nulls_$colName", count(when(col(colName).isNull, true)),

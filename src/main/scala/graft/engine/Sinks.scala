@@ -41,6 +41,17 @@ object Sinks {
   def appendParquet(df: DataFrame, dir: String): Unit =
     df.write.mode(SaveMode.Append).parquet(dir)
 
+  /** Reference S6: JDBC batch sink — the `execute_values(page_size=1000)`
+    * insert loop (data_extractor.py:379-412) as a declarative executor-
+    * parallel write; `batchsize` maps the page size. Overwrite mode gives
+    * the truncate-and-reload semantics in one atomic job.
+    */
+  def jdbcBatchSink(df: DataFrame, url: String, table: String,
+      batchSize: Int = 1000, mode: SaveMode = SaveMode.Append,
+      properties: java.util.Properties = new java.util.Properties): Unit =
+    df.write.mode(mode).option("batchsize", batchSize.toLong)
+      .jdbc(url, table, properties)
+
   /** Reference S11: failed-validation rows → audit CSV. */
   def writeAuditCsv(badRows: DataFrame, path: String): Unit =
     badRows.write.option("header", "true").mode(SaveMode.Overwrite).csv(path)

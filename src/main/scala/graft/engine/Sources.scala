@@ -34,6 +34,17 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Reference S8: partitioned parallel JDBC read — replaces the serial
+    * `OFFSET/LIMIT` pagination loop (data_loader.py:412-421, O(n²) rescans
+    * with nondeterministic page contents) with `numPartitions` concurrent
+    * range scans on `partitionCol`. Strictly better semantics AND linear.
+    */
+  def jdbcPartitioned(spark: SparkSession, url: String, table: String,
+      partitionCol: String, lower: Long, upper: Long, numPartitions: Int,
+      properties: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, partitionCol, lower, upper, numPartitions,
+      properties)
+
   /** Fixture table loader: `table(spark, sfDir, "lineitem")`. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)

@@ -1,0 +1,35 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for equi-joins on hot keys.
+  *
+  * A hash shuffle sends every row of a key to one partition; a key holding
+  * 1% of 100 TB serializes a terabyte through a single task. AQE's skew-join
+  * split handles sort-merge cases at runtime; this helper is the explicit
+  * form for when the skew is known (e.g. the null-ish "unknown" key after
+  * cleaning, or a head-heavy web domain in a crawl): spread the big side's
+  * hot rows over `factor` sub-keys and replicate the small side `factor`×.
+  *
+  * The salt is DETERMINISTIC — `pmod(hash(every left column), factor)` —
+  * so retried tasks re-derive the same assignment (a `rand()` salt breaks
+  * exactly-once semantics under task retry).
+  */
+object Skew {
+
+  /** Inner equi-join `left ⋈ right` on `key`, with `left` salted `factor`
+    * ways and `right` replicated per salt. Produces the same rows as the
+    * plain join; the shuffle spreads each hot key over `factor` partitions.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      factor: Int): DataFrame = {
+    require(factor > 0, s"salt factor must be positive, got $factor")
+    val leftCols = left.columns.map(col).toIndexedSeq
+    val l = left.withColumn("__salt", pmod(hash(leftCols: _*), lit(factor)))
+    val r = right.withColumn("__salt",
+      explode(array((0 until factor).map(lit): _*)))
+    l.join(r, l("__salt") === r("__salt") && l(key) === r(key))
+      .drop(l("__salt")).drop(r("__salt")).drop(r(key))
+  }
+}

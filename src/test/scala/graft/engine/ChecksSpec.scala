@@ -44,6 +44,13 @@ class ChecksSpec extends AnyFunSuite {
     assert(!r2.passed)
   }
 
+  test("approxDistinctMin: HLL floor tracks the exact count") {
+    import spark.implicits._
+    val d = (1 to 1000).map(i => i % 100).toDF("k")
+    assert(Checks.run(d, Seq(Checks.approxDistinctMin("k", 90))).passed)
+    assert(!Checks.run(d, Seq(Checks.approxDistinctMin("k", 200))).passed)
+  }
+
   test("NULL metric fails closed (freshness over empty table)") {
     import spark.implicits._
     val empty = Seq.empty[(java.sql.Timestamp, Long)].toDF("loaded_at", "x")
