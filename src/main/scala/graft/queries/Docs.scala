@@ -65,6 +65,29 @@ object Docs {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Vocabulary building: corpus-wide token frequencies, top 50 — explode
+    // is map-side, the count is one partial+final hash-agg, and the top-k
+    // is TakeOrderedAndProject (no global sort of the vocabulary).
+    "q_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)),
+
+    // Language/quality distribution: the Text expressions composed in an
+    // aggregate (per-language doc counts + mean quality + token volume).
+    "q_lang_dist" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(Text.langId(col("text")).as("lang_id"),
+          Text.qualityScore(col("text")).as("q"),
+          Text.nTokens(col("text")).as("nt"))
+        .groupBy(col("lang_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("q")), 4).as("avg_quality"),
+          sum(col("nt")).as("total_tokens"))),
+
     // The production composition: MinHash-LSH candidates verified by exact
     // Jaccard on candidates only.
     "q_dedup_minhash_verified" -> ((s, dir) =>
@@ -126,6 +149,37 @@ object Docs {
         |    AS quality,
         |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM y""".stripMargin,
+
+    "q_vocab_topk" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+    "q_lang_dist" ->
+      """WITH x AS (SELECT text, string_split(text, ' ') AS toks FROM documents),
+        |y AS (SELECT
+        |    CAST(len(toks) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+        |    len(list_filter(toks,
+        |      t -> list_contains(['the','a','of','and','to'], t))) AS s_en,
+        |    len(list_filter(toks,
+        |      t -> list_contains(['el','la','de','los','y'], t))) AS s_es,
+        |    len(list_filter(toks,
+        |      t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+        |    len(list_filter(toks,
+        |      t -> list_contains(['le','les','et','des','une'], t))) AS s_fr
+        |  FROM x),
+        |z AS (SELECT
+        |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |         WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_id,
+        |    round(0.5 * least(CAST(nt AS DOUBLE) / 50.0, 1.0)
+        |        + 0.3 * least(CAST(s_en AS DOUBLE) / nt * 10.0, 1.0)
+        |        + 0.2 * (CAST(nd AS DOUBLE) / nt), 4) AS q,
+        |    nt FROM y)
+        |SELECT lang_id, count(*) AS n_docs, round(avg(q), 4) AS avg_quality,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens
+        |FROM z GROUP BY lang_id""".stripMargin,
 
     "q_dedup_fingerprint" ->
       """SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint,
