@@ -56,6 +56,19 @@ object Sinks {
   def writeAuditCsv(badRows: DataFrame, path: String): Unit =
     badRows.write.option("header", "true").mode(SaveMode.Overwrite).csv(path)
 
+  /** Bucketed managed-table write: co-locates rows by `bucketCol` so
+    * repeated joins/aggregations on that key skip their shuffle entirely
+    * (the plan shows no Exchange on the bucketed side). The 100 TB pattern
+    * for fact⋈fact joins that recur every load: pay the partitioning once
+    * at write, amortize over every downstream join.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
+
   /** Reference S5: transient cleanup via Hadoop FS (works for any scheme —
     * file://, hdfs://, gs:// — the URI picks the implementation).
     */

@@ -1,0 +1,47 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AsOfSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  private def frames = {
+    import spark.implicits._
+    val probes = Seq((1L, 101L, ts(10)), (1L, 102L, ts(30)), (2L, 201L, ts(5)))
+      .toDF("user_id", "event_id", "ts")
+    val refs = Seq((1L, ts(8)), (1L, ts(10)), (1L, ts(25)), (3L, ts(1)))
+      .toDF("user_id", "ts")
+    (probes, refs)
+  }
+
+  test("latest preceding-or-equal reference per probe, running count") {
+    val (probes, refs) = frames
+    val out = AsOf.enrich(probes, refs, "user_id", "ts", "ts")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(1),
+        Option(r.getAs[Timestamp]("asof_ts")), r.getLong(r.length - 1)))
+    // probe@10: refs at 08 and 10 precede-or-equal -> asof 10, count 2
+    assert(out(0) == ((101L, Some(ts(10)), 2L)))
+    // probe@30: ref 25 latest, 3 total
+    assert(out(1) == ((102L, Some(ts(25)), 3L)))
+    // user 2 has no refs: null, 0
+    assert(out(2) == ((201L, None, 0L)))
+  }
+
+  test("empty reference side yields nulls, keeps all probes") {
+    import spark.implicits._
+    val (probes, _) = frames
+    val empty = Seq.empty[(Long, Timestamp)].toDF("user_id", "ts")
+    val out = AsOf.enrich(probes, empty, "user_id", "ts", "ts")
+    assert(out.count() == 3)
+    assert(out.filter(org.apache.spark.sql.functions.col("asof_ts").isNotNull)
+      .count() == 0)
+  }
+}
