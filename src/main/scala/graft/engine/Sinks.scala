@@ -56,6 +56,48 @@ object Sinks {
   def writeAuditCsv(badRows: DataFrame, path: String): Unit =
     badRows.write.option("header", "true").mode(SaveMode.Overwrite).csv(path)
 
+  /** Reference S7 on a managed catalog table: compute the schema-evolution
+    * decision and apply it —
+    *
+    *   - CreateNew / Recreate → drop-and-create from the incoming schema
+    *     (one atomic overwrite write);
+    *   - Truncate → KEEP the existing DDL (column order and types), wipe
+    *     rows, and insert aligned BY NAME, like the reference's
+    *     `INSERT INTO t (cols…)` (a positional insertInto would misassign
+    *     reordered columns).
+    *
+    * Returns the decision taken so callers can report it (the observable
+    * policy the reference logs at data_extractor.py:314-377).
+    */
+  def applyEvolution(df: DataFrame, tableName: String): Evolution.Decision = {
+    val spark = df.sparkSession
+    val existing =
+      if (spark.catalog.tableExists(tableName))
+        Some(spark.table(tableName).schema)
+      else None
+    val decision = Evolution.plan(existing, df.schema)
+    decision match {
+      case Evolution.Truncate =>
+        import org.apache.spark.sql.functions._
+        spark.sql(s"TRUNCATE TABLE $tableName")
+        val dfCols = df.columns.toSet
+        // align by NAME in table order; metadata columns the incoming frame
+        // lacks get stamped (the reference's DDL defaults) — only those can
+        // be absent, namesMatch ignores nothing else
+        val aligned = existing.get.fields.toIndexedSeq.map { f =>
+          if (dfCols(f.name)) col(f.name)
+          else if (f.name == "loaded_at")
+            current_timestamp().cast(f.dataType).as(f.name)
+          else current_date().cast(f.dataType).as(f.name)
+        }
+        df.select(aligned: _*).write.mode(SaveMode.Append)
+          .insertInto(tableName)
+      case _ =>
+        df.write.mode(SaveMode.Overwrite).saveAsTable(tableName)
+    }
+    decision
+  }
+
   /** Bucketed managed-table write: co-locates rows by `bucketCol` so
     * repeated joins/aggregations on that key skip their shuffle entirely
     * (the plan shows no Exchange on the bucketed side). The 100 TB pattern
