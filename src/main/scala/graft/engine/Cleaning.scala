@@ -93,6 +93,21 @@ object Cleaning {
     df.withColumn("loaded_at", ts).withColumn("load_date", to_date(ts))
   }
 
+  /** Key-based dedup-keep-latest: one surviving row per key, newest
+    * `orderCol` wins (ties broken by `tieBreak` descending). The dedup an
+    * incremental pipeline needs the moment loads stop being
+    * truncate-and-reload — partitioned by a data-scaled key, never global.
+    */
+  def dedupLatest(df: DataFrame, keys: Seq[String], orderCol: String,
+      tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieBreak).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Full reference-ordered cleaning pass. */
   def cleanAll(df: DataFrame, at: Option[java.sql.Timestamp] = None): DataFrame =
     withLoadMetadata(

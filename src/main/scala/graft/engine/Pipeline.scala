@@ -59,6 +59,31 @@ object Pipeline {
     StageReport("load", ok = true, s"analytics=$analyticsDir")
   }
 
+  /** Incremental variant of the load stage: clean the staged batch and
+    * APPEND its load_date partition instead of overwriting the table —
+    * the path a daily pipeline takes once history must be kept. Readers
+    * reconstruct current state with [[readLatest]]; a periodic compaction
+    * can materialize it. Appends only touch the new partition, so daily
+    * cost is O(batch), not O(history).
+    */
+  def loadIncremental(spark: SparkSession, stagingDir: String,
+      analyticsDir: String,
+      at: Option[java.sql.Timestamp] = None): StageReport = {
+    val staged = spark.read.parquet(stagingDir)
+    val cleaned = Cleaning.cleanAll(staged, at)
+    cleaned.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("load_date").parquet(analyticsDir)
+    StageReport("load_incremental", ok = true, s"appended to $analyticsDir")
+  }
+
+  /** Current-state view over an incrementally-loaded table: latest row per
+    * key by load timestamp.
+    */
+  def readLatest(spark: SparkSession, analyticsDir: String,
+      keys: Seq[String]): DataFrame =
+    Cleaning.dedupLatest(spark.read.parquet(analyticsDir), keys,
+      "loaded_at", keys.head)
+
   /** Stage 3 — validate: single-pass multi-aggregate check suite over the
     * analytics table (the validator's one-statement shape).
     */

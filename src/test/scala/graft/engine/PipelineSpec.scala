@@ -92,6 +92,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(report.stages.map(_.name) == Seq("extract"))
   }
 
+  test("incremental loads append partitions; readLatest reconstructs state") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val staging = root.resolve("inc-staging").toString
+    val analytics = root.resolve("inc-analytics").toString
+
+    Seq((1L, "v1"), (2L, "v1")).toDF("id", "payload")
+      .write.mode("overwrite").parquet(staging)
+    Pipeline.loadIncremental(spark, staging, analytics,
+      Some(Timestamp.valueOf("2024-01-01 00:00:00")))
+
+    Seq((2L, "v2"), (3L, "v1")).toDF("id", "payload")
+      .write.mode("overwrite").parquet(staging)
+    Pipeline.loadIncremental(spark, staging, analytics,
+      Some(Timestamp.valueOf("2024-01-02 00:00:00")))
+
+    // history kept: both load_date partitions present, 4 rows total
+    assert(spark.read.parquet(analytics).count() == 4)
+    assert(new java.io.File(analytics).listFiles()
+      .count(_.getName.startsWith("load_date=")) == 2)
+
+    // current state: one row per id, newest load wins for id=2
+    val latest = Pipeline.readLatest(spark, analytics, Seq("id"))
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(latest.toSeq == Seq((1L, "v1"), (2L, "v2"), (3L, "v1")))
+  }
+
   test("validate on a missing analytics table fails, blocking") {
     val r = Pipeline.validate(spark, root.resolve("nope").toString,
       _ => Seq(Checks.rowCountMin(1)))
