@@ -40,17 +40,24 @@ object Dedup {
       n: Int = 5): DataFrame =
     docs.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
 
-  /** MinHash signatures: k independent hash functions simulated as
-    * md5("j:" ++ shingle), lexicographic min per doc. Returns one row per
-    * doc with columns h0..h{k-1}.
+  /** MinHash signatures from an exploded (id, shingle) view: k independent
+    * hash functions simulated as md5("j:" ++ shingle), lexicographic min
+    * per doc. Min is duplicate-insensitive, so callers may pass a distinct
+    * shingle set — and SHOULD when they also use that set elsewhere in the
+    * same plan (identical subtrees let AQE reuse the exchange instead of
+    * recomputing the explode+distinct).
     */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, shingleN: Int = 5): DataFrame = {
-    val exploded = docShingles(docs, idCol, textCol, shingleN)
+  def minhashFromShingles(shingled: DataFrame, idCol: String,
+      k: Int = 8): DataFrame = {
     val mins = (0 until k).map(j =>
       min(md5(concat(lit(s"$j:"), col("shingle")).cast("binary"))).as(s"h$j"))
-    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    shingled.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
+
+  /** MinHash signatures per doc (one row, columns h0..h{k-1}). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, shingleN: Int = 5): DataFrame =
+    minhashFromShingles(docShingles(docs, idCol, textCol, shingleN), idCol, k)
 
   /** LSH banding: hash adjacent signature pairs into `k/2`-wide bands and
     * emit (doc, band_idx, band_hash). Docs sharing ANY band are candidates.
@@ -90,8 +97,19 @@ object Dedup {
   def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 8, rowsPerBand: Int = 2,
       shingleN: Int = 5): DataFrame = {
-    val cand = minhashPairs(docs, idCol, textCol, k, rowsPerBand, shingleN)
+    // ONE distinct shingle set feeds both the signature path and the verify
+    // join: identical subtrees → AQE reuses the exchange, so the corpus is
+    // exploded and deduped once, not twice.
     val sh = docShingles(docs, idCol, textCol, shingleN).distinct()
+    val bands = lshBands(minhashFromShingles(sh, idCol, k), idCol, k,
+      rowsPerBand)
+    val ba = bands.select(col(idCol).as("doc_a"), col("band_idx"),
+      col("band_hash"))
+    val bb = bands.select(col(idCol).as("doc_b"), col("band_idx").as("bi"),
+      col("band_hash").as("bh"))
+    val cand = ba.join(bb, ba("band_idx") === bb("bi") &&
+        ba("band_hash") === bb("bh") && ba("doc_a") < bb("doc_b"))
+      .select("doc_a", "doc_b").dropDuplicates()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
     val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
