@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *     signature, and self-join on (band_idx, band_hash) — candidate pairs
   *     only materialize for docs that actually collide. Shuffle volume is
   *     O(docs × bands), not O(docs²).
-  *   - SimHash:  one explode + hash-agg per doc → 16-bit signature; banded
-  *     equi-join on 4-bit blocks, Hamming-distance filter on the survivors.
+  *   - SimHash:  one explode + hash-agg per doc → 64-bit signature; banded
+  *     equi-join on 16-bit blocks (~2^16 buckets per band), XOR+bit_count
+  *     Hamming filter on the survivors BEFORE the pair dedup shuffle.
   *   - Jaccard:  equi-join on shared shingles (inverted-index join) — pairs
   *     with zero overlap never meet. Hot shingles would skew the join at
   *     scale; the MinHash path is the production default, this is the

@@ -50,6 +50,42 @@ class TextSpec extends AnyFunSuite {
     assert(a == b && a.length == 32)
   }
 
+  test("vectorized laws over 200 generated docs (counts, fingerprint)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("spark", "join", "the", "a", "row", "scan", "agg")
+    val texts = (1 to 200).map(_ =>
+      (1 to (1 + rnd.nextInt(12))).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val df = texts.toDF("text")
+    // law: n_distinct <= n_tokens; both >= 1; regex tokens == tokens here
+    val violations = df.filter(
+      Text.nDistinctTokens(col("text")) > Text.nTokens(col("text")) ||
+      Text.nTokens(col("text")) < 1 ||
+      Text.nRegexTokens(col("text")) =!= Text.nTokens(col("text"))).count()
+    assert(violations == 0)
+    // law: fingerprint invariant under superfluous whitespace
+    val fpMismatch = df
+      .select(Text.fingerprint(col("text")).as("a"),
+        Text.fingerprint(concat(lit("  "), regexp_replace(col("text"), " ",
+          "   "), lit(" "))).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(fpMismatch == 0)
+  }
+
+  test("shingle count law: max(1, n_tokens - 4) shingles per doc") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val texts = (1 to 100).map(_ =>
+      (1 to (1 + rnd.nextInt(10))).map(i => s"t${rnd.nextInt(9)}")
+        .mkString(" "))
+    val bad = texts.toDF("text")
+      .select(Text.nTokens(col("text")).as("nt"),
+        size(graft.ext.Dedup.shingles(col("text"))).cast("long").as("ns"))
+      .filter(col("ns") =!= greatest(lit(1L), col("nt") - 4)).count()
+    assert(bad == 0)
+  }
+
   test("qualityScore stays in [0,1] and rewards diversity") {
     import spark.implicits._
     val r = Seq("the a of and to the a of and to", "x x x x x x x x x x")
