@@ -139,6 +139,18 @@ object Parity {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("revenue"))),
 
+    // S10: the warehouse query source as SQL TEXT — temp views + spark.sql,
+    // the reference's `client.query(sql)` shape; resolves to the same
+    // Catalyst plan the DataFrame API would build.
+    "q_sql_text" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""SELECT c_mktsegment, count(*) AS n_orders,
+              |  round(sum(o_totalprice), 2) AS revenue
+              |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+              |GROUP BY c_mktsegment""".stripMargin)
+    }),
+
     // Set ops (SURVEY §2.7): INTERSECT/EXCEPT with SQL distinct semantics.
     "q_intersect" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -245,6 +257,12 @@ object Parity {
         |  count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
+    "q_sql_text" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
