@@ -166,6 +166,23 @@ object Parity {
       y94.except(y95)
     }),
 
+    // Exact interpolated percentiles per group (single sort-based aggregate;
+    // at 100 TB swap to approx_percentile behind the same column names).
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.95)), 4).as("p95"),
+          count(lit(1)).as("n"))),
+
+    // Grouping sets: CUBE (all key combinations via one Expand).
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))),
+
     // Grouping sets: ROLLUP over the star schema (free via Catalyst Expand).
     "q_rollup" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -274,6 +291,19 @@ object Parity {
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995"""
+        .stripMargin,
+
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
         .stripMargin,
 
     "q_rollup" ->
