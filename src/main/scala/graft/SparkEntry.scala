@@ -20,6 +20,7 @@ object SparkEntry {
     (Events.queries, Events.oracles),
     (Docs.queries, Docs.oracles),
     (Vectors.queries, Vectors.oracles),
+    (Analytics.queries, Analytics.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Sources
+
+/** Classic TPC-H-shaped analytics over the star schema — the decision-
+  * support patterns an analytics engine must plan well: selective dim
+  * filter → fact join chain → aggregate → top-k (Q3/Q10 shape) and the
+  * six-way join with a cross-side equality (Q5 shape).
+  *
+  * Scale notes: dimension filters reach the scans (pushdown); nation/region
+  * broadcast; fact⋈fact shuffles on the join key with AQE; the top-k ends
+  * in TakeOrderedAndProject, never a global sort of the aggregate.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  private def revenue = round(
+    sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q3 shape: shipping priority — segment-filtered customers, orders
+    // before / lineitems shipped after a date, top-10 open-order revenue.
+    "q_tpch_q3" -> ((s, dir) => {
+      val cutoff = lit("1997-06-01").cast("timestamp")
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Q5 shape: local supplier volume — six-way join where customer and
+    // supplier must share a nation, grouped by nation within one region.
+    "q_tpch_q5" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(revenue.as("revenue"))
+    }),
+
+    // Q10 shape: returned-item reporting — top-20 customers by lost revenue
+    // in a quarter, with their nation.
+    "q_tpch_q10" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-04-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+  )
+}
