@@ -88,6 +88,33 @@ object Docs {
           round(avg(col("q")), 4).as("avg_quality"),
           sum(col("nt")).as("total_tokens"))),
 
+    // Deterministic pseudo-random sample: top-k by content-independent hash
+    // — reproducible across engines/runs, TakeOrderedAndProject (no global
+    // sort), and stable under repartitioning, unlike rand()-based sampling.
+    "q_sample_det" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("sample:"), col("doc_id").cast("string")))
+            .as("sk"))
+        .orderBy(col("sk"), col("doc_id"))
+        .limit(50)
+        .select("doc_id")),
+
+    // Train/val/test split assignment by hash bucket (90/5/5): the
+    // deterministic split a training pipeline needs — membership depends
+    // only on the id, never on row order or partitioning.
+    "q_split_assign" -> ((s, dir) => {
+      val bucket = conv(substring(
+        md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4),
+        16, 10).cast("long") % 100
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    }),
+
     // The production composition: MinHash-LSH candidates verified by exact
     // Jaccard on candidates only.
     "q_dedup_minhash_verified" -> ((s, dir) =>
@@ -149,6 +176,23 @@ object Docs {
         |    AS quality,
         |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM y""".stripMargin,
+
+    "q_sample_det" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, md5('sample:' || CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents ORDER BY sk, doc_id LIMIT 50)""".stripMargin,
+
+    "q_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(CONCAT('0x', substring(
+        |      md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |      % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM b GROUP BY 1""".stripMargin,
 
     "q_vocab_topk" ->
       """SELECT token, count(*) AS n
