@@ -60,8 +60,9 @@ object Dedup {
       k: Int = 8, shingleN: Int = 5): DataFrame =
     minhashFromShingles(docShingles(docs, idCol, textCol, shingleN), idCol, k)
 
-  /** LSH banding: hash adjacent signature pairs into `k/2`-wide bands and
-    * emit (doc, band_idx, band_hash). Docs sharing ANY band are candidates.
+  /** LSH banding: hash `rowsPerBand` adjacent signature values into each of
+    * `k/rowsPerBand` bands and emit (doc, band_idx, band_hash). Docs
+    * sharing ANY band are candidates.
     */
   def lshBands(signatures: DataFrame, idCol: String, k: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
