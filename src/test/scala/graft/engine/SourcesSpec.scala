@@ -1,0 +1,44 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SourcesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("readCsvInferred infers types from data (reference S1 landing parse)") {
+    val dir = Files.createTempDirectory("graft-src")
+    val p = dir.resolve("landing.csv")
+    Files.write(p, "YearStart,DataValue,Topic\n2020,12.5,asthma\n2021,9.1,copd\n".getBytes)
+    val df = Sources.readCsvInferred(spark, p.toString)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("YearStart") == IntegerType)
+    assert(types("DataValue") == DoubleType)
+    assert(types("Topic") == StringType)
+    assert(df.count() == 2)
+  }
+
+  test("readCsv with an explicit schema skips inference, keeps types") {
+    val dir = Files.createTempDirectory("graft-src2")
+    val p = dir.resolve("landing.csv")
+    Files.write(p, "a,b\n1,x\nbad,y\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val df = Sources.readCsv(spark, p.toString, schema)
+    assert(df.schema == schema)
+    val rows = df.collect()
+    assert(rows(0).getLong(0) == 1L)
+    assert(rows(1).isNullAt(0)) // unparseable under PERMISSIVE -> null
+  }
+
+  test("events fixture reads nano timestamps as microsecond instants") {
+    val df = Sources.events(spark, "/root/testdata/sf0.001")
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.selectExpr("max(ts)").head().getTimestamp(0) != null)
+  }
+}

@@ -105,6 +105,21 @@ class StreamsSpec extends AnyFunSuite {
       Seq(Streams.Session(7L, ts(0), ts(2), 2L, 2.0)))
   }
 
+  test("readEventsStream: file-based streaming source end-to-end") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    Seq(Event(1, 1, "click", 1.0, ts(1)), Event(2, 1, "view", 2.0, ts(3)))
+      .toDF().write.mode("overwrite").parquet(dir.toString)
+    val q = Streams.tumblingAgg(
+        Streams.readEventsStream(spark, dir.toString), "10 minutes")
+      .writeStream.format("memory").queryName("filestream")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("filestream").collect()
+    assert(out.map(_.getAs[Long]("n")).sum == 2L)
+  }
+
   test("batch mode runs the same plans (Kappa pattern)") {
     import spark.implicits._
     val batch = Seq(
