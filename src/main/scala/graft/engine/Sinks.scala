@@ -70,6 +70,12 @@ object Sinks {
     * policy the reference logs at data_extractor.py:314-377).
     */
   def applyEvolution(df: DataFrame, tableName: String): Evolution.Decision = {
+    // Identifier whitelist (SURVEY §7.4): the reference interpolates table
+    // names into SQL f-strings (data_extractor.py:326,362-365), an
+    // injection surface we do NOT replicate — the one SQL-text statement
+    // below only ever sees a validated identifier.
+    require(tableName.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?"),
+      s"invalid table identifier: $tableName")
     val spark = df.sparkSession
     val existing =
       if (spark.catalog.tableExists(tableName))

@@ -51,6 +51,17 @@ class EvolutionTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == 1)
   }
 
+  test("table identifiers are whitelisted (no SQL-text injection surface)") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("yearstart", "topic")
+    intercept[IllegalArgumentException] {
+      Sinks.applyEvolution(df, "t; DROP TABLE other")
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.applyEvolution(df, "bad-name")
+    }
+  }
+
   test("missing metadata columns are stamped on the Truncate path") {
     import spark.implicits._
     spark.sql(s"DROP TABLE IF EXISTS $table")
