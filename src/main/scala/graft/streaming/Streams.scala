@@ -62,6 +62,18 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Streaming exact dedup on a key: state is bounded by the watermark
+    * (`dropDuplicatesWithinWatermark` evicts seen-keys once they age out),
+    * so the dedup that would need unbounded history in a naive design runs
+    * with O(watermark-window) state — the streaming twin of the batch
+    * fingerprint dedup.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stateful sessionization: 30-minute-gap sessions per user via
     * flatMapGroupsWithState with event-time timeouts — the streaming twin
     * of graft.ext.Sessionize. A session closes when a same-user event

@@ -118,6 +118,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id", "payload").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(latest.toSeq == Seq((1L, "v1"), (2L, "v2"), (3L, "v1")))
+
+    // compaction materializes the view: 3 physical rows, history gone,
+    // readLatest unchanged
+    val rep = Pipeline.compact(spark, analytics, Seq("id"))
+    assert(rep.ok)
+    assert(spark.read.parquet(analytics).count() == 3)
+    val after = Pipeline.readLatest(spark, analytics, Seq("id"))
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(after.toSeq == latest.toSeq)
   }
 
   test("validate on a missing analytics table fails, blocking") {

@@ -105,6 +105,24 @@ class StreamsSpec extends AnyFunSuite {
       Seq(Streams.Session(7L, ts(0), ts(2), 2L, 2.0)))
   }
 
+  test("dedupStream drops same-key duplicates across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.dedupStream(in.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    runBatches(q)(
+      () => in.addData(Event(1, 1, "click", 1.0, ts(1)),
+        Event(1, 1, "click", 1.0, ts(1)), // in-batch dup
+        Event(2, 1, "view", 2.0, ts(2))),
+      () => in.addData(Event(1, 1, "click", 1.0, ts(3)), // cross-batch dup
+        Event(3, 2, "click", 5.0, ts(4))))
+    val ids = spark.table("dedupstream").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("readEventsStream: file-based streaming source end-to-end") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
