@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"vec_dot requires exactly 2 arguments, got ${children.size}")
+        DotProduct(children.head, children(1))
+      }))
   }
 }

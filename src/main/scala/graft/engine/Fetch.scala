@@ -27,6 +27,25 @@ object Fetch {
   final case class Result(ok: Boolean, status: Int, attempts: Int,
       bytes: Long, path: Option[Path], detail: String)
 
+  /** Count non-blank lines, stopping once `atLeast` are found (no string
+    * materialization of a potentially large body).
+    */
+  private[engine] def nonBlankLines(body: Array[Byte], atLeast: Int): Int = {
+    var lines = 0
+    var hasContent = false
+    var i = 0
+    while (i < body.length && lines < atLeast) {
+      val b = body(i)
+      if (b == '\n') {
+        if (hasContent) lines += 1
+        hasContent = false
+      } else if (b != '\r' && b != ' ' && b != '\t') hasContent = true
+      i += 1
+    }
+    if (hasContent && lines < atLeast) lines += 1
+    lines
+  }
+
   /** GET `url` into `landingFile`. `sleep` is injectable so tests don't
     * wait out real backoffs.
     */
@@ -49,8 +68,9 @@ object Fetch {
       resp match {
         case Right(r) if r.statusCode() == 200 =>
           val body = r.body()
-          // P7 guard: an empty (or header-only) dataset is a hard failure.
-          if (body.isEmpty || !body.exists(_ == '\n'))
+          // P7 guard: an empty or header-only dataset is a hard failure —
+          // at least two non-blank lines (header + one data row) required.
+          if (nonBlankLines(body, atLeast = 2) < 2)
             return Result(ok = false, 200, attempt, body.length.toLong, None,
               "empty API dataset")
           val p = Paths.get(landingFile)

@@ -77,30 +77,51 @@ object Pipeline {
   }
 
   /** Current-state view over an incrementally-loaded table: latest row per
-    * key by load timestamp.
+    * key by load timestamp. Ties on `loaded_at` (rows appended by the same
+    * batch share one stamp) break on a full-row hash, so the survivor is
+    * deterministic — a key-column tiebreak would be constant within the
+    * window and leave the choice to partition order.
     */
   def readLatest(spark: SparkSession, analyticsDir: String,
-      keys: Seq[String]): DataFrame =
-    Cleaning.dedupLatest(spark.read.parquet(analyticsDir), keys,
-      "loaded_at", keys.head)
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(analyticsDir)
+    Cleaning.dedupLatest(
+      df.withColumn("__tb", xxhash64(df.columns.map(col).toIndexedSeq: _*)),
+      keys, "loaded_at", "__tb").drop("__tb")
+  }
 
   /** Periodic compaction for the incremental path: materialize the
     * current-state view back to a single partition set, bounding read
-    * amplification (readers stop re-deduping a growing history). Staged
-    * through a sibling directory + atomic rename — the table is never
-    * half-compacted, and a crash leaves the original intact.
+    * amplification (readers stop re-deduping a growing history).
+    *
+    * Swap protocol: write to `<dir>.compact-tmp`, move the live dir to
+    * `<dir>.compact-old`, move tmp into place, drop old. Every step is
+    * checked; on a failed swap the original is restored. No point in the
+    * sequence has the data been deleted before its replacement is fully
+    * written — a crash mid-swap leaves the table recoverable from
+    * `.compact-old`/`.compact-tmp` rather than destroyed.
     */
   def compact(spark: SparkSession, analyticsDir: String,
       keys: Seq[String]): StageReport = {
+    import org.apache.hadoop.fs.Path
     val latest = readLatest(spark, analyticsDir, keys)
-    val tmpDir = analyticsDir + ".compact-tmp"
+    val pLive = new Path(analyticsDir)
+    val pTmp = new Path(analyticsDir + ".compact-tmp")
+    val pOld = new Path(analyticsDir + ".compact-old")
     latest.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("load_date").parquet(tmpDir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(analyticsDir).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(analyticsDir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpDir),
-      new org.apache.hadoop.fs.Path(analyticsDir))
+      .partitionBy("load_date").parquet(pTmp.toString)
+    val fs = pLive.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(pOld, true)
+    if (!fs.rename(pLive, pOld))
+      return StageReport("compact", ok = false,
+        s"could not stage current table aside; table untouched")
+    if (!fs.rename(pTmp, pLive)) {
+      fs.rename(pOld, pLive) // restore
+      return StageReport("compact", ok = false,
+        s"swap failed; original restored")
+    }
+    fs.delete(pOld, true)
     StageReport("compact", ok = true, s"compacted $analyticsDir")
   }
 

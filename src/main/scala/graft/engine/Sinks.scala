@@ -85,7 +85,6 @@ object Sinks {
     decision match {
       case Evolution.Truncate =>
         import org.apache.spark.sql.functions._
-        spark.sql(s"TRUNCATE TABLE $tableName")
         val dfCols = df.columns.toSet
         // align by NAME in table order; metadata columns the incoming frame
         // lacks get stamped (the reference's DDL defaults) — only those can
@@ -96,7 +95,11 @@ object Sinks {
             current_timestamp().cast(f.dataType).as(f.name)
           else current_date().cast(f.dataType).as(f.name)
         }
-        df.select(aligned: _*).write.mode(SaveMode.Append)
+        // ONE overwrite insert, not TRUNCATE-then-append: a separate
+        // committed TRUNCATE would leave the table empty if the insert job
+        // then failed; insertInto(Overwrite) keeps the DDL and swaps the
+        // rows in a single staged-commit job
+        df.select(aligned: _*).write.mode(SaveMode.Overwrite)
           .insertInto(tableName)
       case _ =>
         df.write.mode(SaveMode.Overwrite).saveAsTable(tableName)

@@ -143,13 +143,20 @@ object Similarity {
       .agg(array_sort(collect_list(
         struct(col(idCol).as("cent_id"), col("v").as("cv"),
           col("nrm").as("cn")))).as("cents"))
+    def csimOf(c: Column): Column = round(
+      dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")), 6)
+    // Seed the fold from the FIRST (lowest-id) centroid, so the
+    // accumulator's types follow the id column (a literal seed would pin
+    // cent_id to bigint) and an EMPTY centroid set folds to a null seed →
+    // null cluster_id → the row is filtered out, matching "no clusters, no
+    // results" instead of inventing a sentinel cluster.
+    val first = try_element_at(col("cents"), lit(1))
     val best = aggregate(
       col("cents"),
-      struct(lit(-1L).as("cent_id"), lit(-2.0).as("csim")),
+      struct(first.getField("cent_id").as("cent_id"),
+        csimOf(first).as("csim")),
       (acc, c) => {
-        val csim = round(
-          dot(col("v"), c.getField("cv")) /
-            (col("nrm") * c.getField("cn")), 6)
+        val csim = csimOf(c)
         when(csim > acc.getField("csim"),
           struct(c.getField("cent_id").as("cent_id"), csim.as("csim")))
           .otherwise(acc)
@@ -157,6 +164,7 @@ object Similarity {
     val assigned = corpus.crossJoin(broadcast(centArr))
       .select(col(idCol), col("v"), col("nrm"),
         best.getField("cent_id").as("cluster_id"))
+      .filter(col("cluster_id").isNotNull)
     val queries = assigned.filter(queryPred)
       .select(col(idCol).as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cluster_id").as("qc"))

@@ -41,12 +41,15 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   /** Null semantics match the HOF composition: a null element poisons the
-    * sum to NULL (zip_with yields null, aggregate propagates it).
+    * sum to NULL, and UNEQUAL lengths yield NULL (zip_with pads the shorter
+    * array with nulls) — a truncated embedding must drop out of rankings,
+    * not contribute a silently partial dot product.
     */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -63,9 +66,10 @@ case class DotProduct(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}

@@ -105,9 +105,18 @@ object Streams {
           case Some(s) if e.ts.getTime - s.end.getTime > gapMillis =>
             closed += Session(user, s.start, s.end, s.n, s.total)
             cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+          case Some(s) if s.start.getTime - e.ts.getTime > gapMillis =>
+            // a cross-batch straggler older than the open session by more
+            // than the gap: emit it as its own closed singleton — anything
+            // that could still join it would be even later-arriving, and
+            // buffering it until the watermark would unbound state
+            closed += Session(user, e.ts, e.ts, 1L, e.value)
           case Some(s) =>
+            // merge, extending EITHER boundary: a straggler within the gap
+            // of session start moves start back, matching the batch twin
+            val start = if (e.ts.getTime < s.start.getTime) e.ts else s.start
             val end = if (e.ts.getTime > s.end.getTime) e.ts else s.end
-            cur = Some(s.copy(end = end, n = s.n + 1, total = s.total + e.value))
+            cur = Some(SessionState(start, end, s.n + 1, s.total + e.value))
           case None =>
             cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
         }

@@ -38,6 +38,8 @@ class FetchSpec extends AnyFunSuite with BeforeAndAfterAll {
     server.createContext("/throttled", ex => respond(ex, 429, "slow down"))
     server.createContext("/missing", ex => respond(ex, 404, "nope"))
     server.createContext("/empty", ex => respond(ex, 200, ""))
+    server.createContext("/headeronly",
+      ex => respond(ex, 200, "YearStart,Topic\n"))
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
@@ -80,6 +82,11 @@ class FetchSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("empty dataset is a hard failure (P7 guard)") {
     val r = Fetch.fetchToLanding(s"$base/empty", tmp("e.csv"), fast)
+    assert(!r.ok && r.detail.contains("empty"))
+  }
+
+  test("header-only body (trailing newline) is still an empty dataset") {
+    val r = Fetch.fetchToLanding(s"$base/headeronly", tmp("h.csv"), fast)
     assert(!r.ok && r.detail.contains("empty"))
   }
 

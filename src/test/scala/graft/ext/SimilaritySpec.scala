@@ -76,6 +76,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byQuery(5L).map(_.getLong(2)).toSet == Set(4L))
   }
 
+  test("ivf with an empty centroid set returns no results, not a sentinel") {
+    val df = emb((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0))
+    val out = Similarity.ivfTopK(df, "vec_id", "embedding",
+      col("vec_id") < 0, col("vec_id") === 1, k = 5)
+    assert(out.isEmpty)
+  }
+
   test("ivf assignment ties break to the lowest cent_id") {
     val df = emb(
       (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0), // identical centroids

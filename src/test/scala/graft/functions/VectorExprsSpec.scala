@@ -19,9 +19,9 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(e.eval(null) == 32.0)
   }
 
-  test("interpreted eval: mismatched lengths use the shorter prefix") {
+  test("interpreted eval: mismatched lengths -> null (zip_with parity)") {
     val e = DotProduct(lit(Seq(1.0, 2.0)), lit(Seq(3.0, 4.0, 99.0)))
-    assert(e.eval(null) == 11.0)
+    assert(e.eval(null) == null)
   }
 
   test("interpreted eval: null element -> null result") {

@@ -138,6 +138,24 @@ class StreamsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n")).sum == 2L)
   }
 
+  test("cross-batch straggler within the gap extends session start back") {
+    val state = new FakeGroupState(
+      Some(Streams.SessionState(ts(10), ts(12), 2L, 3.0)))
+    val out = Streams.updateSessions(gapMillis = 10 * 60 * 1000L)(
+      7L, Iterator(Event(9, 7, "a", 1.0, ts(4))), state).toSeq
+    assert(out.isEmpty)
+    assert(state.get == Streams.SessionState(ts(4), ts(12), 3L, 4.0))
+  }
+
+  test("straggler older than the open session by > gap closes as singleton") {
+    val state = new FakeGroupState(
+      Some(Streams.SessionState(ts(40), ts(42), 1L, 1.0)))
+    val out = Streams.updateSessions(gapMillis = 10 * 60 * 1000L)(
+      7L, Iterator(Event(9, 7, "a", 2.0, ts(5))), state).toSeq
+    assert(out == Seq(Streams.Session(7L, ts(5), ts(5), 1L, 2.0)))
+    assert(state.get.start == ts(40)) // open session untouched
+  }
+
   test("batch mode runs the same plans (Kappa pattern)") {
     import spark.implicits._
     val batch = Seq(
