@@ -52,6 +52,17 @@ object Sinks {
     df.write.mode(mode).option("batchsize", batchSize.toLong)
       .jdbc(url, table, properties)
 
+  /** JSON-Lines sink (one JSON object per line, executor-parallel files) —
+    * the corpus export format downstream training stacks consume.
+    */
+  def writeJsonl(df: DataFrame, dir: String,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile)
+    else w).json(dir)
+  }
+
   /** Reference S11: failed-validation rows → audit CSV. */
   def writeAuditCsv(badRows: DataFrame, path: String): Unit =
     badRows.write.option("header", "true").mode(SaveMode.Overwrite).csv(path)

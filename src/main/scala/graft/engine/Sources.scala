@@ -34,6 +34,17 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-Lines source — the de-facto interchange format for document
+    * corpora. Schema'd (single pass); pass `inferSchema=true` semantics by
+    * omitting the schema only for exploration.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
   /** Reference S8: partitioned parallel JDBC read — replaces the serial
     * `OFFSET/LIMIT` pagination loop (data_loader.py:412-421, O(n²) rescans
     * with nondeterministic page contents) with `numPartitions` concurrent

@@ -121,6 +121,26 @@ object Docs {
       Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
         0.5)),
 
+    // Decontamination: near-dup pairs (MinHash-LSH candidates) that CROSS a
+    // train/eval split boundary — the canonical "is my eval set leaking
+    // into training data" sweep, as one plan over the corpus.
+    "q_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = conv(substring(
+        md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4),
+        16, 10).cast("long") % 100
+      val split = docs.select(col("doc_id"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      Dedup.minhashPairs(docs, "doc_id", "text")
+        .join(split.select(col("doc_id").as("doc_a"),
+          col("split").as("split_a")), "doc_a")
+        .join(split.select(col("doc_id").as("doc_b"),
+          col("split").as("split_b")), "doc_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    }),
+
     // Multimodal metadata: built-in length/md5 expressions over the opaque
     // binary payload (codegen'd; the mapPartitions decode path —
     // Multimodal.extractFeatures — is ScalaTest-verified to produce the
@@ -301,6 +321,39 @@ object Docs {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
         |  >= 0.5""".stripMargin,
+
+    "q_decontamination" ->
+      s"""WITH $shingleCte,
+        |m AS (
+        |  SELECT doc_id,
+        |    min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+        |    min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+        |    min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+        |    min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM m
+        |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM m
+        |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM m
+        |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM m),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        |    AND a.doc_id < b.doc_id),
+        |splits AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bucket < 90 THEN 'train'
+        |         WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    CAST(CONCAT('0x', substring(
+        |      md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |      % 100 AS bucket FROM documents))
+        |SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b
+        |FROM cand
+        |JOIN splits sa ON sa.doc_id = doc_a
+        |JOIN splits sb ON sb.doc_id = doc_b
+        |WHERE sa.split != sb.split""".stripMargin,
 
     // 64-bit simhash: positions 1-32 from md5(tok), 33-64 from md5('x:'+tok);
     // bit = majority vote of the nibble's top bit; 4 bands of 16 bits.

@@ -36,6 +36,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0)) // unparseable under PERMISSIVE -> null
   }
 
+  test("JSONL round trip: writeJsonl -> readJsonl preserves rows and types") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-jsonl").resolve("docs").toString
+    val df = Seq((1L, "hello world", 0.5), (2L, "spark docs", 0.9))
+      .toDF("doc_id", "text", "quality")
+    Sinks.writeJsonl(df, dir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("quality", DoubleType)))
+    val back = Sources.readJsonl(spark, dir, Some(schema))
+    assert(back.count() == 2)
+    assert(back.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, "hello world", 0.5), Seq(2L, "spark docs", 0.9)))
+    // inferred read agrees on content
+    assert(Sources.readJsonl(spark, dir).count() == 2)
+  }
+
   test("events fixture reads nano timestamps as microsecond instants") {
     val df = Sources.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType == TimestampType)
