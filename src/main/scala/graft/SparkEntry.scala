@@ -27,9 +27,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Parity.queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(_._1).reduce(_ ++ _)
+  /** One entry per implemented operator from SURVEY.md §2. A cross-file key
+    * collision would make `Map ++` silently drop the earlier query (and its
+    * oracle in lockstep, so nothing would fail loudly) — guard at startup.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val merged = registry.map(_._1).reduce(_ ++ _)
+    require(merged.size == registry.map(_._1.size).sum,
+      "duplicate query key across surface files")
+    merged
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

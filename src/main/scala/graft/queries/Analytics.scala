@@ -3,8 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.Sources
-
 /** Classic TPC-H-shaped analytics over the star schema — the decision-
   * support patterns an analytics engine must plan well: selective dim
   * filter → fact join chain → aggregate → top-k (Q3/Q10 shape) and the
@@ -16,11 +14,16 @@ import graft.engine.Sources
   */
 object Analytics {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Sources.table(s, dir, name)
-
-  private def revenue = round(
-    sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+  /** Revenue computed in EXACT decimal arithmetic, surfaced as double.
+    * Q3/Q10 cut a LIMIT on this aggregate: with plain double summation the
+    * two engines' addition orders could round a boundary group to
+    * different cents and select different top-k sets. Decimal sums are
+    * order-independent, so round→cast is bit-identical everywhere.
+    */
+  private def revenueExact = round(
+    sum(col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))),
+    2).cast("double")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -35,7 +38,7 @@ object Analytics {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(revenue.as("revenue"))
+        .agg(revenueExact.as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
@@ -74,7 +77,7 @@ object Analytics {
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(revenue.as("revenue"))
+        .agg(revenueExact.as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     }),
@@ -83,7 +86,9 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |    AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -109,7 +114,9 @@ object Analytics {
 
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |    AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

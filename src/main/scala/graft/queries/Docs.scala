@@ -3,16 +3,15 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.Sources
 import graft.ext.{Dedup, Multimodal, Text}
 
 /** LLM-training-data operators over the documents fixture (north star:
   * dedup, text analysis, multimodal columns) as driver-checkable
   * (Spark, DuckDB-SQL) pairs.
   *
-  * No terminal ORDER BY anywhere — the driver's checker sorts rows by all
-  * columns before hashing, so a presentation sort would only add a global
-  * exchange that dominates at scale.
+  * No terminal presentation ORDER BY — the driver's checker sorts rows by
+  * all columns before hashing. The only kept sorts are q_vocab_topk's and
+  * q_sample_det's, where LIMIT depends on order (TakeOrderedAndProject).
   *
   * Scale notes per query:
   *   - text stats / fingerprint / multimodal: pure codegen'd projections
@@ -24,9 +23,6 @@ import graft.ext.{Dedup, Multimodal, Text}
   *     bucket.
   */
 object Docs {
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Sources.table(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -103,17 +99,11 @@ object Docs {
     // Train/val/test split assignment by hash bucket (90/5/5): the
     // deterministic split a training pipeline needs — membership depends
     // only on the id, never on row order or partitioning.
-    "q_split_assign" -> ((s, dir) => {
-      val bucket = conv(substring(
-        md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4),
-        16, 10).cast("long") % 100
+    "q_split_assign" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"),
-          when(bucket < 90, "train").when(bucket < 95, "val")
-            .otherwise("test").as("split"))
+        .select(col("doc_id"), splitCol(col("doc_id")).as("split"))
         .groupBy(col("split"))
-        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
-    }),
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))),
 
     // The production composition: MinHash-LSH candidates verified by exact
     // Jaccard on candidates only.
@@ -126,12 +116,8 @@ object Docs {
     // into training data" sweep, as one plan over the corpus.
     "q_decontamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val bucket = conv(substring(
-        md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4),
-        16, 10).cast("long") % 100
       val split = docs.select(col("doc_id"),
-        when(bucket < 90, "train").when(bucket < 95, "val")
-          .otherwise("test").as("split"))
+        splitCol(col("doc_id")).as("split"))
       Dedup.minhashPairs(docs, "doc_id", "text")
         .join(split.select(col("doc_id").as("doc_a"),
           col("split").as("split_a")), "doc_a")
@@ -252,22 +238,8 @@ object Docs {
 
     "q_dedup_minhash_pairs" ->
       s"""WITH $shingleCte,
-        |m AS (
-        |  SELECT doc_id,
-        |    min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-        |    min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-        |    min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
-        |    min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
-        |  FROM sh GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM m
-        |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM m
-        |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM m
-        |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM m)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM bands a JOIN bands b
-        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-        |  AND a.doc_id < b.doc_id""".stripMargin,
+        |$minhashCandCte
+        |SELECT doc_a, doc_b FROM cand""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""WITH $shingleCte,
@@ -289,23 +261,7 @@ object Docs {
     "q_dedup_minhash_verified" ->
       s"""WITH $shingleCte,
         |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
-        |m AS (
-        |  SELECT doc_id,
-        |    min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-        |    min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-        |    min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
-        |    min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
-        |  FROM sh GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM m
-        |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM m
-        |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM m
-        |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM m),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-        |    AND a.doc_id < b.doc_id),
+        |$minhashCandCte,
         |sizes AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
         |common AS (
         |  SELECT c.doc_a, c.doc_b, count(*) AS common
@@ -324,31 +280,8 @@ object Docs {
 
     "q_decontamination" ->
       s"""WITH $shingleCte,
-        |m AS (
-        |  SELECT doc_id,
-        |    min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-        |    min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-        |    min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
-        |    min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
-        |  FROM sh GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM m
-        |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM m
-        |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM m
-        |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM m),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-        |    AND a.doc_id < b.doc_id),
-        |splits AS (
-        |  SELECT doc_id,
-        |    CASE WHEN bucket < 90 THEN 'train'
-        |         WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
-        |  FROM (SELECT doc_id,
-        |    CAST(CONCAT('0x', substring(
-        |      md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
-        |      % 100 AS bucket FROM documents))
+        |$minhashCandCte,
+        |$splitsCte
         |SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b
         |FROM cand
         |JOIN splits sa ON sa.doc_id = doc_a

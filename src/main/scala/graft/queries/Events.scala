@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.Sources
 import graft.ext.Sessionize
 
 /** Event-time surface over the events fixture (SURVEY §2.9): tumbling and
@@ -19,9 +18,6 @@ import graft.ext.Sessionize
   * codegen'd projection (`get_json_object`), no UDF.
   */
 object Events {
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Sources.table(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -109,15 +105,15 @@ object Events {
 
     "q_json_extract" ->
       """SELECT event_id,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_json_agg" ->
       """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |  CAST(sum(CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT))
         |    AS BIGINT) AS sum_k,
-        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |  min(CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -3,8 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.Sources
-
 /** Join family over the star schema (SURVEY §2.3 — absent in the reference,
   * part of the declared capability surface).
   *
@@ -24,12 +22,6 @@ import graft.engine.Sources
   *     constant-size by construction.
   */
 object Joins {
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Sources.table(s, dir, name)
-
-  private def revenue = round(
-    sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Cleaning, Sources}
+import graft.engine.Cleaning
 
 /** Parity query surface — the reference's operator inventory (SURVEY §2.2,
   * §2.4, §2.6-2.8, §2.11) as driver-checkable (Spark, DuckDB-SQL) pairs over
@@ -23,9 +23,6 @@ import graft.engine.{Cleaning, Sources}
   * TakeOrderedAndProject for top-k (no full sort). No collects.
   */
 object Parity {
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Sources.table(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Flagship: TPC-H Q1 shape — scan, filter pushdown, projection, 8-way
@@ -139,17 +136,18 @@ object Parity {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("revenue"))),
 
-    // S10: the warehouse query source as SQL TEXT — temp views + spark.sql,
-    // the reference's `client.query(sql)` shape; resolves to the same
-    // Catalyst plan the DataFrame API would build.
-    "q_sql_text" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders_v")
-      t(s, dir, "customer").createOrReplaceTempView("customer_v")
-      s.sql("""SELECT c_mktsegment, count(*) AS n_orders,
-              |  round(sum(o_totalprice), 2) AS revenue
-              |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
-              |GROUP BY c_mktsegment""".stripMargin)
-    }),
+    // S10: the warehouse query source as SQL TEXT — spark.sql over direct
+    // file relations (`parquet.`path``), the reference's `client.query(sql)`
+    // shape. Self-contained: no temp-view registration, so the query is
+    // reentrant and can't race another invocation re-pointing a shared
+    // view name at a different fixture dir.
+    "q_sql_text" -> ((s, dir) =>
+      s.sql(s"""SELECT c_mktsegment, count(*) AS n_orders,
+               |  round(sum(o_totalprice), 2) AS revenue
+               |FROM parquet.`$dir/orders.parquet` o
+               |JOIN parquet.`$dir/customer.parquet` c
+               |  ON o.o_custkey = c.c_custkey
+               |GROUP BY c_mktsegment""".stripMargin)),
 
     // Set ops (SURVEY §2.7): INTERSECT/EXCEPT with SQL distinct semantics.
     "q_intersect" -> ((s, dir) => {

@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.Sources
 import graft.ext.Similarity
 
 /** Similarity search over the embeddings fixture (north star: ANN over an
@@ -21,9 +20,6 @@ import graft.ext.Similarity
   * Norms are computed once per row, never per pair.
   */
 object Vectors {
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Sources.table(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -57,7 +53,7 @@ object Vectors {
     */
   private def cos(a: String, b: String): String =
     s"""round(
-       |  list_reduce(list_transform(range(1, 65),
+       |  list_reduce(list_transform(range(1, len($a.v) + 1),
        |    i -> $a.v[i] * $b.v[i]), (x, y) -> x + y)
        |  / ($a.nrm * $b.nrm), 6)""".stripMargin
 
@@ -67,8 +63,8 @@ object Vectors {
       |  FROM embeddings),
       |c AS (
       |  SELECT vec_id, v,
-      |    sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]),
-      |      (x, y) -> x + y)) AS nrm
+      |    sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+      |      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
       |  FROM e)""".stripMargin
 
   val oracles: Map[String, String] = Map(

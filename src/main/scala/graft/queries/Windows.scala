@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.Sources
 import graft.ext.AsOf
 
 /** Window-function surface (SURVEY §2.5 — extended; the reference has none).
@@ -17,9 +16,6 @@ import graft.ext.AsOf
   * presentation sort would only add a global exchange.
   */
 object Windows {
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Sources.table(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

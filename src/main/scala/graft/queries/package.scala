@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the query surfaces — one definition each for the
+  * fixture loader, the revenue aggregate, and the train/val/test hash
+  * split, so a semantic change can't silently diverge between files.
+  */
+package object queries {
+
+  /** Fixture table loader: `t(spark, sfDir, "lineitem")`. */
+  private[queries] def t(s: SparkSession, dir: String, name: String)
+      : DataFrame =
+    graft.engine.Sources.table(s, dir, name)
+
+  /** TPC-H-style revenue aggregate, rounded for oracle parity. */
+  private[queries] def revenue: Column = round(
+    sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+
+  /** Deterministic 90/5/5 split assignment from an id hash — membership
+    * depends only on the id, never on row order or partitioning. Used by
+    * BOTH q_split_assign and q_decontamination so the decontamination sweep
+    * always audits the split the pipeline actually uses.
+    */
+  private[queries] def splitCol(idCol: Column): Column = {
+    val bucket = conv(substring(
+      md5(concat(lit("split:"), idCol.cast("string"))), 1, 4),
+      16, 10).cast("long") % 100
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
+  /** DuckDB twin of [[splitCol]] as a CTE named `splits(doc_id, split)`. */
+  private[queries] val splitsCte: String =
+    """splits AS (
+      |  SELECT doc_id,
+      |    CASE WHEN bucket < 90 THEN 'train'
+      |         WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |    CAST(CONCAT('0x', substring(
+      |      md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      |      % 100 AS bucket FROM documents))""".stripMargin
+
+  /** DuckDB minhash candidate CTEs (`m`, `bands`, `cand(doc_a, doc_b)`) —
+    * mirrors graft.ext.Dedup.minhashPairs (k=8, 4 bands × 2 rows, "j:"
+    * salt); expects a shingle CTE named `sh` in scope. ONE definition for
+    * the three oracles that band the same way.
+    */
+  private[queries] val minhashCandCte: String =
+    """m AS (
+      |  SELECT doc_id,
+      |    min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+      |    min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+      |    min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+      |    min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM m
+      |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM m
+      |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM m
+      |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM m),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |    AND a.doc_id < b.doc_id)""".stripMargin
+}
