@@ -181,6 +181,19 @@ object Parity {
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("revenue"))),
 
+    // Pivot: status columns per priority (explicit value list so the output
+    // schema is static — an unpinned pivot would scan once just to discover
+    // columns); empty cells coalesce to 0 to match COUNT(CASE …) semantics.
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))),
+
     // Grouping sets: ROLLUP over the star schema (free via Catalyst Expand).
     "q_rollup" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -303,6 +316,13 @@ object Parity {
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
         .stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q_rollup" ->
       """SELECT r_name, n_name,

@@ -40,6 +40,19 @@ object Vectors {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, col("vec_id") % 25 === 0, k = 5)),
 
+    // Per-vector element statistics via array HOFs — one codegen'd
+    // projection, no explode, no shuffle.
+    "q_vector_stats" -> ((s, dir) => {
+      val v = Similarity.asDouble(col("embedding"))
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(array_min(v), 6).as("v_min"),
+        round(array_max(v), 6).as("v_max"),
+        round(aggregate(v, lit(0.0), (a, x) => a + x) / size(v), 6)
+          .as("v_mean"),
+        round(Similarity.l2norm(v), 6).as("v_norm"))
+    }),
+
     // Scale path: random-hyperplane LSH candidates verified by exact
     // cosine — the composition nearDupPairs exists to baseline.
     "q_sim_neardup_lsh" -> ((s, dir) =>
@@ -87,6 +100,15 @@ object Vectors {
         |  ${cos("a", "b")} AS sim
         |FROM c a JOIN c b ON a.vec_id < b.vec_id
         |WHERE ${cos("a", "b")} >= 0.35""".stripMargin,
+
+    "q_vector_stats" ->
+      s"""WITH $withNorm
+        |SELECT vec_id,
+        |  round(list_min(v), 6) AS v_min,
+        |  round(list_max(v), 6) AS v_max,
+        |  round(list_reduce(v, (x, y) -> x + y) / len(v), 6) AS v_mean,
+        |  round(nrm, 6) AS v_norm
+        |FROM c""".stripMargin,
 
     // Hyperplane signs regenerate from md5 parity of "plane:dim" — same
     // string, same digest, same signature on both engines.
