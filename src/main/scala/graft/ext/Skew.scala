@@ -22,11 +22,18 @@ object Skew {
     * ways and `right` replicated per salt. Produces the same rows as the
     * plain join; the shuffle spreads each hot key over `factor` partitions.
     */
+  /** The salt assignment saltedJoin applies to the big side: a
+    * deterministic row-level hash over EVERY column — a key-only hash would
+    * send all rows of a hot key to one salt bucket and defeat the whole
+    * mitigation. Exposed so tests exercise the real derivation.
+    */
+  def saltColumn(df: DataFrame, factor: Int): org.apache.spark.sql.Column =
+    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(factor))
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       factor: Int): DataFrame = {
     require(factor > 0, s"salt factor must be positive, got $factor")
-    val leftCols = left.columns.map(col).toIndexedSeq
-    val l = left.withColumn("__salt", pmod(hash(leftCols: _*), lit(factor)))
+    val l = left.withColumn("__salt", saltColumn(left, factor))
     val r = right.withColumn("__salt",
       explode(array((0 until factor).map(lit): _*)))
     l.join(r, l("__salt") === r("__salt") && l(key) === r(key))

@@ -52,9 +52,12 @@ class PlanSpec extends AnyFunSuite {
   test("windows partition by a data-scaled key (no global window)") {
     for (q <- Seq("q_window_topn", "q_dedup_latest", "q_window_running")) {
       val p = plan(q)
-      // a global window would hash-partition on nothing / a constant
-      assert(!p.contains("hashpartitioning(1 "),
-        s"$q appears to use a constant partition key")
+      // an unpartitioned (or constant-key) window serializes onto one task
+      // and its shuffle prints as a single-partition Exchange
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q plans a single-partition exchange (global window):\n$p")
+      assert(p.contains("hashpartitioning("),
+        s"$q should shuffle on its window key")
     }
   }
 

@@ -8,26 +8,34 @@ import graft.TestSpark
 /** S7 applied to a managed catalog table: the truncate-vs-recreate decision
   * made observable (mirrors /root/reference/tests/test_postgresql_loader.py
   * :197-265 — TRUNCATE path, DROP+CREATE path, new-table path).
+  *
+  * Every test seeds its own precondition table, so each passes in isolation
+  * and under any suite ordering.
   */
 class EvolutionTableSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = TestSpark.spark
   private val table = "evolution_spec_t"
 
-  override def afterAll(): Unit =
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-
-  test("absent table -> CreateNew; table materializes") {
+  private def seed(): Unit = {
     import spark.implicits._
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val d = Sinks.applyEvolution(
       Seq((2020L, "asthma")).toDF("yearstart", "topic"), table)
     assert(d == Evolution.CreateNew)
+  }
+
+  override def afterAll(): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+
+  test("absent table -> CreateNew; table materializes") {
+    seed()
     assert(spark.table(table).count() == 1)
   }
 
   test("matching names (reordered) -> Truncate; DDL kept, aligned by name") {
     import spark.implicits._
+    seed()
     val d = Sinks.applyEvolution(
       Seq(("diabetes", 2021L), ("obesity", 2022L)).toDF("topic", "yearstart"),
       table)
@@ -42,6 +50,7 @@ class EvolutionTableSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("name drift -> Recreate with the incoming schema") {
     import spark.implicits._
+    seed()
     val d = Sinks.applyEvolution(
       Seq((2023L, "stroke", "US")).toDF("yearstart", "topic", "locationabbr"),
       table)

@@ -16,6 +16,9 @@ class JdbcSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private lazy val url = {
     val dir = Files.createTempDirectory("graft-derby")
+    // keep derby.log out of the working tree
+    System.setProperty("derby.stream.error.file",
+      dir.resolve("derby.log").toString)
     s"jdbc:derby:$dir/db;create=true"
   }
 

@@ -26,7 +26,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h.content_hash == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
     assert(h.stub_width == 32L + 5 % 224)
     assert(h.stub_height == 32L + (5 * 7) % 224)
-    assert(Set(1L, 3L).contains(h.stub_channels))
+    assert(h.stub_channels == 1L) // md5("hello") first nibble 5 < 8
     assert(out(1).n_bytes == 0L)
   }
 

@@ -27,9 +27,10 @@ class SkewSpec extends AnyFunSuite {
   test("salt spreads a hot key over multiple sub-keys") {
     import spark.implicits._
     val left = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")
-    import org.apache.spark.sql.functions._
+    // the REAL derivation saltedJoin uses — a key-only hash regression
+    // would collapse this to one bucket and fail here
     val salts = left
-      .withColumn("__salt", pmod(hash(col("k"), col("v")), lit(8)))
+      .withColumn("__salt", Skew.saltColumn(left, 8))
       .select("__salt").distinct().count()
     assert(salts >= 6) // ~all 8 salts hit for 1000 rows
   }

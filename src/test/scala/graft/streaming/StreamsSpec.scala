@@ -19,10 +19,9 @@ class StreamsSpec extends AnyFunSuite {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
-  private def runBatches[T](q: StreamingQuery)(steps: (() => T)*): Unit = {
-    steps.foreach { step => step(); q.processAllAvailable() }
-    q.stop()
-  }
+  private def runBatches[T](q: StreamingQuery)(steps: (() => T)*): Unit =
+    try steps.foreach { step => step(); q.processAllAvailable() }
+    finally q.stop() // a thrown batch must not leak the query into the shared session
 
   test("tumblingAgg counts per 10-minute window, drops late rows") {
     import spark.implicits._
@@ -93,6 +92,7 @@ class StreamsSpec extends AnyFunSuite {
   }
 
   test("sessionize splits on in-batch gaps without waiting for timeout") {
+    val state = new FakeGroupState[Streams.SessionState](None)
     val sessions = Streams.updateSessions(gapMillis = 10 * 60 * 1000L)(
       7L,
       Iterator(
@@ -100,9 +100,11 @@ class StreamsSpec extends AnyFunSuite {
         Event(2, 7, "a", 1.0, ts(2)),
         Event(3, 7, "a", 4.0, ts(30)), // 28-min gap -> closes first session
         Event(4, 7, "a", 1.0, ts(35))),
-      new FakeGroupState(None)).toSeq
+      state).toSeq
     assert(sessions ==
       Seq(Streams.Session(7L, ts(0), ts(2), 2L, 2.0)))
+    // the trailing OPEN session must survive in state for the timeout path
+    assert(state.get == Streams.SessionState(ts(30), ts(35), 2L, 5.0))
   }
 
   test("dedupStream drops same-key duplicates across batches") {
