@@ -64,6 +64,44 @@ object Multimodal {
     }
   }
 
+  final case class FrameFeature(
+      doc_id: Long, frame_idx: Long, frame_hash: String)
+
+  /** STUB resize: a real codec would decode, scale to (w, h), re-encode.
+    * The stand-in derives a deterministic pseudo-payload so the plumbing
+    * (binary in, binary out, executor-side, streaming through partitions)
+    * is real and testable.
+    */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+    md5Hex(bytes).getBytes("UTF-8") ++ s":${w}x$h".getBytes("UTF-8")
+
+  /** Executor-side resize over batched partitions (binary → binary). */
+  def resizeAll(records: Dataset[MediaRecord], w: Int, h: Int)
+      : Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(r =>
+      MediaRecord(r.doc_id, resizeStub(r.media, w, h))))
+  }
+
+  /** STUB frame sampling — the 1→N multimodal shape (video → frames): the
+    * stub derives a deterministic frame count from the payload size and
+    * emits every `everyN`-th frame's feature row. flatMap over partitions:
+    * output cardinality varies per record, nothing materializes beyond the
+    * iterator, and downstream sees a plain (doc_id, frame_idx, hash) table.
+    */
+  def sampleFrames(records: Dataset[MediaRecord], everyN: Int)
+      : Dataset[FrameFeature] = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.flatMap { r =>
+      val nFrames = 1L + r.media.length.toLong % 32L // stub "video length"
+      (0L until nFrames by everyN.toLong).iterator.map { i =>
+        FrameFeature(r.doc_id, i,
+          md5Hex(r.media ++ s":frame:$i".getBytes("UTF-8")))
+      }
+    })
+  }
+
   /** Metadata-only feature projection via BUILT-IN expressions (length, md5,
     * arithmetic on them): codegen'd, no JVM object serialization, and
     * metadata-only queries keep column pruning — the blob feeds two scalar

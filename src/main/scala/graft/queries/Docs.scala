@@ -127,6 +127,11 @@ object Docs {
         .select("doc_a", "doc_b", "split_a", "split_b")
     }),
 
+    // Multimodal 1→N: stub frame sampling (every 4th frame) — flatMap over
+    // partitions; output cardinality varies per record.
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.mediaTable(s, dir), 4).toDF()),
+
     // Multimodal metadata: built-in length/md5 expressions over the opaque
     // binary payload (codegen'd; the mapPartitions decode path —
     // Multimodal.extractFeatures — is ScalaTest-verified to produce the
@@ -323,6 +328,17 @@ object Docs {
         |WHERE len(list_filter(range(1, 65),
         |  p -> substring(sig_a, p, 1) != substring(sig_b, p, 1))) <= 3"""
         .stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    1 + CAST(octet_length(encode(text)) AS BIGINT) % 32 AS n_frames
+        |  FROM documents)
+        |SELECT doc_id,
+        |  unnest(range(0, n_frames, 4)) AS frame_idx,
+        |  md5(text || ':frame:' ||
+        |    CAST(unnest(range(0, n_frames, 4)) AS VARCHAR)) AS frame_hash
+        |FROM f""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -35,6 +35,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub(b) == Multimodal.decodeStub(b))
   }
 
+  test("resizeAll: binary-to-binary executor transform, deterministic") {
+    import spark.implicits._
+    val recs = Seq(Multimodal.MediaRecord(1L, "payload".getBytes("UTF-8")))
+      .toDS()
+    val out = Multimodal.resizeAll(recs, 224, 224).collect()
+    assert(out.head.doc_id == 1L)
+    assert(new String(out.head.media, "UTF-8").endsWith(":224x224"))
+    val again = Multimodal.resizeAll(recs, 224, 224).collect()
+    assert(out.head.media.toSeq == again.head.media.toSeq)
+  }
+
+  test("sampleFrames: 1-to-N frame rows, stride respected") {
+    import spark.implicits._
+    val payload = Array.fill[Byte](10)(7) // 10 bytes -> 1 + 10 % 32 = 11 frames
+    val recs = Seq(Multimodal.MediaRecord(5L, payload)).toDS()
+    val all = Multimodal.sampleFrames(recs, everyN = 1).collect()
+    assert(all.length == 11)
+    assert(all.map(_.frame_idx).toSeq == (0L until 11L))
+    val strided = Multimodal.sampleFrames(recs, everyN = 4).collect()
+    assert(strided.map(_.frame_idx).toSeq == Seq(0L, 4L, 8L))
+    // frame hashes are per-frame distinct and deterministic
+    assert(all.map(_.frame_hash).distinct.length == 11)
+  }
+
   test("mediaMeta (built-in exprs) matches extractFeatures (mapPartitions)") {
     val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val viaExprs = Multimodal.mediaMeta(media.toDF(), "doc_id", "media")
