@@ -73,11 +73,20 @@ object Fetch {
           if (nonBlankLines(body, atLeast = 2) < 2)
             return Result(ok = false, 200, attempt, body.length.toLong, None,
               "empty API dataset")
-          val p = Paths.get(landingFile)
-          Option(p.getParent).foreach(Files.createDirectories(_))
-          Files.write(p, body)
-          return Result(ok = true, 200, attempt, body.length.toLong, Some(p),
-            "fetched")
+          // the landing write can fail independently of the fetch (full or
+          // read-only disk) — report it as a failed Result, not an escaped
+          // exception breaking the stage-report contract
+          try {
+            val p = Paths.get(landingFile)
+            Option(p.getParent).foreach(Files.createDirectories(_))
+            Files.write(p, body)
+            return Result(ok = true, 200, attempt, body.length.toLong,
+              Some(p), "fetched")
+          } catch {
+            case e: java.io.IOException =>
+              return Result(ok = false, 200, attempt, body.length.toLong,
+                None, s"landing write failed: ${e.getMessage}")
+          }
         case Right(r) if !config.retryStatuses(r.statusCode()) =>
           return Result(ok = false, r.statusCode(), attempt, 0, None,
             s"non-retryable HTTP ${r.statusCode()}")

@@ -164,10 +164,11 @@ object Pipeline {
   def run(spark: SparkSession, landingCsv: String, stagingDir: String,
       analyticsDir: String, auditDir: Option[String],
       checks: DataFrame => Seq[Checks.Check],
-      required: Set[String] = Set.empty): RunReport = {
+      required: Set[String] = Set.empty,
+      rangeCol: Option[(String, Double, Double)] = None): RunReport = {
     val s1 = extract(spark, landingCsv, stagingDir)
     if (!s1.ok) return RunReport(Seq(s1))
-    val s2 = load(spark, stagingDir, analyticsDir, auditDir)
+    val s2 = load(spark, stagingDir, analyticsDir, auditDir, rangeCol)
     if (!s2.ok) return RunReport(Seq(s1, s2))
     val s3 = validate(spark, analyticsDir, checks, required)
     RunReport(Seq(s1, s2, s3))
@@ -180,10 +181,11 @@ object Pipeline {
       stagingDir: String, analyticsDir: String, auditDir: Option[String],
       checks: DataFrame => Seq[Checks.Check],
       required: Set[String] = Set.empty,
-      fetchConfig: Fetch.Config = Fetch.Config()): RunReport = {
+      fetchConfig: Fetch.Config = Fetch.Config(),
+      rangeCol: Option[(String, Double, Double)] = None): RunReport = {
     val s0 = fetch(url, landingFile, fetchConfig)
     if (!s0.ok) return RunReport(Seq(s0))
     RunReport(s0 +: run(spark, landingFile, stagingDir, analyticsDir,
-      auditDir, checks, required).stages)
+      auditDir, checks, required, rangeCol).stages)
   }
 }

@@ -42,9 +42,12 @@ object Schemas {
     existing.fieldNames.toSet -- MetadataColumns ==
       incoming.fieldNames.toSet -- MetadataColumns
 
-  /** Missing required fields (empty = pass). */
+  /** Missing required fields (empty = pass). Both sides are lowercased —
+    * a mixed-case required name must not report a column missing that the
+    * (normalized) table actually has.
+    */
   def missingRequired(schema: StructType, required: Set[String]): Set[String] =
-    required -- schema.fieldNames.map(_.toLowerCase).toSet
+    required.map(_.toLowerCase) -- schema.fieldNames.map(_.toLowerCase).toSet
 
   /** Per-column type comparison like the loader's SchemaValidator
     * (data_loader.py:140-177): returns (name, existingType, incomingType)

@@ -34,11 +34,17 @@ object AsOf {
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .withColumn("__rts", lit(null).cast("timestamp"))
-    val r = right.select(
-      col(keyCol),
-      col(rightTs).as("__ts"),
-      lit(0).as("__side"),
-      col(rightTs).as("__rts"))
+    // Equi-join null semantics: right rows with a NULL key or NULL
+    // timestamp can never match any probe, so they must not reach the
+    // window (a NULL-key partition would otherwise "enrich" NULL-key
+    // probes, and a NULL-ts row would inflate asof_count).
+    val r = right
+      .filter(col(keyCol).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(keyCol),
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        col(rightTs).as("__rts"))
     // align schemas: right side carries nulls for left-only columns
     val rAligned = leftCols.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df

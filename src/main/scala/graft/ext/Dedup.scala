@@ -66,6 +66,8 @@ object Dedup {
     */
   def lshBands(signatures: DataFrame, idCol: String, k: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"k ($k) must be divisible by rowsPerBand ($rowsPerBand)")
     val bandCols = (0 until k by rowsPerBand).map { j =>
       md5(concat((j until j + rowsPerBand).map(i => col(s"h$i")): _*)
         .cast("binary"))
@@ -74,12 +76,11 @@ object Dedup {
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
   }
 
-  /** Candidate near-duplicate pairs (a < b) from MinHash + LSH. */
-  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 5): DataFrame = {
-    val bands = lshBands(
-      minhashSignatures(docs, idCol, textCol, k, shingleN), idCol, k,
-      rowsPerBand)
+  /** Distinct candidate pairs (doc_a < doc_b) from a banded view — the one
+    * pairing predicate both minhash paths share.
+    */
+  private def bandsToCandidatePairs(bands: DataFrame,
+      idCol: String): DataFrame = {
     val a = bands.select(col(idCol).as("doc_a"), col("band_idx"),
       col("band_hash"))
     val b = bands.select(col(idCol).as("doc_b"), col("band_idx").as("bi"),
@@ -88,6 +89,13 @@ object Dedup {
         a("doc_a") < b("doc_b"))
       .select("doc_a", "doc_b").dropDuplicates()
   }
+
+  /** Candidate near-duplicate pairs (a < b) from MinHash + LSH. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 5): DataFrame =
+    bandsToCandidatePairs(lshBands(
+      minhashSignatures(docs, idCol, textCol, k, shingleN), idCol, k,
+      rowsPerBand), idCol)
 
   /** Production near-dup composition: MinHash+LSH candidate generation,
     * then exact Jaccard computed ON CANDIDATES ONLY. This is the shape that
@@ -103,15 +111,9 @@ object Dedup {
     // join: identical subtrees → AQE reuses the exchange, so the corpus is
     // exploded and deduped once, not twice.
     val sh = docShingles(docs, idCol, textCol, shingleN).distinct()
-    val bands = lshBands(minhashFromShingles(sh, idCol, k), idCol, k,
-      rowsPerBand)
-    val ba = bands.select(col(idCol).as("doc_a"), col("band_idx"),
-      col("band_hash"))
-    val bb = bands.select(col(idCol).as("doc_b"), col("band_idx").as("bi"),
-      col("band_hash").as("bh"))
-    val cand = ba.join(bb, ba("band_idx") === bb("bi") &&
-        ba("band_hash") === bb("bh") && ba("doc_a") < bb("doc_b"))
-      .select("doc_a", "doc_b").dropDuplicates()
+    val cand = bandsToCandidatePairs(
+      lshBands(minhashFromShingles(sh, idCol, k), idCol, k, rowsPerBand),
+      idCol)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
     val b = sh.select(col(idCol).as("doc_b"), col("shingle"))

@@ -124,11 +124,14 @@ object Multimodal {
   }
 
   /** Build a media table from the documents fixture: the text bytes stand in
-    * for an encoded payload (opaque binary + metadata columns).
+    * for an encoded payload (opaque binary + metadata columns). Null
+    * payloads are dropped at ingestion — the JVM decode paths would NPE on
+    * a null byte array, and a media row without media carries nothing.
     */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text").cast("binary").as("media"))
       .as[MediaRecord]
   }

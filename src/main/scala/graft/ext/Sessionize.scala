@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** Add a `session_id` column (0-based per key, ordered by time). */
+  /** Add a `session_id` column (1-based per key, ordered by time — the
+    * running sum of new-session flags starts at 1 on the first event).
+    */
   def withSessionIds(df: DataFrame, keyCol: String, tsCol: String,
       tieBreak: String, gapMillis: Long): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieBreak))

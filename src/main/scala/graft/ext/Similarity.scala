@@ -143,8 +143,15 @@ object Similarity {
       .agg(array_sort(collect_list(
         struct(col(idCol).as("cent_id"), col("v").as("cv"),
           col("nrm").as("cn")))).as("cents"))
-    def csimOf(c: Column): Column = round(
-      dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")), 6)
+    // NULL/NaN similarity (zero-norm centroid or corpus vector, truncated
+    // embedding) maps to -Infinity so a degenerate centroid can lose the
+    // argmax instead of poisoning the accumulator: `csim > NULL/NaN-acc`
+    // is never true, which would freeze assignment on the seed centroid.
+    def csimOf(c: Column): Column = coalesce(
+      nanvl(round(
+        dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")), 6),
+        lit(null).cast("double")),
+      lit(Double.NegativeInfinity))
     // Seed the fold from the FIRST (lowest-id) centroid, so the
     // accumulator's types follow the id column (a literal seed would pin
     // cent_id to bigint) and an EMPTY centroid set folds to a null seed →

@@ -98,36 +98,35 @@ object Streams {
       state.remove()
       Iterator.single(Session(user, s.start, s.end, s.n, s.total))
     } else {
-      val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-      var cur = state.getOption
-      batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        cur match {
-          case Some(s) if e.ts.getTime - s.end.getTime > gapMillis =>
-            closed += Session(user, s.start, s.end, s.n, s.total)
-            cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
-          case Some(s) if s.start.getTime - e.ts.getTime > gapMillis =>
-            // a cross-batch straggler older than the open session by more
-            // than the gap: emit it as its own closed singleton — anything
-            // that could still join it would be even later-arriving, and
-            // buffering it until the watermark would unbound state
-            closed += Session(user, e.ts, e.ts, 1L, e.value)
-          case Some(s) =>
-            // merge, extending EITHER boundary: a straggler within the gap
-            // of session start moves start back, matching the batch twin
-            val start = if (e.ts.getTime < s.start.getTime) e.ts else s.start
-            val end = if (e.ts.getTime > s.end.getTime) e.ts else s.end
-            cur = Some(SessionState(start, end, s.n + 1, s.total + e.value))
-          case None =>
-            cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
-        }
+      // Interval merge over {open-session state} ∪ {batch events as
+      // singleton intervals}, sorted by start: adjacent intervals within
+      // the gap coalesce (extending either boundary, so cross-batch
+      // stragglers merge with EACH OTHER and with the open session exactly
+      // like the batch twin). All merged sessions except the newest close
+      // now — they could in principle still receive even-later stragglers,
+      // but buffering them until the watermark would unbound state; the
+      // newest stays open under an event-time timer.
+      val intervals = state.getOption.toList ++
+        batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          .map(e => SessionState(e.ts, e.ts, 1L, e.value))
+      val merged = intervals.sortBy(_.start.getTime)
+        .foldLeft(List.empty[SessionState]) {
+          case (head :: tail, s)
+              if s.start.getTime - head.end.getTime <= gapMillis =>
+            val end = if (s.end.getTime > head.end.getTime) s.end else head.end
+            head.copy(end = end, n = head.n + s.n,
+              total = head.total + s.total) :: tail
+          case (acc, s) => s :: acc
+        }.reverse
+      merged match {
+        case Nil => Iterator.empty
+        case _ =>
+          val open = merged.last
+          state.update(open)
+          state.setTimeoutTimestamp(open.end.getTime + gapMillis)
+          merged.init.iterator
+            .map(s => Session(user, s.start, s.end, s.n, s.total))
       }
-      cur match {
-        case Some(s) =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.end.getTime + gapMillis)
-        case None => ()
-      }
-      closed.iterator
     }
   }
 }

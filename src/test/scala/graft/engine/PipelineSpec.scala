@@ -48,10 +48,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         Checks.distinctMin("yearstart", 2),
         Checks.nullCount("topic"),
         Checks.duplicateCount(df)),
-      required = Set("yearstart", "topic", "loaded_at", "load_date"))
+      required = Set("yearstart", "topic", "loaded_at", "load_date"),
+      rangeCol = Some(("data_value", 0.0, 100.0)))
 
     assert(report.stages.map(_.name) == Seq("extract", "load", "validate"))
     assert(report.exitCode == 0, report.stages.mkString("; "))
+
+    // audit side-output: the 150.0 out-of-range row lands in the CSV
+    val auditRows = spark.read.option("header", "true").csv(audit)
+    assert(auditRows.count() == 1)
+    assert(auditRows.head().getAs[String]("data_value") == "150.0")
 
     // staging: normalized column names, all rows (cleaning happens in load)
     val staged = spark.read.parquet(staging)

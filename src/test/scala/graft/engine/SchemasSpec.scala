@@ -53,6 +53,9 @@ class SchemasSpec extends AnyFunSuite {
     assert(Schemas.missingRequired(s, Set("yearstart", "topic")) == Set.empty)
     assert(Schemas.missingRequired(s, Set("yearstart", "loaded_at")) ==
       Set("loaded_at"))
+    // case-insensitive on BOTH sides: a mixed-case required name must not
+    // report a present column as missing
+    assert(Schemas.missingRequired(s, Set("YearStart", "Topic")) == Set.empty)
   }
 
   test("typeMismatches reports per-column type drift like the loader") {

@@ -35,6 +35,25 @@ class AsOfSpec extends AnyFunSuite {
     assert(out(2) == ((201L, None, 0L)))
   }
 
+  test("NULL keys and NULL reference timestamps never match (equi semantics)") {
+    import spark.implicits._
+    val probes = Seq(
+      (Some(1L), 101L, Some(ts(10))),
+      (None, 102L, Some(ts(10)))) // null-key probe
+      .toDF("user_id", "event_id", "ts")
+    val refs = Seq(
+      (Some(1L), Some(ts(8))),
+      (None, Some(ts(9))),     // null-key ref: matches nothing
+      (Some(1L), None))        // null-ts ref: must not inflate the count
+      .toDF("user_id", "ts")
+    val out = AsOf.enrich(probes, refs, "user_id", "ts", "ts")
+      .orderBy("event_id").collect()
+    assert(Option(out(0).getAs[Timestamp]("asof_ts")) == Some(ts(8)))
+    assert(out(0).getLong(out(0).length - 1) == 1L) // null-ts ref not counted
+    assert(out(1).getAs[Timestamp]("asof_ts") == null) // null-key probe
+    assert(out(1).getLong(out(1).length - 1) == 0L)
+  }
+
   test("empty reference side yields nulls, keeps all probes") {
     import spark.implicits._
     val (probes, _) = frames

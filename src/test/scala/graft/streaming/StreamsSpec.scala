@@ -149,6 +149,18 @@ class StreamsSpec extends AnyFunSuite {
     assert(state.get == Streams.SessionState(ts(4), ts(12), 3L, 4.0))
   }
 
+  test("consecutive stragglers within the gap merge into ONE closed session") {
+    val state = new FakeGroupState(
+      Some(Streams.SessionState(ts(50), ts(52), 1L, 1.0)))
+    val out = Streams.updateSessions(gapMillis = 10 * 60 * 1000L)(
+      7L, Iterator(
+        Event(1, 7, "a", 1.0, ts(0)),
+        Event(2, 7, "a", 2.0, ts(8))), // 8 min apart -> same session
+      state).toSeq
+    assert(out == Seq(Streams.Session(7L, ts(0), ts(8), 2L, 3.0)))
+    assert(state.get.start == ts(50)) // open session untouched
+  }
+
   test("straggler older than the open session by > gap closes as singleton") {
     val state = new FakeGroupState(
       Some(Streams.SessionState(ts(40), ts(42), 1L, 1.0)))
