@@ -124,20 +124,17 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
   }
 
-  /** IVF: assign every vector to its nearest centroid, search only within
-    * the query's cluster. Returns
-    * (query_id, neighbor_id, cluster_id, sim, rank).
-    *
-    * Assignment is a map-side argmax: the centroid set collapses to ONE row
-    * holding a sorted array of (cent_id, vector, norm) structs, broadcast to
-    * every partition, and each corpus vector folds over it picking the
-    * best-cosine centroid (ties → lowest cent_id, since the array is sorted
-    * and only a strictly-greater sim displaces the accumulator). Zero
-    * shuffle, no row expansion — the corpus is never replicated k× the way a
-    * crossJoin+window assignment would.
+  /** Nearest-centroid assignment as a map-side argmax: the centroid set
+    * collapses to ONE row holding a sorted array of (cent_id, vector, norm)
+    * structs, broadcast to every partition, and each corpus vector folds
+    * over it picking the best-cosine centroid (ties → lowest cent_id, since
+    * the array is sorted and only a strictly-greater sim displaces the
+    * accumulator). Zero shuffle, no row expansion — the corpus is never
+    * replicated k× the way a crossJoin+window assignment would be.
+    * Returns (idCol, v, nrm, cluster_id).
     */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-      centroidPred: Column, queryPred: Column, k: Int): DataFrame = {
+  def assignClusters(emb: DataFrame, idCol: String, vecCol: String,
+      centroidPred: Column): DataFrame = {
     val corpus = withNorm(emb, idCol, vecCol)
     val centArr = corpus.filter(centroidPred)
       .agg(array_sort(collect_list(
@@ -168,10 +165,33 @@ object Similarity {
           struct(c.getField("cent_id").as("cent_id"), csim.as("csim")))
           .otherwise(acc)
       })
-    val assigned = corpus.crossJoin(broadcast(centArr))
+    corpus.crossJoin(broadcast(centArr))
       .select(col(idCol), col("v"), col("nrm"),
         best.getField("cent_id").as("cluster_id"))
       .filter(col("cluster_id").isNotNull)
+  }
+
+  /** One k-means refinement step for IVF index building: element-wise mean
+    * of each cluster's members, in LONG format (cluster_id, dim_idx, mean,
+    * n_members) — posexplode is map-side, the mean is one hash-agg keyed by
+    * (cluster, dim), and no vector ever recollects on the driver. Iterate
+    * assignment → refinement to converge real centroids from seed rows.
+    */
+  def centroidRefinement(assigned: DataFrame, clusterCol: String,
+      vecCol: String): DataFrame =
+    assigned
+      .select(col(clusterCol), posexplode(col(vecCol)).as(Seq("dim_idx", "x")))
+      .groupBy(col(clusterCol), col("dim_idx").cast("long").as("dim_idx"))
+      .agg(round(avg(col("x")), 6).as("mean"),
+        count(lit(1)).as("n_members"))
+
+  /** IVF: assign every vector to its nearest centroid
+    * ([[assignClusters]]), search only within the query's cluster. Returns
+    * (query_id, neighbor_id, cluster_id, sim, rank).
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      centroidPred: Column, queryPred: Column, k: Int): DataFrame = {
+    val assigned = assignClusters(emb, idCol, vecCol, centroidPred)
     val queries = assigned.filter(queryPred)
       .select(col(idCol).as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cluster_id").as("qc"))

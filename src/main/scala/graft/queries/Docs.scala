@@ -72,6 +72,15 @@ object Docs {
         .orderBy(col("n").desc, col("token").asc)
         .limit(50)),
 
+    // LM n-gram statistics: top-40 bigrams (2-token shingles) — same
+    // explode/hash-agg/top-k shape as the vocabulary, one size up.
+    "q_bigrams_topk" -> ((s, dir) =>
+      Dedup.docShingles(t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .groupBy(col("shingle").as("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(40)),
+
     // Language/quality distribution: the Text expressions composed in an
     // aggregate (per-language doc counts + mean quality + token volume).
     "q_lang_dist" -> ((s, dir) =>
@@ -209,6 +218,17 @@ object Docs {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+    "q_bigrams_topk" ->
+      """WITH toks2 AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT unnest(CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(1, len(t)),
+        |           i -> array_to_string(t[i:i+1], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS bigram
+        |  FROM toks2)
+        |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 40""".stripMargin,
 
     "q_lang_dist" ->
       """WITH x AS (SELECT text, string_split(text, ' ') AS toks FROM documents),

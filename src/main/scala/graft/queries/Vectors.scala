@@ -53,6 +53,15 @@ object Vectors {
         round(Similarity.l2norm(v), 6).as("v_norm"))
     }),
 
+    // IVF index building: one k-means refinement step over the seed
+    // assignment — per-(cluster, dim) means in long format, no vector
+    // collects.
+    "q_sim_kmeans_step" -> ((s, dir) =>
+      Similarity.centroidRefinement(
+        Similarity.assignClusters(t(s, dir, "embeddings"), "vec_id",
+          "embedding", col("vec_id") < 10),
+        "cluster_id", "v")),
+
     // Scale path: random-hyperplane LSH candidates verified by exact
     // cosine — the composition nearDupPairs exists to baseline.
     "q_sim_neardup_lsh" -> ((s, dir) =>
@@ -100,6 +109,23 @@ object Vectors {
         |  ${cos("a", "b")} AS sim
         |FROM c a JOIN c b ON a.vec_id < b.vec_id
         |WHERE ${cos("a", "b")} >= 0.35""".stripMargin,
+
+    "q_sim_kmeans_step" ->
+      s"""WITH $withNorm,
+        |cent AS (SELECT vec_id AS cent_id, v, nrm FROM c WHERE vec_id < 10),
+        |asgn AS (
+        |  SELECT vec_id, cent_id AS cluster_id FROM (
+        |    SELECT x.vec_id, cent.cent_id,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY ${cos("x", "cent")} DESC, cent.cent_id ASC) AS rn
+        |    FROM c x, cent)
+        |  WHERE rn = 1),
+        |x AS (
+        |  SELECT a.cluster_id, unnest(range(1, len(c.v) + 1)) AS ii, c.v AS v
+        |  FROM asgn a JOIN c ON c.vec_id = a.vec_id)
+        |SELECT cluster_id, CAST(ii - 1 AS BIGINT) AS dim_idx,
+        |  round(avg(v[ii]), 6) AS mean, count(*) AS n_members
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     "q_vector_stats" ->
       s"""WITH $withNorm
