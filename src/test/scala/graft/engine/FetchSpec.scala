@@ -51,6 +51,18 @@ class FetchSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val fast = Fetch.Config(backoffBaseMillis = 1L)
 
+  test("nonBlankLines: counts content lines, ignores blanks and whitespace") {
+    def n(s: String) = Fetch.nonBlankLines(s.getBytes("UTF-8"), atLeast = 10)
+    assert(n("") == 0)
+    assert(n("\n\n  \n\t\r\n") == 0)
+    assert(n("header\n") == 1)
+    assert(n("header") == 1) // no trailing newline still counts
+    assert(n("h\nrow1\nrow2\n") == 3)
+    assert(n("h\r\nrow1\r\n") == 2) // CRLF
+    // early exit at the atLeast bound
+    assert(Fetch.nonBlankLines("a\nb\nc\nd\n".getBytes, atLeast = 2) == 2)
+  }
+
   test("happy path: single attempt, body lands on disk") {
     val out = tmp("ok.csv")
     val r = Fetch.fetchToLanding(s"$base/ok", out, fast)

@@ -58,6 +58,14 @@ class SchemasSpec extends AnyFunSuite {
     assert(Schemas.missingRequired(s, Set("YearStart", "Topic")) == Set.empty)
   }
 
+  test("normalizeStruct renames fields, preserves types") {
+    val s = StructType(Seq(StructField("Year Start", LongType),
+      StructField("Data-Value", DoubleType)))
+    val out = Schemas.normalizeStruct(s)
+    assert(out.fieldNames.toSeq == Seq("year_start", "data_value"))
+    assert(out.fields.map(_.dataType).toSeq == Seq(LongType, DoubleType))
+  }
+
   test("typeMismatches reports per-column type drift like the loader") {
     val e = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
     val i = StructType(Seq(StructField("a", DoubleType), StructField("b", StringType)))
