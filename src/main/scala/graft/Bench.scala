@@ -19,6 +19,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -42,12 +43,18 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = execute(name, sfDir)
       val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      name -> (ok, sec)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // A failed query must make the run visibly worse, never smaller: its
+    // time is excluded from the per-query map and total, and its name lands
+    // in a `failed` list any reader of the JSON will see.
+    val passed = results.collect { case (n, (true, s)) => n -> s }
+    val failed = results.collect { case (n, (false, _)) => n }
+    val qs = passed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = passed.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

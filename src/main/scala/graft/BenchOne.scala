@@ -1,0 +1,42 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Targeted bench: time named queries one at a time under the same settings
+  * as [[Bench]], optionally dumping the executed plan. Usage:
+  *
+  *   runMain graft.BenchOne [--plan] q_name [q_name ...]
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32 —
+  * the driver's value, so local numbers are comparable to BENCH_r*.json).
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val showPlan = args.contains("--plan")
+    val names = args.filterNot(_.startsWith("--"))
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    names.foreach { name =>
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      // Build INSIDE the timer, like Bench: eager materialization during
+      // query construction (localCheckpoint) must be billed to the query.
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"BENCHONE $name%-28s $sec%8.3f s")
+      if (showPlan)
+        println(df.queryExecution.executedPlan.toString())
+    }
+    spark.stop()
+  }
+}

@@ -62,13 +62,18 @@ object Sources {
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** The events fixture carries a parquet TIMESTAMP(NANOS) column, which
-    * Spark 4 rejects by default. Read nanos as long (legacy conf) and
-    * convert to a microsecond timestamp with INTEGRAL division — epoch
-    * nanos (~1.7e18) exceed double's 2^53 mantissa, so a floating-point
-    * divide would corrupt timestamps.
+    * Spark 4 rejects by default. The session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (Bench/Verify/TestSpark all
+    * do) — a reader must not mutate session config as a plan-build side
+    * effect. The long nanos convert to a microsecond timestamp with INTEGRAL
+    * division — epoch nanos (~1.7e18) exceed double's 2^53 mantissa, so a
+    * floating-point divide would corrupt timestamps.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        == "true",
+      "events.parquet has TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     import org.apache.spark.sql.functions._
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -26,13 +26,21 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** n-token shingles of a text column (empty-safe: short docs collapse to
-    * one whole-text shingle).
+    * one whole-text shingle). The bigram case is specialized: one zip_with
+    * over two O(1) slices instead of a per-position slice+join chain — same
+    * values, a fraction of the per-row allocation.
     */
   def shingles(textCol: Column, n: Int = 5): Column = {
     val toks = split(textCol, " ")
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    val grams =
+      if (n == 2)
+        zip_with(slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat_ws(" ", a, b))
+      else
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(size(toks) >= n, grams)
       .otherwise(array(concat_ws(" ", toks)))
   }
 
@@ -90,12 +98,23 @@ object Dedup {
       .select("doc_a", "doc_b").dropDuplicates()
   }
 
-  /** Candidate near-duplicate pairs (a < b) from MinHash + LSH. */
+  /** Candidate near-duplicate pairs (a < b) from MinHash + LSH.
+    *
+    * The signature table is materialized (localCheckpoint) before the band
+    * self-join: physical-plan exchange reuse is NOT guaranteed to fire
+    * across self-join re-aliasing (measured: the corpus explode ran once
+    * per join side without it), and the signature table is tiny — k hashes
+    * per doc — so materializing it is far cheaper than one extra corpus
+    * pass. On a cluster this would be `persist(MEMORY_AND_DISK)` or an
+    * intermediate parquet write; localCheckpoint is the single-JVM
+    * equivalent with the same lineage-truncation effect.
+    */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 5): DataFrame =
-    bandsToCandidatePairs(lshBands(
-      minhashSignatures(docs, idCol, textCol, k, shingleN), idCol, k,
-      rowsPerBand), idCol)
+      k: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 5): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, k, shingleN)
+      .localCheckpoint()
+    bandsToCandidatePairs(lshBands(sig, idCol, k, rowsPerBand), idCol)
+  }
 
   /** Production near-dup composition: MinHash+LSH candidate generation,
     * then exact Jaccard computed ON CANDIDATES ONLY. This is the shape that
@@ -103,26 +122,34 @@ object Dedup {
     * O(shared-shingle pairs) — at 100 TB the candidate set is proportional
     * to true near-dups (plus LSH false positives), while the full
     * inverted-index join of [[jaccardPairs]] grows with every hot shingle.
+    *
+    * The distinct shingle set feeds three consumers (the signature/size
+    * aggregation and both sides of the verify join) and the doc-level
+    * profile four, so both are materialized once via localCheckpoint —
+    * exchange reuse across self-join aliases proved unreliable, and
+    * recomputing the corpus explode per consumer is the dominant cost.
     */
   def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 8, rowsPerBand: Int = 2,
       shingleN: Int = 5): DataFrame = {
-    // ONE distinct shingle set feeds both the signature path and the verify
-    // join: identical subtrees → AQE reuses the exchange, so the corpus is
-    // exploded and deduped once, not twice.
     val sh = docShingles(docs, idCol, textCol, shingleN).distinct()
-    val cand = bandsToCandidatePairs(
-      lshBands(minhashFromShingles(sh, idCol, k), idCol, k, rowsPerBand),
+      .localCheckpoint()
+    // One aggregation pass yields the signature AND the set size per doc.
+    val mins = (0 until k).map(j =>
+      min(md5(concat(lit(s"$j:"), col("shingle")).cast("binary"))).as(s"h$j"))
+    val prof = sh.groupBy(col(idCol))
+      .agg(mins.head, (mins.tail :+ count(lit(1)).as("sz")): _*)
+      .localCheckpoint()
+    val cand = bandsToCandidatePairs(lshBands(prof, idCol, k, rowsPerBand),
       idCol)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
     val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
     val common = cand.join(a, Seq("doc_a")).join(b, Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
-      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .join(prof.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(prof.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("jaccard", round(
         col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")), 4))

@@ -122,19 +122,15 @@ object Docs {
 
     // Decontamination: near-dup pairs (MinHash-LSH candidates) that CROSS a
     // train/eval split boundary — the canonical "is my eval set leaking
-    // into training data" sweep, as one plan over the corpus.
-    "q_decontamination" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val split = docs.select(col("doc_id"),
-        splitCol(col("doc_id")).as("split"))
-      Dedup.minhashPairs(docs, "doc_id", "text")
-        .join(split.select(col("doc_id").as("doc_a"),
-          col("split").as("split_a")), "doc_a")
-        .join(split.select(col("doc_id").as("doc_b"),
-          col("split").as("split_b")), "doc_b")
+    // into training data" sweep. The split is a pure hash of the id
+    // (splitCol), so it is computed directly on the candidate pair ids —
+    // no join back to the corpus, no second scan. One corpus pass total.
+    "q_decontamination" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("split_a", splitCol(col("doc_a")))
+        .withColumn("split_b", splitCol(col("doc_b")))
         .filter(col("split_a") =!= col("split_b"))
-        .select("doc_a", "doc_b", "split_a", "split_b")
-    }),
+        .select("doc_a", "doc_b", "split_a", "split_b")),
 
     // Multimodal 1→N: stub frame sampling (every 4th frame) — flatMap over
     // partitions; output cardinality varies per record.

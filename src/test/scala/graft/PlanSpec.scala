@@ -79,6 +79,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange")) // build side broadcast, not shuffled
   }
 
+  test("minhash family runs the corpus shingle pass exactly once") {
+    // The signature/shingle tables are materialized (localCheckpoint) before
+    // their self-joins, because exchange reuse across self-join re-aliasing
+    // proved unreliable (round 2 measured the corpus explode running once
+    // per consumer — 4× on minhash_verified). With the materialization the
+    // final plan reads cached blocks: no parquet re-scan, no re-explode.
+    for (q <- Seq("q_dedup_minhash_pairs", "q_dedup_minhash_verified",
+        "q_decontamination")) {
+      val p = plan(q)
+      assert(!p.contains("FileScan"),
+        s"$q re-scans the corpus per consumer:\n$p")
+      assert(!p.contains("Generate explode"),
+        s"$q re-runs the shingle explode per consumer:\n$p")
+    }
+  }
+
+  test("decontamination derives splits from pair ids, no corpus join-back") {
+    // splitCol is a pure hash of the id: exactly the band self-join remains.
+    val p = plan("q_decontamination")
+    assert("Join".r.findAllIn(p).size == 1, p)
+  }
+
   test("multi-aggregate validation is a single pass (one aggregate subtree)") {
     val p = plan("q_validate_metrics")
     // expand-based distinct rewrite: one Expand, partial+final HashAggregate
