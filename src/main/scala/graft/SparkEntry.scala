@@ -21,6 +21,7 @@ object SparkEntry {
     (Docs.queries, Docs.oracles),
     (Vectors.queries, Vectors.oracles),
     (Analytics.queries, Analytics.oracles),
+    (Incremental.queries, Incremental.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * running executor-side over batched partitions.
   *
   * The Spark-side plumbing is real and tested: schema, partition-parallel
-  * mapPartitions, per-record feature rows. The DECODE step is a STUB — this
-  * container has no image/audio codecs — clearly isolated in [[decodeStub]];
-  * a production deployment swaps in a real codec there and nothing else
-  * changes.
+  * mapPartitions, per-record feature rows. The decode seam dispatches: image
+  * payloads get a REAL header-only decode via the JDK's javax.imageio
+  * ([[decodeImage]] — PNG/JPEG/GIF/BMP, no external dependency); payloads no
+  * installed reader recognizes (audio/video — this container has no such
+  * codecs) fall through to the clearly-isolated [[decodeStub]]. A production
+  * deployment swaps in real codecs there and nothing else changes.
   *
   * Scale notes: media bytes never reach the driver; features are computed in
   * one narrow (shuffle-free) pass; downstream analytics operate on the small
@@ -27,11 +29,50 @@ object Multimodal {
       doc_id: Long,
       n_bytes: Long,
       content_hash: String,
-      stub_width: Long,
-      stub_height: Long,
-      stub_channels: Long)
+      width: Long,
+      height: Long,
+      channels: Long)
 
-  /** STUB decoder: stands in for an image/audio codec (not present in this
+  /** Header-only image decode via the JDK's javax.imageio: width/height come
+    * from the format header WITHOUT decoding the raster (at scale the
+    * dominant cost of metadata extraction is raster decode — skipping it
+    * makes this pass I/O-bound), channels from the reader's advertised image
+    * type. None when no installed reader recognizes the payload (text,
+    * audio, unknown codecs) or the header is corrupt.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+    import javax.imageio.ImageIO
+    val iis = ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val w = r.getWidth(0).toLong
+          val h = r.getHeight(0).toLong
+          val types = r.getImageTypes(0)
+          val ch =
+            if (types.hasNext)
+              types.next().getColorModel.getNumComponents.toLong
+            else 3L
+          Some((w, h, ch))
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
+  }
+
+  /** Decode dispatch: real image decode when the JDK recognizes the payload,
+    * [[decodeStub]] otherwise — the seam a real audio/video codec plugs
+    * into.
+    */
+  def decode(bytes: Array[Byte]): (Long, Long, Long) =
+    decodeImage(bytes).getOrElse(decodeStub(bytes))
+
+  /** STUB decoder: stands in for an audio/video codec (not present in this
     * environment). Deterministic fake dimensions derived from the payload
     * so tests and oracles can pin the plumbing end-to-end.
     */
@@ -57,7 +98,7 @@ object Multimodal {
     records.mapPartitions { it =>
       // per-partition decoder setup would go here (codec handles, buffers)
       it.map { r =>
-        val (w, h, c) = decodeStub(r.media)
+        val (w, h, c) = decode(r.media)
         MediaFeatures(r.doc_id, r.media.length.toLong, md5Hex(r.media),
           w, h, c)
       }
@@ -106,9 +147,10 @@ object Multimodal {
     * arithmetic on them): codegen'd, no JVM object serialization, and
     * metadata-only queries keep column pruning — the blob feeds two scalar
     * expressions instead of surfacing as a JVM byte array. Produces the same
-    * rows as [[extractFeatures]] (the stub decode is arithmetic on size and
-    * hash, so it is expressible both ways); a REAL codec is not, which is
-    * exactly when the mapPartitions path earns its keep.
+    * rows as [[extractFeatures]] for non-image payloads (the stub decode is
+    * arithmetic on size and hash, so it is expressible both ways); a REAL
+    * decode — [[decodeImage]], or any codec — is not, which is exactly when
+    * the mapPartitions path earns its keep.
     */
   def mediaMeta(df: org.apache.spark.sql.DataFrame, idCol: String,
       mediaCol: String): org.apache.spark.sql.DataFrame = {

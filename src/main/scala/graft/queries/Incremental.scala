@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Pipeline, Sinks}
+
+/** Oracle coverage for the incremental-load path (SURVEY §3 / engine
+  * Pipeline.loadIncremental → readLatest): two real append batches with
+  * injected timestamps land in a fresh temp table at query-build time, and
+  * the registered result is [[Pipeline.readLatest]] over them — so the
+  * DuckDB twin (window-dedup over the unioned batches, reconstructed from
+  * the fixture) checks the WHOLE load→append→latest path, not a
+  * hand-simulated version of it.
+  *
+  * Determinism: batch membership is a pure key predicate, timestamps are
+  * injected constants, and each key appears at most once per batch, so the
+  * latest-row winner is unique — no tie-break reachable.
+  */
+object Incremental {
+
+  private val T1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+  private val T2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+
+  private def latestView(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val staging = s"$base/staging"
+    val analytics = s"$base/analytics"
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    // Day 1: 60% of keys; day 2: an overlapping 50% — overlapped keys must
+    // surface with day-2 metadata, day-1-only keys with day-1 metadata.
+    Sinks.overwriteParquet(orders.filter(col("o_orderkey") % 10 < 6), staging)
+    Pipeline.loadIncremental(s, staging, analytics, Some(T1))
+    Sinks.overwriteParquet(
+      orders.filter(col("o_orderkey") % 10 >= 3 &&
+        col("o_orderkey") % 10 <= 7), staging)
+    Pipeline.loadIncremental(s, staging, analytics, Some(T2))
+    // load_date → string for the compare: DuckDB DATE surfaces as a
+    // timestamp in the checker's frame while Spark's stays a date, so the
+    // (identical) values would mismatch on representation alone.
+    Pipeline.readLatest(s, analytics, Seq("o_orderkey"))
+      .withColumn("load_date", col("load_date").cast("string"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incremental_latest" -> ((s, dir) => latestView(s, dir)))
+
+  /** The twin reconstructs both cleaned batches from the fixture and
+    * window-dedups by key on the injected load timestamp. Cleaning mirror:
+    * numeric zero-fill + fill-'Unknown'→lower→trim on the one string column
+    * (dedupExact and date coercion are no-ops on this projection).
+    */
+  val oracles: Map[String, String] = Map(
+    "q_incremental_latest" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, coalesce(o_custkey, 0) AS o_custkey,
+        |    coalesce(o_totalprice, 0.0) AS o_totalprice,
+        |    trim(lower(coalesce(o_orderstatus, 'Unknown'))) AS o_orderstatus
+        |  FROM orders),
+        |u AS (
+        |  SELECT *, TIMESTAMP '2026-01-01 00:00:00' AS loaded_at,
+        |    '2026-01-01' AS load_date
+        |  FROM c WHERE o_orderkey % 10 < 6
+        |  UNION ALL
+        |  SELECT *, TIMESTAMP '2026-01-02 00:00:00', '2026-01-02'
+        |  FROM c WHERE o_orderkey % 10 BETWEEN 3 AND 7),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderkey ORDER BY loaded_at DESC) AS rn
+        |  FROM u)
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+        |  loaded_at, load_date
+        |FROM r WHERE rn = 1""".stripMargin)
+}

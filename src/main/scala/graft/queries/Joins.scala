@@ -102,6 +102,21 @@ object Joins {
         .agg(count(lit(1)).as("n_parts"),
           round(avg(col("p_retailprice")), 4).as("avg_price"))
     }),
+
+    // Skew-salted join over a deliberately hot-keyed slice: l_orderkey % 5
+    // gives five keys carrying 20% of lineitem EACH — the shape that
+    // serializes onto five tasks in a plain shuffle join. saltedJoin spreads
+    // every hot key over 8 sub-keys; the oracle is the PLAIN join, pinning
+    // row parity of the mitigation.
+    "q_skew_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_orderkey") % 5).as("hot_key"))
+      val r = t(s, dir, "orders")
+        .groupBy((col("o_orderkey") % 5).as("hot_key"))
+        .agg(round(sum(col("o_totalprice")), 2).as("bucket_rev"))
+      graft.ext.Skew.saltedJoin(l, r, "hot_key", factor = 8)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -159,5 +174,15 @@ object Joins {
         |             ('b4_over_975', 975.0, 1e9)) AS b(band, lo, hi)
         |ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    // The oracle is the UNSALTED join: the mitigation must be row-invisible.
+    "q_skew_join" ->
+      """WITH l AS (SELECT l_orderkey, l_linenumber,
+        |    l_orderkey % 5 AS hot_key FROM lineitem),
+        |r AS (SELECT o_orderkey % 5 AS hot_key,
+        |    round(sum(o_totalprice), 2) AS bucket_rev
+        |  FROM orders GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.hot_key, r.bucket_rev
+        |FROM l JOIN r USING (hot_key)""".stripMargin,
   )
 }

@@ -4,13 +4,21 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** The decode step is a declared stub (no codecs in this environment); what
-  * these tests pin is the REAL part — schema, batched partition-parallel
-  * extraction, deterministic per-record features.
+/** Image payloads decode for real (JDK javax.imageio, header-only);
+  * unrecognized payloads fall through to the declared stub. The rest pins
+  * the plumbing — schema, batched partition-parallel extraction,
+  * deterministic per-record features.
   */
 class MultimodalSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
+
+  private def pngBytes(w: Int, h: Int, imageType: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imageType)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
   test("extractFeatures: executor-side features over binary payloads") {
     import spark.implicits._
@@ -24,15 +32,43 @@ class MultimodalSpec extends AnyFunSuite {
     val h = out(0)
     assert(h.n_bytes == 5L)
     assert(h.content_hash == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
-    assert(h.stub_width == 32L + 5 % 224)
-    assert(h.stub_height == 32L + (5 * 7) % 224)
-    assert(h.stub_channels == 1L) // md5("hello") first nibble 5 < 8
+    assert(h.width == 32L + 5 % 224)
+    assert(h.height == 32L + (5 * 7) % 224)
+    assert(h.channels == 1L) // md5("hello") first nibble 5 < 8
     assert(out(1).n_bytes == 0L)
   }
 
   test("decodeStub is deterministic in the payload") {
     val b = "same bytes".getBytes("UTF-8")
     assert(Multimodal.decodeStub(b) == Multimodal.decodeStub(b))
+  }
+
+  test("decodeImage reads true PNG dimensions and channels") {
+    import java.awt.image.BufferedImage._
+    assert(Multimodal.decodeImage(pngBytes(20, 10, TYPE_INT_RGB))
+      .contains((20L, 10L, 3L)))
+    assert(Multimodal.decodeImage(pngBytes(7, 5, TYPE_BYTE_GRAY))
+      .contains((7L, 5L, 1L)))
+    // non-image payloads: no reader claims them
+    assert(Multimodal.decodeImage("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    // corrupt header: PNG magic followed by garbage must not throw
+    val corrupt = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+      0x1a, 0x0a, 1, 2, 3)
+    assert(Multimodal.decodeImage(corrupt).isEmpty)
+  }
+
+  test("extractFeatures decodes real images executor-side, stubs the rest") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage._
+    val png = pngBytes(33, 17, TYPE_INT_RGB)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, png),
+      Multimodal.MediaRecord(2L, "not an image".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.extractFeatures(recs).collect().sortBy(_.doc_id)
+    assert((out(0).width, out(0).height, out(0).channels) == (33L, 17L, 3L))
+    assert((out(1).width, out(1).height, out(1).channels)
+      == Multimodal.decodeStub("not an image".getBytes("UTF-8")))
   }
 
   test("resizeAll: binary-to-binary executor transform, deterministic") {
