@@ -78,6 +78,41 @@ object Text {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(trim(c), "\\s+", " ").cast("binary"))
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): over an array of k-gram hashes, keep the minimum of every
+    * sliding window of `w` consecutive hashes, deduplicated. Guarantee: any
+    * substring match spanning ≥ w+k-1 tokens contributes at least one
+    * SHARED selected fingerprint, at ~2/(w+1) selection density — so corpus
+    * containment joins on the (small) fingerprint set, never the text.
+    * Pure per-doc projection: zero shuffle; md5-based gram hashes keep the
+    * selection engine-portable. Short docs (< w hashes) keep their single
+    * minimum hash.
+    */
+  def winnow(hashes: Column, w: Int): Column = {
+    val nh = size(hashes)
+    array_distinct(
+      when(nh >= w,
+        transform(sequence(lit(1), nh - (w - 1)),
+          i => array_min(slice(hashes, i, lit(w)))))
+        .otherwise(array(array_min(hashes))))
+  }
+
+  /** Email/phone detection patterns — RE2-safe so the DuckDB oracle runs the
+    * identical regex. The phone pattern is the 555-prefixed test range.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "555-[0-9]{4}"
+
+  def countMatches(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+
+  /** PII redaction: emails then phones → typed placeholder tokens. One
+    * codegen'd projection — the scrub pass a training pipeline runs over
+    * every document, so it must not shuffle and must not leave codegen.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
   /** SimHash over `positions` bit positions: majority vote of the top bit of
     * hex nibble p of the per-token md5 (positions ≤ 32 read md5(tok),
     * positions 33-64 read md5("x:" ++ tok) — two hashes give 64 independent

@@ -132,6 +132,67 @@ object Docs {
         .filter(col("split_a") =!= col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b")),
 
+    // Winnowing fingerprints (MOSS): 4-token gram hashes → min of each
+    // 4-hash window → distinct. Per-doc summary (count + lexicographic
+    // extremes) keeps the oracle scalar. Zero shuffle.
+    "q_fingerprint_winnow" -> ((s, dir) => {
+      val hashes = transform(
+        Dedup.shingles(col("text"), n = 4), g => md5(g.cast("binary")))
+      val fps = Text.winnow(hashes, w = 4)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(hashes).cast("long").as("n_grams"),
+        size(fps).cast("long").as("n_fp"),
+        array_min(fps).as("fp_min"),
+        array_max(fps).as("fp_max"))
+    }),
+
+    // Repetition signals (Gopher-style quality filters): duplicate-3-gram
+    // fraction + top-token frequency ratio. Both sides are explode →
+    // two-level hash-agg (map-side partial combine) → join on doc_id —
+    // linear work, no per-doc quadratic HOFs, so a 10K-token doc costs
+    // 10K rows, not 10^8 comparisons.
+    "q_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tokStats = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_tokens"), max(col("n")).as("top_n"))
+      val gramStats = Dedup.docShingles(docs, "doc_id", "text", n = 3)
+        .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_3grams"),
+          (sum(col("n")) - count(lit(1))).as("dup_3grams"))
+      tokStats.join(gramStats, "doc_id").select(
+        col("doc_id"), col("n_tokens"),
+        round(col("top_n").cast("double") / col("n_tokens"), 4)
+          .as("top_tok_ratio"),
+        col("n_3grams"),
+        round(col("dup_3grams").cast("double") / col("n_3grams"), 4)
+          .as("dup_3gram_ratio"))
+    }),
+
+    // PII detect + redact: the fixture carries no PII, so a deterministic
+    // synthetic email/phone is appended to a known doc subset IDENTICALLY in
+    // both engines; counts and the redacted-text hash must then agree. One
+    // codegen'd projection, zero shuffle.
+    "q_pii_scrub" -> ((s, dir) => {
+      val withPii = concat(col("text"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.countMatches(withPii, Text.EmailRe).as("n_emails"),
+        Text.countMatches(withPii, Text.PhoneRe).as("n_phones"),
+        md5(Text.redactPii(withPii).cast("binary")).as("redacted_hash"))
+    }),
+
     // Multimodal 1→N: stub frame sampling (every 4th frame) — flatMap over
     // partitions; output cardinality varies per record.
     "q_multimodal_frames" -> ((s, dir) =>
@@ -344,6 +405,72 @@ object Docs {
         |WHERE len(list_filter(range(1, 65),
         |  p -> substring(sig_a, p, 1) != substring(sig_b, p, 1))) <= 3"""
         .stripMargin,
+
+    "q_fingerprint_winnow" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 4
+        |    THEN list_transform(range(1, len(t) - 2),
+        |           i -> md5(array_to_string(t[i:i+3], ' ')))
+        |    ELSE [md5(array_to_string(t, ' '))] END AS hs
+        |  FROM toks),
+        |win AS (
+        |  SELECT doc_id, len(hs) AS n_grams,
+        |    list_distinct(CASE WHEN len(hs) >= 4
+        |      THEN list_transform(range(1, len(hs) - 2),
+        |             i -> list_min(hs[i:i+3]))
+        |      ELSE [list_min(hs)] END) AS fps
+        |  FROM g)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(len(fps) AS BIGINT) AS n_fp,
+        |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
+        |FROM win""".stripMargin,
+
+    "q_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+        |  FROM documents),
+        |tc AS (SELECT doc_id, tk, count(*) AS n FROM tok GROUP BY 1, 2),
+        |ta AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |         CAST(max(n) AS BIGINT) AS top_n FROM tc GROUP BY 1),
+        |t3 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g3 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1),
+        |           i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM t3),
+        |gc AS (SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY 1, 2),
+        |ga AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_3grams,
+        |         CAST(sum(n) - count(*) AS BIGINT) AS dup_3grams
+        |       FROM gc GROUP BY 1)
+        |SELECT ta.doc_id, n_tokens,
+        |  round(CAST(top_n AS DOUBLE) / n_tokens, 4) AS top_tok_ratio,
+        |  n_3grams,
+        |  round(CAST(dup_3grams AS DOUBLE) / n_3grams, 4) AS dup_3gram_ratio
+        |FROM ta JOIN ga ON ta.doc_id = ga.doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' call 555-' ||
+        |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT)
+        |    AS n_phones,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
+        |FROM p""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH f AS (

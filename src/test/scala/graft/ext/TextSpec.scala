@@ -86,6 +86,40 @@ class TextSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("winnow: shared substring of >= w+k-1 tokens shares a fingerprint") {
+    import spark.implicits._
+    // k=4 grams, w=4 windows: any common run of >= 7 tokens must contribute
+    // at least one common selected fingerprint (the MOSS guarantee).
+    val shared = "q w e r t y u" // 7 tokens
+    val df = Seq(s"a b c $shared x y z", s"p $shared m n").toDF("text")
+    val fps = df.select(Text.winnow(
+        transform(graft.ext.Dedup.shingles(col("text"), 4),
+          g => md5(g.cast("binary"))), 4).as("fps"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(fps(0).intersect(fps(1)).nonEmpty)
+  }
+
+  test("winnow: short docs keep their single minimum hash") {
+    import spark.implicits._
+    val fps = Seq("just three tokens").toDF("text")
+      .select(Text.winnow(transform(graft.ext.Dedup.shingles(col("text"), 4),
+        g => md5(g.cast("binary"))), 4))
+      .head().getSeq[String](0)
+    assert(fps.length == 1)
+  }
+
+  test("redactPii replaces emails and phones, counts match") {
+    import spark.implicits._
+    val df = Seq("write to a.user@example.com or call 555-0199 now")
+      .toDF("text")
+    val r = df.select(
+      Text.redactPii(col("text")).as("red"),
+      Text.countMatches(col("text"), Text.EmailRe).as("ne"),
+      Text.countMatches(col("text"), Text.PhoneRe).as("np")).head()
+    assert(r.getString(0) == "write to <EMAIL> or call <PHONE> now")
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L)
+  }
+
   test("qualityScore stays in [0,1] and rewards diversity") {
     import spark.implicits._
     val r = Seq("the a of and to the a of and to", "x x x x x x x x x x")
