@@ -133,18 +133,29 @@ object Docs {
         .select("doc_a", "doc_b", "split_a", "split_b")),
 
     // Winnowing fingerprints (MOSS): 4-token gram hashes → min of each
-    // 4-hash window → distinct. Per-doc summary (count + lexicographic
-    // extremes) keeps the oracle scalar. Zero shuffle.
+    // 4-hash sliding window → distinct. Formulated as explode → ordered
+    // window frame → same-key agg, NOT the array-HOF form (Text.winnow):
+    // interpreted HOFs re-evaluate the whole md5-per-gram chain once per
+    // column reference (measured 89 s vs 1 s at sf0.1). One shuffle total:
+    // the aggregation reuses the window's doc_id partitioning. A window
+    // frame at partition end truncates, so docs with < w grams naturally
+    // keep the min over what they have (= the whole-doc fingerprint).
     "q_fingerprint_winnow" -> ((s, dir) => {
-      val hashes = transform(
-        Dedup.shingles(col("text"), n = 4), g => md5(g.cast("binary")))
-      val fps = Text.winnow(hashes, w = 4)
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        size(hashes).cast("long").as("n_grams"),
-        size(fps).cast("long").as("n_fp"),
-        array_min(fps).as("fp_min"),
-        array_max(fps).as("fp_max"))
+      import org.apache.spark.sql.expressions.Window
+      val grams = t(s, dir, "documents").select(col("doc_id"),
+        posexplode(Dedup.shingles(col("text"), n = 4)).as(Seq("pos", "gram")))
+      val hashed = grams.select(col("doc_id"), col("pos"),
+        md5(col("gram").cast("binary")).as("h"))
+      val slide = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+      hashed
+        .withColumn("n_grams",
+          count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("fp", min(col("h")).over(slide))
+        .filter(col("pos") <= greatest(col("n_grams") - 4, lit(0L)))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_grams")).as("n_grams"),
+          countDistinct(col("fp")).as("n_fp"),
+          min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))
     }),
 
     // Repetition signals (Gopher-style quality filters): duplicate-3-gram

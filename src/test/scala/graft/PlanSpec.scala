@@ -95,6 +95,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow fingerprints shuffle once (agg reuses window partitioning)") {
+    val p = plan("q_fingerprint_winnow")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Generate posexplode".r.findAllIn(p).size == 1, p)
+  }
+
   test("decontamination derives splits from pair ids, no corpus join-back") {
     // splitCol is a pure hash of the id: exactly the band self-join remains.
     val p = plan("q_decontamination")
