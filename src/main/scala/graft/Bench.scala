@@ -45,15 +45,16 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (ok, sec)
     }
-    // A failed query must make the run visibly worse, never smaller: its
-    // time is excluded from the per-query map and total, and its name lands
-    // in a `failed` list any reader of the JSON will see.
+    // A failed query must make the run visibly worse, never smaller: any
+    // failure forces the headline value to the -1.0 whole-run sentinel
+    // (a sum that merely omitted the broken query would read as a speedup),
+    // and the names land in a `failed` list alongside the passing timings.
     val passed = results.collect { case (n, (true, s)) => n -> s }
     val failed = results.collect { case (n, (false, _)) => n }
     val qs = passed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = passed.values.sum
+    val total = if (failed.isEmpty) passed.values.sum else -1.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }

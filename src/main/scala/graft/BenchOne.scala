@@ -24,18 +24,29 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Same warmup fallback as Bench; one query's failure must not strand
+    // the rest of the requested names.
+    val warmDir = {
+      val small = "/root/testdata/sf0.001"
+      if (new java.io.File(small).isDirectory) small else sfDir
+    }
     names.foreach { name =>
-      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
-        .write.format("noop").mode("overwrite").save()
-      // Build INSIDE the timer, like Bench: eager materialization during
-      // query construction (localCheckpoint) must be billed to the query.
-      val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"BENCHONE $name%-28s $sec%8.3f s")
-      if (showPlan)
-        println(df.queryExecution.executedPlan.toString())
+      try {
+        SparkEntry.queries(name)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
+        // Build INSIDE the timer, like Bench: eager materialization during
+        // query construction (localCheckpoint) must be billed to the query.
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"BENCHONE $name%-28s $sec%8.3f s")
+        if (showPlan)
+          println(df.queryExecution.executedPlan.toString())
+      } catch {
+        case e: Throwable =>
+          println(f"BENCHONE $name%-28s FAILED ${e.getMessage}")
+      }
     }
     spark.stop()
   }

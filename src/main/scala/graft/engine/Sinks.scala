@@ -134,10 +134,15 @@ object Sinks {
   /** Reference S5: transient cleanup via Hadoop FS (works for any scheme —
     * file://, hdfs://, gs:// — the URI picks the implementation).
     */
-  def deleteRecursive(df: DataFrame, path: String): Boolean = {
-    val spark = df.sparkSession
+  def deleteRecursive(df: DataFrame, path: String): Boolean =
+    deleteRecursive(df.sparkSession.sparkContext.hadoopConfiguration, path)
+
+  /** Session-free variant — usable from shutdown hooks where the Spark
+    * session may already be stopping.
+    */
+  def deleteRecursive(conf: org.apache.hadoop.conf.Configuration,
+      path: String): Boolean = {
     val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hPath, true)
+    hPath.getFileSystem(conf).delete(hPath, true)
   }
 }

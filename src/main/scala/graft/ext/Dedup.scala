@@ -56,11 +56,16 @@ object Dedup {
     * same plan (identical subtrees let AQE reuse the exchange instead of
     * recomputing the explode+distinct).
     */
-  def minhashFromShingles(shingled: DataFrame, idCol: String,
-      k: Int = 8): DataFrame = {
+  def minhashFromShingles(shingled: DataFrame, idCol: String, k: Int = 8,
+      extraAggs: Seq[Column] = Nil): DataFrame = {
+    // THE one definition of the "j:"-salted signature formula — the DuckDB
+    // twin (queries/package.scala minhashCandCte) must stay bit-identical,
+    // so no caller re-implements it. extraAggs lets a caller fuse more
+    // aggregates (e.g. the shingle-set size) into the same pass.
     val mins = (0 until k).map(j =>
       min(md5(concat(lit(s"$j:"), col("shingle")).cast("binary"))).as(s"h$j"))
-    shingled.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val aggs = mins ++ extraAggs
+    shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash signatures per doc (one row, columns h0..h{k-1}). */
@@ -135,11 +140,8 @@ object Dedup {
     val sh = docShingles(docs, idCol, textCol, shingleN).distinct()
       .localCheckpoint()
     // One aggregation pass yields the signature AND the set size per doc.
-    val mins = (0 until k).map(j =>
-      min(md5(concat(lit(s"$j:"), col("shingle")).cast("binary"))).as(s"h$j"))
-    val prof = sh.groupBy(col(idCol))
-      .agg(mins.head, (mins.tail :+ count(lit(1)).as("sz")): _*)
-      .localCheckpoint()
+    val prof = minhashFromShingles(sh, idCol, k,
+      extraAggs = Seq(count(lit(1)).as("sz"))).localCheckpoint()
     val cand = bandsToCandidatePairs(lshBands(prof, idCol, k, rowsPerBand),
       idCol)
     val a = sh.select(col(idCol).as("doc_a"), col("shingle"))

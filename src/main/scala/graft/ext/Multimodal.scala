@@ -42,27 +42,33 @@ object Multimodal {
     */
   def decodeImage(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
     import javax.imageio.ImageIO
-    val iis = ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    import javax.imageio.stream.MemoryCacheImageInputStream
+    // Memory-backed stream, NOT ImageIO.createImageInputStream: the payload
+    // is already an in-memory array, and the default factory would write a
+    // disk-cache temp file per record (and can throw before any try guard
+    // when the executor's tmpdir is unusable).
     try {
-      val readers = ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(iis, true, true)
-          val w = r.getWidth(0).toLong
-          val h = r.getHeight(0).toLong
-          val types = r.getImageTypes(0)
-          val ch =
-            if (types.hasNext)
-              types.next().getColorModel.getNumComponents.toLong
-            else 3L
-          Some((w, h, ch))
-        } finally r.dispose()
-      }
+      val iis = new MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val w = r.getWidth(0).toLong
+            val h = r.getHeight(0).toLong
+            val types = r.getImageTypes(0)
+            val ch =
+              if (types.hasNext)
+                types.next().getColorModel.getNumComponents.toLong
+              else 3L
+            Some((w, h, ch))
+          } finally r.dispose()
+        }
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
-    finally iis.close()
   }
 
   /** Decode dispatch: real image decode when the JDK recognizes the payload,

@@ -19,11 +19,24 @@ import graft.engine.{Pipeline, Sinks}
   */
 object Incremental {
 
-  private val T1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
-  private val T2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+  // Explicit UTC instants: Timestamp.valueOf would read the string in the
+  // JVM default timezone and shift loaded_at/load_date against the oracle's
+  // naive literals on any non-UTC machine.
+  private val T1 =
+    java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+  private val T2 =
+    java.sql.Timestamp.from(java.time.Instant.parse("2026-01-02T00:00:00Z"))
 
   private def latestView(s: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val basePath = java.nio.file.Files.createTempDirectory("graft-incr")
+    // The staged batches are scratch; reclaim them when the JVM exits (a
+    // bench run builds this query several times). Capture the conf now —
+    // the context may already be stopping when the hook fires.
+    val hadoopConf = s.sparkContext.hadoopConfiguration
+    sys.addShutdownHook {
+      graft.engine.Sinks.deleteRecursive(hadoopConf, basePath.toString)
+    }
+    val base = basePath.toString
     val staging = s"$base/staging"
     val analytics = s"$base/analytics"
     val orders = t(s, dir, "orders")
