@@ -158,6 +158,33 @@ object Docs {
           min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))
     }),
 
+    // Winnow-fingerprint containment (what MOSS selects fingerprints FOR):
+    // docs sharing ≥ 3 selected fingerprints are containment/overlap
+    // candidates. Inverted-index self-join on the fingerprint — pairs meet
+    // only on shared fingerprints, and the winnowed set is ~2/(w+1) the
+    // gram count, so the join input is a fraction of the jaccard one's.
+    "q_winnow_containment" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = t(s, dir, "documents").select(col("doc_id"),
+        posexplode(Dedup.shingles(col("text"), n = 4)).as(Seq("pos", "gram")))
+      val hashed = grams.select(col("doc_id"), col("pos"),
+        md5(col("gram").cast("binary")).as("h"))
+      val slide = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+      val fps = hashed
+        .withColumn("n_grams",
+          count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("fp", min(col("h")).over(slide))
+        .filter(col("pos") <= greatest(col("n_grams") - 4, lit(0L)))
+        .select(col("doc_id"), col("fp")).distinct()
+        .localCheckpoint() // consumed by both sides of the self-join
+      val a = fps.select(col("doc_id").as("doc_a"), col("fp"))
+      val b = fps.select(col("doc_id").as("doc_b"), col("fp"))
+      a.join(b, a("fp") === b("fp") && a("doc_a") < b("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared_fp"))
+        .filter(col("shared_fp") >= 3)
+    }),
+
     // Repetition signals (Gopher-style quality filters): duplicate-3-gram
     // fraction + top-token frequency ratio. Both sides are explode →
     // two-level hash-agg (map-side partial combine) → join on doc_id —
@@ -437,6 +464,25 @@ object Docs {
         |  CAST(len(fps) AS BIGINT) AS n_fp,
         |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
         |FROM win""".stripMargin,
+
+    "q_winnow_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 4
+        |    THEN list_transform(range(1, len(t) - 2),
+        |           i -> md5(array_to_string(t[i:i+3], ' ')))
+        |    ELSE [md5(array_to_string(t, ' '))] END AS hs
+        |  FROM toks),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(hs) >= 4
+        |    THEN list_transform(range(1, len(hs) - 2),
+        |           i -> list_min(hs[i:i+3]))
+        |    ELSE [list_min(hs)] END) AS fp
+        |  FROM g)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fp
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     "q_repetition" ->
       """WITH tok AS (
