@@ -12,6 +12,14 @@ import org.apache.spark.sql.SparkSession
   *     query happens to run first.
   */
 object Bench {
+  /** Warmup fixture: smallest scale factor if present, else the bench dir —
+    * shared with BenchOne so the two tools can't warm up differently.
+    */
+  private[graft] def warmupDir(sfDir: String): String = {
+    val small = "/root/testdata/sf0.001"
+    if (new java.io.File(small).isDirectory) small else sfDir
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,11 +41,7 @@ object Bench {
 
     // Untimed warmup: full registry once on the smallest fixture (falls back
     // to the bench dir if absent) — loads classes, JITs codegen paths.
-    val warmDir = {
-      val small = "/root/testdata/sf0.001"
-      if (new java.io.File(small).isDirectory) small else sfDir
-    }
-    SparkEntry.queries.keys.foreach(execute(_, warmDir))
+    SparkEntry.queries.keys.foreach(execute(_, warmupDir(sfDir)))
 
     val results = SparkEntry.queries.map { case (name, _) =>
       val t0 = System.nanoTime()

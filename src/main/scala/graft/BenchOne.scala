@@ -24,15 +24,12 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Same warmup fallback as Bench; one query's failure must not strand
-    // the rest of the requested names.
-    val warmDir = {
-      val small = "/root/testdata/sf0.001"
-      if (new java.io.File(small).isDirectory) small else sfDir
-    }
+    // One query's failure must not strand the rest of the requested names —
+    // but fatal JVM errors (OOM) propagate: timings from a corrupted JVM
+    // would look like normal output while being garbage.
     names.foreach { name =>
       try {
-        SparkEntry.queries(name)(spark, warmDir)
+        SparkEntry.queries(name)(spark, Bench.warmupDir(sfDir))
           .write.format("noop").mode("overwrite").save()
         // Build INSIDE the timer, like Bench: eager materialization during
         // query construction (localCheckpoint) must be billed to the query.
@@ -44,7 +41,7 @@ object BenchOne {
         if (showPlan)
           println(df.queryExecution.executedPlan.toString())
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           println(f"BENCHONE $name%-28s FAILED ${e.getMessage}")
       }
     }

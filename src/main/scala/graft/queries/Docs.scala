@@ -132,31 +132,15 @@ object Docs {
         .filter(col("split_a") =!= col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b")),
 
-    // Winnowing fingerprints (MOSS): 4-token gram hashes → min of each
-    // 4-hash sliding window → distinct. Formulated as explode → ordered
-    // window frame → same-key agg, NOT the array-HOF form (Text.winnow):
-    // interpreted HOFs re-evaluate the whole md5-per-gram chain once per
-    // column reference (measured 89 s vs 1 s at sf0.1). One shuffle total:
-    // the aggregation reuses the window's doc_id partitioning. A window
-    // frame at partition end truncates, so docs with < w grams naturally
-    // keep the min over what they have (= the whole-doc fingerprint).
-    "q_fingerprint_winnow" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val grams = t(s, dir, "documents").select(col("doc_id"),
-        posexplode(Dedup.shingles(col("text"), n = 4)).as(Seq("pos", "gram")))
-      val hashed = grams.select(col("doc_id"), col("pos"),
-        md5(col("gram").cast("binary")).as("h"))
-      val slide = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-      hashed
-        .withColumn("n_grams",
-          count(lit(1)).over(Window.partitionBy("doc_id")))
-        .withColumn("fp", min(col("h")).over(slide))
-        .filter(col("pos") <= greatest(col("n_grams") - 4, lit(0L)))
+    // Winnowing fingerprints (MOSS): per-doc summary over the shared
+    // Dedup.winnowFingerprints frame — one shuffle total (the aggregation
+    // reuses the window's doc_id partitioning).
+    "q_fingerprint_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
         .groupBy(col("doc_id"))
         .agg(max(col("n_grams")).as("n_grams"),
           countDistinct(col("fp")).as("n_fp"),
-          min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))
-    }),
+          min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))),
 
     // Winnow-fingerprint containment (what MOSS selects fingerprints FOR):
     // docs sharing ≥ 3 selected fingerprints are containment/overlap
@@ -164,17 +148,8 @@ object Docs {
     // only on shared fingerprints, and the winnowed set is ~2/(w+1) the
     // gram count, so the join input is a fraction of the jaccard one's.
     "q_winnow_containment" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val grams = t(s, dir, "documents").select(col("doc_id"),
-        posexplode(Dedup.shingles(col("text"), n = 4)).as(Seq("pos", "gram")))
-      val hashed = grams.select(col("doc_id"), col("pos"),
-        md5(col("gram").cast("binary")).as("h"))
-      val slide = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-      val fps = hashed
-        .withColumn("n_grams",
-          count(lit(1)).over(Window.partitionBy("doc_id")))
-        .withColumn("fp", min(col("h")).over(slide))
-        .filter(col("pos") <= greatest(col("n_grams") - 4, lit(0L)))
+      val fps = Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id",
+          "text")
         .select(col("doc_id"), col("fp")).distinct()
         .localCheckpoint() // consumed by both sides of the self-join
       val a = fps.select(col("doc_id").as("doc_a"), col("fp"))
@@ -258,6 +233,20 @@ object Docs {
       |    THEN list_transform(range(1, len(t) - 3),
       |           i -> array_to_string(t[i:i+4], ' '))
       |    ELSE [array_to_string(t, ' ')] END) AS shingle
+      |  FROM toks)""".stripMargin
+
+  /** DuckDB CTEs `toks`/`g` building the 4-token gram md5 list `hs` per doc
+    * — mirrors [[graft.ext.Dedup.winnowFingerprints]]'s gram/hash stage;
+    * ONE definition for both winnow oracles.
+    */
+  private val winnowGramCte =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 4
+      |    THEN list_transform(range(1, len(t) - 2),
+      |           i -> md5(array_to_string(t[i:i+3], ' ')))
+      |    ELSE [md5(array_to_string(t, ' '))] END AS hs
       |  FROM toks)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -445,14 +434,7 @@ object Docs {
         .stripMargin,
 
     "q_fingerprint_winnow" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |g AS (
-        |  SELECT doc_id, CASE WHEN len(t) >= 4
-        |    THEN list_transform(range(1, len(t) - 2),
-        |           i -> md5(array_to_string(t[i:i+3], ' ')))
-        |    ELSE [md5(array_to_string(t, ' '))] END AS hs
-        |  FROM toks),
+      s"""WITH $winnowGramCte,
         |win AS (
         |  SELECT doc_id, len(hs) AS n_grams,
         |    list_distinct(CASE WHEN len(hs) >= 4
@@ -466,14 +448,7 @@ object Docs {
         |FROM win""".stripMargin,
 
     "q_winnow_containment" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |g AS (
-        |  SELECT doc_id, CASE WHEN len(t) >= 4
-        |    THEN list_transform(range(1, len(t) - 2),
-        |           i -> md5(array_to_string(t[i:i+3], ' ')))
-        |    ELSE [md5(array_to_string(t, ' '))] END AS hs
-        |  FROM toks),
+      s"""WITH $winnowGramCte,
         |fp AS (
         |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(hs) >= 4
         |    THEN list_transform(range(1, len(hs) - 2),

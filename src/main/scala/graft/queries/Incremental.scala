@@ -27,15 +27,29 @@ object Incremental {
   private val T2 =
     java.sql.Timestamp.from(java.time.Instant.parse("2026-01-02T00:00:00Z"))
 
+  // Scratch dirs from every build, reclaimed by ONE exit hook with a plain
+  // file walk: per-build hooks would accumulate a thread each, and going
+  // through the Hadoop FileSystem at exit races Hadoop's own shutdown hook
+  // closing the cached filesystem.
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val cleanupHook: Unit = {
+    sys.addShutdownHook {
+      scratchDirs.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    ()
+  }
+
   private def latestView(s: SparkSession, dir: String): DataFrame = {
     val basePath = java.nio.file.Files.createTempDirectory("graft-incr")
-    // The staged batches are scratch; reclaim them when the JVM exits (a
-    // bench run builds this query several times). Capture the conf now —
-    // the context may already be stopping when the hook fires.
-    val hadoopConf = s.sparkContext.hadoopConfiguration
-    sys.addShutdownHook {
-      graft.engine.Sinks.deleteRecursive(hadoopConf, basePath.toString)
-    }
+    cleanupHook
+    scratchDirs.add(basePath)
     val base = basePath.toString
     val staging = s"$base/staging"
     val analytics = s"$base/analytics"

@@ -86,7 +86,7 @@ class PlanSpec extends AnyFunSuite {
     // per consumer — 4× on minhash_verified). With the materialization the
     // final plan reads cached blocks: no parquet re-scan, no re-explode.
     for (q <- Seq("q_dedup_minhash_pairs", "q_dedup_minhash_verified",
-        "q_decontamination")) {
+        "q_decontamination", "q_winnow_containment")) {
       val p = plan(q)
       assert(!p.contains("FileScan"),
         s"$q re-scans the corpus per consumer:\n$p")
