@@ -194,6 +194,18 @@ object Parity {
           coalesce(col("O"), lit(0L)).as("n_o"),
           coalesce(col("P"), lit(0L)).as("n_p"))),
 
+    // Unpivot (wide → long): the inverse reshape of q_pivot — one Expand
+    // node, map-side only, no shuffle. lineitem's three charge columns melt
+    // to (measure, value) rows.
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+          "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "value")),
+
     // Grouping sets: ROLLUP over the star schema (free via Catalyst Expand).
     "q_rollup" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -323,6 +335,13 @@ object Parity {
         |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
         |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value
+        |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+        |        l_tax FROM lineitem)
+        |UNPIVOT (value FOR measure IN (l_extendedprice, l_discount, l_tax))"""
+        .stripMargin,
 
     "q_rollup" ->
       """SELECT r_name, n_name,

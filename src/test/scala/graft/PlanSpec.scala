@@ -95,6 +95,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("unpivot is a map-side Expand, no shuffle") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("winnow fingerprints shuffle once (agg reuses window partitioning)") {
     val p = plan("q_fingerprint_winnow")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
