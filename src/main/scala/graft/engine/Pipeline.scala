@@ -91,6 +91,19 @@ object Pipeline {
       keys, "loaded_at", "__tb").drop("__tb")
   }
 
+  /** [[readLatest]] for tables that may hold no data yet (only zero-row
+    * batches appended, or never written): a partitioned plain-parquet dir
+    * with no data files carries NO schema, so the read cannot be recovered
+    * generically — the caller supplies the zero-row frame (with the
+    * expected schema) to stand in. A table format (Delta/Iceberg) removes
+    * this seam by journaling schema separately from data; this is the
+    * plain-parquet equivalent of that contract.
+    */
+  def readLatestOr(spark: SparkSession, analyticsDir: String,
+      keys: Seq[String], empty: => DataFrame): DataFrame =
+    try readLatest(spark, analyticsDir, keys)
+    catch { case _: org.apache.spark.sql.AnalysisException => empty }
+
   /** Periodic compaction for the incremental path: materialize the
     * current-state view back to a single partition set, bounding read
     * amplification (readers stop re-deduping a growing history).

@@ -65,8 +65,12 @@ object Incremental {
     Pipeline.loadIncremental(s, staging, analytics, Some(T2))
     // load_date → string for the compare: DuckDB DATE surfaces as a
     // timestamp in the checker's frame while Spark's stays a date, so the
-    // (identical) values would mismatch on representation alone.
-    Pipeline.readLatest(s, analytics, Seq("o_orderkey"))
+    // (identical) values would mismatch on representation alone. The
+    // fallback frame covers all-empty batches (zero-row appends leave a
+    // schema-less parquet dir): cleanAll on the empty batch carries the
+    // exact post-load schema.
+    Pipeline.readLatestOr(s, analytics, Seq("o_orderkey"),
+        graft.engine.Cleaning.cleanAll(orders.limit(0), Some(T2)))
       .withColumn("load_date", col("load_date").cast("string"))
   }
 

@@ -136,6 +136,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.toSeq == latest.toSeq)
   }
 
+  test("readLatestOr falls back to the schema frame on a data-less table") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val staging = root.resolve("inc-empty-staging").toString
+    val analytics = root.resolve("inc-empty-analytics").toString
+    val batch = Seq((1L, "v1")).toDF("id", "payload").limit(0)
+    batch.write.mode("overwrite").parquet(staging)
+    // zero-row append leaves a parquet dir with no data files (no schema)
+    Pipeline.loadIncremental(spark, staging, analytics,
+      Some(Timestamp.valueOf("2024-01-01 00:00:00")))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Pipeline.readLatest(spark, analytics, Seq("id")).collect()
+    }
+    val empty = Cleaning.cleanAll(batch,
+      Some(Timestamp.valueOf("2024-01-01 00:00:00")))
+    val out = Pipeline.readLatestOr(spark, analytics, Seq("id"), empty)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq ==
+      Seq("id", "payload", "loaded_at", "load_date"))
+  }
+
   test("validate on a missing analytics table fails, blocking") {
     val r = Pipeline.validate(spark, root.resolve("nope").toString,
       _ => Seq(Checks.rowCountMin(1)))
