@@ -209,14 +209,15 @@ object Dedup {
   }
 
   /** SimHash signatures per doc: explode tokens, project the two per-token
-    * md5s once, one hash-agg of 64 majority-vote sums.
+    * md5s once, then their 8 long quarters once, one hash-agg of 64
+    * shift-and-mask majority-vote sums.
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       positions: Int = 64): DataFrame = {
     val (ha, hb) = Text.simhashHashes(col("tok"))
-    val aggs = Text.simhashAggs(col("ha"), col("hb"), positions)
+    val aggs = Text.simhashAggs(positions)
     docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .select(col(idCol), ha.as("ha"), hb.as("hb"))
+      .select(col(idCol) +: Text.simhashQuarters(ha, hb): _*)
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), Text.simhashSignature(positions).as("simhash"))

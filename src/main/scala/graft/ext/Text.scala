@@ -132,13 +132,32 @@ object Text {
     (md5(tokenCol.cast("binary")),
       md5(concat(lit("x:"), tokenCol).cast("binary")))
 
-  /** Aggregates over pre-projected hash columns `ha` (positions 1-32) and
-    * `hb` (33-64).
+  /** The 8 long "quarters" of the two per-token md5s (8 hex nibbles each),
+    * named q0..q7 — project these ONCE per token row alongside the id:
+    * referencing the conv() inside each aggregate input would duplicate it
+    * into every one of its 8 consumers (the md5-per-agg trap all over
+    * again).
     */
-  def simhashAggs(ha: Column, hb: Column, positions: Int): Seq[Column] =
+  def simhashQuarters(ha: Column, hb: Column): Seq[Column] = {
+    def quarter(h: Column, i: Int): Column =
+      conv(substring(h, i * 8 + 1, 8), 16, 10).cast("long")
+    ((0 until 4).map(quarter(ha, _)) ++ (0 until 4).map(quarter(hb, _)))
+      .zipWithIndex.map { case (c, i) => c.as(s"q$i") }
+  }
+
+  /** Aggregates over the pre-projected quarter columns q0..q7 (positions
+    * 1-32 from q0-q3 = md5(tok), 33-64 from q4-q7 = md5("x:"++tok)). Bit p
+    * is the top bit of hex nibble p; each vote is a shift-and-mask
+    * (±1 = 2·bit − 1) — codegen'd integer arithmetic instead of a per-row
+    * string compare. Bit-identical to the substring form (the DuckDB
+    * oracle keeps using that form).
+    */
+  def simhashAggs(positions: Int): Seq[Column] =
     (1 to positions).map { p =>
-      val (h, off) = if (p <= 32) (ha, p) else (hb, p - 32)
-      sum(when(substring(h, off, 1) >= "8", 1).otherwise(-1)).as(s"b$p")
+      val off = if (p <= 32) p else p - 32 // nibble index within its hash
+      val q = col(s"q${(if (p <= 32) 0 else 4) + (off - 1) / 8}")
+      val shift = 4 * (7 - (off - 1) % 8) + 3 // top bit of that nibble
+      sum(shiftright(q, shift).bitwiseAND(1) * 2 - 1).as(s"b$p")
     }
 
   /** Assemble the simhash signature string from the [[simhashAggs]] sums. */
