@@ -26,20 +26,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** n-token shingles of a text column (empty-safe: short docs collapse to
-    * one whole-text shingle). The bigram case is specialized: one zip_with
-    * over two O(1) slices instead of a per-position slice+join chain — same
-    * values, a fraction of the per-row allocation.
+    * one whole-text shingle). Built as a fold of n-1 zip_with joins over n
+    * shifted O(1) slices — same values as the per-position
+    * transform+slice+join chain it replaces, with far less per-row
+    * allocation (each step is one linear array op instead of a slice per
+    * position).
     */
   def shingles(textCol: Column, n: Int = 5): Column = {
     val toks = split(textCol, " ")
-    val grams =
-      if (n == 2)
-        zip_with(slice(toks, lit(1), size(toks) - 1),
-          slice(toks, lit(2), size(toks) - 1),
-          (a, b) => concat_ws(" ", a, b))
-      else
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))
+    val m = size(toks) - (n - 1) // number of full n-grams
+    val grams = (2 to n).foldLeft(slice(toks, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), m), (a, b) => concat_ws(" ", a, b))
+    }
     when(size(toks) >= n, grams)
       .otherwise(array(concat_ws(" ", toks)))
   }
