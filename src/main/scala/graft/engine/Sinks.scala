@@ -31,6 +31,10 @@ object Sinks {
   def overwriteParquet(df: DataFrame, dir: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(dir)
 
+  /** ORC twin of [[overwriteParquet]] (see Sources.readOrc). */
+  def overwriteOrc(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(dir)
+
   /** Analytics write partitioned by load_date → partition pruning for the
     * daily-refresh access pattern (SURVEY §4.2).
     */

@@ -34,6 +34,12 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC read — same columnar pushdown/pruning properties as parquet (both
+    * built-in); offered because warehouse migrations routinely land ORC.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JSON-Lines source — the de-facto interchange format for document
     * corpora. Schema'd (single pass); pass `inferSchema=true` semantics by
     * omitting the schema only for exploration.

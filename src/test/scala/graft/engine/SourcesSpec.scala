@@ -52,6 +52,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sources.readJsonl(spark, dir).count() == 2)
   }
 
+  test("ORC round trip: overwriteOrc -> readOrc preserves rows and types") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orc").resolve("t").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    Sinks.overwriteOrc(df, dir)
+    val back = Sources.readOrc(spark, dir)
+    // ORC reads everything nullable; names and types must survive
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, "a", 1.5), Seq(2L, "b", 2.5)))
+  }
+
   test("events fixture reads nano timestamps as microsecond instants") {
     val df = Sources.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType == TimestampType)
