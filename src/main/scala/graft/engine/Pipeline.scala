@@ -83,13 +83,13 @@ object Pipeline {
     * window and leave the choice to partition order.
     */
   def readLatest(spark: SparkSession, analyticsDir: String,
-      keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val df = spark.read.parquet(analyticsDir)
+      keys: Seq[String]): DataFrame =
+    latestOf(spark.read.parquet(analyticsDir), keys)
+
+  private def latestOf(df: DataFrame, keys: Seq[String]): DataFrame =
     Cleaning.dedupLatest(
       df.withColumn("__tb", xxhash64(df.columns.map(col).toIndexedSeq: _*)),
       keys, "loaded_at", "__tb").drop("__tb")
-  }
 
   /** [[readLatest]] for tables that may hold no data yet (only zero-row
     * batches appended, or never written): a partitioned plain-parquet dir
@@ -100,9 +100,15 @@ object Pipeline {
     * plain-parquet equivalent of that contract.
     */
   def readLatestOr(spark: SparkSession, analyticsDir: String,
-      keys: Seq[String], empty: => DataFrame): DataFrame =
-    try readLatest(spark, analyticsDir, keys)
-    catch { case _: org.apache.spark.sql.AnalysisException => empty }
+      keys: Seq[String], empty: => DataFrame): DataFrame = {
+    // Only the schema probe is guarded: an AnalysisException from the dedup
+    // step itself (e.g. a typo'd key against a healthy table) must
+    // propagate, not masquerade as "table holds no data yet".
+    val read =
+      try Some(spark.read.parquet(analyticsDir))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    read.fold(empty)(latestOf(_, keys))
+  }
 
   /** Periodic compaction for the incremental path: materialize the
     * current-state view back to a single partition set, bounding read

@@ -204,7 +204,11 @@ object Parity {
         .unpivot(
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
-          "measure", "value")),
+          "measure", "value")
+        // SQL-standard UNPIVOT (and the DuckDB twin) EXCLUDES null values;
+        // Spark's Dataset.unpivot keeps them — align explicitly rather than
+        // relying on the fixture's charge columns being null-free.
+        .filter(col("value").isNotNull)),
 
     // Grouping sets: ROLLUP over the star schema (free via Catalyst Expand).
     "q_rollup" -> ((s, dir) => {

@@ -8,19 +8,29 @@ import org.scalatest.funsuite.AnyFunSuite
   * empty inputs are routine (a day with no events, a fresh corpus, a filter
   * that matched nothing upstream).
   */
-class EmptyInputSpec extends AnyFunSuite {
+class EmptyInputSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
 
   private lazy val spark = TestSpark.spark
 
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  private var emptyRoot: Option[java.nio.file.Path] = None
+
   private lazy val emptyDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-empty")
+    emptyRoot = Some(root)
     for (t <- tables)
       spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
-        .limit(0).write.mode("overwrite").parquet(s"$dir/$t.parquet")
-    dir
+        .limit(0).write.mode("overwrite").parquet(s"$root/$t.parquet")
+    root.toString
+  }
+
+  override def afterAll(): Unit = emptyRoot.foreach { p =>
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
   }
 
   test("every registered query executes on empty inputs") {
