@@ -27,23 +27,47 @@ class EmptyInputSpec extends AnyFunSuite
     root.toString
   }
 
-  override def afterAll(): Unit = emptyRoot.foreach { p =>
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-      .foreach(f => java.nio.file.Files.deleteIfExists(f))
-  }
+  override def afterAll(): Unit =
+    (emptyRoot.toSeq ++ nullRoot.toSeq).foreach { p =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+
+  private def sweep(dir: String): Seq[String] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        None
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
+      }
+    }
 
   test("every registered query executes on empty inputs") {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try {
-          fn(spark, emptyDir).write.format("noop").mode("overwrite").save()
-          None
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
-        }
-    }
-    assert(failures.isEmpty, failures.mkString("\n"))
+    assert(sweep(emptyDir).isEmpty)
   }
+
+  test("every registered query executes with all-nullable-null rows") {
+    // 20 real rows per table plus one row where every nullable column is
+    // NULL — the fixtures are null-free, so nothing else exercises the
+    // null path of each expression chain.
+    import org.apache.spark.sql.Row
+    val root = java.nio.file.Files.createTempDirectory("graft-nulls")
+    nullRoot = Some(root)
+    for (t <- tables) {
+      val df = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .limit(20)
+      val nullRow = Row.fromSeq(df.schema.fields.map(_ => null).toSeq)
+      val withNulls = df.unionByName(spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.List.of(nullRow)),
+        org.apache.spark.sql.types.StructType(
+          df.schema.fields.map(_.copy(nullable = true)))))
+      withNulls.write.mode("overwrite").parquet(s"$root/$t.parquet")
+    }
+    assert(sweep(root.toString).isEmpty)
+  }
+
+  private var nullRoot: Option[java.nio.file.Path] = None
 }
