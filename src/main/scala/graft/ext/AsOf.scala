@@ -64,4 +64,20 @@ object AsOf {
       .filter(col("__side") === 1)
       .drop("__ts", "__side", "__rts")
   }
+
+  /** [[enrich]] with a staleness bound (market-data as-of semantics): the
+    * matched timestamp only counts when within `tolerance` of the probe.
+    * A post-filter on the running-last is exact — if the LATEST preceding
+    * right row is too old, every earlier one is older still — so the
+    * linear one-shuffle plan is unchanged. `asof_count` is dropped: the
+    * running total counts ALL preceding rows, which would misread as
+    * "count within tolerance".
+    */
+  def enrichWithin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String,
+      tolerance: org.apache.spark.sql.Column): DataFrame =
+    enrich(left, right, keyCol, leftTs, rightTs)
+      .withColumn("asof_ts",
+        when(col("asof_ts") >= col(leftTs) - tolerance, col("asof_ts")))
+      .drop("asof_count")
 }

@@ -83,6 +83,18 @@ object Windows {
           col("asof_ts").as("last_click_ts"),
           col("asof_count").as("n_prior_clicks"))
     }),
+
+    // As-of with a staleness bound: the preceding click only counts when at
+    // most 1 hour old — same single-shuffle plan, tolerance as post-filter.
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+      val clicks = ev.filter(col("event_type") === "click")
+      AsOf.enrichWithin(errors, clicks, "user_id", "ts", "ts",
+        expr("INTERVAL 1 HOUR"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_ts").as("recent_click_ts"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -131,5 +143,15 @@ object Windows {
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id, e.user_id
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """SELECT e.event_id, e.user_id,
+        |  CASE WHEN max(c.ts) >= e.ts - INTERVAL 1 HOUR
+        |    THEN max(c.ts) END AS recent_click_ts
+        |FROM events e
+        |LEFT JOIN events c ON c.user_id = e.user_id
+        |  AND c.event_type = 'click' AND c.ts <= e.ts
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id, e.user_id, e.ts""".stripMargin,
   )
 }

@@ -35,6 +35,29 @@ class AsOfSpec extends AnyFunSuite {
     assert(out(2) == ((201L, None, 0L)))
   }
 
+  test("enrichWithin nulls out matches older than the tolerance") {
+    import org.apache.spark.sql.functions.expr
+    val (probes, refs) = frames
+    val out = AsOf.enrichWithin(probes, refs, "user_id", "ts", "ts",
+        expr("INTERVAL 10 MINUTES"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(1), Option(r.getAs[Timestamp]("asof_ts"))))
+    // probe@10: latest ref at 10:10, age 0 -> kept (boundary: age == tol ok)
+    assert(out(0) == ((101L, Some(ts(10)))))
+    // probe@30: latest ref at 10:25, age 5 min -> kept
+    assert(out(1) == ((102L, Some(ts(25)))))
+    // no refs for user 2 -> still null
+    assert(out(2) == ((201L, None)))
+    // tighter bound: probe@30's 5-minute-old ref survives, probe@10 exact-
+    // instant ref survives, a 2-minute tolerance drops nothing here; use
+    // 1 minute against a shifted probe set to see a drop
+    val strict = AsOf.enrichWithin(probes, refs, "user_id", "ts", "ts",
+        expr("INTERVAL 1 MINUTE"))
+      .orderBy("event_id")
+      .collect().map(r => Option(r.getAs[Timestamp]("asof_ts")))
+    assert(strict.toSeq == Seq(Some(ts(10)), None, None)) // 25 is 5 min stale
+  }
+
   test("NULL keys and NULL reference timestamps never match (equi semantics)") {
     import spark.implicits._
     val probes = Seq(
