@@ -30,6 +30,41 @@ object Events {
         .select(col("window.start").as("bucket"), col("event_type"),
           col("n"), col("total"))),
 
+    // Gap-filled resample: hourly buckets per event_type INCLUDING empty
+    // hours over each type's own [min, max] span — the dense series a
+    // time-series consumer expects. The bucket spine is generated from a
+    // per-type 1-row aggregate (sequence+explode: |types| × |hours| rows,
+    // tiny next to the events themselves), then the sparse counts join in.
+    "q_resample" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+      val counts = ev.groupBy(col("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val spine = ev.groupBy(col("event_type"))
+        .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 HOUR"))).as("bucket"))
+      spine.join(counts, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), col("bucket"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
+    // Per-group z-score outliers: two-level plan — per-type mean/stddev via
+    // one aggregate, broadcast back (|types| rows), flag |z| > 2. The
+    // textbook warehouse outlier sweep without a window over the fact table.
+    "q_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val stats = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sigma"))
+      ev.join(broadcast(stats), "event_type")
+        .filter(col("sigma") > 0 &&
+          abs(col("value") - col("mu")) / col("sigma") > 2)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+    }),
+
     // Sliding 1-hour window, 30-minute slide: each event lands in 2 buckets
     // (Spark emits w/slide windows per row via Expand — map-side, no join).
     "q_time_sliding" -> ((s, dir) =>
@@ -69,6 +104,29 @@ object Events {
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "q_resample" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket FROM events),
+        |counts AS (
+        |  SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(
+        |    min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+        |  FROM b GROUP BY event_type)
+        |SELECT s.event_type, s.bucket, coalesce(c.n, 0) AS n
+        |FROM spine s LEFT JOIN counts c
+        |  ON s.event_type = c.event_type AND s.bucket = c.bucket"""
+        .stripMargin,
+
+    "q_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |  round((value - mu) / sigma, 4) AS z
+        |FROM events e JOIN stats s ON e.event_type = s.event_type
+        |WHERE sigma > 0 AND abs(value - mu) / sigma > 2""".stripMargin,
 
     // Epoch-aligned sliding buckets: start = (floor(epoch/slide) - k)*slide
     // for k in {0,1}; make_timestamp keeps the result a naive-UTC TIMESTAMP
