@@ -95,6 +95,11 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("outlier stats broadcast back to the fact table") {
+    val p = plan("q_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("unpivot is a map-side Expand, no shuffle") {
     val p = plan("q_unpivot")
     assert(p.contains("Expand"), p)
