@@ -38,9 +38,11 @@ object Events {
     "q_resample" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .withColumn("bucket", date_trunc("hour", col("ts")))
+      // ONE fact scan: the tiny (type, hour) count table is materialized
+      // and feeds both the spine derivation and the gap-fill join.
       val counts = ev.groupBy(col("bucket"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      val spine = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")).localCheckpoint()
+      val spine = counts.groupBy(col("event_type"))
         .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
         .select(col("event_type"),
           explode(sequence(col("lo"), col("hi"),
@@ -58,9 +60,14 @@ object Events {
       val stats = ev.groupBy(col("event_type"))
         .agg(avg(col("value")).as("mu"),
           stddev_samp(col("value")).as("sigma"))
+      // Membership filters on the ROUNDED |z|: the raw double depends on
+      // each engine's aggregate merge order (ulp-level), so gating on it
+      // would let a value straddling the threshold flip between engines;
+      // after round(...,4) the filter and the displayed z see the same
+      // number on both sides.
       ev.join(broadcast(stats), "event_type")
         .filter(col("sigma") > 0 &&
-          abs(col("value") - col("mu")) / col("sigma") > 2)
+          round(abs(col("value") - col("mu")) / col("sigma"), 4) > 2)
         .select(col("event_id"), col("event_type"), col("value"),
           round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
     }),
@@ -126,7 +133,8 @@ object Events {
         |SELECT event_id, e.event_type, value,
         |  round((value - mu) / sigma, 4) AS z
         |FROM events e JOIN stats s ON e.event_type = s.event_type
-        |WHERE sigma > 0 AND abs(value - mu) / sigma > 2""".stripMargin,
+        |WHERE sigma > 0 AND round(abs(value - mu) / sigma, 4) > 2"""
+        .stripMargin,
 
     // Epoch-aligned sliding buckets: start = (floor(epoch/slide) - k)*slide
     // for k in {0,1}; make_timestamp keeps the result a naive-UTC TIMESTAMP

@@ -42,20 +42,26 @@ class AsOfSpec extends AnyFunSuite {
         expr("INTERVAL 10 MINUTES"))
       .orderBy("event_id")
       .collect().map(r => (r.getLong(1), Option(r.getAs[Timestamp]("asof_ts"))))
-    // probe@10: latest ref at 10:10, age 0 -> kept (boundary: age == tol ok)
+    // probe@10: latest ref at 10:10, age 0 -> kept
     assert(out(0) == ((101L, Some(ts(10)))))
-    // probe@30: latest ref at 10:25, age 5 min -> kept
+    // probe@30: latest ref at 10:25, age 5 min < 10 -> kept
     assert(out(1) == ((102L, Some(ts(25)))))
     // no refs for user 2 -> still null
     assert(out(2) == ((201L, None)))
-    // tighter bound: probe@30's 5-minute-old ref survives, probe@10 exact-
-    // instant ref survives, a 2-minute tolerance drops nothing here; use
-    // 1 minute against a shifted probe set to see a drop
+    // EXACT boundary: probe@30 vs ref@25 with tolerance 5 min (age == tol)
+    // must be KEPT — inclusive >=, matching the oracle's `>= ts - INTERVAL`
+    val boundary = AsOf.enrichWithin(probes, refs, "user_id", "ts", "ts",
+        expr("INTERVAL 5 MINUTES"))
+      .orderBy("event_id")
+      .collect().map(r => Option(r.getAs[Timestamp]("asof_ts")))
+    assert(boundary.toSeq == Seq(Some(ts(10)), Some(ts(25)), None))
+    // below the boundary: 1-minute tolerance drops probe@30's 5-min-old ref
+    // (probe@10's exact-instant ref survives any tolerance)
     val strict = AsOf.enrichWithin(probes, refs, "user_id", "ts", "ts",
         expr("INTERVAL 1 MINUTE"))
       .orderBy("event_id")
       .collect().map(r => Option(r.getAs[Timestamp]("asof_ts")))
-    assert(strict.toSeq == Seq(Some(ts(10)), None, None)) // 25 is 5 min stale
+    assert(strict.toSeq == Seq(Some(ts(10)), None, None))
   }
 
   test("NULL keys and NULL reference timestamps never match (equi semantics)") {
