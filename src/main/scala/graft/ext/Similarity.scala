@@ -206,4 +206,48 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Multi-probe IVF: each query searches its `nprobe` nearest clusters —
+    * the standard recall lever for queries near a cluster boundary. The
+    * CORPUS assignment is unchanged (single cluster via the zero-shuffle
+    * argmax); only the few query vectors fan out, ranked against the
+    * broadcast centroid table, so probe-join input grows by
+    * |queries|×nprobe, never with corpus size. Each corpus vector lives in
+    * exactly one cluster, so no cross-probe dedup is needed. Returns
+    * (query_id, neighbor_id, cluster_id, sim, rank).
+    */
+  def ivfTopKProbe(emb: DataFrame, idCol: String, vecCol: String,
+      centroidPred: Column, queryPred: Column, k: Int,
+      nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val assigned = assignClusters(emb, idCol, vecCol, centroidPred)
+    val corpus = withNorm(emb, idCol, vecCol)
+    val cents = corpus.filter(centroidPred)
+      .select(col(idCol).as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    // Probe ranking on the ROUNDED cosine (same 6 decimals as everywhere
+    // else) with cent_id tiebreak — deterministic and oracle-reproducible.
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val probes = corpus.filter(queryPred)
+      .select(col(idCol).as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("cent_id").as("qc"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes),
+        col("cluster_id") === col("qc") && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("cluster_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -40,6 +40,13 @@ object Vectors {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, col("vec_id") % 25 === 0, k = 5)),
 
+    // Multi-probe IVF (nprobe=2): queries near a cluster boundary also
+    // search their second-nearest cluster — higher recall, probe fan-out
+    // bounded by |queries|×nprobe.
+    "q_sim_ivf_probe2" -> ((s, dir) =>
+      Similarity.ivfTopKProbe(t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, col("vec_id") % 25 === 0, k = 5, nprobe = 2)),
+
     // Per-vector element statistics via array HOFs — one codegen'd
     // projection, no explode, no shuffle.
     "q_vector_stats" -> ((s, dir) => {
@@ -187,6 +194,37 @@ object Vectors {
         |  JOIN asgn na ON na.cluster_id = qa.cluster_id
         |  JOIN c n ON n.vec_id = na.vec_id
         |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, cluster_id, sim, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM sims)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_sim_ivf_probe2" ->
+      s"""WITH $withNorm,
+        |cent AS (SELECT vec_id AS cent_id, v, nrm FROM c WHERE vec_id < 10),
+        |asgn AS (
+        |  SELECT vec_id, cent_id AS cluster_id FROM (
+        |    SELECT x.vec_id, cent.cent_id,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY ${cos("x", "cent")} DESC, cent.cent_id ASC) AS rn
+        |    FROM c x, cent)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cent_id AS qc FROM (
+        |    SELECT q.vec_id, cent.cent_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cos("q", "cent")} DESC, cent.cent_id ASC) AS rn
+        |    FROM c q, cent WHERE q.vec_id % 25 = 0)
+        |  WHERE rn <= 2),
+        |sims AS (
+        |  SELECT p.query_id, n.vec_id AS neighbor_id, na.cluster_id,
+        |    ${cos("n", "q")} AS sim
+        |  FROM probes p
+        |  JOIN asgn na ON na.cluster_id = p.qc
+        |  JOIN c n ON n.vec_id = na.vec_id
+        |  JOIN c q ON q.vec_id = p.query_id
+        |  WHERE n.vec_id != p.query_id)
         |SELECT query_id, neighbor_id, cluster_id, sim, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank

@@ -62,6 +62,18 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Streaming LLM-text scrub: token/language/quality stats + PII
+    * redaction as one STATELESS projection — no state, no watermark, runs
+    * unchanged on `readStream` or `read` (the Kappa property the whole
+    * Text surface inherits because it is built from per-row expressions).
+    */
+  def textScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.ext.Text.nTokens(col("text")).as("n_tokens"),
+      graft.ext.Text.langId(col("text")).as("lang_id"),
+      graft.ext.Text.qualityScore(col("text")).as("quality"),
+      graft.ext.Text.redactPii(col("text")).as("clean_text"))
+
   /** Streaming exact dedup on a key: state is bounded by the watermark
     * (`dropDuplicatesWithinWatermark` evicts seen-keys once they age out),
     * so the dedup that would need unbounded history in a naive design runs

@@ -170,6 +170,30 @@ class StreamsSpec extends AnyFunSuite {
     assert(state.get.start == ts(40)) // open session untouched
   }
 
+  test("textScrub on a stream equals the batch projection row-for-row") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox mails a.user@example.com daily"),
+      (2L, "der hund und die katze ist da call 555-0142 now"),
+      (3L, "x x x x x"))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.textScrub(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("scrubstream")
+      .outputMode("append").start()
+    runBatches(q)(
+      () => in.addData(docs.take(2): _*),
+      () => in.addData(docs.drop(2): _*))
+    val streamed = spark.table("scrubstream")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    val batch = Streams.textScrub(docs.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(streamed == batch)
+    // the scrub actually fired
+    val clean = streamed.map(_.last.asInstanceOf[String])
+    assert(clean(0).contains("<EMAIL>") && clean(1).contains("<PHONE>"))
+  }
+
   test("batch mode runs the same plans (Kappa pattern)") {
     import spark.implicits._
     val batch = Seq(
