@@ -47,6 +47,27 @@ object Vectors {
       Similarity.ivfTopKProbe(t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, col("vec_id") % 25 === 0, k = 5, nprobe = 2)),
 
+    // ANN quality evaluation: recall@5 of single-probe IVF against the
+    // brute-force ground truth, per query — the metric that decides
+    // whether an index is shippable. Both sides come from the library
+    // functions themselves, so the measurement exercises the real paths.
+    "q_sim_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 25 === 0, k = 5)
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, col("vec_id") % 25 === 0, k = 5)
+      brute.select(col("query_id"), col("neighbor_id"))
+        .join(ivf.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .select(col("query_id"), col("n_true"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_true"), 4)
+            .as("recall_at_5"))
+    }),
+
     // Per-vector element statistics via array HOFs — one codegen'd
     // projection, no explode, no shuffle.
     "q_vector_stats" -> ((s, dir) => {
@@ -199,6 +220,46 @@ object Vectors {
         |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
         |  FROM sims)
         |WHERE rank <= 5""".stripMargin,
+
+    "q_sim_recall" ->
+      s"""WITH $withNorm,
+        |brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cos("n", "q")} DESC, n.vec_id ASC) AS BIGINT)
+        |        AS rank
+        |    FROM c n, c q
+        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |  WHERE rank <= 5),
+        |cent AS (SELECT vec_id AS cent_id, v, nrm FROM c WHERE vec_id < 10),
+        |asgn AS (
+        |  SELECT vec_id, cent_id AS cluster_id FROM (
+        |    SELECT x.vec_id, cent.cent_id,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY ${cos("x", "cent")} DESC, cent.cent_id ASC) AS rn
+        |    FROM c x, cent)
+        |  WHERE rn = 1),
+        |ivf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cos("n", "q")} DESC, n.vec_id ASC) AS BIGINT)
+        |        AS rank
+        |    FROM c q
+        |    JOIN asgn qa ON qa.vec_id = q.vec_id
+        |    JOIN asgn na ON na.cluster_id = qa.cluster_id
+        |    JOIN c n ON n.vec_id = na.vec_id
+        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |  WHERE rank <= 5)
+        |SELECT b.query_id, count(*) AS n_true,
+        |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_found,
+        |  round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 4) AS recall_at_5
+        |FROM brute b LEFT JOIN ivf i
+        |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+        |GROUP BY b.query_id""".stripMargin,
 
     "q_sim_ivf_probe2" ->
       s"""WITH $withNorm,
