@@ -220,21 +220,28 @@ object Similarity {
       centroidPred: Column, queryPred: Column, k: Int,
       nprobe: Int): DataFrame = {
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    // `assigned` already carries (id, v, nrm) — deriving centroids and
+    // queries from it avoids a second corpus scan + norm pass.
     val assigned = assignClusters(emb, idCol, vecCol, centroidPred)
-    val corpus = withNorm(emb, idCol, vecCol)
-    val cents = corpus.filter(centroidPred)
+    val cents = assigned.filter(centroidPred)
       .select(col(idCol).as("cent_id"), col("v").as("cv"),
         col("nrm").as("cn"))
     // Probe ranking on the ROUNDED cosine (same 6 decimals as everywhere
     // else) with cent_id tiebreak — deterministic and oracle-reproducible.
+    // NaN/null cosine (zero-norm centroid or query) maps to -Infinity like
+    // assignClusters' accumulator: NaN sorts FIRST under desc, so an
+    // unguarded degenerate centroid would win probe slots for a cluster
+    // assignment gives zero members.
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cent_id").asc)
-    val probes = corpus.filter(queryPred)
+    val probes = assigned.filter(queryPred)
       .select(col(idCol).as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
       .crossJoin(broadcast(cents))
-      .withColumn("csim",
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("csim", coalesce(
+        nanvl(round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6),
+          lit(null).cast("double")),
+        lit(Double.NegativeInfinity)))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"),

@@ -117,6 +117,21 @@ object Vectors {
       |      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
       |  FROM e)""".stripMargin
 
+  /** Shared centroid + argmax-assignment CTEs (`cent`, `asgn`) — ONE
+    * definition for the four IVF-family oracles, same drift-proofing as
+    * [[withNorm]]: a change to the assignment rule must not need four
+    * synchronized edits.
+    */
+  private def centAsgn: String =
+    s"""cent AS (SELECT vec_id AS cent_id, v, nrm FROM c WHERE vec_id < 10),
+       |asgn AS (
+       |  SELECT vec_id, cent_id AS cluster_id FROM (
+       |    SELECT x.vec_id, cent.cent_id,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${cos("x", "cent")} DESC, cent.cent_id ASC) AS rn
+       |    FROM c x, cent)
+       |  WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_sim_topk_brute" ->
       s"""WITH $withNorm,
@@ -140,14 +155,7 @@ object Vectors {
 
     "q_sim_kmeans_step" ->
       s"""WITH $withNorm,
-        |cent AS (SELECT vec_id AS cent_id, v, nrm FROM c WHERE vec_id < 10),
-        |asgn AS (
-        |  SELECT vec_id, cent_id AS cluster_id FROM (
-        |    SELECT x.vec_id, cent.cent_id,
-        |      row_number() OVER (PARTITION BY x.vec_id
-        |        ORDER BY ${cos("x", "cent")} DESC, cent.cent_id ASC) AS rn
-        |    FROM c x, cent)
-        |  WHERE rn = 1),
+        |$centAsgn,
         |x AS (
         |  SELECT a.cluster_id, unnest(range(1, len(c.v) + 1)) AS ii, c.v AS v
         |  FROM asgn a JOIN c ON c.vec_id = a.vec_id)
@@ -200,14 +208,7 @@ object Vectors {
 
     "q_sim_ivf" ->
       s"""WITH $withNorm,
-        |cent AS (SELECT vec_id AS cent_id, v, nrm FROM c WHERE vec_id < 10),
-        |asgn AS (
-        |  SELECT vec_id, cent_id AS cluster_id FROM (
-        |    SELECT x.vec_id, cent.cent_id,
-        |      row_number() OVER (PARTITION BY x.vec_id
-        |        ORDER BY ${cos("x", "cent")} DESC, cent.cent_id ASC) AS rn
-        |    FROM c x, cent)
-        |  WHERE rn = 1),
+        |$centAsgn,
         |sims AS (
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
         |    na.cluster_id, ${cos("n", "q")} AS sim
@@ -232,14 +233,7 @@ object Vectors {
         |    FROM c n, c q
         |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
         |  WHERE rank <= 5),
-        |cent AS (SELECT vec_id AS cent_id, v, nrm FROM c WHERE vec_id < 10),
-        |asgn AS (
-        |  SELECT vec_id, cent_id AS cluster_id FROM (
-        |    SELECT x.vec_id, cent.cent_id,
-        |      row_number() OVER (PARTITION BY x.vec_id
-        |        ORDER BY ${cos("x", "cent")} DESC, cent.cent_id ASC) AS rn
-        |    FROM c x, cent)
-        |  WHERE rn = 1),
+        |$centAsgn,
         |ivf AS (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -263,14 +257,7 @@ object Vectors {
 
     "q_sim_ivf_probe2" ->
       s"""WITH $withNorm,
-        |cent AS (SELECT vec_id AS cent_id, v, nrm FROM c WHERE vec_id < 10),
-        |asgn AS (
-        |  SELECT vec_id, cent_id AS cluster_id FROM (
-        |    SELECT x.vec_id, cent.cent_id,
-        |      row_number() OVER (PARTITION BY x.vec_id
-        |        ORDER BY ${cos("x", "cent")} DESC, cent.cent_id ASC) AS rn
-        |    FROM c x, cent)
-        |  WHERE rn = 1),
+        |$centAsgn,
         |probes AS (
         |  SELECT vec_id AS query_id, cent_id AS qc FROM (
         |    SELECT q.vec_id, cent.cent_id,

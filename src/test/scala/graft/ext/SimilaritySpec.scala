@@ -91,4 +91,35 @@ class SimilaritySpec extends AnyFunSuite {
       col("vec_id") <= 2, col("vec_id") === 3, k = 5)
     assert(out.collect().map(_.getLong(2)).toSet == Set(1L))
   }
+
+  test("ivfTopKProbe: second probe reaches across the cluster boundary") {
+    // Query 7 sits between the clusters (assigned to cluster 1); its true
+    // nearest neighbor 5 lives in cluster 4. Single-probe misses it,
+    // nprobe=2 finds it.
+    val df = emb(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0.95f, 0.05f), 0),
+      (4L, Seq(0f, 1f), 1), (5L, Seq(0.45f, 0.55f), 1),
+      (7L, Seq(0.55f, 0.45f), 0))
+    def neighbors(nprobe: Int) =
+      Similarity.ivfTopKProbe(df, "vec_id", "embedding",
+        col("vec_id") === 1 || col("vec_id") === 4, col("vec_id") === 7,
+        k = 5, nprobe = nprobe)
+        .collect().map(_.getLong(1)).toSet
+    assert(!neighbors(1).contains(5L))
+    assert(neighbors(2).contains(5L))
+    // nprobe=1 matches the single-probe implementation exactly
+    val single = Similarity.ivfTopK(df, "vec_id", "embedding",
+      col("vec_id") === 1 || col("vec_id") === 4, col("vec_id") === 7, k = 5)
+      .collect().map(_.toSeq).toSet
+    val probe1 = Similarity.ivfTopKProbe(df, "vec_id", "embedding",
+      col("vec_id") === 1 || col("vec_id") === 4, col("vec_id") === 7,
+      k = 5, nprobe = 1).collect().map(_.toSeq).toSet
+    assert(single == probe1)
+    // nprobe beyond the centroid count degenerates to searching everything
+    assert(neighbors(9) == Set(1L, 2L, 4L, 5L))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKProbe(df, "vec_id", "embedding", col("vec_id") === 1,
+        col("vec_id") === 7, k = 5, nprobe = 0)
+    }
+  }
 }
