@@ -95,6 +95,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("no query in the registry plans a CartesianProduct") {
+    // Deliberate small-build-side NLJs plan as BroadcastNestedLoopJoin;
+    // a CartesianProduct node means a join lost its keys (or a broadcast
+    // hint) somewhere — at scale that's corpus × corpus.
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(TestSpark.spark, dir).queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
   test("outlier stats broadcast back to the fact table") {
     val p = plan("q_outliers")
     assert(p.contains("BroadcastHashJoin"), p)
