@@ -20,9 +20,28 @@ object Bench {
     if (new java.io.File(small).isDirectory) small else sfDir
   }
 
+  /** One parallelism default for Bench AND BenchOne (the driver's local[32]
+    * environment) — two tools timing under different thread counts would
+    * produce incomparable numbers while claiming "same settings".
+    */
+  private[graft] val defaultCpus = "32"
+
+  /** Drop all state a query run may have left behind — checkpointed /
+    * persisted RDD blocks and cached SQL relations. Six queries
+    * `localCheckpoint()` intermediates; without this, by mid-suite the block
+    * manager carries every prior query's materializations and late queries
+    * time 5-10x their isolated cost (round-3 verdict: q_decontamination
+    * 22.7 s in-suite vs 2.6 s isolated). Runs OUTSIDE the timer: cleanup of
+    * the previous query's debris is not part of the next query's cost.
+    */
+  private[graft] def resetState(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,14 +58,21 @@ object Bench {
         true
       } catch { case _: Throwable => false }
 
+    // Deterministic order: sorted names, so cross-round diffs of BENCH_r*.json
+    // compare the same query at the same suite position, never confounded by
+    // map iteration order.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+
     // Untimed warmup: full registry once on the smallest fixture (falls back
     // to the bench dir if absent) — loads classes, JITs codegen paths.
-    SparkEntry.queries.keys.foreach(execute(_, warmupDir(sfDir)))
+    names.foreach(execute(_, warmupDir(sfDir)))
+    resetState(spark)
 
-    val results = SparkEntry.queries.map { case (name, _) =>
+    val results = names.map { name =>
       val t0 = System.nanoTime()
       val ok = execute(name, sfDir)
       val sec = (System.nanoTime() - t0) / 1e9
+      resetState(spark) // outside the timer: isolate the NEXT query's line
       name -> (ok, sec)
     }
     // A failed query must make the run visibly worse, never smaller: any
@@ -58,8 +84,11 @@ object Bench {
     val qs = passed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (failed.isEmpty) passed.values.sum else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    // `order` records each query's run position explicitly — JSON object key
+    // order is not something every reader preserves.
+    val ord = names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (failed.isEmpty) passed.map(_._2).sum else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"order":$ord,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

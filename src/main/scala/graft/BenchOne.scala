@@ -6,15 +6,16 @@ import org.apache.spark.sql.SparkSession
   *
   *   runMain graft.BenchOne [--plan] q_name [q_name ...]
   *
-  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32 —
-  * the driver's value, so local numbers are comparable to BENCH_r*.json).
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default
+  * [[Bench.defaultCpus]] — one shared constant, so the two tools never time
+  * under different parallelism).
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val showPlan = args.contains("--plan")
     val names = args.filterNot(_.startsWith("--"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Bench.defaultCpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,6 +32,7 @@ object BenchOne {
       try {
         SparkEntry.queries(name)(spark, Bench.warmupDir(sfDir))
           .write.format("noop").mode("overwrite").save()
+        Bench.resetState(spark) // same isolation as the suite run
         // Build INSIDE the timer, like Bench: eager materialization during
         // query construction (localCheckpoint) must be billed to the query.
         val t0 = System.nanoTime()

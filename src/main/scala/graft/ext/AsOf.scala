@@ -45,11 +45,15 @@ object AsOf {
         col(rightTs).as("__ts"),
         lit(0).as("__side"),
         col(rightTs).as("__rts"))
-    // align schemas: right side carries nulls for left-only columns
-    val rAligned = leftCols.foldLeft(r) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select((leftCols.map(col) ++ Seq(col("__ts"), col("__side"), col("__rts"))): _*)
+    // Align schemas in ONE select: right side carries typed nulls for
+    // left-only columns. A per-column withColumn fold would nest O(cols)
+    // projections into the logical plan — harmless at 4 columns, analysis
+    // bloat at 300.
+    val rCols = r.columns.toSet
+    val rAligned = r.select(leftCols.map { c =>
+      if (rCols.contains(c)) col(c)
+      else lit(null).cast(left.schema(c).dataType).as(c)
+    } ++ Seq(col("__ts"), col("__side"), col("__rts")): _*)
     val unioned = l.select((leftCols.map(col) ++
       Seq(col("__ts"), col("__side"), col("__rts"))): _*).unionByName(rAligned)
 

@@ -71,12 +71,37 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Decode dispatch: real image decode when the JDK recognizes the payload,
-    * [[decodeStub]] otherwise — the seam a real audio/video codec plugs
-    * into.
+  /** Header-only audio decode via the JDK's javax.sound.sampled — WAV/
+    * AIFF/AU, no external dependency, same posture as [[decodeImage]]:
+    * `getAudioFileFormat` parses the container header WITHOUT decoding any
+    * sample frames (I/O-bound at scale). Returns (sample_rate_hz,
+    * frame_length, channels); None when no installed provider recognizes
+    * the payload or the header is corrupt. ByteArrayInputStream supports
+    * mark/reset, which the provider probe requires.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Long, Long, Long)] =
+    try {
+      val fileFmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = fileFmt.getFormat
+      Some((fmt.getSampleRate.toLong, fileFmt.getFrameLength.toLong,
+        fmt.getChannels.toLong))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode dispatch: real image decode when javax.imageio recognizes the
+    * payload, real audio header decode when javax.sound.sampled does,
+    * [[decodeStub]] otherwise — the remaining stub surface is exactly the
+    * codec formats the JDK lacks (mp3/h264/...), which is where a
+    * production codec plugs in.
+    *
+    * Slot semantics of the (d1, d2, ch) triple by media kind:
+    * image → (width, height, color channels); audio → (sample rate in Hz,
+    * frame length, channels). One triple keeps [[MediaFeatures]] a fixed
+    * narrow schema — the alternative (per-kind columns) nulls out most of a
+    * wide row at 100 TB for no analytical gain.
     */
   def decode(bytes: Array[Byte]): (Long, Long, Long) =
-    decodeImage(bytes).getOrElse(decodeStub(bytes))
+    decodeImage(bytes).orElse(decodeAudio(bytes)).getOrElse(decodeStub(bytes))
 
   /** STUB decoder: stands in for an audio/video codec (not present in this
     * environment). Deterministic fake dimensions derived from the payload
@@ -152,11 +177,13 @@ object Multimodal {
   /** Metadata-only feature projection via BUILT-IN expressions (length, md5,
     * arithmetic on them): codegen'd, no JVM object serialization, and
     * metadata-only queries keep column pruning — the blob feeds two scalar
-    * expressions instead of surfacing as a JVM byte array. Produces the same
-    * rows as [[extractFeatures]] for non-image payloads (the stub decode is
-    * arithmetic on size and hash, so it is expressible both ways); a REAL
-    * decode — [[decodeImage]], or any codec — is not, which is exactly when
-    * the mapPartitions path earns its keep.
+    * expressions instead of surfacing as a JVM byte array. Column names
+    * match [[MediaFeatures]], and the ROWS match [[extractFeatures]] exactly
+    * for payloads that fall through to the stub (no JDK image or audio
+    * reader claims them — the stub is arithmetic on size and hash, so it is
+    * expressible both ways); a REAL decode — [[decodeImage]]/[[decodeAudio]]
+    * or any codec — is not, which is exactly when the mapPartitions path
+    * earns its keep.
     */
   def mediaMeta(df: org.apache.spark.sql.DataFrame, idCol: String,
       mediaCol: String): org.apache.spark.sql.DataFrame = {
@@ -165,10 +192,10 @@ object Multimodal {
       col(idCol),
       nBytes.as("n_bytes"),
       md5(col(mediaCol)).as("content_hash"),
-      (lit(32L) + nBytes % 224L).as("stub_width"),
-      (lit(32L) + (nBytes * 7L) % 224L).as("stub_height"),
+      (lit(32L) + nBytes % 224L).as("width"),
+      (lit(32L) + (nBytes * 7L) % 224L).as("height"),
       when(substring(md5(col(mediaCol)), 1, 1) >= "8", 3L).otherwise(1L)
-        .as("stub_channels"))
+        .as("channels"))
   }
 
   /** Build a media table from the documents fixture: the text bytes stand in

@@ -46,8 +46,15 @@ object Similarity {
     * the whole corpus. Returns (query_id, neighbor_id, sim, rank).
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame =
+    bruteForceTopKFrom(withNorm(emb, idCol, vecCol), idCol, queryPred, k)
+
+  /** [[bruteForceTopK]] over an ALREADY-normalized corpus (idCol, v, nrm) —
+    * lets an evaluation like recall@k share one materialized norm projection
+    * between the brute and index sides instead of paying it twice.
+    */
+  def bruteForceTopKFrom(corpus: DataFrame, idCol: String,
       queryPred: Column, k: Int): DataFrame = {
-    val corpus = withNorm(emb, idCol, vecCol)
     val queries = corpus.filter(queryPred)
       .select(col(idCol).as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
@@ -134,8 +141,12 @@ object Similarity {
     * Returns (idCol, v, nrm, cluster_id).
     */
   def assignClusters(emb: DataFrame, idCol: String, vecCol: String,
+      centroidPred: Column): DataFrame =
+    assignClustersFrom(withNorm(emb, idCol, vecCol), idCol, centroidPred)
+
+  /** [[assignClusters]] over an ALREADY-normalized corpus (idCol, v, nrm). */
+  def assignClustersFrom(corpus: DataFrame, idCol: String,
       centroidPred: Column): DataFrame = {
-    val corpus = withNorm(emb, idCol, vecCol)
     val centArr = corpus.filter(centroidPred)
       .agg(array_sort(collect_list(
         struct(col(idCol).as("cent_id"), col("v").as("cv"),
@@ -190,8 +201,16 @@ object Similarity {
     * (query_id, neighbor_id, cluster_id, sim, rank).
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-      centroidPred: Column, queryPred: Column, k: Int): DataFrame = {
-    val assigned = assignClusters(emb, idCol, vecCol, centroidPred)
+      centroidPred: Column, queryPred: Column, k: Int): DataFrame =
+    ivfTopKFrom(assignClusters(emb, idCol, vecCol, centroidPred), idCol,
+      queryPred, k)
+
+  /** [[ivfTopK]] over an ALREADY-assigned corpus (idCol, v, nrm,
+    * cluster_id) — pairs with [[assignClustersFrom]] so callers can build
+    * the assignment from a shared normalized corpus.
+    */
+  def ivfTopKFrom(assigned: DataFrame, idCol: String, queryPred: Column,
+      k: Int): DataFrame = {
     val queries = assigned.filter(queryPred)
       .select(col(idCol).as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cluster_id").as("qc"))

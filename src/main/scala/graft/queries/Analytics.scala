@@ -81,6 +81,28 @@ object Analytics {
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     }),
+
+    // Q17 shape: small-quantity-order revenue — a CORRELATED scalar
+    // subquery (each lineitem compared to 20% of its part's average
+    // quantity), deliberately written as SQL text so Catalyst's subquery
+    // decorrelation is what plans it: the rewrite must produce an
+    // aggregate-then-join, never a per-row nested loop (pinned in
+    // PlanSpec). Direct file relations keep it reentrant like q_sql_text.
+    // The threshold is deterministic cross-engine: l_quantity is
+    // integer-valued, so sum (exact in double) / count is order-independent.
+    "q_tpch_q17" -> ((s, dir) =>
+      s.sql(s"""SELECT p_brand,
+               |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+               |    / 7.0, 2) AS DOUBLE) AS avg_yearly
+               |FROM parquet.`$dir/lineitem.parquet` l
+               |JOIN parquet.`$dir/part.parquet` p
+               |  ON p.p_partkey = l.l_partkey
+               |WHERE p.p_type = 'ECONOMY'
+               |  AND l.l_quantity < (
+               |    SELECT 0.2 * avg(l2.l_quantity)
+               |    FROM parquet.`$dir/lineitem.parquet` l2
+               |    WHERE l2.l_partkey = l.l_partkey)
+               |GROUP BY p_brand""".stripMargin)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -126,5 +148,18 @@ object Analytics {
         |  AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_tpch_q17" ->
+      """SELECT p_brand,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    / 7.0, 2) AS DOUBLE) AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_type = 'ECONOMY'
+        |  AND l.l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity)
+        |    FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p_brand""".stripMargin,
   )
 }

@@ -519,11 +519,11 @@ object Docs {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash,
-        |  32 + CAST(octet_length(encode(text)) AS BIGINT) % 224 AS stub_width,
-        |  32 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 224 AS stub_height,
+        |  32 + CAST(octet_length(encode(text)) AS BIGINT) % 224 AS width,
+        |  32 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 224 AS height,
         |  CASE WHEN substring(md5(text), 1, 1) >= '8'
         |    THEN CAST(3 AS BIGINT) ELSE CAST(1 AS BIGINT) END
-        |    AS stub_channels
+        |    AS channels
         |FROM documents""".stripMargin,
   )
 }

@@ -52,11 +52,18 @@ object Vectors {
     // whether an index is shippable. Both sides come from the library
     // functions themselves, so the measurement exercises the real paths.
     "q_sim_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      // ONE normalized corpus feeds both the brute ground truth and the IVF
+      // side — materialized up front because exchange reuse does not fire
+      // across the two differently-shaped consumers (same pattern as the
+      // minhash family; localCheckpoint is the single-JVM stand-in for
+      // persist). Halves the scan+norm work vs building each side from raw.
+      val corpus = Similarity.withNorm(t(s, dir, "embeddings"), "vec_id",
+        "embedding").localCheckpoint()
+      val brute = Similarity.bruteForceTopKFrom(corpus, "vec_id",
         col("vec_id") % 25 === 0, k = 5)
-      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
-        col("vec_id") < 10, col("vec_id") % 25 === 0, k = 5)
+      val ivf = Similarity.ivfTopKFrom(
+        Similarity.assignClustersFrom(corpus, "vec_id", col("vec_id") < 10),
+        "vec_id", col("vec_id") % 25 === 0, k = 5)
       brute.select(col("query_id"), col("neighbor_id"))
         .join(ivf.select(col("query_id"), col("neighbor_id"),
           lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")

@@ -129,6 +129,28 @@ class PlanSpec extends AnyFunSuite {
     assert("Join".r.findAllIn(p).size == 1, p)
   }
 
+  test("q_incremental_prune pushes the load_date filter to PartitionFilters") {
+    // The load_date filter must prune at plan time (directory-level skip),
+    // not run as a post-scan Filter over the whole history — at 100 TB this
+    // is the difference between reading one day and reading the table.
+    val p = plan("q_incremental_prune")
+    assert("PartitionFilters: \\[[^\\]]*load_date".r.findFirstIn(p).isDefined,
+      s"load_date not in PartitionFilters:\n$p")
+    // and it really is partition metadata, not a data filter after the scan:
+    assert(!"PushedFilters: \\[[^\\]]*load_date".r.findFirstIn(p).isDefined,
+      s"load_date degraded to a data-level pushed filter:\n$p")
+  }
+
+  test("q_tpch_q17 decorrelates the scalar subquery to an aggregate-join") {
+    // The correlated `avg(l_quantity) WHERE same part` must rewrite to a
+    // per-part aggregate joined back on the key — a per-row nested loop
+    // re-scans the fact table once per lineitem at 100 TB.
+    val p = plan("q_tpch_q17")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("multi-aggregate validation is a single pass (one aggregate subtree)") {
     val p = plan("q_validate_metrics")
     // expand-based distinct rewrite: one Expand, partial+final HashAggregate
