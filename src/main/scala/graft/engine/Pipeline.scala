@@ -73,8 +73,80 @@ object Pipeline {
     val cleaned = Cleaning.cleanAll(staged, at)
     cleaned.write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("load_date").parquet(analyticsDir)
+    // Journal the schema beside the data: a zero-row append writes no
+    // parquet footers, so without this a freshly-created (or so-far-empty)
+    // table is unreadable — the plain-parquet stand-in for the schema
+    // journal a table format (Delta/Iceberg) keeps. Written on EVERY load:
+    // idempotent when unchanged, and it tracks evolution when the batch
+    // schema widens.
+    writeSchemaSidecar(spark, analyticsDir, readBackSchema(cleaned.schema))
     StageReport("load_incremental", ok = true, s"appended to $analyticsDir")
   }
+
+  /** Name starts with `_` so Spark's file index ignores it (same convention
+    * as `_SUCCESS`) — the sidecar never pollutes the parquet scan.
+    */
+  private val SidecarName = "_graft_schema.json"
+
+  /** The schema a reader will OBSERVE, given the schema that was written:
+    * `partitionBy` moves the partition column out of the data files, and the
+    * read re-appends it after the data columns — so the sidecar must record
+    * partition columns last or the empty-table fallback would disagree with
+    * the populated-table read on column order.
+    */
+  private def readBackSchema(written: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val (part, data) = written.fields.partition(_.name == "load_date")
+    org.apache.spark.sql.types.StructType(data ++ part)
+  }
+
+  private def writeSchemaSidecar(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir, SidecarName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Schema journaled by [[loadIncremental]], if the table has one. Missing
+    * file → None (pre-sidecar table or foreign dir); a PRESENT but
+    * unparseable sidecar throws — that is corruption, not absence.
+    */
+  def sidecarSchema(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir, SidecarName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Read an incrementally-loaded table, recovering the no-data-files case
+    * (only zero-row batches appended so far) from the schema sidecar: the
+    * caller gets a zero-row frame with the journaled schema instead of
+    * `UNABLE_TO_INFER_SCHEMA`. Tables without a sidecar rethrow — absence of
+    * the journal means this isn't a [[loadIncremental]] table and guessing a
+    * schema would mask real corruption.
+    */
+  def readTable(spark: SparkSession, analyticsDir: String): DataFrame =
+    try spark.read.parquet(analyticsDir)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        sidecarSchema(spark, analyticsDir) match {
+          case Some(st) => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+          case None => throw e
+        }
+    }
 
   /** Current-state view over an incrementally-loaded table: latest row per
     * key by load timestamp. Ties on `loaded_at` (rows appended by the same
@@ -106,7 +178,15 @@ object Pipeline {
     // propagate, not masquerade as "table holds no data yet".
     val read =
       try Some(spark.read.parquet(analyticsDir))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          // Prefer the journaled schema over the caller's stand-in: the
+          // sidecar records what the table actually holds; the `empty`
+          // parameter remains the fallback for pre-sidecar tables.
+          sidecarSchema(spark, analyticsDir).map(st =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
+      }
     read.fold(empty)(latestOf(_, keys))
   }
 
@@ -130,6 +210,10 @@ object Pipeline {
     val pOld = new Path(analyticsDir + ".compact-old")
     latest.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("load_date").parquet(pTmp.toString)
+    // Carry the schema journal through the swap — `latest` is already a
+    // read-back frame, so its schema is the observed (partition-col-last)
+    // shape the sidecar contract requires.
+    writeSchemaSidecar(spark, pTmp.toString, latest.schema)
     val fs = pLive.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(pOld, true)
     if (!fs.rename(pLive, pOld))

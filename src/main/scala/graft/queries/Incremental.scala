@@ -103,7 +103,7 @@ object Incremental {
     * compare is merge-order-independent.
     */
   private def day2Summary(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(analyticsDir(s, dir))
+    Pipeline.readTable(s, analyticsDir(s, dir))
       .filter(col("load_date") === lit("2026-01-02").cast("date"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_rows"),

@@ -157,6 +157,53 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("id", "payload", "loaded_at", "load_date"))
   }
 
+  test("readTable recovers a data-less table from the schema sidecar") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val staging = root.resolve("sidecar-staging").toString
+    val analytics = root.resolve("sidecar-analytics").toString
+    val batch = Seq((1L, "v1")).toDF("id", "payload")
+    batch.limit(0).write.mode("overwrite").parquet(staging)
+    Pipeline.loadIncremental(spark, staging, analytics,
+      Some(Timestamp.valueOf("2024-01-01 00:00:00")))
+    // no data files, but the sidecar carries the read-back schema
+    val empty = Pipeline.readTable(spark, analytics)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq ==
+      Seq("id", "payload", "loaded_at", "load_date"))
+    assert(empty.schema("load_date").dataType ==
+      org.apache.spark.sql.types.DateType)
+
+    // once data lands, readTable is exactly the parquet read (sidecar file
+    // is ignored by the scan), and column order matches the empty fallback
+    batch.write.mode("overwrite").parquet(staging)
+    Pipeline.loadIncremental(spark, staging, analytics,
+      Some(Timestamp.valueOf("2024-01-02 00:00:00")))
+    val populated = Pipeline.readTable(spark, analytics)
+    assert(populated.count() == 1)
+    assert(populated.columns.toSeq == empty.columns.toSeq)
+
+    // a dir that was never loadIncremental-journaled still throws: absence
+    // of the sidecar must not be masked by a guessed schema
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Pipeline.readTable(spark, root.resolve("no-such-table").toString)
+    }
+  }
+
+  test("compact carries the schema sidecar through the swap") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val staging = root.resolve("cswap-staging").toString
+    val analytics = root.resolve("cswap-analytics").toString
+    Seq((1L, "v1"), (2L, "v1")).toDF("id", "payload")
+      .write.mode("overwrite").parquet(staging)
+    Pipeline.loadIncremental(spark, staging, analytics,
+      Some(Timestamp.valueOf("2024-01-01 00:00:00")))
+    assert(Pipeline.compact(spark, analytics, Seq("id")).ok)
+    assert(Pipeline.sidecarSchema(spark, analytics).isDefined)
+    assert(Pipeline.readTable(spark, analytics).count() == 2)
+  }
+
   test("validate on a missing analytics table fails, blocking") {
     val r = Pipeline.validate(spark, root.resolve("nope").toString,
       _ => Seq(Checks.rowCountMin(1)))
