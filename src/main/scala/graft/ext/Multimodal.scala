@@ -84,9 +84,82 @@ object Multimodal {
       val fileFmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(bytes))
       val fmt = fileFmt.getFormat
-      Some((fmt.getSampleRate.toLong, fileFmt.getFrameLength.toLong,
-        fmt.getChannels.toLong))
+      // javax.sound reports unknowable values as NOT_SPECIFIED (-1) — e.g.
+      // an AU stream with unknown data size has no frame length. Clamp to 0:
+      // a negative would leak into feature columns as a fake measurement,
+      // while 0 is unreachable for a real rate/length/channel count.
+      Some((clampUnspecified(fmt.getSampleRate.toLong),
+        clampUnspecified(fileFmt.getFrameLength.toLong),
+        clampUnspecified(fmt.getChannels.toLong)))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def clampUnspecified(v: Long): Long = if (v < 0L) 0L else v
+
+  /** Header-only video probe for MP4/QuickTime (ISO BMFF): walks the box
+    * tree to `moov`→`trak`→`tkhd` and reads the track's presentation
+    * width/height (16.16 fixed point) — a pure structure parse, no codec
+    * needed, same posture as [[decodeImage]]/[[decodeAudio]]. Returns
+    * (width, height, track_count) from the first track with nonzero
+    * dimensions (audio-only tracks carry 0×0). None unless the payload
+    * LEADS with an `ftyp` or `moov` box — the guard that keeps arbitrary
+    * text/binary payloads from being claimed by a lenient parse.
+    */
+  def decodeVideo(bytes: Array[Byte]): Option[(Long, Long, Long)] =
+    try {
+      if (bytes.length < 16) None
+      else {
+        val lead = new String(bytes, 4, 4, "US-ASCII")
+        if (lead != "ftyp" && lead != "moov") None
+        else {
+          val tkhds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          walkBoxes(bytes, 0, bytes.length, 0, tkhds)
+          if (tkhds.isEmpty) None
+          else {
+            val (w, h) = tkhds.find { case (w, h) => w > 0 && h > 0 }
+              .getOrElse(tkhds.head)
+            Some((w, h, tkhds.length.toLong))
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  /** Bounded ISO-BMFF box walk: recurse only into the container boxes on
+    * the path to `tkhd` (`moov`, `trak`), collect every tkhd's 16.16-fixed
+    * width/height. Malformed sizes (< 8, past the buffer, 64-bit largesize)
+    * end the walk rather than throw — a truncated header yields whatever
+    * tracks were parsed before the damage.
+    */
+  private def walkBoxes(b: Array[Byte], start: Int, end: Int, depth: Int,
+      out: scala.collection.mutable.ArrayBuffer[(Long, Long)]): Unit = {
+    if (depth > 4) return
+    var off = start
+    while (off + 8 <= end) {
+      val size = be32(b, off)
+      if (size < 8 || off + size > end) return // malformed/largesize: stop
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      typ match {
+        case "moov" | "trak" =>
+          walkBoxes(b, off + 8, off + size.toInt, depth + 1, out)
+        case "tkhd" =>
+          val body = off + 8
+          val version = b(body) & 0xff
+          // v0: 4(ver+flags) + 5×4 (times/id/reserved) = 24 to the fixed
+          // tail; v1 widens the three time fields to 8 bytes (+12).
+          val fixedTail = body + (if (version == 1) 36 else 24)
+          // tail: 8 reserved + 2 layer + 2 group + 2 volume + 2 reserved +
+          // 36 matrix = 52 bytes, then width, height (16.16 fixed)
+          val wOff = fixedTail + 52
+          if (wOff + 8 <= off + size.toInt)
+            out += ((be32(b, wOff) >> 16, be32(b, wOff + 4) >> 16))
+        case _ => () // leaf we don't need (ftyp/mdat/mvhd/mdia/...)
+      }
+      off += size.toInt
+    }
+  }
 
   /** Decode dispatch: real image decode when javax.imageio recognizes the
     * payload, real audio header decode when javax.sound.sampled does,
@@ -96,12 +169,21 @@ object Multimodal {
     *
     * Slot semantics of the (d1, d2, ch) triple by media kind:
     * image → (width, height, color channels); audio → (sample rate in Hz,
-    * frame length, channels). One triple keeps [[MediaFeatures]] a fixed
-    * narrow schema — the alternative (per-kind columns) nulls out most of a
-    * wide row at 100 TB for no analytical gain.
+    * frame length, channels); video → (width, height, track count). One
+    * triple keeps [[MediaFeatures]] a fixed narrow schema — the alternative
+    * (per-kind columns) nulls out most of a wide row at 100 TB for no
+    * analytical gain.
+    *
+    * [[mediaMeta]] parity contract: its built-in-expression twin reproduces
+    * ONLY the stub arithmetic, so the two agree exactly on payloads no real
+    * decoder claims (the fixtures — document text — are such payloads, and
+    * MultimodalSpec pins that no JDK reader claims them). Payloads a real
+    * decoder recognizes intentionally diverge: real decode is the point of
+    * this path.
     */
   def decode(bytes: Array[Byte]): (Long, Long, Long) =
-    decodeImage(bytes).orElse(decodeAudio(bytes)).getOrElse(decodeStub(bytes))
+    decodeImage(bytes).orElse(decodeAudio(bytes)).orElse(decodeVideo(bytes))
+      .getOrElse(decodeStub(bytes))
 
   /** STUB decoder: stands in for an audio/video codec (not present in this
     * environment). Deterministic fake dimensions derived from the payload
