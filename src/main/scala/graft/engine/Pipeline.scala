@@ -204,7 +204,10 @@ object Pipeline {
   def compact(spark: SparkSession, analyticsDir: String,
       keys: Seq[String]): StageReport = {
     import org.apache.hadoop.fs.Path
-    val latest = readLatest(spark, analyticsDir, keys)
+    // readTable, not readLatest: a table holding only zero-row appends
+    // (sidecar, no data files) compacts to an empty table instead of dying
+    // on the schema probe.
+    val latest = latestOf(readTable(spark, analyticsDir), keys)
     val pLive = new Path(analyticsDir)
     val pTmp = new Path(analyticsDir + ".compact-tmp")
     val pOld = new Path(analyticsDir + ".compact-old")

