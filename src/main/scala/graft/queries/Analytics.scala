@@ -90,10 +90,13 @@ object Analytics {
     // PlanSpec). Direct file relations keep it reentrant like q_sql_text.
     // The threshold is deterministic cross-engine: l_quantity is
     // integer-valued, so sum (exact in double) / count is order-independent.
+    // The /7.0 runs in DOUBLE in BOTH engines (sum stays exact decimal,
+    // then one cast): decimal-typed division evaluates at engine-specific
+    // precision, which can flip the last rounded cent near a .005 boundary.
     "q_tpch_q17" -> ((s, dir) =>
       s.sql(s"""SELECT p_brand,
-               |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
-               |    / 7.0, 2) AS DOUBLE) AS avg_yearly
+               |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+               |    AS DOUBLE) / CAST(7.0 AS DOUBLE), 2) AS avg_yearly
                |FROM parquet.`$dir/lineitem.parquet` l
                |JOIN parquet.`$dir/part.parquet` p
                |  ON p.p_partkey = l.l_partkey
@@ -151,8 +154,8 @@ object Analytics {
 
     "q_tpch_q17" ->
       """SELECT p_brand,
-        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
-        |    / 7.0, 2) AS DOUBLE) AS avg_yearly
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    AS DOUBLE) / CAST(7.0 AS DOUBLE), 2) AS avg_yearly
         |FROM lineitem l
         |JOIN part p ON p.p_partkey = l.l_partkey
         |WHERE p.p_type = 'ECONOMY'
