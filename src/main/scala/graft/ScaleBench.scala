@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** Scale-up ledger harness: replicate the embeddings/documents fixtures F×
+  * (distinct ids per replica) and rerun the similarity scale-path queries,
+  * reporting wall time AND measured candidate counts — so "LSH/IVF stay
+  * sub-quadratic" is a measurement, not an assertion. One JSON line per
+  * factor.
+  *
+  * Replica ids shift by a multiple of 100, so the registry's predicates
+  * keep their meaning under replication: `vec_id < 10` still selects the
+  * 10 replica-0 centroids (fixed index size), `vec_id % 25 == 0` selects
+  * queries in EVERY replica (query set grows with the corpus — the eval
+  * workload a growing corpus implies).
+  *
+  * Usage: runMain graft.ScaleBench [factors]   (default "1,2,4,8")
+  * Env: SPARK_GRAFT_SF_DIR (base fixture, default sf0.1), SPARK_GRAFT_CPUS.
+  */
+object ScaleBench {
+
+  private val Offset = 1000000L // > any fixture id; multiple of 25 and 100
+
+  private def replicate(spark: SparkSession, base: String, table: String,
+      idCol: String, factor: Int, outDir: String): Unit = {
+    val src = spark.read.parquet(s"$base/$table.parquet")
+    val all = (0 until factor).map(r =>
+      src.withColumn(idCol, col(idCol) + lit(r * Offset)))
+      .reduce(_.unionAll(_))
+    all.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factors = (if (args.nonEmpty) args.mkString(",") else "1,2,4,8")
+      .split(",").map(_.trim.toInt)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Bench.defaultCpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val names = Seq("q_sim_neardup_lsh", "q_sim_ivf", "q_sim_recall")
+
+    def timeOne(name: String, dir: String): Double = {
+      Bench.resetState(spark)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // JVM/codegen warmup on the base fixture, untimed (Bench methodology)
+    names.foreach(n => SparkEntry.queries(n)(spark, base)
+      .write.format("noop").mode("overwrite").save())
+
+    factors.foreach { f =>
+      val dir = s"/tmp/graft-scale/f$f"
+      replicate(spark, base, "embeddings", "vec_id", f, dir)
+      replicate(spark, base, "documents", "doc_id", f, dir)
+
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nEmb = emb.count()
+
+      // Measured candidate volumes, via the SAME library code paths the
+      // queries use:
+      // LSH demo dial (16 planes, 4-bit bands): threshold -1 keeps every
+      // banded candidate pair
+      val lshCand = Similarity.cosineLshPairs(emb, "vec_id", "embedding",
+        dim = 64, threshold = -1.0).count()
+      // LSH near-dup dial (64 planes, 16-bit bands): the production
+      // setting for a high-threshold dedup sweep — the floor drops
+      // ~2^12 per band while exact-dup replicas still share every band
+      val lshCandWide = Similarity.cosineLshPairs(emb, "vec_id", "embedding",
+        dim = 64, threshold = -1.0, planes = 64).count()
+      // IVF: the broadcast-join input is sum over queries of
+      // (own-cluster size - 1) — the rows the top-k actually scans
+      val assigned = Similarity.assignClusters(emb, "vec_id", "embedding",
+        col("vec_id") < 10).localCheckpoint()
+      val sizes = assigned.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("c"))
+      val ivfCand = assigned.filter(col("vec_id") % 25 === 0)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("q"))
+        .join(sizes, "cluster_id")
+        .select(sum(col("q") * (col("c") - 1)).as("n"))
+        .head().getLong(0)
+      val nQueries = assigned.filter(col("vec_id") % 25 === 0).count()
+      Bench.resetState(spark)
+
+      val secs = names.map(n => n -> timeOne(n, dir))
+      val qs = secs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      // brute_pairs: the all-pairs denominator the candidates are a
+      // fraction of (queries × corpus for ANN; n² for near-dup)
+      println(s"""{"factor":$f,"n_emb":$nEmb,"n_queries":$nQueries,""" +
+        s""""lsh_candidates":$lshCand,"lsh16_candidates":$lshCandWide,""" +
+        s""""ivf_candidates":$ivfCand,""" +
+        s""""brute_query_pairs":${nQueries * (nEmb - 1)},""" +
+        s""""allpairs":${nEmb * (nEmb - 1) / 2},"sec":$qs}""")
+    }
+    spark.stop()
+  }
+}

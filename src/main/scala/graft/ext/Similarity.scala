@@ -90,18 +90,26 @@ object Similarity {
   /** Random-hyperplane (sign) LSH for cosine near-dups: `planes`
     * deterministic ±1 hyperplanes (sign = md5 parity of "plane:dim", so any
     * engine can regenerate them), signature bit j = sign(v · h_j), banded
-    * into 4 blocks; candidate pairs share ≥1 block and are then verified
-    * with EXACT cosine ≥ threshold.
+    * into `bands` blocks of `planes/bands` bits; candidate pairs share ≥1
+    * block and are then verified with EXACT cosine ≥ threshold.
     *
     * This is the scale path the all-pairs [[nearDupPairs]] baseline exists
-    * to verify: candidates ∝ near-dups (collision probability falls with
-    * angle: P[bit agree] = 1 − θ/π), so the exact measure runs on a sliver
-    * of the n² pair space. Signature computation is `planes` codegen'd dot
+    * to verify. The two dials ARE the scale story (P[bit agree] =
+    * 1 − θ/π): bits-per-band sets the random-collision floor — expected
+    * floor candidates ≈ bands × Σ_pairs p^bits, so bits must grow with
+    * log₂(n) to hold the floor near-linear; bands set recall at the target
+    * threshold (recall = 1 − (1 − p^bits)^bands). The defaults (16 planes,
+    * 4 bands of 4 bits) are a small-fixture demo dial; a 100 TB near-dup
+    * sweep (threshold ≥ .95, p ≥ .9) wants ~16 bits × enough bands for the
+    * recall target — the ScaleBench ledger measures both dials
+    * side-by-side. Signature computation is `planes` codegen'd dot
     * products against literal arrays — one projection, no shuffle.
     */
   def cosineLshPairs(emb: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, planes: Int = 16): DataFrame = {
-    require(planes % 4 == 0, s"planes must be a multiple of 4, got $planes")
+      dim: Int, threshold: Double, planes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(bands > 0 && planes % bands == 0,
+      s"planes ($planes) must split evenly into bands ($bands)")
     val corpus = withNorm(emb, idCol, vecCol)
     val signs: IndexedSeq[Seq[Double]] = (0 until planes).map { j =>
       (0 until dim).map { i =>
@@ -112,10 +120,10 @@ object Similarity {
     }
     val sigCol = concat(signs.map(s =>
       when(dot(col("v"), typedlit(s)) > 0, "1").otherwise("0")): _*)
-    val bandWidth = planes / 4
+    val bandWidth = planes / bands
     val blocks = corpus.withColumn("sig", sigCol)
       .select(col(idCol), col("v"), col("nrm"),
-        posexplode(array((0 until 4).map(j =>
+        posexplode(array((0 until bands).map(j =>
           substring(col("sig"), j * bandWidth + 1, bandWidth)): _*))
           .as(Seq("block_idx", "block")))
     val a = blocks.select(col(idCol).as("vec_a"), col("v").as("va"),
