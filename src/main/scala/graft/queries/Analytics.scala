@@ -106,6 +106,102 @@ object Analytics {
                |    FROM parquet.`$dir/lineitem.parquet` l2
                |    WHERE l2.l_partkey = l.l_partkey)
                |GROUP BY p_brand""".stripMargin)),
+
+    // Q1 shape: the pricing summary report — full multi-aggregate scan
+    // (8 aggregates, 2 group keys) over ~99% of lineitem. All money sums
+    // run in exact decimal then surface as rounded doubles; the averages
+    // divide exact numerators (decimal sums / integer-valued doubles) so
+    // both engines feed round() bit-identical inputs.
+    "q_tpch_q1" -> ((s, dir) => {
+      def dec(c: String) = col(c).cast("decimal(18,4)")
+      val one = lit(1).cast("decimal(18,4)")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(dec("l_extendedprice")), 2).cast("double")
+            .as("sum_base_price"),
+          round(sum(dec("l_extendedprice") * (one - dec("l_discount"))), 2)
+            .cast("double").as("sum_disc_price"),
+          round(sum(dec("l_extendedprice") * (one - dec("l_discount")) *
+            (one + dec("l_tax"))), 2).cast("double").as("sum_charge"),
+          round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+          round(sum(dec("l_extendedprice")).cast("double") / count(lit(1)), 4)
+            .as("avg_price"),
+          round(sum(dec("l_discount")).cast("double") / count(lit(1)), 6)
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Q6 shape: forecast revenue change — the pure scan-filter-aggregate
+    // probe. Every predicate must reach the parquet scan (PushedFilters);
+    // the plan is one WholeStageCodegen span over the scan with a 1-row
+    // partial+final agg, zero joins, zero wide shuffles.
+    "q_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          col("l_discount").cast("decimal(18,4)")), 2).cast("double")
+          .as("revenue"))),
+
+    // Q4 shape: order-priority checking — EXISTS rewritten as a LEFT SEMI
+    // join with a non-equi conjunct (late-shipped: any lineitem ≥ 90 days
+    // after the order date; the fixture carries no commit/receipt dates, so
+    // the lateness predicate stands in for Q4's commit<receipt). The semi
+    // join keeps the probe side at most one output row per order — no
+    // fan-out, no dedup.
+    "q_tpch_q4" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Q14 shape: promotion effect — conditional aggregation over the
+    // lineitem⋈part join, one month. Both sums run exact decimal; the
+    // percentage division happens once, in DOUBLE, on both engines.
+    "q_tpch_q14" -> ((s, dir) => {
+      def dec(c: String) = col(c).cast("decimal(18,4)")
+      val one = lit(1).cast("decimal(18,4)")
+      val discPrice = dec("l_extendedprice") * (one - dec("l_discount"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      li.join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg((round(
+          sum(when(col("p_type") === "PROMO", discPrice).otherwise(0))
+            .cast("double") * 100.0 /
+          sum(discPrice).cast("double"), 4)).as("promo_revenue"))
+    }),
+
+    // Q19 shape: discounted revenue under a three-way DISJUNCTION of
+    // (brand, size range, quantity range) triples — the predicate spans
+    // both join sides, so only the p_partkey equi-join prunes the pair
+    // space; the compound filter evaluates post-join inside codegen.
+    // part broadcasts (it's the dimension side).
+    "q_tpch_q19" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      def band(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand &&
+          col("p_size").between(1, sizeHi) &&
+          col("l_quantity").between(qLo, qHi)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(band("Brand#12", 15, 1, 11) ||
+          band("Brand#23", 20, 10, 20) || band("Brand#3", 25, 20, 30))
+        .groupBy(col("p_brand"))
+        .agg(revenueExact.as("revenue"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -163,6 +259,74 @@ object Analytics {
         |    SELECT 0.2 * avg(l2.l_quantity)
         |    FROM lineitem l2
         |    WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p_brand""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,4))) *
+        |    (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
+        |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(*), 4) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |  CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate >= o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT round(
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,4))) ELSE 0 END)
+        |    AS DOUBLE) * 100.0 /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT p_brand,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY p_brand""".stripMargin,
   )
 }

@@ -102,6 +102,14 @@ object Vectors {
     "q_sim_neardup_lsh" -> ((s, dir) =>
       Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", dim = 64, threshold = 0.35)),
+
+    // The WIDER band dial (32 planes, 4 bands × 8 bits) under the same
+    // oracle: 16× lower random-collision floor per band at reduced recall —
+    // the dial a big-corpus sweep turns (ScaleBench measures the tradeoff;
+    // this row proves the parameterized machinery stays engine-exact).
+    "q_sim_neardup_lsh32" -> ((s, dir) =>
+      Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, threshold = 0.35, planes = 32)),
   )
 
   /** Sequential-fold cosine matching [[graft.ext.Similarity.dot]]:
@@ -138,6 +146,44 @@ object Vectors {
        |        ORDER BY ${cos("x", "cent")} DESC, cent.cent_id ASC) AS rn
        |    FROM c x, cent)
        |  WHERE rn = 1)""".stripMargin
+
+  /** DuckDB twin of [[graft.ext.Similarity.cosineLshPairs]] at a given
+    * (planes, bands) dial — mirrors the Scala parameterization so both
+    * registered dials share one template.
+    */
+  private def lshTwin(planes: Int, bands: Int): String = {
+    val width = planes / bands
+    s"""WITH $withNorm,
+      |planes AS (
+      |  SELECT j.j, list_transform(range(1, 65),
+      |    i -> CASE WHEN substring(md5(CAST(j.j AS VARCHAR) || ':' ||
+      |           CAST(i - 1 AS VARCHAR)), 1, 1) >= '8'
+      |         THEN 1.0 ELSE -1.0 END) AS h
+      |  FROM (SELECT unnest(range(0, $planes)) AS j) j),
+      |bits AS (
+      |  SELECT c.vec_id, p.j,
+      |    CASE WHEN list_reduce(list_transform(range(1, 65),
+      |        i -> c.v[i] * p.h[i]), (x, y) -> x + y) > 0
+      |      THEN '1' ELSE '0' END AS b
+      |  FROM c, planes p),
+      |sig AS (
+      |  SELECT vec_id, string_agg(b, '' ORDER BY j) AS sig
+      |  FROM bits GROUP BY vec_id),
+      |blocks AS (
+      |  SELECT s.vec_id, b.i AS block_idx,
+      |    substring(sig, b.i * $width + 1, $width) AS block
+      |  FROM sig s, (SELECT unnest(range(0, $bands)) AS i) b),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM blocks a JOIN blocks b
+      |    ON a.block_idx = b.block_idx AND a.block = b.block
+      |    AND a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, ${cos("x", "y")} AS sim
+      |FROM cand
+      |JOIN c x ON x.vec_id = vec_a
+      |JOIN c y ON y.vec_id = vec_b
+      |WHERE ${cos("x", "y")} >= 0.35""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_sim_topk_brute" ->
@@ -180,38 +226,11 @@ object Vectors {
         |FROM c""".stripMargin,
 
     // Hyperplane signs regenerate from md5 parity of "plane:dim" — same
-    // string, same digest, same signature on both engines.
-    "q_sim_neardup_lsh" ->
-      s"""WITH $withNorm,
-        |planes AS (
-        |  SELECT j.j, list_transform(range(1, 65),
-        |    i -> CASE WHEN substring(md5(CAST(j.j AS VARCHAR) || ':' ||
-        |           CAST(i - 1 AS VARCHAR)), 1, 1) >= '8'
-        |         THEN 1.0 ELSE -1.0 END) AS h
-        |  FROM (SELECT unnest(range(0, 16)) AS j) j),
-        |bits AS (
-        |  SELECT c.vec_id, p.j,
-        |    CASE WHEN list_reduce(list_transform(range(1, 65),
-        |        i -> c.v[i] * p.h[i]), (x, y) -> x + y) > 0
-        |      THEN '1' ELSE '0' END AS b
-        |  FROM c, planes p),
-        |sig AS (
-        |  SELECT vec_id, string_agg(b, '' ORDER BY j) AS sig
-        |  FROM bits GROUP BY vec_id),
-        |blocks AS (
-        |  SELECT s.vec_id, b.i AS block_idx,
-        |    substring(sig, b.i * 4 + 1, 4) AS block
-        |  FROM sig s, (SELECT unnest(range(0, 4)) AS i) b),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM blocks a JOIN blocks b
-        |    ON a.block_idx = b.block_idx AND a.block = b.block
-        |    AND a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, ${cos("x", "y")} AS sim
-        |FROM cand
-        |JOIN c x ON x.vec_id = vec_a
-        |JOIN c y ON y.vec_id = vec_b
-        |WHERE ${cos("x", "y")} >= 0.35""".stripMargin,
+    // string, same digest, same signature on both engines. ONE template
+    // for both registered dials, parameterized exactly where the Scala
+    // side is.
+    "q_sim_neardup_lsh" -> lshTwin(planes = 16, bands = 4),
+    "q_sim_neardup_lsh32" -> lshTwin(planes = 32, bands = 4),
 
     "q_sim_ivf" ->
       s"""WITH $withNorm,

@@ -151,6 +151,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_tpch_q6 is a pure scan-filter-aggregate: all predicates pushed, no join") {
+    // The Q6 probe exists to prove the scan shape: every predicate reaches
+    // PushedFilters, the read schema is the 4 referenced columns, and the
+    // whole plan is scan → agg (a join or extra shuffle here means the
+    // declarative form degraded).
+    val p = plan("q_tpch_q6")
+    assert(!p.contains("Join"), p)
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(s"PushedFilters: \\[[^\\]]*$c".r.findFirstIn(p).isDefined,
+        s"$c not pushed:\n$p")
+    assert(!p.contains("l_tax"), s"read schema not pruned:\n$p")
+  }
+
+  test("q_tpch_q4 plans the EXISTS as a semi join, never a nested loop") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_tpch_q19 broadcasts the dimension side and pushes the disjunction per side") {
+    val p = plan("q_tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // Catalyst derives per-side implications of the OR-of-ANDs: the
+    // quantity ranges prune the fact scan, the brand/size ranges the dim
+    assert("PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p).isDefined, p)
+    assert("PushedFilters: \\[[^\\]]*p_brand".r.findFirstIn(p).isDefined, p)
+  }
+
   test("multi-aggregate validation is a single pass (one aggregate subtree)") {
     val p = plan("q_validate_metrics")
     // expand-based distinct rewrite: one Expand, partial+final HashAggregate
