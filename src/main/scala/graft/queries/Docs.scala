@@ -114,6 +114,39 @@ object Docs {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))),
 
+    // Corpus rebalancing: deterministic per-stratum downsampling (cap the
+    // dominant language at 20%, keep the rest whole). Membership is a pure
+    // (stratum, id) hash — stable under row order, partitioning, and
+    // corpus growth. One codegen'd predicate over the scan, zero shuffle.
+    "q_sample_stratified" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(stratifiedKeep(col("doc_id"), col("lang"),
+          Map("en" -> 20), defaultPct = 100))
+        .select(col("doc_id"), col("lang"))),
+
+    // Quality-filter funnel (Gopher-style doc thresholds) with
+    // OBSERVABILITY: every document gets its first failing rule as a
+    // reject reason, aggregated per (lang, reason) — the report a corpus
+    // curation run ships alongside the filtered output. One projection +
+    // one small agg; the rules are plain column arithmetic, so the whole
+    // funnel stays inside whole-stage codegen.
+    "q_quality_filter" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nt = size(toks).cast("double")
+      val ndist = size(array_distinct(toks)).cast("double")
+      val avgLen = length(regexp_replace(col("text"), " ", ""))
+        .cast("double") / nt
+      val reason = when(nt < 30, "too_short")
+        .when(nt > 400, "too_long")
+        .when(ndist / nt < 0.2, "low_diversity")
+        .when(avgLen < 2 || avgLen > 12, "weird_tokens")
+        .otherwise("keep")
+      t(s, dir, "documents")
+        .select(col("lang"), reason.as("reason"))
+        .groupBy(col("lang"), col("reason"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // The production composition: MinHash-LSH candidates verified by exact
     // Jaccard on candidates only.
     "q_dedup_minhash_verified" -> ((s, dir) =>
@@ -285,6 +318,32 @@ object Docs {
       """SELECT doc_id FROM (
         |  SELECT doc_id, md5('sample:' || CAST(doc_id AS VARCHAR)) AS sk
         |  FROM documents ORDER BY sk, doc_id LIMIT 50)""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(CONCAT('0x', substring(md5(
+        |    'strat:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4))
+        |    AS BIGINT) % 100
+        |  < CASE WHEN lang = 'en' THEN 20 ELSE 100 END""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      AS ndist,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS cl
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang,
+        |    CASE WHEN nt < 30 THEN 'too_short'
+        |         WHEN nt > 400 THEN 'too_long'
+        |         WHEN ndist / nt < 0.2 THEN 'low_diversity'
+        |         WHEN cl / nt < 2 OR cl / nt > 12 THEN 'weird_tokens'
+        |         ELSE 'keep' END AS reason
+        |  FROM f)
+        |SELECT lang, reason, count(*) AS n_docs
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "q_split_assign" ->
       """WITH b AS (

@@ -103,6 +103,16 @@ object Vectors {
       Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", dim = 64, threshold = 0.35)),
 
+    // Int8-quantized brute-force top-k: the 4× memory lever measured under
+    // the oracle — cosine is scale-invariant, so the quantized index is
+    // just the int-valued vectors through the SAME top-k machinery. The
+    // twin reproduces the exact codes (explicit floor(x/s + .5) rounding).
+    "q_sim_quant_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopKFrom(
+        Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id",
+          "embedding"),
+        "vec_id", col("vec_id") % 25 === 0, k = 5)),
+
     // The WIDER band dial (32 planes, 4 bands × 8 bits) under the same
     // oracle: 16× lower random-collision floor per band at reduced recall —
     // the dial a big-corpus sweep turns (ScaleBench measures the tradeoff;
@@ -229,6 +239,39 @@ object Vectors {
     // string, same digest, same signature on both engines. ONE template
     // for both registered dials, parameterized exactly where the Scala
     // side is.
+    "q_sim_quant_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS dv
+        |  FROM embeddings),
+        |q0 AS (
+        |  SELECT vec_id, dv,
+        |    greatest(list_max(list_transform(dv, x -> abs(x))), 1e-12)
+        |      / 127.0 AS qscale
+        |  FROM e),
+        |c AS (
+        |  SELECT vec_id,
+        |    list_transform(dv, x -> floor(x / qscale + 0.5)) AS v
+        |  FROM q0),
+        |cn AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+        |      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+        |  FROM c),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    round(
+        |      list_reduce(list_transform(range(1, len(n.v) + 1),
+        |        i -> n.v[i] * q.v[i]), (x, y) -> x + y)
+        |      / (n.nrm * q.nrm), 6) AS sim
+        |  FROM cn n, cn q
+        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM sims)
+        |WHERE rank <= 5""".stripMargin,
+
     "q_sim_neardup_lsh" -> lshTwin(planes = 16, bands = 4),
     "q_sim_neardup_lsh32" -> lshTwin(planes = 32, bands = 4),
 

@@ -30,6 +30,24 @@ package object queries {
     when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
   }
 
+  /** Deterministic per-stratum downsampling: keep a row iff its id hash
+    * falls under the stratum's percentage. The corpus-rebalancing op a
+    * training pipeline runs (e.g. cap the dominant language) — membership
+    * is a pure (stratum, id) hash, so the sample is stable under row order,
+    * partitioning, AND corpus growth (a doc's fate never changes when
+    * neighbors arrive). One codegen'd predicate, zero shuffle.
+    */
+  private[queries] def stratifiedKeep(idCol: Column, stratumCol: Column,
+      pctByStratum: Map[String, Int], defaultPct: Int): Column = {
+    val bucket = conv(substring(
+      md5(concat(lit("strat:"), stratumCol, lit(":"), idCol.cast("string"))),
+      1, 4), 16, 10).cast("long") % 100
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(stratumCol === s, p).otherwise(acc)
+    }
+    bucket < pct
+  }
+
   /** DuckDB twin of [[splitCol]] as a CTE named `splits(doc_id, split)`. */
   private[queries] val splitsCte: String =
     """splits AS (

@@ -38,6 +38,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getDouble(0) == 1.0)
   }
 
+  test("quantizeInt8: codes integer-valued in [-127,127], cosine error bounded") {
+    val fixture = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantizeInt8(fixture, "vec_id", "embedding")
+    val bounds = q.select(
+      max(array_max(transform(col("v"), abs(_)))).as("mx"),
+      max(array_max(transform(col("v"), x => abs(x - floor(x))))).as("frac"))
+      .head()
+    assert(bounds.getDouble(0) <= 127.0)
+    assert(bounds.getDouble(1) == 0.0, "codes must be integer-valued")
+    // int8 cosine tracks exact cosine: compare on self-joined sample pairs
+    val exact = Similarity.withNorm(fixture, "vec_id", "embedding")
+    val e1 = exact.select(col("vec_id").as("ia"), col("v").as("va"),
+      col("nrm").as("na"))
+    val e2 = exact.select(col("vec_id").as("ib"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val q1 = q.select(col("vec_id").as("ia"), col("v").as("qa"),
+      col("nrm").as("qna"))
+    val q2 = q.select(col("vec_id").as("ib"), col("v").as("qb"),
+      col("nrm").as("qnb"))
+    val err = e1.join(e2, col("ia") < col("ib"))
+      .join(q1, "ia").join(q2, "ib")
+      .select(max(abs(
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) -
+        Similarity.dot(col("qa"), col("qb")) / (col("qna") * col("qnb"))))
+        .as("e"))
+      .head().getDouble(0)
+    assert(err < 0.02, s"max cosine error $err exceeds int8 bound")
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic tiebreak") {
     val df = emb(
       (0L, Seq(1f, 0f), 0),   // query
