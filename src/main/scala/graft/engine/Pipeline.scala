@@ -69,8 +69,20 @@ object Pipeline {
   def loadIncremental(spark: SparkSession, stagingDir: String,
       analyticsDir: String,
       at: Option[java.sql.Timestamp] = None): StageReport = {
-    val staged = spark.read.parquet(stagingDir)
-    val cleaned = Cleaning.cleanAll(staged, at)
+    appendCleaned(spark.read.parquet(stagingDir), analyticsDir, at)
+    StageReport("load_incremental", ok = true, s"appended to $analyticsDir")
+  }
+
+  /** The shared append step of the incremental load: reference-ordered
+    * cleaning, partitioned append, schema-sidecar journal. Called by
+    * [[loadIncremental]] (batch) and per micro-batch by
+    * [[graft.streaming.Streams.startIncrementalLoad]] — ONE code path, so
+    * the streaming-ingested table is byte-identical to the batch one for
+    * the same input batches.
+    */
+  def appendCleaned(batch: DataFrame, analyticsDir: String,
+      at: Option[java.sql.Timestamp] = None): Unit = {
+    val cleaned = Cleaning.cleanAll(batch, at)
     cleaned.write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("load_date").parquet(analyticsDir)
     // Journal the schema beside the data: a zero-row append writes no
@@ -79,8 +91,8 @@ object Pipeline {
     // journal a table format (Delta/Iceberg) keeps. Written on EVERY load:
     // idempotent when unchanged, and it tracks evolution when the batch
     // schema widens.
-    writeSchemaSidecar(spark, analyticsDir, readBackSchema(cleaned.schema))
-    StageReport("load_incremental", ok = true, s"appended to $analyticsDir")
+    writeSchemaSidecar(batch.sparkSession, analyticsDir,
+      readBackSchema(cleaned.schema))
   }
 
   /** Name starts with `_` so Spark's file index ignores it (same convention

@@ -86,6 +86,36 @@ object Streams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment: join the stream against a slow-changing
+    * dimension. The static side re-resolves per micro-batch (so a dim
+    * refresh is picked up without restart) and broadcasts — no streaming
+    * state, no watermark, and the stream side never shuffles.
+    */
+  def enrichWithStatic(stream: DataFrame, static: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(static), keys, "left")
+
+  /** Streaming ingestion into the incremental analytics table: each
+    * micro-batch runs the SAME cleaning+append+sidecar step as the batch
+    * [[graft.engine.Pipeline.loadIncremental]] (via foreachBatch), so a
+    * streaming-ingested table is byte-identical to a batch-ingested one
+    * for the same batches — and every batch reader (readLatest, readTable,
+    * compact, the partition-pruned daily scan) works on it unchanged.
+    * `at` maps the micro-batch id to the injected load timestamp (tests
+    * pass fixed instants; production leaves None for wall clock).
+    */
+  def startIncrementalLoad(stream: DataFrame, analyticsDir: String,
+      checkpointDir: String,
+      at: Long => Option[Timestamp] = _ => None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.engine.Pipeline.appendCleaned(batch, analyticsDir, at(batchId))
+      }
+      .start()
+
   /** Stateful sessionization: 30-minute-gap sessions per user via
     * flatMapGroupsWithState with event-time timeouts — the streaming twin
     * of graft.ext.Sessionize. A session closes when a same-user event

@@ -202,6 +202,59 @@ class StreamsSpec extends AnyFunSuite {
     val out = Streams.tumblingAgg(batch, "10 minutes").collect()
     assert(out.length == 2)
   }
+
+  test("enrichWithStatic joins the dim without state; unmatched keys keep null") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = Streams.enrichWithStatic(in.toDF(), dim, Seq("user_id"))
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    runBatches(q)(
+      () => in.addData(
+        Event(1, 1, "click", 1.0, ts(1)),
+        Event(2, 9, "click", 2.0, ts(2))))
+    val out = spark.table("enriched").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("gold"), 2L -> None))
+  }
+
+  test("startIncrementalLoad: stream-ingested table == batch-ingested table") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-incr")
+    try {
+      val streamed = s"$root/streamed"
+      val batched = s"$root/batched"
+      val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+      val t2 = Timestamp.valueOf("2024-01-02 00:00:00")
+      val b1 = Seq((1L, "v1"), (2L, "v1"))
+      val b2 = Seq((2L, "v2"), (3L, "v1"))
+
+      val in = MemoryStream[(Long, String)]
+      val q = Streams.startIncrementalLoad(
+        in.toDF().toDF("id", "payload"), streamed, s"$root/ckpt",
+        at = id => Some(if (id == 0) t1 else t2))
+      runBatches(q)(() => in.addData(b1: _*), () => in.addData(b2: _*))
+
+      for ((b, t) <- Seq(b1 -> t1, b2 -> t2)) {
+        b.toDF("id", "payload").write.mode("overwrite").parquet(s"$root/stg")
+        graft.engine.Pipeline.loadIncremental(spark, s"$root/stg", batched,
+          Some(t))
+      }
+
+      def snap(dir: String) =
+        graft.engine.Pipeline.readLatest(spark, dir, Seq("id"))
+          .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      assert(snap(streamed).toSeq == snap(batched).toSeq)
+      assert(snap(streamed).map(_.head).toSeq == Seq(1L, 2L, 3L))
+      // the streaming path journals the sidecar like the batch one
+      assert(graft.engine.Pipeline.sidecarSchema(spark, streamed).isDefined)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
 }
 
 /** Minimal GroupState stub for direct unit-testing of the session fold
