@@ -30,8 +30,10 @@ object BenchOne {
     // would look like normal output while being garbage.
     // Same contract as Bench: cached incremental tables are built outside
     // every timer, so a standalone q_incremental_* run times only the read
-    // instead of billing the whole two-load build to itself.
-    queries.Incremental.ensureBuilt(spark, sfDir)
+    // instead of billing the whole two-load build to itself. Gated — other
+    // queries shouldn't pay the two loads + compaction at startup.
+    if (names.exists(_.startsWith("q_incremental")))
+      queries.Incremental.ensureBuilt(spark, sfDir)
 
     names.foreach { name =>
       try {

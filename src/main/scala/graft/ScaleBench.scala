@@ -27,6 +27,10 @@ object ScaleBench {
   private def replicate(spark: SparkSession, base: String, table: String,
       idCol: String, factor: Int, outDir: String): Unit = {
     val src = spark.read.parquet(s"$base/$table.parquet")
+    val maxId = src.agg(max(col(idCol))).head().getLong(0)
+    require(maxId < Offset,
+      s"$table.$idCol max $maxId >= replica offset $Offset — replica ids " +
+        "would collide and silently corrupt every ledger measurement")
     val all = (0 until factor).map(r =>
       src.withColumn(idCol, col(idCol) + lit(r * Offset)))
       .reduce(_.unionAll(_))

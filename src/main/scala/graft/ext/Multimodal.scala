@@ -144,7 +144,7 @@ object Multimodal {
       typ match {
         case "moov" | "trak" =>
           walkBoxes(b, off + 8, off + size.toInt, depth + 1, out)
-        case "tkhd" =>
+        case "tkhd" if size > 8 => // a bodyless tkhd has no version byte
           val body = off + 8
           val version = b(body) & 0xff
           // v0: 4(ver+flags) + 5×4 (times/id/reserved) = 24 to the fixed

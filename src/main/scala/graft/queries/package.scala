@@ -23,10 +23,16 @@ package object queries {
     * BOTH q_split_assign and q_decontamination so the decontamination sweep
     * always audits the split the pipeline actually uses.
     */
+  /** The one md5 percent-bucket derivation (first 4 hex digits mod 100) —
+    * shared by every hash-membership rule so the formula can't diverge
+    * between them (their DuckDB twins mirror it as
+    * `CAST(CONCAT('0x', substring(md5(key), 1, 4)) AS BIGINT) % 100`).
+    */
+  private[queries] def hashBucket(key: Column): Column =
+    conv(substring(md5(key), 1, 4), 16, 10).cast("long") % 100
+
   private[queries] def splitCol(idCol: Column): Column = {
-    val bucket = conv(substring(
-      md5(concat(lit("split:"), idCol.cast("string"))), 1, 4),
-      16, 10).cast("long") % 100
+    val bucket = hashBucket(concat(lit("split:"), idCol.cast("string")))
     when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
   }
 
@@ -39,9 +45,8 @@ package object queries {
     */
   private[queries] def stratifiedKeep(idCol: Column, stratumCol: Column,
       pctByStratum: Map[String, Int], defaultPct: Int): Column = {
-    val bucket = conv(substring(
-      md5(concat(lit("strat:"), stratumCol, lit(":"), idCol.cast("string"))),
-      1, 4), 16, 10).cast("long") % 100
+    val bucket = hashBucket(
+      concat(lit("strat:"), stratumCol, lit(":"), idCol.cast("string")))
     val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
       when(stratumCol === s, p).otherwise(acc)
     }

@@ -87,9 +87,13 @@ object Streams {
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Stream-static enrichment: join the stream against a slow-changing
-    * dimension. The static side re-resolves per micro-batch (so a dim
-    * refresh is picked up without restart) and broadcasts — no streaming
-    * state, no watermark, and the stream side never shuffles.
+    * dimension, broadcast — no streaming state, no watermark, and the
+    * stream side never shuffles. The static plan re-EXECUTES per
+    * micro-batch, but a file-based dim's file LISTING is fixed at relation
+    * resolution: new dim files are not picked up until the caller refreshes
+    * the relation (`spark.catalog.refreshByPath`/`refreshTable`, or a
+    * catalog table whose metadata tracks files). Content changes inside
+    * already-listed files do surface.
     */
   def enrichWithStatic(stream: DataFrame, static: DataFrame,
       keys: Seq[String]): DataFrame =
@@ -103,6 +107,10 @@ object Streams {
     * compact, the partition-pruned daily scan) works on it unchanged.
     * `at` maps the micro-batch id to the injected load timestamp (tests
     * pass fixed instants; production leaves None for wall clock).
+    *
+    * foreachBatch is at-least-once, so the append is guarded by a
+    * per-batch commit ledger ([[appendBatchIdempotent]]): a replayed
+    * batchId is skipped instead of appended twice.
     */
   def startIncrementalLoad(stream: DataFrame, analyticsDir: String,
       checkpointDir: String,
@@ -112,9 +120,32 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.engine.Pipeline.appendCleaned(batch, analyticsDir, at(batchId))
+        appendBatchIdempotent(batch, analyticsDir, batchId, at(batchId))
       }
       .start()
+
+  /** [[graft.engine.Pipeline.appendCleaned]] guarded by a commit ledger
+    * (`_graft_commits/<batchId>` markers beside the data): replaying an
+    * already-committed micro-batch is a no-op, which is what makes the
+    * at-least-once foreachBatch contract safe to append under. The marker
+    * lands AFTER the data commit, so the residual window is a crash
+    * between the two — one batch can then duplicate on replay; that seam
+    * is the plain-parquet limit (a table format's transactional commit
+    * retires it), and [[graft.engine.Pipeline.readLatest]] still dedups
+    * such rows by key.
+    */
+  private[graft] def appendBatchIdempotent(batch: DataFrame,
+      analyticsDir: String, batchId: Long,
+      at: Option[Timestamp]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(analyticsDir, s"_graft_commits/$batchId")
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      graft.engine.Pipeline.appendCleaned(batch, analyticsDir, at)
+      fs.create(marker, true).close()
+    }
+  }
 
   /** Stateful sessionization: 30-minute-gap sessions per user via
     * flatMapGroupsWithState with event-time timeouts — the streaming twin

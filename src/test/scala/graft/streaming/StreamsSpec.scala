@@ -252,6 +252,18 @@ class StreamsSpec extends AnyFunSuite {
       assert(snap(streamed).map(_.head).toSeq == Seq(1L, 2L, 3L))
       // the streaming path journals the sidecar like the batch one
       assert(graft.engine.Pipeline.sidecarSchema(spark, streamed).isDefined)
+
+      // foreachBatch is at-least-once: replaying a committed batchId must
+      // be a no-op (commit-ledger guard), not a duplicate append
+      val before = spark.read.parquet(streamed).count()
+      Streams.appendBatchIdempotent(b2.toDF("id", "payload"), streamed,
+        batchId = 1L, at = Some(t2))
+      assert(spark.read.parquet(streamed).count() == before,
+        "replayed batch must not duplicate rows")
+      // a genuinely new batch still lands
+      Streams.appendBatchIdempotent(Seq((9L, "v9")).toDF("id", "payload"),
+        streamed, batchId = 2L, at = Some(t2))
+      assert(spark.read.parquet(streamed).count() == before + 1)
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
