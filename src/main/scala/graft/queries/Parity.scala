@@ -181,6 +181,23 @@ object Parity {
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("revenue"))),
 
+    // Explicit GROUPING SETS (the general form cube/rollup specialize):
+    // two hand-picked sets — by status and by priority — in ONE Expand
+    // pass, plus grouping_id to disambiguate which set a row came from
+    // (the NULL-vs-grouped distinction CUBE readers need). SQL text: the
+    // DataFrame API has no grouping-sets verb.
+    // gid from explicit grouping() bits, not grouping_id(): the packed
+    // form's bit order is an engine convention; the spelled-out arithmetic
+    // is identical everywhere.
+    "q_grouping_sets" -> ((s, dir) =>
+      s.sql(s"""SELECT o_orderstatus, o_orderpriority,
+               |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+               |    AS BIGINT) AS gid,
+               |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+               |FROM parquet.`$dir/orders.parquet`
+               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+               |""".stripMargin)),
+
     // Pivot: status columns per priority (explicit value list so the output
     // schema is static — an unpinned pivot would scan once just to discover
     // columns); empty cells coalesce to 0 to match COUNT(CASE …) semantics.
@@ -331,6 +348,15 @@ object Parity {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+        .stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+        |    AS BIGINT) AS gid,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"""
         .stripMargin,
 
     "q_pivot" ->

@@ -99,6 +99,31 @@ object Streams {
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(static), keys, "left")
 
+  /** Stream-stream inner join with bounded state: clicks joined to views
+    * of the same user within `within` AFTER the view. Both sides carry
+    * watermarks and the join condition carries the time-range bound, so
+    * each side's state is evicted once the watermark passes its
+    * join-reachable horizon — without the range condition the state is
+    * UNBOUNDED (Spark cannot know when a future match becomes impossible),
+    * which is the classic stream-join scale trap.
+    */
+  def joinEventStreams(left: DataFrame, right: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      within: String = "15 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id").as("left_id"),
+        col("ts").as("left_ts"))
+    val r = right.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("r_user_id"),
+        col("event_id").as("right_id"), col("ts").as("right_ts"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("left_id"), col("right_id"),
+        col("left_ts"), col("right_ts"))
+  }
+
   /** Streaming ingestion into the incremental analytics table: each
     * micro-batch runs the SAME cleaning+append+sidecar step as the batch
     * [[graft.engine.Pipeline.loadIncremental]] (via foreachBatch), so a

@@ -221,6 +221,30 @@ class StreamsSpec extends AnyFunSuite {
     assert(out == Map(1L -> Some("gold"), 2L -> None))
   }
 
+  test("joinEventStreams: time-bounded stream-stream join matches in-window pairs only") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = Streams.joinEventStreams(views.toDF(), clicks.toDF(),
+        watermarkDelay = "5 minutes", within = "15 minutes")
+      .writeStream.format("memory").queryName("joined")
+      .outputMode("append").start()
+    runBatches(q)(
+      () => {
+        views.addData(Event(10, 1, "view", 0, ts(0)),
+          Event(11, 2, "view", 0, ts(0)))
+        clicks.addData(
+          Event(20, 1, "click", 0, ts(10)), // user 1, within 15 min -> match
+          Event(21, 2, "click", 0, ts(40)), // user 2, 40 min later -> out
+          Event(22, 3, "click", 0, ts(5))) // user 3: no view at all
+      })
+    val out = spark.table("joined")
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 20L)))
+  }
+
   test("startIncrementalLoad: stream-ingested table == batch-ingested table") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
