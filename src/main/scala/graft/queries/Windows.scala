@@ -61,6 +61,34 @@ object Windows {
             .as("ms_since_prev"))
     }),
 
+    // Distribution ranks: quartile bucket + percent_rank + cume_dist per
+    // customer-spend ordering. All rank-family functions are exact under a
+    // TOTAL order (the o_orderkey tiebreak) — without it every engine is
+    // free to bucket peers differently. Scale note: an unpartitioned
+    // window serializes into ONE task — fine for a report-sized input
+    // (this is post-aggregation shape), but a 100 TB global quantile wants
+    // approx_percentile or a per-segment partition instead.
+    "q_window_ntile" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+    }),
+
+    // Event-TIME range frame: each event's trailing-10-minute sum per user
+    // — RANGE frames bound by an interval are the per-row sliding window
+    // (resample/window() buckets are the per-bucket one). SQL expression:
+    // the DataFrame rangeBetween API takes only numeric offsets.
+    "q_window_range" -> ((s, dir) =>
+      graft.engine.Sources.events(s, dir).selectExpr(
+        "event_id", "user_id",
+        """round(sum(value) OVER (
+          |  PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW),
+          |  2) AS trailing_10m""".stripMargin)),
+
     // Moving average over a 4-row frame (3 preceding + current).
     "q_window_moving_avg" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -132,6 +160,24 @@ object Windows {
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS avg_4
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER
+        |    (ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT)
+        |    AS quartile,
+        |  round(percent_rank() OVER
+        |    (ORDER BY o_totalprice DESC, o_orderkey ASC), 6) AS pct_rank,
+        |  round(cume_dist() OVER
+        |    (ORDER BY o_totalprice DESC, o_orderkey ASC), 6) AS cume
+        |FROM orders""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW),
+        |    2) AS trailing_10m
+        |FROM events""".stripMargin,
 
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id,
