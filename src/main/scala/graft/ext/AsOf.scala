@@ -28,7 +28,21 @@ object AsOf {
     * @return left rows + `asof_ts` (nullable) + `asof_count` (0 if none)
     */
   def enrich(left: DataFrame, right: DataFrame, keyCol: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String): DataFrame =
+    enrichImpl(left, right, keyCol, leftTs, rightTs, forward = false)
+
+  /** The FORWARD direction: for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` sharing the key (next-event lookup — "first
+    * click after the error"), plus the count of following-or-equal right
+    * rows. Same union + one-shuffle window plan, iterated in descending
+    * time order.
+    */
+  def enrichForward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String): DataFrame =
+    enrichImpl(left, right, keyCol, leftTs, rightTs, forward = true)
+
+  private def enrichImpl(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__ts", col(leftTs))
@@ -57,9 +71,13 @@ object AsOf {
     val unioned = l.select((leftCols.map(col) ++
       Seq(col("__ts"), col("__side"), col("__rts"))): _*).unionByName(rAligned)
 
-    // right rows sort BEFORE left rows at equal ts (side 0 < 1): an event at
-    // exactly the probe instant counts as "preceding or equal".
-    val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
+    // right rows sort BEFORE left rows at equal ts (side 0 < 1): an event
+    // at exactly the probe instant counts as "preceding or equal" — and in
+    // the forward (descending-time) iteration the same tiebreak makes it
+    // "following or equal". The running last then holds the LATEST
+    // preceding (backward) or EARLIEST following (forward) right ts.
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
+    val w = Window.partitionBy(keyCol).orderBy(tsOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))

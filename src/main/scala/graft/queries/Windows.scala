@@ -112,6 +112,19 @@ object Windows {
           col("asof_count").as("n_prior_clicks"))
     }),
 
+    // Forward as-of: each error enriched with the NEXT click at-or-after
+    // it ("did the user recover?") — same one-shuffle union+window plan,
+    // iterated in descending time order.
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+      val clicks = ev.filter(col("event_type") === "click")
+      AsOf.enrichForward(errors, clicks, "user_id", "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          col("asof_ts").as("next_click_ts"),
+          col("asof_count").as("n_later_clicks"))
+    }),
+
     // As-of with a staleness bound: the preceding click only counts when at
     // most 1 hour old — same single-shuffle plan, tolerance as post-filter.
     "q_asof_tolerance" -> ((s, dir) => {
@@ -186,6 +199,17 @@ object Windows {
         |FROM events e
         |LEFT JOIN events c ON c.user_id = e.user_id
         |  AND c.event_type = 'click' AND c.ts <= e.ts
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id, e.user_id
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT e.event_id, e.user_id,
+        |  min(c.ts) AS next_click_ts,
+        |  count(c.event_id) AS n_later_clicks
+        |FROM events e
+        |LEFT JOIN events c ON c.user_id = e.user_id
+        |  AND c.event_type = 'click' AND c.ts >= e.ts
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id, e.user_id
         |ORDER BY e.event_id""".stripMargin,

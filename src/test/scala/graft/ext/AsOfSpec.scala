@@ -35,6 +35,20 @@ class AsOfSpec extends AnyFunSuite {
     assert(out(2) == ((201L, None, 0L)))
   }
 
+  test("enrichForward: earliest following-or-equal reference, running count") {
+    val (probes, refs) = frames
+    val out = AsOf.enrichForward(probes, refs, "user_id", "ts", "ts")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(1),
+        Option(r.getAs[Timestamp]("asof_ts")), r.getLong(r.length - 1)))
+    // probe@10: refs at 10 (equal counts) and 25 follow -> next 10, count 2
+    assert(out(0) == ((101L, Some(ts(10)), 2L)))
+    // probe@30: nothing follows -> null, 0
+    assert(out(1) == ((102L, None, 0L)))
+    // user 2 has no refs at all
+    assert(out(2) == ((201L, None, 0L)))
+  }
+
   test("enrichWithin nulls out matches older than the tolerance") {
     import org.apache.spark.sql.functions.expr
     val (probes, refs) = frames
