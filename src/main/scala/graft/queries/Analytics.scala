@@ -184,6 +184,29 @@ object Analytics {
           sum(discPrice).cast("double"), 4)).as("promo_revenue"))
     }),
 
+    // Q22 shape: global-customer-value prospects — customers above the
+    // global average balance (a SCALAR subquery: one broadcast 1-row agg,
+    // never a per-row rescan) with no URGENT order (NOT EXISTS → LEFT
+    // ANTI join; the priority condition keeps the result non-empty on
+    // this fixture, where every customer has SOME order), rolled up per
+    // nation. The anti join shuffles on the key like a semi join — no
+    // nested loop at any scale (registry-wide CartesianProduct absence is
+    // pinned in PlanSpec).
+    "q_tpch_q22" -> ((s, dir) =>
+      s.sql(s"""SELECT c_nationkey, count(*) AS numcust,
+               |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2)
+               |    AS DOUBLE) AS totacctbal
+               |FROM parquet.`$dir/customer.parquet` c
+               |WHERE c.c_acctbal > (
+               |    SELECT avg(c2.c_acctbal)
+               |    FROM parquet.`$dir/customer.parquet` c2
+               |    WHERE c2.c_acctbal > 0.0)
+               |  AND NOT EXISTS (
+               |    SELECT 1 FROM parquet.`$dir/orders.parquet` o
+               |    WHERE o.o_custkey = c.c_custkey
+               |      AND o.o_orderpriority = '1-URGENT')
+               |GROUP BY c_nationkey""".stripMargin)),
+
     // Q19 shape: discounted revenue under a three-way DISJUNCTION of
     // (brand, size range, quantity range) triples — the predicate spans
     // both join sides, so only the p_partkey equi-join prunes the pair
@@ -314,6 +337,19 @@ object Analytics {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+
+    "q_tpch_q22" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer c
+        |WHERE c.c_acctbal > (
+        |    SELECT avg(c2.c_acctbal) FROM customer c2
+        |    WHERE c2.c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey""".stripMargin,
 
     "q_tpch_q19" ->
       """SELECT p_brand,

@@ -180,6 +180,16 @@ class PlanSpec extends AnyFunSuite {
     assert("PushedFilters: \\[[^\\]]*p_brand".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q_tpch_q22 plans NOT EXISTS as an anti join and the threshold as one scalar subquery") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the global-average threshold runs ONCE (a scalar Subquery), not as a
+    // per-row rescan of customer
+    assert("Subquery".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("multi-aggregate validation is a single pass (one aggregate subtree)") {
     val p = plan("q_validate_metrics")
     // expand-based distinct rewrite: one Expand, partial+final HashAggregate
