@@ -267,4 +267,51 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** Connected components over a near-dup pair graph by min-label
+    * propagation: each node repeatedly adopts the smallest label among
+    * itself and its neighbors until fixpoint — the step that turns
+    * verified PAIRS into dedup CLUSTERS (keep min-id per cluster, drop the
+    * rest), which is what a production dedup actually emits.
+    *
+    * Scale shape: O(diameter) rounds of one join + one partial-agg shuffle
+    * each; dedup components are near-cliques of duplicates, so diameter is
+    * tiny (2-3 rounds) regardless of corpus size. Labels are
+    * localCheckpointed per round (persist/write on a cluster) — iterative
+    * lineage otherwise grows the plan exponentially. The per-round
+    * convergence probe is a 1-row count, not a data collect. Giant-graph
+    * variants (large-star/small-star) only matter when components
+    * themselves are huge — not the dedup regime.
+    *
+    * Returns (doc_id, cluster_id): every node that appears in `pairs`,
+    * labeled by its component's minimum id.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val p = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val edges = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("nid"), col("label").as("nlabel")),
+          col("b") === col("nid"))
+        .groupBy(col("a").as("id")).agg(min(col("nlabel")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"),
+          (col("nmin") < col("label")).as("moved"))
+        .localCheckpoint()
+      changed = updated.filter(col("moved")).count()
+      labels = updated.drop("moved")
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
 }

@@ -153,6 +153,15 @@ object Docs {
       Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
         0.5)),
 
+    // Pairs → CLUSTERS: connected components (min-label propagation) over
+    // the verified near-dup pairs — the form a production dedup emits
+    // (keep the min-id representative per cluster, drop the rest).
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          0.5).select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")),
+
     // Decontamination: near-dup pairs (MinHash-LSH candidates) that CROSS a
     // train/eval split boundary — the canonical "is my eval set leaking
     // into training data" sweep. The split is a pure hash of the id
@@ -445,6 +454,39 @@ object Docs {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
         |  >= 0.5""".stripMargin,
+
+    // Same verified-pair derivation, then component labels via a recursive
+    // transitive closure (symmetric + reflexive edges, min reachable id) —
+    // the declarative twin of the Spark side's min-label propagation loop.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |$minhashCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN d a ON a.doc_id = c.doc_a
+        |  JOIN d b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
+        |    >= 0.5),
+        |nodes AS (
+        |  SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+        |e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |  UNION SELECT id, id FROM nodes),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst)
+        |SELECT src AS doc_id, min(dst) AS cluster_id
+        |FROM reach GROUP BY src""".stripMargin,
 
     "q_decontamination" ->
       s"""WITH $shingleCte,

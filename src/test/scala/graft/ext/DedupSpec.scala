@@ -72,4 +72,20 @@ class DedupSpec extends AnyFunSuite {
     val s2 = Dedup.minhashSignatures(d, "doc_id", "text").head().toSeq
     assert(s1 == s2)
   }
+
+  test("connectedComponents labels every component by its min id") {
+    import spark.implicits._
+    // a 4-node CHAIN (diameter 3 — needs multiple propagation rounds),
+    // one 2-node pair, edges deliberately in mixed orientation
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (6L, 5L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L))
+    // empty pair set: no nodes, no crash
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
+      "doc_a", "doc_b").count() == 0)
+  }
 }
