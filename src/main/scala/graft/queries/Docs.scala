@@ -162,6 +162,23 @@ object Docs {
           0.5).select(col("doc_a"), col("doc_b")),
         "doc_a", "doc_b")),
 
+    // The dedup ENDPOINT: the kept corpus after dropping every cluster
+    // member except its min-id representative — clusters → LEFT ANTI join
+    // against the non-representatives, summarized per language. This is
+    // the query whose output feeds training.
+    "q_dedup_kept" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dropIds = Dedup.connectedComponents(
+        Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 0.5)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+        .filter(col("doc_id") =!= col("cluster_id"))
+      docs.join(dropIds, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+    }),
+
     // Decontamination: near-dup pairs (MinHash-LSH candidates) that CROSS a
     // train/eval split boundary — the canonical "is my eval set leaking
     // into training data" sweep. The split is a pure hash of the id
@@ -487,6 +504,41 @@ object Docs {
         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst)
         |SELECT src AS doc_id, min(dst) AS cluster_id
         |FROM reach GROUP BY src""".stripMargin,
+
+    "q_dedup_kept" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |$minhashCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN d a ON a.doc_id = c.doc_a
+        |  JOIN d b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
+        |    >= 0.5),
+        |nodes AS (
+        |  SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+        |e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |  UNION SELECT id, id FROM nodes),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst),
+        |drops AS (
+        |  SELECT src AS doc_id FROM reach
+        |  GROUP BY src HAVING src != min(dst))
+        |SELECT lang, count(*) AS n_kept, sum(n_chars) AS chars_kept
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |GROUP BY lang""".stripMargin,
 
     "q_decontamination" ->
       s"""WITH $shingleCte,
