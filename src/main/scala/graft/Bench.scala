@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology (fixes the round-1 harness flaws):
   *   - every timed query is forced through its FULL physical plan with a
-  *     noop datasource write — `.count()` would let Catalyst prune final
+  *     full-materialization pass (Bench.runToExhaustion) — `.count()` would let Catalyst prune final
   *     sorts/projections, under-measuring top-k and ORDER BY shapes;
   *   - one untimed warmup pass over the whole registry on the smallest
   *     fixture first, so JVM/JIT/codegen warmup isn't billed to whichever
@@ -25,6 +25,18 @@ object Bench {
     * produce incomparable numbers while claiming "same settings".
     */
   private[graft] val defaultCpus = "32"
+
+  /** Force a query through its FULL physical plan and throw the rows away
+    * executor-side — same effect as a noop-datasource write (`.count()`
+    * would let Catalyst prune final sorts/projections), but it executes
+    * the DataFrame's OWN QueryExecution, so the executed plan's SQL
+    * metrics (shuffle bytes, AQE stages) are readable afterwards. A noop
+    * `.write` builds a separate write-command QueryExecution and leaves
+    * the inspected plan unexecuted with all-zero metrics.
+    */
+  private[graft] def runToExhaustion(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(
+      (_: org.apache.spark.sql.catalyst.InternalRow) => ())
 
   /** Drop all state a query run may have left behind — checkpointed /
     * persisted RDD blocks and cached SQL relations. Six queries
@@ -51,12 +63,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def execute(name: String, dir: String): Boolean =
+    // Shuffle bytes actually written by one executed query — read from the
+    // executed plan's SQL metrics (AQE stages included), so the
+    // shuffle-minimalism claims are MEASURED per query, not asserted.
+    def shuffledBytes(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def sum(p: SparkPlan): Long =
+        p.collect {
+          case a: AdaptiveSparkPlanExec => sum(a.executedPlan)
+          case s: QueryStageExec => sum(s.plan) +
+            s.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+          case n => n.metrics
+            .get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+        }.sum
+      sum(df.queryExecution.executedPlan)
+    }
+
+    def execute(name: String, dir: String): (Boolean, Long) =
       try {
-        SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        true
-      } catch { case _: Throwable => false }
+        val df = SparkEntry.queries(name)(spark, dir)
+        runToExhaustion(df)
+        (true, shuffledBytes(df))
+      } catch { case _: Throwable => (false, 0L) }
 
     // Deterministic order: sorted names, so cross-round diffs of BENCH_r*.json
     // compare the same query at the same suite position, never confounded by
@@ -75,25 +104,27 @@ object Bench {
 
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      val ok = execute(name, sfDir)
+      val (ok, shuffled) = execute(name, sfDir)
       val sec = (System.nanoTime() - t0) / 1e9
       resetState(spark) // outside the timer: isolate the NEXT query's line
-      name -> (ok, sec)
+      (name, ok, sec, shuffled)
     }
     // A failed query must make the run visibly worse, never smaller: any
     // failure forces the headline value to the -1.0 whole-run sentinel
     // (a sum that merely omitted the broken query would read as a speedup),
     // and the names land in a `failed` list alongside the passing timings.
-    val passed = results.collect { case (n, (true, s)) => n -> s }
-    val failed = results.collect { case (n, (false, _)) => n }
+    val passed = results.collect { case (n, true, s, _) => n -> s }
+    val failed = results.collect { case (n, false, _, _) => n }
     val qs = passed.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sh = results.collect { case (n, true, _, b) => s"\"" + n + "\":" + b }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // `order` records each query's run position explicitly — JSON object key
     // order is not something every reader preserves.
     val ord = names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (failed.isEmpty) passed.map(_._2).sum else -1.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"order":$ord,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"order":$ord,"shuffle_bytes":$sh,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line: log-tail capture truncates long runs, and the
     // round artifact must carry EVERY query's time, not the last ~24.

@@ -37,14 +37,14 @@ object BenchOne {
 
     names.foreach { name =>
       try {
-        SparkEntry.queries(name)(spark, Bench.warmupDir(sfDir))
-          .write.format("noop").mode("overwrite").save()
+        Bench.runToExhaustion(
+          SparkEntry.queries(name)(spark, Bench.warmupDir(sfDir)))
         Bench.resetState(spark) // same isolation as the suite run
         // Build INSIDE the timer, like Bench: eager materialization during
         // query construction (localCheckpoint) must be billed to the query.
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
-        df.write.format("noop").mode("overwrite").save()
+        Bench.runToExhaustion(df)
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"BENCHONE $name%-28s $sec%8.3f s")
         if (showPlan)

@@ -56,14 +56,12 @@ object ScaleBench {
     def timeOne(name: String, dir: String): Double = {
       Bench.resetState(spark)
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+      Bench.runToExhaustion(SparkEntry.queries(name)(spark, dir))
       (System.nanoTime() - t0) / 1e9
     }
 
     // JVM/codegen warmup on the base fixture, untimed (Bench methodology)
-    names.foreach(n => SparkEntry.queries(n)(spark, base)
-      .write.format("noop").mode("overwrite").save())
+    names.foreach(n => Bench.runToExhaustion(SparkEntry.queries(n)(spark, base)))
 
     factors.foreach { f =>
       val dir = s"/tmp/graft-scale/f$f"
