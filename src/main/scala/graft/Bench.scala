@@ -38,6 +38,37 @@ object Bench {
     df.queryExecution.toRdd.foreach(
       (_: org.apache.spark.sql.catalyst.InternalRow) => ())
 
+  /** Task-level shuffle-write tally: plan-metric inspection misses every
+    * shuffle that runs behind a localCheckpoint boundary (its own
+    * QueryExecution at DataFrame-construction time) and inside scalar
+    * subqueries — which is exactly where the dedup family's shuffles live.
+    * A listener sees every task of every job in the query's wall-clock
+    * window, checkpoints and subqueries included.
+    */
+  private[graft] class ShuffleTally
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+    /** Listener delivery is async: read only after the counter has been
+      * stable for 50 ms (bounded at 2 s). Runs OUTSIDE the query timer.
+      */
+    def settled(): Long = {
+      val deadline = System.nanoTime() + 2000000000L
+      var prev = -1L
+      var cur = bytes.get
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur
+        Thread.sleep(50)
+        cur = bytes.get
+      }
+      cur
+    }
+  }
+
   /** Drop all state a query run may have left behind — checkpointed /
     * persisted RDD blocks and cached SQL relations. Six queries
     * `localCheckpoint()` intermediates; without this, by mid-suite the block
@@ -63,29 +94,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Shuffle bytes actually written by one executed query — read from the
-    // executed plan's SQL metrics (AQE stages included), so the
-    // shuffle-minimalism claims are MEASURED per query, not asserted.
-    def shuffledBytes(df: org.apache.spark.sql.DataFrame): Long = {
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      def sum(p: SparkPlan): Long =
-        p.collect {
-          case a: AdaptiveSparkPlanExec => sum(a.executedPlan)
-          case s: QueryStageExec => sum(s.plan) +
-            s.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
-          case n => n.metrics
-            .get("shuffleBytesWritten").map(_.value).getOrElse(0L)
-        }.sum
-      sum(df.queryExecution.executedPlan)
-    }
+    // Shuffle-minimalism is MEASURED per query, not asserted: a listener
+    // tallies task-level shuffle writes across the query's whole window —
+    // including shuffles behind localCheckpoint boundaries and in scalar
+    // subqueries, which never surface in the final plan's own metrics.
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
 
-    def execute(name: String, dir: String): (Boolean, Long) =
+    def execute(name: String, dir: String): Boolean =
       try {
-        val df = SparkEntry.queries(name)(spark, dir)
-        runToExhaustion(df)
-        (true, shuffledBytes(df))
-      } catch { case _: Throwable => (false, 0L) }
+        runToExhaustion(SparkEntry.queries(name)(spark, dir))
+        true
+      } catch { case _: Throwable => false }
 
     // Deterministic order: sorted names, so cross-round diffs of BENCH_r*.json
     // compare the same query at the same suite position, never confounded by
@@ -103,9 +123,11 @@ object Bench {
     resetState(spark)
 
     val results = names.map { name =>
+      val sh0 = tally.settled() // outside the timer, like resetState
       val t0 = System.nanoTime()
-      val (ok, shuffled) = execute(name, sfDir)
+      val ok = execute(name, sfDir)
       val sec = (System.nanoTime() - t0) / 1e9
+      val shuffled = tally.settled() - sh0
       resetState(spark) // outside the timer: isolate the NEXT query's line
       (name, ok, sec, shuffled)
     }

@@ -76,7 +76,12 @@ object AsOf {
     // the forward (descending-time) iteration the same tiebreak makes it
     // "following or equal". The running last then holds the LATEST
     // preceding (backward) or EARLIEST following (forward) right ts.
-    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
+    // desc_nulls_first, NOT plain desc: a NULL probe ts must keep sorting
+    // BEFORE every real right row (as it does in the ascending backward
+    // order) so it matches nothing — plain .desc puts NULLS LAST, which
+    // would hand a NULL-ts probe the earliest right row and the full count.
+    val tsOrder =
+      if (forward) col("__ts").desc_nulls_first else col("__ts").asc
     val w = Window.partitionBy(keyCol).orderBy(tsOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned

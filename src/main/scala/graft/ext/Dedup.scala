@@ -312,6 +312,14 @@ object Dedup {
       labels = updated.drop("moved")
       iter += 1
     }
+    // Truncated labels are WRONG labels (a >maxIter-diameter chain would
+    // keep duplicates in the kept corpus downstream) — fail loudly, never
+    // return silently-unconverged output.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds " +
+          s"($changed labels still moving) — raise maxIter for graphs " +
+          "with diameter beyond the dedup regime")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 }

@@ -8,12 +8,15 @@ import graft.ext.AsOf
 
 /** Window-function surface (SURVEY §2.5 — extended; the reference has none).
   *
-  * Every window here partitions by a key whose cardinality GROWS with the
-  * data (custkey, user_id) — so at 100 TB the hash shuffle spreads evenly
-  * and no single partition exceeds one key's rows. No global (unpartitioned)
-  * windows anywhere: those serialize onto one task and are banned from this
-  * surface. No terminal ORDER BY — the driver compares sorted, so a
-  * presentation sort would only add a global exchange.
+  * Every data-scale window here partitions by a key whose cardinality
+  * GROWS with the data (custkey, user_id) — so at 100 TB the hash shuffle
+  * spreads evenly and no single partition exceeds one key's rows. ONE
+  * deliberate exception: `q_window_ntile` runs a global (single-task)
+  * window because global distribution ranks are exact only under a total
+  * order — it is a REPORT-shaped query (run it on aggregated/sampled
+  * input; at raw 100 TB use approx_percentile or partition by segment, as
+  * its comment spells out). No terminal ORDER BY — the driver compares
+  * sorted, so a presentation sort would only add a global exchange.
   */
 object Windows {
 
@@ -82,7 +85,7 @@ object Windows {
     // (resample/window() buckets are the per-bucket one). SQL expression:
     // the DataFrame rangeBetween API takes only numeric offsets.
     "q_window_range" -> ((s, dir) =>
-      graft.engine.Sources.events(s, dir).selectExpr(
+      t(s, dir, "events").selectExpr(
         "event_id", "user_id",
         """round(sum(value) OVER (
           |  PARTITION BY user_id ORDER BY ts

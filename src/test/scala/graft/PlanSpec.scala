@@ -185,9 +185,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // the global-average threshold runs ONCE (a scalar Subquery), not as a
-    // per-row rescan of customer
-    assert("Subquery".r.findAllIn(p).nonEmpty, p)
+    // the global-average threshold runs ONCE: exactly one DISTINCT scalar
+    // subquery instance; any further mentions must be ReusedSubquery
+    // references to that same id (a duplicated or re-executed threshold
+    // would mint additional subquery ids)
+    val ids = "Subquery subquery#(\\d+)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet
+    assert(ids.size == 1, s"expected one distinct scalar subquery, got $ids\n$p")
   }
 
   test("multi-aggregate validation is a single pass (one aggregate subtree)") {

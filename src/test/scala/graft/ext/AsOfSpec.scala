@@ -49,6 +49,21 @@ class AsOfSpec extends AnyFunSuite {
     assert(out(2) == ((201L, None, 0L)))
   }
 
+  test("enrichForward: NULL probe timestamp matches nothing (nulls-first parity)") {
+    import spark.implicits._
+    val probes = Seq((1L, 301L, Option.empty[Timestamp]),
+        (1L, 302L, Some(ts(5))))
+      .toDF("user_id", "event_id", "ts")
+    val refs = Seq((1L, ts(8))).toDF("user_id", "ts")
+    val out = AsOf.enrichForward(probes, refs, "user_id", "ts", "ts")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(1),
+        Option(r.getAs[Timestamp]("asof_ts")), r.getLong(r.length - 1)))
+    // null-ts probe: no match, zero count (plain .desc would hand it ts(8))
+    assert(out(0) == ((301L, None, 0L)))
+    assert(out(1) == ((302L, Some(ts(8)), 1L)))
+  }
+
   test("enrichWithin nulls out matches older than the tolerance") {
     import org.apache.spark.sql.functions.expr
     val (probes, refs) = frames

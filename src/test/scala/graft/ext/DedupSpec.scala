@@ -87,5 +87,11 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
       "doc_a", "doc_b").count() == 0)
+    // truncation is an ERROR, not silently-wrong labels: the chain needs
+    // more than one round, so maxIter = 1 must throw
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b", maxIter = 1)
+        .count()
+    }
   }
 }
