@@ -207,6 +207,121 @@ object Analytics {
                |      AND o.o_orderpriority = '1-URGENT')
                |GROUP BY c_nationkey""".stripMargin)),
 
+    // Q12 shape: shipping-mode/priority matrix — orders⋈lineitem on the
+    // key, a "late line" predicate (shipped ≥60 days after order; the
+    // fixture has no commit/receipt dates, so lateness stands in for Q12's
+    // receipt>commit), then CASE-counts split by priority class, grouped by
+    // line status (stands in for shipmode). One shuffle join + one 2-row
+    // agg; integer counts are merge-order-independent.
+    "q_tpch_q12" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") >=
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1).otherwise(0)).as("high_line_count"),
+          sum(when(high, 0).otherwise(1)).as("low_line_count"))
+    }),
+
+    // Q13 shape: customer order-count distribution — the LEFT OUTER join
+    // that must keep zero-order customers (an inner join silently drops
+    // the c_count=0 bucket, the most common Q13 bug), then a second
+    // aggregate over the first: count orders per customer, histogram the
+    // counts. Orders filtered pre-join so the filter reaches the scan.
+    "q_tpch_q13" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Q15 shape: top supplier by quarterly revenue — an aggregate whose
+    // MAX selects the output rows. The 100-row revenue aggregate is
+    // localCheckpointed once and consumed twice (rows + its own max):
+    // exchange reuse does not fire across self-join re-aliasing, so
+    // without the checkpoint the lineitem scan+agg would run twice. The
+    // max comparison stays in exact decimal (order-independent), rounded
+    // only at output.
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") -
+            col("l_discount").cast("decimal(18,4)"))).as("rev"))
+        .localCheckpoint()
+      val top = rev.join(
+        broadcast(rev.agg(max(col("rev")).as("maxrev"))),
+        col("rev") === col("maxrev"))
+      top.join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("rev"), 2).cast("double").as("total_revenue"))
+    }),
+
+    // Q18 shape: large-volume customers — a HAVING-gated aggregate of the
+    // fact table drives a semi-selective join back to orders+customer.
+    // The big-order set is an aggregate of lineitem itself (at 100 TB it
+    // shrinks by ~orders/lineitem × selectivity, so the second join is a
+    // shuffle join on the already-aggregated side, never a re-scan), and
+    // the top-k ends in TakeOrderedAndProject. sum(l_quantity) sums
+    // integer-valued doubles — exact, so the >300 gate and the sort agree
+    // cross-engine.
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      big.join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // Q21 shape: suppliers who kept orders waiting — the EXISTS/NOT-EXISTS
+    // pair over the same derived relation: late lines in finished orders
+    // where ANOTHER supplier shipped the same order (semi join,
+    // suppkey-inequality conjunct) but NO other supplier was late (anti
+    // join). The 3-column derived relation is localCheckpointed once and
+    // feeds all three roles; both joins shuffle on l_orderkey with the
+    // inequality evaluated post-match — no nested loop (CartesianProduct
+    // absence is registry-pinned). Counts are exact; top-20 with an
+    // s_name tie-break ends in TakeOrderedAndProject.
+    "q_tpch_q21" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+        .localCheckpoint()
+      val l1 = li.filter(col("late"))
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("late"))
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      l1.join(l2, col("l_orderkey") === col("k2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }),
+
     // Q19 shape: discounted revenue under a three-way DISJUNCTION of
     // (brand, size range, quantity range) triples — the predicate spans
     // both join sides, so only the p_partkey equi-join prunes the pair
