@@ -101,11 +101,14 @@ object Bench {
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
 
+    // NonFatal only: timings emitted after an OOM or other fatal JVM error
+    // would come from a corrupted JVM — let those kill the run (same
+    // contract as BenchOne); a query-level failure still lands in `failed`.
     def execute(name: String, dir: String): Boolean =
       try {
         runToExhaustion(SparkEntry.queries(name)(spark, dir))
         true
-      } catch { case _: Throwable => false }
+      } catch { case scala.util.control.NonFatal(_) => false }
 
     // Deterministic order: sorted names, so cross-round diffs of BENCH_r*.json
     // compare the same query at the same suite position, never confounded by

@@ -292,6 +292,14 @@ object Dedup {
       col(bCol).cast("long").as("b"))
     val edges = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
+    // A non-numeric id (e.g. "doc-17") casts to NULL silently, which would
+    // collapse unrelated nodes into one null-keyed pseudo-cluster — fail
+    // loudly instead, matching the convergence posture below. The probe is
+    // one bounded count on the already-checkpointed edges.
+    if (edges.filter(col("a").isNull || col("b").isNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"connectedComponents: ids in '$aCol'/'$bCol' are null after " +
+          "cast to long — pair ids must be non-null and numeric")
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L

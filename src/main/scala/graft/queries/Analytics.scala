@@ -466,6 +466,81 @@ object Analytics {
         |      AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey""".stripMargin,
 
+    // DuckDB sum(INTEGER CASE arms) yields HUGEINT; Spark's sum(when(…,1))
+    // yields LongType — cast the counts to BIGINT so the type hash agrees
+    // (same artifact class as q_dedup_kept's chars_kept).
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus""".stripMargin,
+
+    // The Spark side filters orders BEFORE the left join; in SQL that is
+    // the ON-clause condition (a WHERE would turn the outer join inner and
+    // drop the zero-order customers Q13 exists to keep).
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    // The max comparison runs on the EXACT decimal aggregate (order-
+    // independent), rounding only at output — same as the Spark side.
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(round(rev, 2) AS DOUBLE)
+        |  AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = (SELECT max(rev) FROM rev)""".stripMargin,
+
+    // sum(l_quantity) sums doubles on both engines (l_quantity is DOUBLE
+    // in the fixture), so the >300 gate and sum_qty hash agree untyped.
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 300) big
+        |JOIN orders ON big.l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_tpch_q21" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, count(*) AS numwait
+        |FROM li l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (
+        |    SELECT 1 FROM li l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM li l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin,
+
     "q_tpch_q19" ->
       """SELECT p_brand,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *

@@ -535,7 +535,8 @@ object Docs {
         |drops AS (
         |  SELECT src AS doc_id FROM reach
         |  GROUP BY src HAVING src != min(dst))
-        |SELECT lang, count(*) AS n_kept, sum(n_chars) AS chars_kept
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
         |FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         |GROUP BY lang""".stripMargin,

@@ -168,8 +168,44 @@ object Streams {
       batch.sparkSession.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
       graft.engine.Pipeline.appendCleaned(batch, analyticsDir, at)
-      fs.create(marker, true).close()
+      // The marker records the batch's row count and is created
+      // EXCLUSIVELY (createNewFile, atomic): replaying an already-marked
+      // batch is a no-op above, and the residual duplicate seams — a crash
+      // between append and marker, or two misconfigured writers racing the
+      // exists check — are no longer silent: [[ledgerConsistent]] compares
+      // sum-of-marker rows against the table and flags the drift. (Skipping
+      // on a pre-claimed batch would turn the crash seam into data LOSS,
+      // which is strictly worse than an auditable duplicate that
+      // [[graft.engine.Pipeline.readLatest]] dedups by key anyway.)
+      val rows = batch.count()
+      try {
+        val out = fs.create(marker, false) // exclusive: lost race = no-op
+        out.write(s"""{"batchId":$batchId,"rows":$rows}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+      } catch { case _: java.io.IOException => () }
     }
+  }
+
+  /** Audit for the commit-ledger seams [[appendBatchIdempotent]] documents:
+    * true iff the analytics table's row count equals the sum of per-batch
+    * row counts in the ledger. A crash-replay duplicate or a racing double
+    * append leaves the table larger than the ledger; a claim-skip bug would
+    * leave it smaller. O(markers) driver reads + one table count.
+    */
+  def ledgerConsistent(spark: SparkSession, analyticsDir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(analyticsDir, "_graft_commits")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return true
+    val expected = fs.listStatus(dir).filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      """"rows":(\d+)""".r.findFirstMatchIn(body)
+        .map(_.group(1).toLong).getOrElse(0L)
+    }.sum
+    graft.engine.Pipeline.readTable(spark, analyticsDir).count() == expected
   }
 
   /** Stateful sessionization: 30-minute-gap sessions per user via
