@@ -288,6 +288,14 @@ class StreamsSpec extends AnyFunSuite {
       Streams.appendBatchIdempotent(Seq((9L, "v9")).toDF("id", "payload"),
         streamed, batchId = 2L, at = Some(t2))
       assert(spark.read.parquet(streamed).count() == before + 1)
+      // the row-count ledger matches the table after clean commits...
+      assert(Streams.ledgerConsistent(spark, streamed))
+      // ...and flags the crash-between-append-and-marker seam: rows landed
+      // with no marker accounting for them
+      graft.engine.Pipeline.appendCleaned(
+        Seq((10L, "vX")).toDF("id", "payload"), streamed, Some(t2))
+      assert(!Streams.ledgerConsistent(spark, streamed),
+        "unledgered append must be detected")
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
