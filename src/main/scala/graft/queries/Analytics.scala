@@ -322,6 +322,207 @@ object Analytics {
         .limit(20)
     }),
 
+    // Q7 shape: bi-national shipping volume — revenue flowing between two
+    // specific nations, by direction and year. The nation dimension is
+    // PRE-FILTERED to the two nations before the fact joins (the cross-side
+    // disjunction itself can't push through a join, so shrinking both dim
+    // sides up front is what keeps the fact⋈fact shuffle small at scale);
+    // the direction disjunction evaluates post-join as a residual. The
+    // ship-date filter is a pushable RANGE (year(col) would defeat
+    // pushdown); l_year extracts only in the group key.
+    "q_tpch_q7" -> ((s, dir) => {
+      val two = Seq("NATION_1", "NATION_2")
+      val n1 = t(s, dir, "nation").filter(col("n_name").isin(two: _*))
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").filter(col("n_name").isin(two: _*))
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("snk"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(revenueExact.as("revenue"))
+    }),
+
+    // Q8 shape: national market share — one nation's fraction of regional
+    // volume per year. Both sums run exact decimal; the share division
+    // happens once per year-group, in DOUBLE on both engines (q14's
+    // pattern). All dims broadcast; the only big shuffles are the two
+    // fact⋈fact joins on their keys.
+    "q_tpch_q8" -> ((s, dir) => {
+      def dec(c: String) = col(c).cast("decimal(18,4)")
+      val one = lit(1).cast("decimal(18,4)")
+      val volume = dec("l_extendedprice") * (one - dec("l_discount"))
+      val nCust = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cnk"), col("n_regionkey"))
+      val nSupp = t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nSupp), col("s_nationkey") === col("snk"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nCust), col("c_nationkey") === col("cnk"))
+        .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_5", volume)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(volume).cast("double"), 6).as("mkt_share"))
+    }),
+
+    // Q9 shape: product-line profit by supplier nation and year. Profit
+    // stays EXACT end to end: both terms are two-factor decimal products
+    // ((18,4)×(18,4) — a third decimal factor would overflow Spark's
+    // 38-digit cap and trigger engine-specific precision loss, so the
+    // classic 10% cost scaling is deliberately absent), subtraction and
+    // sum are exact, rounding happens once at output.
+    "q_tpch_q9" -> ((s, dir) => {
+      def dec(c: String) = col(c).cast("decimal(18,4)")
+      val one = lit(1).cast("decimal(18,4)")
+      val amount = dec("l_extendedprice") * (one - dec("l_discount")) -
+        dec("p_retailprice") * dec("l_quantity")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_name").like("%red%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
+    }),
+
+    // Q2 shape: min-per-group CORRELATED subquery over a dim chain — the
+    // cheapest regional offer per part (the fixture has no partsupp, so
+    // lineitem plays the offer relation: l_extendedprice as the offered
+    // price). SQL text so Catalyst's decorrelation plans it: the rewrite
+    // must become min-aggregate-then-join, never a per-part rescan
+    // (PlanSpec pins no BNLJ/Cartesian). DISTINCT because several
+    // lineitems can tie at the min price for the same (part, supplier).
+    "q_tpch_q2" -> ((s, dir) =>
+      s.sql(s"""SELECT DISTINCT s_acctbal, s_name, n_name, p.p_partkey,
+               |  p_name
+               |FROM parquet.`$dir/part.parquet` p
+               |JOIN parquet.`$dir/lineitem.parquet` l
+               |  ON p.p_partkey = l.l_partkey
+               |JOIN parquet.`$dir/supplier.parquet` s
+               |  ON s.s_suppkey = l.l_suppkey
+               |JOIN parquet.`$dir/nation.parquet` n
+               |  ON s.s_nationkey = n.n_nationkey
+               |JOIN parquet.`$dir/region.parquet` r
+               |  ON n.n_regionkey = r.r_regionkey
+               |WHERE r.r_name = 'EUROPE' AND p.p_size = 25
+               |  AND l.l_extendedprice = (
+               |    SELECT min(l2.l_extendedprice)
+               |    FROM parquet.`$dir/lineitem.parquet` l2
+               |    JOIN parquet.`$dir/supplier.parquet` s2
+               |      ON s2.s_suppkey = l2.l_suppkey
+               |    JOIN parquet.`$dir/nation.parquet` n2
+               |      ON s2.s_nationkey = n2.n_nationkey
+               |    JOIN parquet.`$dir/region.parquet` r2
+               |      ON n2.n_regionkey = r2.r_regionkey
+               |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+               |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+               |LIMIT 100""".stripMargin)),
+
+    // Q11 shape: important-stock fraction — parts whose value exceeds a
+    // SCALAR-subquery threshold over the same aggregate. The 100-ish-row
+    // aggregate is localCheckpointed once and consumed twice (rows + its
+    // own sum/count) — q15's pattern; the threshold joins back on a
+    // constant key so it plans as a broadcast HASH join with the
+    // inequality as residual, not a nested loop. The threshold is
+    // RELATIVE (2× the mean part value), so the query keeps selecting at
+    // any corpus scale — a fixed fraction goes empty as the part count
+    // grows (measured: 0.1% selects 364 parts at sf0.01, zero at sf0.1).
+    "q_tpch_q11" -> ((s, dir) => {
+      val v = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") -
+            col("l_discount").cast("decimal(18,4)"))).as("val"))
+        .localCheckpoint()
+      val thr = v.agg((sum(col("val")).cast("double") * 2.0 /
+        count(lit(1))).as("thr")).withColumn("k", lit(1))
+      v.withColumn("k", lit(1))
+        .join(broadcast(thr), "k")
+        .filter(col("val").cast("double") > col("thr"))
+        .select(col("l_partkey"),
+          round(col("val"), 2).cast("double").as("value"))
+    }),
+
+    // Q16 shape: supplier diversity per part attribute — COUNT(DISTINCT)
+    // over a derived part-supplier relation (distinct (l_partkey,
+    // l_suppkey) pairs from lineitem — the fixture has no partsupp), with
+    // a NOT IN exclusion (suppliers in arrears) that plans as a left ANTI
+    // join: s_suppkey is non-null, so NOT IN and ANTI agree. The distinct
+    // pair projection and the attribute group-by share one shuffle
+    // pipeline; part broadcasts.
+    "q_tpch_q16" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val arrears = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      ps.join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#5" &&
+              !col("p_type").like("MEDIUM%") &&
+              col("p_size").isin(1, 9, 17, 25, 33, 41, 49))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(arrears),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // Q20 shape: the nested SEMI-join chain — suppliers who moved serious
+    // volume of a named part family in one year: supplier ←semi
+    // (heavy (supplier, part) aggregate ←semi part-name filter). Each IN
+    // becomes a semi join (broadcast for the part list, shuffle for the
+    // supplier set); the HAVING gate runs on the grouped aggregate, and
+    // nothing re-scans the fact table. Ship-date range is pushable.
+    "q_tpch_q20" -> ((s, dir) => {
+      val smallParts = t(s, dir, "part")
+        .filter(col("p_name").like("small%")).select(col("p_partkey"))
+      val heavy = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(smallParts),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 60)
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    }),
+
     // Q19 shape: discounted revenue under a three-way DISJUNCTION of
     // (brand, size range, quantity range) triples — the predicate spans
     // both join sides, so only the p_partkey equi-join prunes the pair
@@ -540,6 +741,119 @@ object Analytics {
         |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(
+        |    CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |        (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6)
+        |    AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(round(sum(
+        |    CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,4))) -
+        |    CAST(p_retailprice AS DECIMAL(18,4)) *
+        |      CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q2" ->
+      """SELECT DISTINCT s_acctbal, s_name, n_name, p.p_partkey, p_name
+        |FROM part p
+        |JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'EUROPE' AND p.p_size = 25
+        |  AND l.l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice)
+        |    FROM lineitem l2
+        |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,4)))) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(round(val, 2) AS DOUBLE) AS value
+        |FROM v
+        |WHERE CAST(val AS DOUBLE) > (
+        |  SELECT 2.0 * CAST(sum(val) AS DOUBLE) / count(*) FROM v)"""
+        .stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q20" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(l_quantity) > 60)""".stripMargin,
 
     "q_tpch_q19" ->
       """SELECT p_brand,
