@@ -79,11 +79,21 @@ object Pipeline {
     * [[graft.streaming.Streams.startIncrementalLoad]] — ONE code path, so
     * the streaming-ingested table is byte-identical to the batch one for
     * the same input batches.
+    *
+    * Returns the number of rows actually WRITTEN (post-cleaning — cleaning
+    * dedups exact duplicates, so this can be smaller than the input batch),
+    * observed on the write job itself via [[org.apache.spark.sql.Observation]]
+    * rather than a second count job. The streaming commit ledger records
+    * this value; recording the raw input count would make
+    * [[graft.streaming.Streams.ledgerConsistent]] flag any batch that
+    * carried an intra-batch duplicate.
     */
   def appendCleaned(batch: DataFrame, analyticsDir: String,
-      at: Option[java.sql.Timestamp] = None): Unit = {
+      at: Option[java.sql.Timestamp] = None): Long = {
     val cleaned = Cleaning.cleanAll(batch, at)
-    cleaned.write.mode(org.apache.spark.sql.SaveMode.Append)
+    val obs = org.apache.spark.sql.Observation()
+    cleaned.observe(obs, count(lit(1)).as("rows_written"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("load_date").parquet(analyticsDir)
     // Journal the schema beside the data: a zero-row append writes no
     // parquet footers, so without this a freshly-created (or so-far-empty)
@@ -93,6 +103,7 @@ object Pipeline {
     // schema widens.
     writeSchemaSidecar(batch.sparkSession, analyticsDir,
       readBackSchema(cleaned.schema))
+    obs.get("rows_written").asInstanceOf[Long]
   }
 
   /** Name starts with `_` so Spark's file index ignores it (same convention
@@ -223,13 +234,40 @@ object Pipeline {
     val pLive = new Path(analyticsDir)
     val pTmp = new Path(analyticsDir + ".compact-tmp")
     val pOld = new Path(analyticsDir + ".compact-old")
-    latest.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    val obs = org.apache.spark.sql.Observation()
+    latest.observe(obs, count(lit(1)).as("rows_compacted"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("load_date").parquet(pTmp.toString)
     // Carry the schema journal through the swap — `latest` is already a
     // read-back frame, so its schema is the observed (partition-col-last)
     // shape the sidecar contract requires.
     writeSchemaSidecar(spark, pTmp.toString, latest.schema)
     val fs = pLive.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Carry the streaming commit ledger through the swap, re-seeded:
+    // every batch marker keeps its idempotence claim (a post-compact
+    // replay of an old batchId must still be a no-op) but its row count
+    // is rewritten to 0, because compaction just collapsed those rows —
+    // a single `_compaction` marker holding the compacted table count
+    // keeps [[graft.streaming.Streams.ledgerConsistent]] exact. Without
+    // this the swap would drop `_graft_commits` entirely, losing both the
+    // idempotence markers and the audit.
+    val ledgerLive = new Path(pLive, "_graft_commits")
+    if (fs.exists(ledgerLive)) {
+      val ledgerTmp = new Path(pTmp, "_graft_commits")
+      fs.mkdirs(ledgerTmp)
+      fs.listStatus(ledgerLive).filter(_.isFile).foreach { st =>
+        val out = fs.create(new Path(ledgerTmp, st.getPath.getName), true)
+        try out.write(
+          s"""{"batchId":"${st.getPath.getName}","rows":0,"compacted":true}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      val rows = obs.get("rows_compacted").asInstanceOf[Long]
+      val out = fs.create(new Path(ledgerTmp, "_compaction"), true)
+      try out.write(s"""{"batchId":"_compaction","rows":$rows}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     fs.delete(pOld, true)
     if (!fs.rename(pLive, pOld))
       return StageReport("compact", ok = false,

@@ -167,23 +167,32 @@ object Streams {
     val fs = marker.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
-      graft.engine.Pipeline.appendCleaned(batch, analyticsDir, at)
-      // The marker records the batch's row count and is created
-      // EXCLUSIVELY (createNewFile, atomic): replaying an already-marked
-      // batch is a no-op above, and the residual duplicate seams — a crash
-      // between append and marker, or two misconfigured writers racing the
-      // exists check — are no longer silent: [[ledgerConsistent]] compares
-      // sum-of-marker rows against the table and flags the drift. (Skipping
-      // on a pre-claimed batch would turn the crash seam into data LOSS,
-      // which is strictly worse than an auditable duplicate that
+      // The marker records the rows actually WRITTEN (appendCleaned's
+      // observed post-cleaning count — cleaning dedups exact duplicates,
+      // so the raw batch count would overstate it) and is created
+      // EXCLUSIVELY: replaying an already-marked batch is a no-op above,
+      // and the residual duplicate seams — a crash between append and
+      // marker, or two misconfigured writers racing the exists check —
+      // are no longer silent: [[ledgerConsistent]] compares sum-of-marker
+      // rows against the table and flags the drift. (Skipping on a
+      // pre-claimed batch would turn the crash seam into data LOSS, which
+      // is strictly worse than an auditable duplicate that
       // [[graft.engine.Pipeline.readLatest]] dedups by key anyway.)
-      val rows = batch.count()
+      val rows = graft.engine.Pipeline.appendCleaned(batch, analyticsDir, at)
       try {
         val out = fs.create(marker, false) // exclusive: lost race = no-op
         out.write(s"""{"batchId":$batchId,"rows":$rows}"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.close()
-      } catch { case _: java.io.IOException => () }
+      } catch {
+        // ONLY the benign lost race is swallowed: another writer marked
+        // the same batch first, and its marker carries the same claim.
+        // Any other IO failure must propagate — a committed-but-unmarked
+        // batch silently re-opens the replay-duplicate seam, which is
+        // exactly what the ledger exists to close.
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
     }
   }
 
@@ -192,18 +201,28 @@ object Streams {
     * row counts in the ledger. A crash-replay duplicate or a racing double
     * append leaves the table larger than the ledger; a claim-skip bug would
     * leave it smaller. O(markers) driver reads + one table count.
+    *
+    * A marker with no parseable `"rows":N` field (e.g. an empty file from a
+    * pre-ledger-format writer) is SKIPPED with a warning rather than counted
+    * as 0 — defaulting to 0 would make a legacy-ingested table permanently
+    * audit false, and an unparsable marker is indistinguishable from a
+    * legitimately-zero-row batch.
     */
   def ledgerConsistent(spark: SparkSession, analyticsDir: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(analyticsDir, "_graft_commits")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return true
-    val expected = fs.listStatus(dir).filter(_.isFile).map { st =>
+    val expected = fs.listStatus(dir).filter(_.isFile).flatMap { st =>
       val in = fs.open(st.getPath)
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      """"rows":(\d+)""".r.findFirstMatchIn(body)
-        .map(_.group(1).toLong).getOrElse(0L)
+      val rows = """"rows":(\d+)""".r.findFirstMatchIn(body)
+        .map(_.group(1).toLong)
+      if (rows.isEmpty)
+        Console.err.println(s"graft: skipping unparsable ledger marker " +
+          s"${st.getPath} (pre-format or corrupt) in consistency audit")
+      rows
     }.sum
     graft.engine.Pipeline.readTable(spark, analyticsDir).count() == expected
   }

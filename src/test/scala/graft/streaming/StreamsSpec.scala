@@ -299,6 +299,50 @@ class StreamsSpec extends AnyFunSuite {
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
+
+  test("commit ledger: dedup-shrunk batches, legacy markers, compaction") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ledger")
+    try {
+      val dir = s"$root/tbl"
+      val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+      // batch with an intra-batch EXACT duplicate: cleaning drops it, so
+      // the marker must record the written count (2), not the input (3)
+      Streams.appendBatchIdempotent(
+        Seq((1L, "v"), (1L, "v"), (2L, "v")).toDF("id", "payload"),
+        dir, batchId = 0L, at = Some(t1))
+      assert(spark.read.parquet(dir).count() == 2)
+      assert(Streams.ledgerConsistent(spark, dir),
+        "marker must record post-cleaning rows, not raw batch count")
+
+      // a legacy (empty) marker is skipped by the audit, not counted as 0
+      val legacy = new org.apache.hadoop.fs.Path(dir, "_graft_commits/99")
+      val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(legacy, true).close()
+      assert(Streams.ledgerConsistent(spark, dir),
+        "unparsable legacy marker must not poison the audit")
+      fs.delete(legacy, false)
+
+      // compaction carries the ledger through the swap: the audit stays
+      // exact (batch markers re-seed to 0; _compaction holds the count)
+      // and a post-compact replay of an old batchId is still a no-op
+      Streams.appendBatchIdempotent(
+        Seq((2L, "v2")).toDF("id", "payload"), dir, batchId = 1L,
+        at = Some(Timestamp.valueOf("2024-01-02 00:00:00")))
+      val r = graft.engine.Pipeline.compact(spark, dir, Seq("id"))
+      assert(r.ok)
+      assert(spark.read.parquet(dir).count() == 2) // ids 1, 2 (latest)
+      assert(Streams.ledgerConsistent(spark, dir),
+        "ledger must survive compaction with an exact re-seed")
+      val before = spark.read.parquet(dir).count()
+      Streams.appendBatchIdempotent(
+        Seq((1L, "v"), (2L, "v")).toDF("id", "payload"), dir,
+        batchId = 0L, at = Some(t1))
+      assert(spark.read.parquet(dir).count() == before,
+        "replayed pre-compaction batchId must still be a no-op")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
 }
 
 /** Minimal GroupState stub for direct unit-testing of the session fold
