@@ -116,7 +116,7 @@ object Dedup {
   /** Distinct candidate pairs (doc_a < doc_b) from a banded view — the one
     * pairing predicate both minhash paths share.
     */
-  private def bandsToCandidatePairs(bands: DataFrame,
+  private[graft] def bandsToCandidatePairs(bands: DataFrame,
       idCol: String): DataFrame = {
     val a = bands.select(col(idCol).as("doc_a"), col("band_idx"),
       col("band_hash"))
@@ -143,6 +143,35 @@ object Dedup {
     val sig = minhashSignatures(docs, idCol, textCol, k, shingleN)
       .localCheckpoint()
     bandsToCandidatePairs(lshBands(sig, idCol, k, rowsPerBand), idCol)
+  }
+
+  /** Incremental candidate maintenance — the shape a production dedup runs
+    * at 100 TB, where recomputing the full band self-join per arriving
+    * batch would be O(corpus) daily. State is the journaled band table of
+    * every previously-seen doc (appended batch-by-batch, O(k/rowsPerBand)
+    * rows per doc); when a new batch arrives, only pairs INVOLVING a new
+    * doc can appear, so the work is one band join of the new batch against
+    * journal ∪ new — O(new × bands), independent of corpus history size.
+    * A doc's signature depends only on its own shingles, so
+    * journaled-pairs ∪ incremental-pairs is EXACTLY the full-corpus
+    * candidate set (the oracle for q_dedup_incremental pins this).
+    *
+    * `oldBands` and `newBands` must be disjoint in `idCol` (old docs were
+    * journaled in earlier batches); new-old pairs are normalized with
+    * least/greatest since arrival order says nothing about id order.
+    */
+  def incrementalCandidatePairs(oldBands: DataFrame, newBands: DataFrame,
+      idCol: String): DataFrame = {
+    val n = newBands.select(col(idCol).as("doc_n"), col("band_idx"),
+      col("band_hash"))
+    val o = oldBands.select(col(idCol).as("doc_o"),
+      col("band_idx").as("bi"), col("band_hash").as("bh"))
+    val newOld = n.join(o, n("band_idx") === o("bi") &&
+        n("band_hash") === o("bh"))
+      .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_o")).as("doc_b"))
+    val newNew = bandsToCandidatePairs(newBands, idCol)
+    newOld.unionAll(newNew).dropDuplicates()
   }
 
   /** Production near-dup composition: MinHash+LSH candidate generation,

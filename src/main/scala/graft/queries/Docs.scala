@@ -285,7 +285,7 @@ object Docs {
     * `sequence(1, n-1)`+transform bound; `t[i:i+4]` is 1-based inclusive
     * like Spark's `slice(t, i, 5)`.
     */
-  private val shingleCte =
+  private[queries] val shingleCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Pipeline, Sinks}
+import graft.ext.Dedup
 
 /** Oracle coverage for the incremental-load path (SURVEY §3 / engine
   * Pipeline.loadIncremental → readLatest): two real append batches with
@@ -97,6 +98,31 @@ object Incremental {
       analytics
     })
 
+  /** Journaled dedup state for q_dedup_incremental: the 80%-of-corpus
+    * "history" has its LSH band table and its internal candidate pairs
+    * persisted to parquet — exactly the state an incremental production
+    * dedup carries between batches (O(bands) rows per doc, never the
+    * bodies). Built once per fixture; the registered query then plays the
+    * ARRIVAL of the remaining 20% against this journal.
+    */
+  private def dedupJournalDir(s: SparkSession, dir: String): String =
+    builtTables.computeIfAbsent(s"dedup:$dir", _ => {
+      val basePath = java.nio.file.Files.createTempDirectory("graft-dedup")
+      cleanupHook
+      scratchDirs.add(basePath)
+      val base = basePath.toString
+      val history = t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0)
+      Dedup.lshBands(
+          Dedup.minhashSignatures(history, "doc_id", "text"), "doc_id")
+        .write.parquet(s"$base/bands")
+      // Pairs from the journal READ-BACK, not the live plan: the journal is
+      // the source of truth between batches, and reading it back costs one
+      // tiny scan instead of a second corpus explode.
+      Dedup.bandsToCandidatePairs(s.read.parquet(s"$base/bands"), "doc_id")
+        .write.parquet(s"$base/pairs")
+      base
+    })
+
   /** Pre-build every cached table for this fixture — called by Bench and
     * BenchOne outside their timers so what q_incremental_* measures never
     * depends on suite order or warmup-fixture presence.
@@ -104,6 +130,7 @@ object Incremental {
   def ensureBuilt(s: SparkSession, dir: String): Unit = {
     analyticsDir(s, dir)
     compactedDir(s, dir)
+    dedupJournalDir(s, dir)
   }
 
   private def latestView(s: SparkSession, dir: String,
@@ -139,7 +166,31 @@ object Incremental {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_incremental_latest" -> ((s, dir) => latestView(s, dir, analyticsDir)),
     "q_incremental_compacted" -> ((s, dir) => latestView(s, dir, compactedDir)),
-    "q_incremental_prune" -> ((s, dir) => day2Summary(s, dir)))
+    "q_incremental_prune" -> ((s, dir) => day2Summary(s, dir)),
+
+    // Incremental dedup-state maintenance: the new 20% batch arrives, its
+    // signatures/bands are computed (O(batch)), and ONLY pairs involving a
+    // new doc are generated — a band join of new against journal ∪ new,
+    // never a full-corpus recompute. Journaled pairs ∪ incremental pairs
+    // must equal the FULL-corpus candidate set (the oracle is the
+    // q_dedup_minhash_pairs twin verbatim), which is what licenses the
+    // incremental path in production: batch-by-batch dedup converges to
+    // exactly the from-scratch answer.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val root = dedupJournalDir(s, dir)
+      val newDocs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      // Checkpoint the new batch's signatures: they feed three join sides
+      // (new-old plus both halves of new-new) and exchange reuse across
+      // self-join aliases is unreliable (see Dedup.minhashPairs).
+      val newSig = Dedup.minhashSignatures(newDocs, "doc_id", "text")
+        .localCheckpoint()
+      val newBands = Dedup.lshBands(newSig, "doc_id")
+      // old-old pairs are journaled; incremental pairs all involve a new
+      // doc, so the union is disjoint — no final dedup needed.
+      s.read.parquet(s"$root/pairs").unionAll(
+        Dedup.incrementalCandidatePairs(
+          s.read.parquet(s"$root/bands"), newBands, "doc_id"))
+    }))
 
   /** The twin reconstructs both cleaned batches from the fixture and
     * window-dedups by key on the injected load timestamp. Cleaning mirror:
@@ -174,6 +225,13 @@ object Incremental {
   val oracles: Map[String, String] = Map(
     "q_incremental_latest" -> latestSql,
     "q_incremental_compacted" -> latestSql,
+
+    // The twin is the FULL-corpus candidate computation — no batches, no
+    // journal. Matching it proves the incremental decomposition is exact.
+    "q_dedup_incremental" ->
+      s"""WITH ${Docs.shingleCte},
+        |$minhashCandCte
+        |SELECT doc_a, doc_b FROM cand""".stripMargin,
 
     // The day-2 partition holds exactly the cleaned day-2 batch (appends
     // never rewrite other partitions), so the twin is the batch predicate

@@ -80,6 +80,21 @@ object Windows {
           round(cume_dist().over(w), 6).as("cume"))
     }),
 
+    // The scale-safe distribution-rank shape the q_window_ntile comment
+    // prescribes: the SAME rank family, but partitioned by a segment key
+    // (o_orderstatus), so each segment's ranks compute in its own task —
+    // the 100 TB form (per-segment quantiles), vs the global single-task
+    // report above. PlanSpec pins that the window carries the partition.
+    "q_window_ntile_seg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+    }),
+
     // Event-TIME range frame: each event's trailing-10-minute sum per user
     // — RANGE frames bound by an interval are the per-row sliding window
     // (resample/window() buckets are the per-bucket one). SQL expression:
@@ -186,6 +201,17 @@ object Windows {
         |    (ORDER BY o_totalprice DESC, o_orderkey ASC), 6) AS pct_rank,
         |  round(cume_dist() OVER
         |    (ORDER BY o_totalprice DESC, o_orderkey ASC), 6) AS cume
+        |FROM orders""".stripMargin,
+
+    "q_window_ntile_seg" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT)
+        |    AS quartile,
+        |  round(percent_rank() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC), 6) AS pct_rank,
+        |  round(cume_dist() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC), 6) AS cume
         |FROM orders""".stripMargin,
 
     "q_window_range" ->

@@ -61,6 +61,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_window_ntile_seg partitions its window by the segment key") {
+    // the scale-safe twin of the global-window q_window_ntile demo: the
+    // distribution ranks must compute per o_orderstatus segment, never on
+    // a single task
+    val p = plan("q_window_ntile_seg")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"segmented ntile plans a global window:\n$p")
+    assert(p.contains("windowspecdefinition(o_orderstatus"),
+      s"window must partition by the segment key:\n$p")
+  }
+
   test("ivf assignment is an argmax projection, not a window over the corpus") {
     // exactly ONE Window node (the final per-query rank, partitioned by
     // query_id); the old crossJoin+row_number assignment added a second
