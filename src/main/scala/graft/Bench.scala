@@ -123,6 +123,7 @@ object Bench {
     // whether that even happens depends on whether the warmup fixture
     // happened to equal the bench fixture. Timed lines measure the read.
     queries.Incremental.ensureBuilt(spark, sfDir)
+    queries.Joins.ensureBucketed(spark, sfDir)
     resetState(spark)
 
     val results = names.map { name =>
@@ -140,7 +141,9 @@ object Bench {
     // and the names land in a `failed` list alongside the passing timings.
     val passed = results.collect { case (n, true, s, _) => n -> s }
     val failed = results.collect { case (n, false, _, _) => n }
-    val qs = passed.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal seconds: full-precision doubles made the one-line artifact
+    // long enough that the driver's log-tail capture clipped it.
+    val qs = passed.map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val sh = results.collect { case (n, true, _, b) => s"\"" + n + "\":" + b }
       .mkString("{", ",", "}")

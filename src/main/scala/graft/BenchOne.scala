@@ -32,8 +32,11 @@ object BenchOne {
     // every timer, so a standalone q_incremental_* run times only the read
     // instead of billing the whole two-load build to itself. Gated — other
     // queries shouldn't pay the two loads + compaction at startup.
-    if (names.exists(_.startsWith("q_incremental")))
+    if (names.exists(n =>
+        n.startsWith("q_incremental") || n == "q_dedup_incremental"))
       queries.Incremental.ensureBuilt(spark, sfDir)
+    if (names.contains("q_join_bucketed"))
+      queries.Joins.ensureBucketed(spark, sfDir)
 
     names.foreach { name =>
       try {

@@ -28,47 +28,19 @@ object Incremental {
   private val T2 =
     java.sql.Timestamp.from(java.time.Instant.parse("2026-01-02T00:00:00Z"))
 
-  // Scratch dirs from every build, reclaimed by ONE exit hook with a plain
-  // file walk: per-build hooks would accumulate a thread each, and going
-  // through the Hadoop FileSystem at exit races Hadoop's own shutdown hook
-  // closing the cached filesystem.
-  private val scratchDirs =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
-  private lazy val cleanupHook: Unit = {
-    sys.addShutdownHook {
-      scratchDirs.forEach { p =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        } catch { case scala.util.control.NonFatal(_) => () }
-      }
-    }
-    ()
-  }
-
-  // One built table per fixture dir (NOT per session: the table's content
-  // is a pure function of the fixture, so sessions can share it — and a
-  // session-keyed map would pin every SparkSession for the JVM lifetime).
-  // Repeated sweeps (Bench warmup + timed pass, PlanSpec registry scans,
-  // EmptyInputSpec) reuse the same analytics dir instead of re-running two
-  // loads and leaking a fresh temp dir per invocation. computeIfAbsent
-  // keeps concurrent test suites from double-building. Bench/BenchOne call
-  // [[ensureBuilt]] OUTSIDE their timers, so the timed q_incremental_*
-  // lines deterministically measure only the read path in both tools.
-  private val builtTables =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+  // Built state is cached per fixture dir in [[Scratch]] (shared exit-hook
+  // cleanup; sessions share builds because the content is a pure function
+  // of the fixture). Bench/BenchOne call [[ensureBuilt]] OUTSIDE their
+  // timers, so the timed q_incremental_* lines deterministically measure
+  // only the read path in both tools.
 
   /** Run the two-batch incremental load recipe into a fresh scratch table
     * and return its analytics path. Day 1: 60% of keys; day 2: an
     * overlapping 50% — overlapped keys must surface with day-2 metadata,
     * day-1-only keys with day-1 metadata.
     */
-  private def buildTwoBatch(s: SparkSession, dir: String): String = {
-    val basePath = java.nio.file.Files.createTempDirectory("graft-incr")
-    cleanupHook
-    scratchDirs.add(basePath)
-    val base = basePath.toString
+  private def buildTwoBatch(s: SparkSession, dir: String, base: String)
+      : String = {
     val staging = s"$base/staging"
     val analytics = s"$base/analytics"
     val orders = t(s, dir, "orders")
@@ -83,7 +55,7 @@ object Incremental {
   }
 
   private def analyticsDir(s: SparkSession, dir: String): String =
-    builtTables.computeIfAbsent(s"history:$dir", _ => buildTwoBatch(s, dir))
+    Scratch.cached(s"history:$dir")(buildTwoBatch(s, dir, _))
 
   /** A separate table run through [[Pipeline.compact]] after the same two
     * loads — separate so the history-keeping table above still exercises
@@ -91,12 +63,12 @@ object Incremental {
     * query results (same oracle as q_incremental_latest, hash-equal).
     */
   private def compactedDir(s: SparkSession, dir: String): String =
-    builtTables.computeIfAbsent(s"compacted:$dir", _ => {
-      val analytics = buildTwoBatch(s, dir)
+    Scratch.cached(s"compacted:$dir") { base =>
+      val analytics = buildTwoBatch(s, dir, base)
       val rep = Pipeline.compact(s, analytics, Seq("o_orderkey"))
       require(rep.ok, s"compact failed: ${rep.detail}")
       analytics
-    })
+    }
 
   /** Journaled dedup state for q_dedup_incremental: the 80%-of-corpus
     * "history" has its LSH band table and its internal candidate pairs
@@ -106,11 +78,7 @@ object Incremental {
     * ARRIVAL of the remaining 20% against this journal.
     */
   private def dedupJournalDir(s: SparkSession, dir: String): String =
-    builtTables.computeIfAbsent(s"dedup:$dir", _ => {
-      val basePath = java.nio.file.Files.createTempDirectory("graft-dedup")
-      cleanupHook
-      scratchDirs.add(basePath)
-      val base = basePath.toString
+    Scratch.cached(s"dedup:$dir") { base =>
       val history = t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0)
       Dedup.lshBands(
           Dedup.minhashSignatures(history, "doc_id", "text"), "doc_id")
@@ -121,7 +89,7 @@ object Incremental {
       Dedup.bandsToCandidatePairs(s.read.parquet(s"$base/bands"), "doc_id")
         .write.parquet(s"$base/pairs")
       base
-    })
+    }
 
   /** Pre-build every cached table for this fixture — called by Bench and
     * BenchOne outside their timers so what q_incremental_* measures never

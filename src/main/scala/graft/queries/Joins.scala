@@ -23,7 +23,55 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Register bucketed external-table twins of orders/customer for this
+    * fixture, both bucketed AND sorted on the join key with the same bucket
+    * count — the write-time layout that lets a repeated join/aggregate on
+    * that key run with ZERO exchange. This is the single biggest recurring-
+    * shuffle lever at 100 TB: pay the shuffle once at ingest, then every
+    * co-keyed join and aggregation reads co-located buckets. Data lives in
+    * a Scratch temp dir (`.option("path")` → external table); the catalog
+    * entry is per-session, so each new session re-registers over the same
+    * files.
+    */
+  private[graft] def ensureBucketed(s: SparkSession, dir: String)
+      : (String, String) = synchronized {
+    val suffix = java.lang.Integer.toHexString(dir.hashCode)
+    val (oTbl, cTbl) = (s"graft_orders_b_$suffix", s"graft_cust_b_$suffix")
+    if (!s.catalog.tableExists(oTbl) || !s.catalog.tableExists(cTbl)) {
+      val base = Scratch.cached(s"bucketed:$dir")(identity)
+      for ((tbl, src, key, cols) <- Seq(
+          (oTbl, "orders", "o_custkey",
+            Seq("o_orderkey", "o_custkey", "o_totalprice")),
+          (cTbl, "customer", "c_custkey",
+            Seq("c_custkey", "c_name", "c_mktsegment")))) {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        t(s, dir, src).select(cols.map(col): _*)
+          .write.bucketBy(16, key).sortBy(key)
+          .option("path", s"$base/$tbl")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .saveAsTable(tbl)
+      }
+    }
+    (oTbl, cTbl)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Bucketed co-located join + same-key aggregate: both tables were
+    // written bucketed/sorted on custkey, so the sort-merge join AND the
+    // per-customer aggregate reuse the bucket partitioning — the whole
+    // plan carries ZERO Exchange (PlanSpec-pinned). The merge hint only
+    // rules out broadcast at toy SF; at 100 TB neither side broadcasts and
+    // SMJ-over-buckets is what the planner picks anyway.
+    "q_join_bucketed" -> ((s, dir) => {
+      val (oTbl, cTbl) = ensureBucketed(s, dir)
+      val o = s.table(oTbl)
+      val c = s.table(cTbl).filter(col("c_mktsegment") === "BUILDING")
+      o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_spend"))
+    }),
 
     // Equi inner join fact⋈fact + aggregate.
     "q_join_inner" -> ((s, dir) => {
@@ -120,6 +168,14 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    // The twin ignores layout entirely: bucketing must be result-invisible.
+    "q_join_bucketed" ->
+      """SELECT o_custkey, c_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_custkey, c_name""".stripMargin,
+
     "q_join_inner" ->
       """SELECT o_orderpriority,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

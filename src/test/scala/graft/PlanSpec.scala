@@ -61,6 +61,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_join_bucketed joins and aggregates with zero exchange") {
+    // write-time bucketing on the join key must eliminate every shuffle:
+    // sort-merge join over co-located buckets, and the per-custkey
+    // aggregate reuses the same bucket partitioning
+    val p = plan("q_join_bucketed")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed join must not shuffle (found an Exchange):\n$p")
+  }
+
   test("q_window_ntile_seg partitions its window by the segment key") {
     // the scale-safe twin of the global-window q_window_ntile demo: the
     // distribution ranks must compute per o_orderstatus segment, never on
