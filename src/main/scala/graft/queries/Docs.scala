@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Multimodal, Text}
@@ -92,6 +93,51 @@ object Docs {
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("q")), 4).as("avg_quality"),
           sum(col("nt")).as("total_tokens"))),
+
+    // Sequence packing: concatenate each language's token stream in
+    // deterministic doc_id order and chunk it into 2048-token context
+    // windows — a doc lands in the bin where its first token falls (the
+    // stream-concat-then-chunk packing a pretraining loader performs).
+    // One window partitioned by lang (data-scaled key) + one small agg;
+    // at 100 TB the per-lang streams pack in parallel, and a finer
+    // partition key (lang, shard) bounds any one partition's length.
+    "q_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          Text.nTokens(col("text")).as("n_tokens"))
+        .withColumn("bin",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 2048.0))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+    }),
+
+    // TF-IDF top terms per document — the classic relevance/keyword
+    // extraction pass. tf is one explode + hash-agg; df is a second agg
+    // over the (doc, token) pairs; N arrives as a broadcast 1-row
+    // aggregate (never a driver-side count). The per-doc top-3 ranks on
+    // the ROUNDED score (+ token tiebreak) so rank order is bit-stable
+    // across engines. tf feeds two consumers → localCheckpoint (persist
+    // on a cluster), same policy as the minhash family.
+    "q_tfidf_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDf = docs.agg(count(lit(1)).as("n_corpus"))
+      val scored = tf.join(df, "token").crossJoin(broadcast(nDf))
+        .withColumn("score", round(col("tf") *
+          log((col("n_corpus") + 1).cast("double") / (col("df") + 1)), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token").asc)
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "token", "score", "rn")
+    }),
 
     // Deterministic pseudo-random sample: top-k by content-independent hash
     // — reproducible across engines/runs, TakeOrderedAndProject (no global
@@ -387,6 +433,33 @@ object Docs {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+        |  FROM tok)
+        |SELECT lang, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q_tfidf_topk" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_corpus FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    round(tf * ln((n_corpus + 1.0) / (df + 1)), 6) AS score
+        |  FROM tf JOIN idf USING (token) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token ASC) AS rn FROM scored)
+        |SELECT doc_id, token, score, rn FROM r WHERE rn <= 3""".stripMargin,
 
     "q_bigrams_topk" ->
       """WITH toks2 AS (SELECT string_split(text, ' ') AS t FROM documents),
