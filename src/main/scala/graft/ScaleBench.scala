@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.Similarity
+import graft.ext.{Dedup, Similarity}
 
 /** Scale-up ledger harness: replicate the embeddings/documents fixtures F×
   * (distinct ids per replica) and rerun the similarity scale-path queries,
@@ -51,7 +51,8 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = Seq("q_sim_neardup_lsh", "q_sim_ivf", "q_sim_recall")
+    val names = Seq("q_sim_neardup_lsh", "q_sim_ivf", "q_sim_recall",
+      "q_dedup_clusters", "q_dedup_kept")
 
     def timeOne(name: String, dir: String): Double = {
       Bench.resetState(spark)
@@ -94,6 +95,19 @@ object ScaleBench {
         .select(sum(col("q") * (col("c") - 1)).as("n"))
         .head().getLong(0)
       val nQueries = assigned.filter(col("vec_id") % 25 === 0).count()
+
+      // Dedup endgame: verified pairs → clusters, measuring the ONE dedup
+      // stage whose cost is iterative — label-propagation rounds must track
+      // component DIAMETER (near-cliques of duplicates: 2-3 rounds flat),
+      // never corpus size. Replication multiplies components, not their
+      // diameter, so `cc_rounds` staying flat across factors is the claim.
+      val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+      val verified = Dedup.minhashVerifiedPairs(docsDf, "doc_id", "text", 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val (labels, ccRounds) =
+        Dedup.connectedComponentsWithRounds(verified, "doc_a", "doc_b")
+      val nClusters = labels.select(col("cluster_id")).distinct().count()
+      val nClustered = labels.count()
       Bench.resetState(spark)
 
       val secs = names.map(n => n -> timeOne(n, dir))
@@ -105,7 +119,9 @@ object ScaleBench {
         s""""lsh_candidates":$lshCand,"lsh16_candidates":$lshCandWide,""" +
         s""""ivf_candidates":$ivfCand,""" +
         s""""brute_query_pairs":${nQueries * (nEmb - 1)},""" +
-        s""""allpairs":${nEmb * (nEmb - 1) / 2},"sec":$qs}""")
+        s""""allpairs":${nEmb * (nEmb - 1) / 2},""" +
+        s""""cc_rounds":$ccRounds,"cc_clusters":$nClusters,""" +
+        s""""cc_members":$nClustered,"sec":$qs}""")
     }
     spark.stop()
   }

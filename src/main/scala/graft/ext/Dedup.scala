@@ -316,7 +316,15 @@ object Dedup {
     * labeled by its component's minimum id.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it took
+    * to converge — the ScaleBench ledger records rounds vs corpus factor,
+    * pinning the O(diameter) claim as a measurement.
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int = 20): (DataFrame, Int) = {
     val p = pairs.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b"))
     val edges = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
@@ -357,6 +365,7 @@ object Dedup {
         s"connectedComponents did not converge within $maxIter rounds " +
           s"($changed labels still moving) — raise maxIter for graphs " +
           "with diameter beyond the dedup regime")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    (labels.select(col("id").as("doc_id"), col("label").as("cluster_id")),
+      iter)
   }
 }
