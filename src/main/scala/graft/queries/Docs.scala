@@ -237,6 +237,24 @@ object Docs {
         .filter(col("split_a") =!= col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b")),
 
+    // Exact n-gram decontamination (the GPT-3-style sweep, complementing
+    // the LSH one above): a TRAIN doc is contaminated if it shares ANY
+    // 5-token shingle with a val/test doc. The eval shingle set is the
+    // small side by construction (5-10% of the corpus) — distinct'd once,
+    // then an equi-join on the shingle; at 100 TB the planner broadcasts
+    // or shuffles it as its measured size dictates. Output is per-doc hit
+    // counts, the report a curation run quarantines on.
+    "q_decontam_ngram" -> ((s, dir) => {
+      val grams = Dedup.docShingles(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("split", splitCol(col("doc_id")))
+      val evalGrams = grams.filter(col("split") =!= "train")
+        .select(col("shingle")).distinct()
+      grams.filter(col("split") === "train")
+        .join(evalGrams, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("shingle")).as("n_hit_grams"))
+    }),
+
     // Winnowing fingerprints (MOSS): per-doc summary over the shared
     // Dedup.winnowFingerprints frame — one shuffle total (the aggregation
     // reuses the window's doc_id partitioning).
@@ -623,6 +641,19 @@ object Docs {
         |JOIN splits sa ON sa.doc_id = doc_a
         |JOIN splits sb ON sb.doc_id = doc_b
         |WHERE sa.split != sb.split""".stripMargin,
+
+    "q_decontam_ngram" ->
+      s"""WITH $shingleCte,
+        |$splitsCte,
+        |ev AS (
+        |  SELECT DISTINCT shingle FROM sh
+        |  JOIN splits USING (doc_id) WHERE split != 'train')
+        |SELECT sh.doc_id, count(DISTINCT sh.shingle) AS n_hit_grams
+        |FROM sh
+        |JOIN splits USING (doc_id)
+        |JOIN ev USING (shingle)
+        |WHERE split = 'train'
+        |GROUP BY 1""".stripMargin,
 
     // 64-bit simhash: positions 1-32 from md5(tok), 33-64 from md5('x:'+tok);
     // bit = majority vote of the nibble's top bit; 4 bands of 16 bits.

@@ -87,6 +87,23 @@ object Events {
           tieBreak = "event_id", gapMillis = 30 * 60 * 1000L,
           valueCol = "value")),
 
+    // The BUILT-IN sessionization: Spark's session_window aggregation —
+    // same inactivity-gap semantics as the custom union+window path above,
+    // as one declarative groupBy (works identically under readStream,
+    // where it is the streaming-native session operator). Boundary note:
+    // session_window closes at exactly last_ts + gap (an event AT the
+    // boundary starts a new session) and session_end is last_ts + gap,
+    // not max(ts) — the twin mirrors both.
+    "q_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("total_value"))),
+
     // JSON scalar extraction from the props column (F-extension; the
     // reference carries WKT/JSON-ish payloads as opaque text).
     "q_json_extract" -> ((s, dir) =>
@@ -168,6 +185,24 @@ object Events {
         |  round(sum(value), 2) AS total_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id,
