@@ -143,8 +143,12 @@ object Bench {
     val failed = results.collect { case (n, false, _, _) => n }
     // 4-decimal seconds: full-precision doubles made the one-line artifact
     // long enough that the driver's log-tail capture clipped it.
-    val qs = passed.map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: the default locale can render a comma decimal
+    // separator, which would corrupt the JSON.
+    val qs = passed.map { case (k, v) =>
+      s"\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    }.mkString("{", ",", "}")
     val sh = results.collect { case (n, true, _, b) => s"\"" + n + "\":" + b }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -111,8 +111,11 @@ object ScaleBench {
       Bench.resetState(spark)
 
       val secs = names.map(n => n -> timeOne(n, dir))
-      val qs = secs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-        .mkString("{", ",", "}")
+      // Locale.ROOT: a comma decimal separator would corrupt the JSON.
+      val qs = secs.map { case (k, v) =>
+        "\"" + k + "\":" +
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }.mkString("{", ",", "}")
       // brute_pairs: the all-pairs denominator the candidates are a
       // fraction of (queries × corpus for ANN; n² for near-dup)
       println(s"""{"factor":$f,"n_emb":$nEmb,"n_queries":$nQueries,""" +

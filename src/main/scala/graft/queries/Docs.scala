@@ -245,8 +245,13 @@ object Docs {
     // or shuffles it as its measured size dictates. Output is per-doc hit
     // counts, the report a curation run quarantines on.
     "q_decontam_ngram" -> ((s, dir) => {
+      // grams feeds two consumers (the eval gram set and the train side)
+      // → localCheckpoint, same policy as the minhash family: exchange
+      // reuse across re-aliased consumers is unreliable, and the corpus
+      // explode is the dominant cost.
       val grams = Dedup.docShingles(t(s, dir, "documents"), "doc_id", "text")
         .withColumn("split", splitCol(col("doc_id")))
+        .localCheckpoint()
       val evalGrams = grams.filter(col("split") =!= "train")
         .select(col("shingle")).distinct()
       grams.filter(col("split") === "train")

@@ -91,9 +91,10 @@ object Events {
     // same inactivity-gap semantics as the custom union+window path above,
     // as one declarative groupBy (works identically under readStream,
     // where it is the streaming-native session operator). Boundary note:
-    // session_window closes at exactly last_ts + gap (an event AT the
-    // boundary starts a new session) and session_end is last_ts + gap,
-    // not max(ts) — the twin mirrors both.
+    // an event at EXACTLY last_ts + gap still merges (session_window's
+    // merge condition is sessionStart <= currentSessionEnd — same
+    // inclusive boundary as q_sessionize), and session_end is
+    // last_ts + gap, not max(ts) — the twin mirrors both.
     "q_session_window" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -190,7 +191,7 @@ object Events {
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -29,27 +29,39 @@ object Joins {
     * that key run with ZERO exchange. This is the single biggest recurring-
     * shuffle lever at 100 TB: pay the shuffle once at ingest, then every
     * co-keyed join and aggregation reads co-located buckets. Data lives in
-    * a Scratch temp dir (`.option("path")` → external table); the catalog
-    * entry is per-session, so each new session re-registers over the same
-    * files.
+    * a Scratch temp dir (`.option("path")` → external table). The catalog
+    * entry is per-session: a later session in the same JVM finds the data
+    * already written (Scratch cache) and re-REGISTERS it via DDL over the
+    * existing files instead of rewriting them. Table names carry an md5 of
+    * the fixture path — content-addressed, so two fixtures can never share
+    * a name.
     */
   private[graft] def ensureBucketed(s: SparkSession, dir: String)
       : (String, String) = synchronized {
-    val suffix = java.lang.Integer.toHexString(dir.hashCode)
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
     val (oTbl, cTbl) = (s"graft_orders_b_$suffix", s"graft_cust_b_$suffix")
-    if (!s.catalog.tableExists(oTbl) || !s.catalog.tableExists(cTbl)) {
-      val base = Scratch.cached(s"bucketed:$dir")(identity)
-      for ((tbl, src, key, cols) <- Seq(
-          (oTbl, "orders", "o_custkey",
-            Seq("o_orderkey", "o_custkey", "o_totalprice")),
-          (cTbl, "customer", "c_custkey",
-            Seq("c_custkey", "c_name", "c_mktsegment")))) {
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        t(s, dir, src).select(cols.map(col): _*)
-          .write.bucketBy(16, key).sortBy(key)
-          .option("path", s"$base/$tbl")
-          .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .saveAsTable(tbl)
+    val base = Scratch.cached(s"bucketed:$dir")(identity)
+    for ((tbl, src, key, cols) <- Seq(
+        (oTbl, "orders", "o_custkey",
+          Seq("o_orderkey", "o_custkey", "o_totalprice")),
+        (cTbl, "customer", "c_custkey",
+          Seq("c_custkey", "c_name", "c_mktsegment")))) {
+      if (!s.catalog.tableExists(tbl)) {
+        val projected = t(s, dir, src).select(cols.map(col): _*)
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$base/$tbl"))) {
+          // Data already on disk from an earlier session: register only.
+          s.sql(s"CREATE TABLE $tbl (${projected.schema.toDDL}) " +
+            s"USING parquet CLUSTERED BY ($key) SORTED BY ($key) " +
+            s"INTO 16 BUCKETS LOCATION '$base/$tbl'")
+        } else {
+          projected.write.bucketBy(16, key).sortBy(key)
+            .option("path", s"$base/$tbl")
+            .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+            .saveAsTable(tbl)
+        }
       }
     }
     (oTbl, cTbl)
