@@ -170,6 +170,33 @@ object Docs {
           Map("en" -> 20), defaultPct = 100))
         .select(col("doc_id"), col("lang"))),
 
+    // Data-mixture application: reweight SOURCES to an equal token budget
+    // (the static mixture step a pretraining run applies after choosing
+    // weights). Per-source keep-rate in WHOLE PERCENT via exact integer
+    // arithmetic — (100·total) div (k·src_toks), never floats, so both
+    // engines compute the identical rate — then membership is the usual
+    // pure (source, id) hash: order/partition/growth-stable. Costs two
+    // passes over a 3-column projection (one tiny agg + one filtered agg);
+    // the projection is checkpointed so the text tokenization runs once.
+    "q_mixture_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Text.nTokens(col("text")).as("nt"))
+        .localCheckpoint()
+      val bySource = docs.groupBy(col("source"))
+        .agg(sum(col("nt")).as("src_toks"))
+      val totals = bySource.agg(sum(col("src_toks")).as("tot_toks"),
+        count(lit(1)).as("k"))
+      val weights = bySource.crossJoin(broadcast(totals))
+        .select(col("source"), least(lit(100L),
+          expr("(100 * tot_toks) DIV (k * src_toks)")).as("w_pct"))
+      docs.join(broadcast(weights), "source")
+        .filter(hashBucket(concat(lit("mix:"), col("source"), lit(":"),
+          col("doc_id").cast("string"))) < col("w_pct"))
+        .groupBy(col("source"), col("w_pct"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("nt")).as("toks_kept"))
+    }),
+
     // Quality-filter funnel (Gopher-style doc thresholds) with
     // OBSERVABILITY: every document gets its first failing rule as a
     // reject reason, aggregated per (lang, reason) — the report a corpus
@@ -646,6 +673,26 @@ object Docs {
         |JOIN splits sa ON sa.doc_id = doc_a
         |JOIN splits sb ON sb.doc_id = doc_b
         |WHERE sa.split != sb.split""".stripMargin,
+
+    "q_mixture_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |bs AS (SELECT source, CAST(sum(nt) AS BIGINT) AS src_toks
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(src_toks) AS BIGINT) AS tot_toks,
+        |    count(*) AS k FROM bs),
+        |w AS (SELECT source,
+        |    least(100, (100 * tot_toks) // (k * src_toks)) AS w_pct
+        |  FROM bs CROSS JOIN tot)
+        |SELECT d.source, w_pct, count(*) AS n_kept,
+        |  CAST(sum(nt) AS BIGINT) AS toks_kept
+        |FROM d JOIN w USING (source)
+        |WHERE CAST(CONCAT('0x', substring(md5(
+        |    'mix:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 4))
+        |  AS BIGINT) % 100 < w_pct
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_decontam_ngram" ->
       s"""WITH $shingleCte,

@@ -34,4 +34,63 @@ class SkewSpec extends AnyFunSuite {
       .select("__salt").distinct().count()
     assert(salts >= 6) // ~all 8 salts hit for 1000 rows
   }
+
+  test("AQE skew-join splits the hot partition at runtime (the no-salt path)") {
+    // The OTHER skew mitigation this engine relies on at 100 TB: leave the
+    // join unsalted and let AQE split oversized partitions after the
+    // shuffle materializes. Pinned here with toy thresholds so a Spark
+    // upgrade or a conf regression that silently disables it fails a test
+    // rather than an SLA. (saltedJoin remains the tool for the case AQE
+    // can't fix: a single key too hot for any partition split to help
+    // downstream aggregation.)
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // md5 payloads: a constant-key partition of repeated literals would
+      // compress below the skew threshold and mask the very skew under test
+      import org.apache.spark.sql.functions._
+      val left = spark.range(60000)
+        .select(lit("hot").as("k"), md5(col("id").cast("string")).as("v"))
+        .unionAll(spark.range(100).select(
+          concat(lit("cold"), col("id")).as("k"),
+          md5(col("id").cast("string")).as("v")))
+      val right = spark.range(100)
+        .select(concat(lit("cold"), col("id")).as("k"))
+        .unionAll(spark.range(1).select(lit("hot").as("k")))
+        .withColumn("w", length(col("k")))
+      // max(v), not count(v): count-of-non-nullable rewrites to count(1)
+      // and column pruning then drops the payload pre-shuffle, re-shrinking
+      // the partition below the skew threshold
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)), max(col("v")))
+      // collect(), not head(): head() wraps the plan in a NEW limited
+      // QueryExecution, so the original adaptive plan would never finalize
+      assert(joined.collect().head.getLong(0) == 60100L)
+      // after execution the adaptive plan is final; the skewed SMJ side
+      // prints skew=true
+      val finalPlan = joined.queryExecution.executedPlan.toString()
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
