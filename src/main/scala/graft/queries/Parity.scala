@@ -164,6 +164,27 @@ object Parity {
       y94.except(y95)
     }),
 
+    // Bag (multiset) set ops — the ALL variants preserve multiplicity, so
+    // the per-group counts of the result ARE the multiplicity arithmetic
+    // (n_A - n_B for EXCEPT ALL, min for INTERSECT ALL): aggregating
+    // afterwards keeps the compare small while pinning exactly the
+    // semantics that distinguish ALL from DISTINCT.
+    "q_except_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select("o_orderpriority")
+        .exceptAll(o.filter(col("o_totalprice") > 100000)
+          .select("o_orderpriority"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    }),
+
+    "q_intersect_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select("o_orderpriority")
+        .intersectAll(o.filter(col("o_totalprice") > 100000)
+          .select("o_orderpriority"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    }),
+
     // Exact interpolated percentiles per group (single sort-based aggregate;
     // at 100 TB swap to approx_percentile behind the same column names).
     "q_percentiles" -> ((s, dir) =>
@@ -336,6 +357,20 @@ object Parity {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995"""
         .stripMargin,
+
+    "q_except_all" ->
+      """SELECT o_orderpriority, count(*) AS n FROM (
+        |  SELECT o_orderpriority FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_orderpriority FROM orders WHERE o_totalprice > 100000)
+        |GROUP BY 1""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT o_orderpriority, count(*) AS n FROM (
+        |  SELECT o_orderpriority FROM orders
+        |  INTERSECT ALL
+        |  SELECT o_orderpriority FROM orders WHERE o_totalprice > 100000)
+        |GROUP BY 1""".stripMargin,
 
     "q_percentiles" ->
       """SELECT o_orderpriority,
