@@ -153,22 +153,23 @@ object Pipeline {
     }
   }
 
-  /** Read an incrementally-loaded table, recovering the no-data-files case
-    * (only zero-row batches appended so far) from the schema sidecar: the
-    * caller gets a zero-row frame with the journaled schema instead of
-    * `UNABLE_TO_INFER_SCHEMA`. Tables without a sidecar rethrow — absence of
-    * the journal means this isn't a [[loadIncremental]] table and guessing a
-    * schema would mask real corruption.
+  /** Read an incrementally-loaded table. When the table carries a schema
+    * sidecar, the READ USES IT as the explicit schema — this is what makes
+    * reads deterministic under schema EVOLUTION: without it, a table whose
+    * later batches widened the schema is read through whichever parquet
+    * footer the reader samples first (old files → the new column silently
+    * vanishes, run to run). With the journaled schema, old files simply
+    * surface NULL for columns they predate (parquet's missing-column
+    * contract), and the no-data-files case (only zero-row batches so far)
+    * needs no schema inference at all. Tables without a sidecar fall back
+    * to plain inference and rethrow its failures — absence of the journal
+    * means this isn't a [[loadIncremental]] table and guessing a schema
+    * would mask real corruption.
     */
   def readTable(spark: SparkSession, analyticsDir: String): DataFrame =
-    try spark.read.parquet(analyticsDir)
-    catch {
-      case e: org.apache.spark.sql.AnalysisException =>
-        sidecarSchema(spark, analyticsDir) match {
-          case Some(st) => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-          case None => throw e
-        }
+    sidecarSchema(spark, analyticsDir) match {
+      case Some(st) => spark.read.schema(st).parquet(analyticsDir)
+      case None => spark.read.parquet(analyticsDir)
     }
 
   /** Current-state view over an incrementally-loaded table: latest row per
@@ -179,7 +180,7 @@ object Pipeline {
     */
   def readLatest(spark: SparkSession, analyticsDir: String,
       keys: Seq[String]): DataFrame =
-    latestOf(spark.read.parquet(analyticsDir), keys)
+    latestOf(readTable(spark, analyticsDir), keys)
 
   private def latestOf(df: DataFrame, keys: Seq[String]): DataFrame =
     Cleaning.dedupLatest(
@@ -198,18 +199,12 @@ object Pipeline {
       keys: Seq[String], empty: => DataFrame): DataFrame = {
     // Only the schema probe is guarded: an AnalysisException from the dedup
     // step itself (e.g. a typo'd key against a healthy table) must
-    // propagate, not masquerade as "table holds no data yet".
+    // propagate, not masquerade as "table holds no data yet". readTable
+    // already prefers the journaled schema (sidecar) over inference; the
+    // `empty` parameter remains the fallback for pre-sidecar tables.
     val read =
-      try Some(spark.read.parquet(analyticsDir))
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          // Prefer the journaled schema over the caller's stand-in: the
-          // sidecar records what the table actually holds; the `empty`
-          // parameter remains the fallback for pre-sidecar tables.
-          sidecarSchema(spark, analyticsDir).map(st =>
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
-      }
+      try Some(readTable(spark, analyticsDir))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     read.fold(empty)(latestOf(_, keys))
   }
 

@@ -143,11 +143,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val analytics = root.resolve("inc-empty-analytics").toString
     val batch = Seq((1L, "v1")).toDF("id", "payload").limit(0)
     batch.write.mode("overwrite").parquet(staging)
-    // zero-row append leaves a parquet dir with no data files (no schema)
+    // zero-row append leaves a parquet dir with no data files — but the
+    // sidecar journals the schema, so readLatest succeeds empty (the seam
+    // a table format's schema journal exists to close)
     Pipeline.loadIncremental(spark, staging, analytics,
       Some(Timestamp.valueOf("2024-01-01 00:00:00")))
+    val viaSidecar = Pipeline.readLatest(spark, analytics, Seq("id"))
+    assert(viaSidecar.count() == 0)
+    assert(viaSidecar.columns.toSeq ==
+      Seq("id", "payload", "loaded_at", "load_date"))
+    // a table with NO sidecar (not a loadIncremental table) still throws
     intercept[org.apache.spark.sql.AnalysisException] {
-      Pipeline.readLatest(spark, analytics, Seq("id")).collect()
+      Pipeline.readLatest(spark, root.resolve("not-a-table").toString,
+        Seq("id")).collect()
     }
     val empty = Cleaning.cleanAll(batch,
       Some(Timestamp.valueOf("2024-01-01 00:00:00")))
@@ -155,6 +163,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == 0)
     assert(out.columns.toSeq ==
       Seq("id", "payload", "loaded_at", "load_date"))
+  }
+
+  test("widened incremental append reads deterministically via the sidecar") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val staging = root.resolve("inc-widen-staging").toString
+    val analytics = root.resolve("inc-widen-analytics").toString
+    Seq((1L, "v1")).toDF("id", "payload")
+      .write.mode("overwrite").parquet(staging)
+    Pipeline.loadIncremental(spark, staging, analytics,
+      Some(Timestamp.valueOf("2024-01-01 00:00:00")))
+    // day 2 widens the schema with a score column
+    Seq((2L, "v2", 0.5)).toDF("id", "payload", "score")
+      .write.mode("overwrite").parquet(staging)
+    Pipeline.loadIncremental(spark, staging, analytics,
+      Some(Timestamp.valueOf("2024-01-02 00:00:00")))
+    // the journaled schema governs the read: the new column is ALWAYS
+    // present (old rows surface NULL), never dependent on which footer
+    // the reader samples first
+    val t = Pipeline.readTable(spark, analytics)
+    assert(t.columns.contains("score"))
+    val rows = t.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some(0.5)))
+    // readLatest sees the same evolved shape
+    assert(Pipeline.readLatest(spark, analytics, Seq("id"))
+      .columns.contains("score"))
   }
 
   test("readTable recovers a data-less table from the schema sidecar") {
