@@ -94,4 +94,36 @@ class DedupSpec extends AnyFunSuite {
         .count()
     }
   }
+
+  test("incremental candidate pairs == full-corpus candidates, any split") {
+    // Adversarial shapes the fixture oracle can't probe: duplicate groups
+    // spanning the batch boundary in BOTH id directions (new id below and
+    // above its old twin), a new-new-only pair, and an old-only pair.
+    val all = docs(
+      1L -> "alpha beta gamma delta epsilon zeta", // dup of 10 (old-old? no: 10 new)
+      2L -> "one two three four five six seven",   // dup of 3 (old-old)
+      3L -> "one two three four five six seven",
+      10L -> "alpha beta gamma delta epsilon zeta", // dup of 1, new, higher id
+      4L -> "unique text that matches nothing at all here",
+      0L -> "shared body text for boundary check pair", // new, LOWER id
+      7L -> "shared body text for boundary check pair", // old twin
+      12L -> "new new pair body aa bb cc dd ee",        // new-new pair
+      14L -> "new new pair body aa bb cc dd ee")
+    val isNew = (id: Long) => id % 2 == 0 // 0,10,12,14,4,2 new; 1,3,7 old
+    val oldDocs = all.filter(col("doc_id") % 2 =!= 0)
+    val newDocs = all.filter(col("doc_id") % 2 === 0)
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBands(Dedup.minhashSignatures(df, "doc_id", "text"), "doc_id")
+    val full = Dedup.minhashPairs(all, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = (Dedup.bandsToCandidatePairs(bands(oldDocs), "doc_id")
+        .unionAll(Dedup.incrementalCandidatePairs(
+          bands(oldDocs), bands(newDocs), "doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == full)
+    // sanity on the shapes: boundary pairs in both directions + new-new
+    assert(full.contains((0L, 7L)) && full.contains((1L, 10L)) &&
+      full.contains((12L, 14L)) && full.contains((2L, 3L)))
+    assert(isNew(0L) && !isNew(7L) && !isNew(1L) && isNew(10L))
+  }
 }
