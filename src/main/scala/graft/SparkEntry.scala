@@ -22,6 +22,7 @@ object SparkEntry {
     (Vectors.queries, Vectors.oracles),
     (Analytics.queries, Analytics.oracles),
     (Incremental.queries, Incremental.oracles),
+    (Changes.queries, Changes.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

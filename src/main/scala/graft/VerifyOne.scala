@@ -1,0 +1,39 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Targeted correctness dump: re-run only the NAMED queries into an
+  * existing [[Verify]] output directory (results + refreshed
+  * oracle_sql.json), so an iteration on one query doesn't pay the
+  * full-registry dump before `tools/check_oracle.py`. Usage:
+  *
+  *   runMain graft.VerifyOne <sfDir> <outDir> q_name [q_name ...]
+  */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names = args.drop(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          println(s"[verify-one] dumped $name")
+        case None =>
+          System.err.println(s"[verify-one] unknown query: $name")
+      }
+    }
+    Verify.writeOracleJson(outDir)
+    spark.stop()
+  }
+}

@@ -341,6 +341,34 @@ object Docs {
           .as("dup_3gram_ratio"))
     }),
 
+    // Unicode canonicalization: the fixture text is pure ASCII, so (like
+    // q_pii_scrub below) the accented forms are synthesized IDENTICALLY in
+    // both engines — translate vowels to precomposed Latin-1 accents, and
+    // derive the NFD-decomposed spelling (base letter + combining acute)
+    // via replace chains. The graft-native codegen'd expressions then must
+    // agree with DuckDB's built-ins: strip_accents(accented) restores the
+    // original head, and nfc_normalize(decomposed) recomposes to the
+    // accented form. One projection, zero shuffle — the cleaning pass that
+    // runs BEFORE any fingerprint/shingle dedup so byte-variant spellings
+    // of the same text collapse.
+    "q_text_normalize" -> ((s, dir) => {
+      import graft.functions.TextExprs
+      val acute = "\u0301" // combining acute accent
+      val precomposed = "\u00e1\u00e9\u00ed\u00f3\u00fa" // a e i o u, acute
+      val head = substring(col("text"), 1, 48)
+      val accented = translate(head, "aeiou", precomposed)
+      val decomposed = "aeiou".map(_.toString).zip(precomposed.map(_.toString))
+        .foldLeft(accented) { case (c, (base, pre)) =>
+          regexp_replace(c, pre, base + acute)
+        }
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        accented.as("accented"),
+        TextExprs.stripAccents(accented).as("stripped"),
+        (TextExprs.stripAccents(accented) === head).as("roundtrip_ok"),
+        (TextExprs.nfcNormalize(decomposed) === accented).as("nfc_ok"))
+    }),
+
     // PII detect + redact: the fixture carries no PII, so a deterministic
     // synthetic email/phone is appended to a known doc subset IDENTICALLY in
     // both engines; counts and the redacted-text hash must then agree. One
@@ -792,6 +820,28 @@ object Docs {
         |  n_3grams,
         |  round(CAST(dup_3grams AS DOUBLE) / n_3grams, 4) AS dup_3gram_ratio
         |FROM ta JOIN ga ON ta.doc_id = ga.doc_id""".stripMargin,
+
+    // chr(225,233,237,243,250) = precomposed a/e/i/o/u-acute; chr(769) =
+    // the combining acute — ASCII-only SQL so the oracle JSON stays
+    // locale-proof. strip_accents and nfc_normalize are DuckDB built-ins.
+    "q_text_normalize" ->
+      """WITH acc AS (
+        |  SELECT doc_id, substring(text, 1, 48) AS head,
+        |    translate(substring(text, 1, 48), 'aeiou',
+        |      chr(225) || chr(233) || chr(237) || chr(243) || chr(250))
+        |      AS accented
+        |  FROM documents),
+        |dec AS (
+        |  SELECT doc_id, head, accented,
+        |    replace(replace(replace(replace(replace(accented,
+        |      chr(225), 'a' || chr(769)), chr(233), 'e' || chr(769)),
+        |      chr(237), 'i' || chr(769)), chr(243), 'o' || chr(769)),
+        |      chr(250), 'u' || chr(769)) AS decomposed
+        |  FROM acc)
+        |SELECT doc_id, accented, strip_accents(accented) AS stripped,
+        |  strip_accents(accented) = head AS roundtrip_ok,
+        |  nfc_normalize(decomposed) = accented AS nfc_ok
+        |FROM dec""".stripMargin,
 
     "q_pii_scrub" ->
       """WITH p AS (

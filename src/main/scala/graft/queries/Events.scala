@@ -52,6 +52,34 @@ object Events {
           coalesce(col("n"), lit(0L)).as("n"))
     }),
 
+    // Gap-fill + LOCF (last observation carried forward): the q_resample
+    // spine, but empty hours inherit the most recent observed hourly total
+    // via a running last(ignoreNulls) window — the standard interpolation
+    // for downstream consumers that need a dense, never-null series
+    // (feature stores, rate limiters). Window partitions by event_type
+    // (bounded cardinality) over the ALREADY-AGGREGATED hourly table —
+    // |types| × |hours| rows, not raw events — so the single-key window
+    // task stays tiny at any corpus size.
+    "q_locf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+      val counts = ev.groupBy(col("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .localCheckpoint()
+      val spine = counts.groupBy(col("event_type"))
+        .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 HOUR"))).as("bucket"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(counts, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), col("bucket"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("total"), ignoreNulls = true).over(w).as("filled_total"))
+    }),
+
     // Per-group z-score outliers: two-level plan — per-type mean/stddev via
     // one aggregate, broadcast back (|types| rows), flag |z| > 2. The
     // textbook warehouse outlier sweep without a window over the fact table.
@@ -140,6 +168,24 @@ object Events {
         |    min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
         |  FROM b GROUP BY event_type)
         |SELECT s.event_type, s.bucket, coalesce(c.n, 0) AS n
+        |FROM spine s LEFT JOIN counts c
+        |  ON s.event_type = c.event_type AND s.bucket = c.bucket"""
+        .stripMargin,
+
+    "q_locf" ->
+      """WITH counts AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    count(*) AS n, round(sum(value), 2) AS total
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(
+        |    min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+        |  FROM counts GROUP BY event_type)
+        |SELECT s.event_type, s.bucket, coalesce(c.n, 0) AS n,
+        |  last_value(c.total IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_total
         |FROM spine s LEFT JOIN counts c
         |  ON s.event_type = c.event_type AND s.bucket = c.bucket"""
         .stripMargin,

@@ -163,6 +163,33 @@ object Joins {
           round(avg(col("p_retailprice")), 4).as("avg_price"))
     }),
 
+    // Fuzzy (edit-distance) join: vocabulary pairs within levenshtein 1 —
+    // the entity-resolution primitive (typo'd brands, OCR'd names). NOT a
+    // quadratic all-pairs: two strings one edit apart always share the
+    // first character or the last (both ends changing needs two edits), so
+    // two equi-joins on those 1-char blocking keys produce a complete,
+    // tiny candidate set and levenshtein verifies only candidates — the
+    // same block→verify shape as the LSH dedup family. Both joins shuffle
+    // on the block key; candidate count is Σ per-block n², bounded by the
+    // blocking-key fanout, not corpus².
+    "q_fuzzy_join" -> ((s, dir) => {
+      val words = t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("w"))
+        .distinct().localCheckpoint()
+      def block(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+        val a = words.select(col("w").as("word_a"), key(col("w")).as("k"))
+        val b = words.select(col("w").as("word_b"), key(col("w")).as("k"))
+        a.join(b, Seq("k")).filter(col("word_a") < col("word_b"))
+          .select("word_a", "word_b")
+      }
+      block(w => substring(w, 1, 1))
+        .union(block(w => substring(w, -1, 1)))
+        .distinct()
+        .withColumn("dist",
+          levenshtein(col("word_a"), col("word_b")).cast("long"))
+        .filter(col("dist") === 1)
+    }),
+
     // Skew-salted join over a deliberately hot-keyed slice: l_orderkey % 5
     // gives five keys carrying 20% of lineitem EACH — the shape that
     // serializes onto five tasks in a plain shuffle join. saltedJoin spreads
@@ -252,5 +279,22 @@ object Joins {
         |  FROM orders GROUP BY 1)
         |SELECT l.l_orderkey, l.l_linenumber, l.hot_key, r.bucket_rev
         |FROM l JOIN r USING (hot_key)""".stripMargin,
+
+    // Same block→verify decomposition as the Spark plan, so the oracle
+    // also proves the blocking is lossless for distance 1.
+    "q_fuzzy_join" ->
+      """WITH words AS (
+        |  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part),
+        |cand AS (
+        |  SELECT a.w AS word_a, b.w AS word_b FROM words a JOIN words b
+        |    ON substring(a.w, 1, 1) = substring(b.w, 1, 1) AND a.w < b.w
+        |  UNION
+        |  SELECT a.w, b.w FROM words a JOIN words b
+        |    ON substring(a.w, length(a.w), 1)
+        |         = substring(b.w, length(b.w), 1)
+        |      AND a.w < b.w)
+        |SELECT word_a, word_b,
+        |  CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(word_a, word_b) = 1""".stripMargin,
   )
 }

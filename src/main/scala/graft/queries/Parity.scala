@@ -61,6 +61,38 @@ object Parity {
         count(when(col("o_totalprice").isNull, true)).as("nulls_totalprice"),
         count(when(col("o_orderdate").isNull, true)).as("nulls_orderdate"))),
 
+    // Column profiling: the statistical-aggregate family (correlation,
+    // covariance, regression fit, higher moments) a data-quality layer
+    // computes per segment — ONE hash-aggregate pass over the fact table,
+    // same partial/final shape as the validation metrics above. Engine
+    // formula note: Spark's skewness/kurtosis are the POPULATION moments;
+    // DuckDB's skewness is sample-adjusted and its kurtosis_pop is the
+    // population one — the query converts skewness to the sample form
+    // (g1·√(n(n−1))/(n−2)) so both sides state the same statistic, and the
+    // oracle uses kurtosis_pop directly. Everything rounds before compare
+    // (aggregate merge order is engine-specific at the ulp level).
+    "q_stats_profile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("covar_qty_price"),
+          round(stddev_samp(col("l_discount")), 4).as("sd_discount"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope_price_qty"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("r2_price_qty"),
+          round(kurtosis(col("l_quantity")), 4).as("kurt_qty"),
+          skewness(col("l_quantity")).as("skew_pop"))
+        .withColumn("skew_qty",
+          round(col("skew_pop") * sqrt(col("n") * (col("n") - 1)) /
+            (col("n") - 2), 4))
+        .drop("skew_pop")
+    }),
+
     // A4: exact dedup == SELECT DISTINCT (survivor identity immaterial).
     "q_dedup_exact" -> ((s, dir) =>
       Cleaning.dedupExact(
@@ -289,6 +321,19 @@ object Parity {
         |  count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS nulls_totalprice,
         |  count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS nulls_orderdate
         |FROM orders""".stripMargin,
+
+    "q_stats_profile" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2)
+        |    AS covar_qty_price,
+        |  round(stddev_samp(l_discount), 4) AS sd_discount,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4)
+        |    AS slope_price_qty,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2_price_qty,
+        |  round(kurtosis_pop(l_quantity), 4) AS kurt_qty,
+        |  round(skewness(l_quantity), 4) AS skew_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem

@@ -95,6 +95,28 @@ object Windows {
           round(cume_dist().over(w), 6).as("cume"))
     }),
 
+    // Percent-of-total (ratio-to-report): each nation's share of its
+    // region's order revenue. The window runs over the ALREADY-AGGREGATED
+    // (region, nation) table — 25 rows here, |nations| at any scale — so
+    // the partition-by-region sum is a report-stage op; the data-scale work
+    // is the preceding groupBy, which shuffles once on the grouping key.
+    // Dims broadcast (nation/region are tiny at every SF).
+    "q_pct_of_total" -> ((s, dir) => {
+      val nat = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"))
+      val w = Window.partitionBy(col("region"))
+      nat.select(col("region"), col("nation"), col("total"),
+        round(lit(100) * col("total") / sum(col("total")).over(w), 4)
+          .as("pct_of_region"))
+    }),
+
     // Event-TIME range frame: each event's trailing-10-minute sum per user
     // — RANGE frames bound by an interval are the per-row sliding window
     // (resample/window() buckets are the per-bucket one). SQL expression:
@@ -213,6 +235,20 @@ object Windows {
         |  round(cume_dist() OVER (PARTITION BY o_orderstatus
         |    ORDER BY o_totalprice DESC, o_orderkey ASC), 6) AS cume
         |FROM orders""".stripMargin,
+
+    "q_pct_of_total" ->
+      """WITH nat AS (
+        |  SELECT r.r_name AS region, n.n_name AS nation,
+        |    round(sum(o.o_totalprice), 2) AS total
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT region, nation, total,
+        |  round(100 * total / sum(total) OVER (PARTITION BY region), 4)
+        |    AS pct_of_region
+        |FROM nat""".stripMargin,
 
     "q_window_range" ->
       """SELECT event_id, user_id,

@@ -82,6 +82,22 @@ class PlanSpec extends AnyFunSuite {
       s"window must partition by the segment key:\n$p")
   }
 
+  test("q_fuzzy_join verifies candidates from equi-blocking, no nested loop") {
+    // the block→verify contract: candidate pairs come from hash-joinable
+    // 1-char blocking keys; a BroadcastNestedLoopJoin would mean the edit
+    // distance leaked into the join condition (quadratic all-pairs)
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degenerated to an all-pairs nested loop:\n$p")
+  }
+
+  test("q_merge_upsert resolves the batch in one full-outer equi join") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("FullOuter"), s"expected a full-outer merge join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"merge lost its equi key:\n$p")
+  }
+
   test("ivf assignment is an argmax projection, not a window over the corpus") {
     // exactly ONE Window node (the final per-query rank, partitioned by
     // query_id); the old crossJoin+row_number assignment added a second

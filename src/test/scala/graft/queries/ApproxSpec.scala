@@ -34,4 +34,25 @@ class ApproxSpec extends AnyFunSuite {
           s"${math.abs(rank - p)} exceeds 10/accuracy")
     }
   }
+
+  /** The other scale-path sketch: approx_count_distinct (HLL++) replaces
+    * the exact expand-based COUNT(DISTINCT) of q_validate_metrics when the
+    * distinct cardinality itself is data-scaled (user ids, doc
+    * fingerprints). The rsd parameter is the documented standard error —
+    * pin a 5× multiple so a broken sketch merge fails loudly while normal
+    * estimator variance never does.
+    */
+  test("approx_count_distinct error stays within 5x the configured rsd") {
+    val ev = graft.engine.Sources.table(spark, "/root/testdata/sf0.001",
+      "events").localCheckpoint()
+    val rsd = 0.02
+    for (c <- Seq("user_id", "event_id", "event_type")) {
+      val exact = ev.select(col(c)).distinct().count().toDouble
+      val approx = ev.agg(approx_count_distinct(col(c), rsd))
+        .head().getLong(0).toDouble
+      assert(math.abs(approx - exact) / exact <= 5 * rsd,
+        s"approx_count_distinct($c)=$approx vs exact=$exact — relative " +
+          s"error ${math.abs(approx - exact) / exact} exceeds 5*rsd")
+    }
+  }
 }
