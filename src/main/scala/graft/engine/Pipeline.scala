@@ -276,6 +276,74 @@ object Pipeline {
     StageReport("compact", ok = true, s"compacted $analyticsDir")
   }
 
+  /** Apply a CDC change batch to a parquet snapshot atomically — the
+    * MERGE INTO maintenance op (the batch form is oracle-checked as
+    * `q_merge_upsert`; this is the journaled-snapshot twin the streaming
+    * path drives). `changes` carries the snapshot's key column, `opCol`
+    * ('U'/'I' upsert, 'D' delete), `seqCol` (last-wins within the batch),
+    * and any subset of the snapshot's payload columns.
+    *
+    * Semantics: per key, only the highest-seq change applies. Upserts
+    * REPLACE the row (missing payload columns become NULL — full-row CDC
+    * images, the Debezium default, round-trip exactly); deletes drop it;
+    * unmentioned snapshot rows pass through. ONE full-outer equi join on
+    * the key + the same crash-safe swap as [[compact]], so a failure
+    * leaves the original snapshot intact. Applying the same batch twice
+    * converges to the same snapshot (upsert/delete are idempotent), which
+    * is what makes this safe under foreachBatch's at-least-once replay
+    * with NO commit ledger — unlike blind appends.
+    *
+    * At 100 TB: the join shuffles on the key (or broadcasts the typically
+    * small change batch under AQE); the rewrite is the plain-parquet
+    * cost — a table format (Delta/Iceberg/Hudi) turns it into file-level
+    * upserts, but the MERGE plan itself is exactly this.
+    */
+  def applyChanges(spark: SparkSession, snapshotDir: String,
+      changes: DataFrame, keyCol: String, opCol: String = "op",
+      seqCol: String = "seq"): StageReport = {
+    import org.apache.hadoop.fs.Path
+    val snap = spark.read.parquet(snapshotDir)
+    val payloadCols = snap.columns.filter(_ != keyCol).toSeq
+    // Last change per key wins; ties on seq break on op so replayed
+    // batches with duplicated (key, seq) rows stay deterministic.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(seqCol).desc, col(opCol).desc)
+    val latestChg = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", seqCol)
+    val merged = snap.alias("s")
+      .join(latestChg.alias("c"),
+        col(s"s.$keyCol") === col(s"c.$keyCol"), "full")
+      .filter(col(opCol).isNull || col(opCol) =!= "D")
+      .select(
+        coalesce(col(s"s.$keyCol"), col(s"c.$keyCol")).as(keyCol) +:
+        payloadCols.map { c =>
+          val fromChange = latestChg.columns.contains(c)
+          if (fromChange)
+            when(col(opCol).isNotNull, col(s"c.$c"))
+              .otherwise(col(s"s.$c")).as(c)
+          else when(col(opCol).isNotNull, lit(null).cast(
+            snap.schema(c).dataType)).otherwise(col(s"s.$c")).as(c)
+        }: _*)
+    val pLive = new Path(snapshotDir)
+    val pTmp = new Path(snapshotDir + ".merge-tmp")
+    val pOld = new Path(snapshotDir + ".merge-old")
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(pTmp.toString)
+    val fs = pLive.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(pOld, true)
+    if (!fs.rename(pLive, pOld))
+      return StageReport("merge", ok = false,
+        "could not stage current snapshot aside; snapshot untouched")
+    if (!fs.rename(pTmp, pLive)) {
+      fs.rename(pOld, pLive)
+      return StageReport("merge", ok = false,
+        "swap failed; original restored")
+    }
+    fs.delete(pOld, true)
+    StageReport("merge", ok = true, s"merged changes into $snapshotDir")
+  }
+
   /** Stage 3 — validate: single-pass multi-aggregate check suite over the
     * analytics table (the validator's one-statement shape).
     */

@@ -93,6 +93,19 @@ object Parity {
         .drop("skew_pop")
     }),
 
+    // Equi-width histogram: the distribution profile a validator renders
+    // next to the moment statistics above — fixed-width buckets (no
+    // data-dependent bounds, so no extra pass), one hash-agg whose output
+    // cardinality is the bucket count, not the row count. min/max per
+    // bucket are exact data values — no rounding needed for engine parity.
+    "q_histogram" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000).cast("long")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))),
+
     // A4: exact dedup == SELECT DISTINCT (survivor identity immaterial).
     "q_dedup_exact" -> ((s, dir) =>
       Cleaning.dedupExact(
@@ -334,6 +347,11 @@ object Parity {
         |  round(kurtosis_pop(l_quantity), 4) AS kurt_qty,
         |  round(skewness(l_quantity), 4) AS skew_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem

@@ -149,6 +149,35 @@ object Streams {
       }
       .start()
 
+  /** Streaming CDC apply: drive [[graft.engine.Pipeline.applyChanges]]
+    * from a change stream — each micro-batch of (key, op, seq, payload)
+    * records merges into the snapshot atomically. No commit ledger here,
+    * deliberately: MERGE is idempotent (re-applying a replayed batch's
+    * upserts/deletes converges to the same snapshot), so foreachBatch's
+    * at-least-once contract is safe without one — the structural contrast
+    * with [[startIncrementalLoad]]'s append path, where replay WOULD
+    * duplicate and the ledger is what closes the seam.
+    *
+    * Ordering: micro-batches arrive in order per the source; within a
+    * batch, `seqCol` resolves last-wins. A change for the same key split
+    * across two batches applies in batch order — the later batch sees the
+    * earlier one's merged snapshot.
+    */
+  def startCdcMerge(changes: DataFrame, snapshotDir: String,
+      checkpointDir: String, keyCol: String, opCol: String = "op",
+      seqCol: String = "seq")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val r = graft.engine.Pipeline.applyChanges(batch.sparkSession,
+          snapshotDir, batch, keyCol, opCol, seqCol)
+        // Surface a failed swap as a stream failure, not a silent skip.
+        require(r.ok, s"cdc merge failed: ${r.detail}")
+      }
+      .start()
+
   /** [[graft.engine.Pipeline.appendCleaned]] guarded by a commit ledger
     * (`_graft_commits/<batchId>` markers beside the data): replaying an
     * already-committed micro-batch is a no-op, which is what makes the

@@ -300,6 +300,51 @@ class StreamsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
+  test("startCdcMerge: streamed changes == one-shot batch merge; replay converges") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc")
+    try {
+      val snapDir = s"$root/snap"
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("id", "name", "amount").write.parquet(snapDir)
+
+      // batch 1: update id=2, delete id=3; batch 2: insert id=4, then a
+      // same-key later update wins within the batch (seq last-wins)
+      val b1 = Seq((2L, "U", 1L, "b2", 21.0), (3L, "D", 2L, null, 0.0))
+      val b2 = Seq((4L, "I", 3L, "d", 40.0), (4L, "U", 4L, "d2", 41.0))
+      val cols = Seq("id", "op", "seq", "name", "amount")
+
+      val in = MemoryStream[(Long, String, Long, String, Double)]
+      val q = Streams.startCdcMerge(in.toDF().toDF(cols: _*), snapDir,
+        s"$root/ckpt", keyCol = "id")
+      runBatches(q)(() => in.addData(b1: _*), () => in.addData(b2: _*))
+
+      def snap() = spark.read.parquet(snapDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      val streamed = snap()
+      assert(streamed == Seq((1L, "a", 10.0), (2L, "b2", 21.0),
+        (4L, "d2", 41.0)))
+
+      // MERGE is idempotent: re-applying the last batch (foreachBatch
+      // at-least-once replay) must not change the snapshot — the property
+      // that lets the CDC path run WITHOUT the append ledger
+      graft.engine.Pipeline.applyChanges(spark, snapDir,
+        b2.toDF(cols: _*), "id")
+      assert(snap() == streamed, "replayed merge batch must converge")
+
+      // a partial change image (payload column missing) nulls the column
+      // rather than silently keeping the stale value (full-row semantics)
+      graft.engine.Pipeline.applyChanges(spark, snapDir,
+        Seq((1L, "U", 9L, 11.0)).toDF("id", "op", "seq", "amount"), "id")
+      val r1 = spark.read.parquet(snapDir).filter($"id" === 1L)
+        .select("name", "amount").head()
+      assert(r1.isNullAt(0) && r1.getDouble(1) == 11.0)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("commit ledger: dedup-shrunk batches, legacy markers, compaction") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ledger")
