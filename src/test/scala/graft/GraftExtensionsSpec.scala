@@ -22,6 +22,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT vec_dot(array(1.0d, cast(null as double)), array(1.0d, 1.0d)) AS d")
         .head()
       assert(nullCase.isNullAt(0))
+      // \u escapes keep the source ASCII: strip gets precomposed
+      // e-acute; nfc gets base + combining acute and must recompose
+      val txt = s2.sql(
+        "SELECT strip_accents('caf\u00e9'), nfc_normalize('e\u0301')")
+        .head()
+      assert(txt.getString(0) == "cafe")
+      assert(txt.getString(1) == "\u00e9")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
