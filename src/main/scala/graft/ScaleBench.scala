@@ -110,6 +110,28 @@ object ScaleBench {
       val nClustered = labels.count()
       Bench.resetState(spark)
 
+      // CDC merge cost model: apply a CONSTANT-size change batch (the
+      // replica-0 docs under id 500: same rows at every factor) to a
+      // snapshot that grows with the corpus. Plain-parquet MERGE rewrites
+      // the snapshot, so wall time must track SNAPSHOT size and stay flat
+      // in batch size — the measured statement of the documented cost
+      // (a table format turns the rewrite into file-level upserts; the
+      // join cost itself is the flat part).
+      val snapDir = s"$dir/snapshot"
+      docsDf.write.mode("overwrite").parquet(snapDir)
+      val chg = docsDf.filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, "D").otherwise("U").as("op"),
+          col("doc_id").as("seq"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+      val nChg = chg.count()
+      val tm0 = System.nanoTime()
+      val mergeReport =
+        graft.engine.Pipeline.applyChanges(spark, snapDir, chg, "doc_id")
+      val mergeSec = (System.nanoTime() - tm0) / 1e9
+      require(mergeReport.ok, mergeReport.detail)
+      Bench.resetState(spark)
+
       val secs = names.map(n => n -> timeOne(n, dir))
       // Locale.ROOT: a comma decimal separator would corrupt the JSON.
       val qs = secs.map { case (k, v) =>
@@ -124,7 +146,10 @@ object ScaleBench {
         s""""brute_query_pairs":${nQueries * (nEmb - 1)},""" +
         s""""allpairs":${nEmb * (nEmb - 1) / 2},""" +
         s""""cc_rounds":$ccRounds,"cc_clusters":$nClusters,""" +
-        s""""cc_members":$nClustered,"sec":$qs}""")
+        s""""cc_members":$nClustered,""" +
+        s""""merge_batch_rows":$nChg,"merge_sec":""" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(mergeSec)) +
+        s""","sec":$qs}""")
     }
     spark.stop()
   }

@@ -95,6 +95,27 @@ object Windows {
           round(cume_dist().over(w), 6).as("cume"))
     }),
 
+    // Frame-boundary navigation: each user's first / last / second event
+    // value over the full per-user frame — the session-summary projection
+    // (entry event, exit event, second touch). One row per user via the
+    // rn=1 filter; the frame must be UNBOUNDED BOTH WAYS or last/nth see
+    // only the running prefix. Same data-scaled user_id partitioning as
+    // the other event windows.
+    "q_window_first_last" -> ((s, dir) => {
+      val order = Seq(col("ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wn = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      t(s, dir, "events")
+        .select(col("user_id"),
+          first(col("value")).over(w).as("first_val"),
+          last(col("value")).over(w).as("last_val"),
+          nth_value(col("value"), 2).over(w).as("second_val"),
+          row_number().over(wn).as("rn"))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    }),
+
     // Percent-of-total (ratio-to-report): each nation's share of its
     // region's order revenue. The window runs over the ALREADY-AGGREGATED
     // (region, nation) table — 25 rows here, |nations| at any scale — so
@@ -235,6 +256,20 @@ object Windows {
         |  round(cume_dist() OVER (PARTITION BY o_orderstatus
         |    ORDER BY o_totalprice DESC, o_orderkey ASC), 6) AS cume
         |FROM orders""".stripMargin,
+
+    "q_window_first_last" ->
+      """WITH v AS (
+        |  SELECT user_id,
+        |    first_value(value) OVER w AS first_val,
+        |    last_value(value) OVER w AS last_val,
+        |    nth_value(value, 2) OVER w AS second_val,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, first_val, last_val, second_val
+        |FROM v WHERE rn = 1""".stripMargin,
 
     "q_pct_of_total" ->
       """WITH nat AS (
