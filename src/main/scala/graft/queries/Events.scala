@@ -109,6 +109,47 @@ object Events {
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"), col("total"))),
 
+    // Funnel analysis: users progressing view → click → purchase in strict
+    // first-occurrence time order. ONE aggregate pass builds each user's
+    // first-touch timestamps (conditional min — no self-joins, no windows),
+    // then the stage counts are a 1-row fold: the product-analytics query
+    // at its cheapest plan shape. At 100 TB this is a single shuffle keyed
+    // by user_id with near-total map-side reduction.
+    "q_funnel" -> ((s, dir) => {
+      def firstOf(t: String) =
+        min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("t_view")).as("stage_view"),
+          count(when(col("t_click") > col("t_view"), true))
+            .as("stage_click"),
+          count(when(col("t_purchase") > col("t_click") &&
+            col("t_click") > col("t_view"), true)).as("stage_purchase"))
+    }),
+
+    // Cohort retention: users bucketed by first-active week, counted per
+    // week offset — the (cohort × offset) activity matrix. Two hash-aggs
+    // on user-keyed data + a distinct count per matrix cell; cohort table
+    // is |users| rows (broadcastable at any corpus size where users fit a
+    // dim table, shuffled join otherwise).
+    "q_retention" -> ((s, dir) => {
+      // wk stays TIMESTAMP (Spark's date_trunc type) — the twin casts its
+      // DATE-typed date_trunc back up so both engines emit one type.
+      val activity = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+        .localCheckpoint()
+      val cohort = activity.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      activity.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("long")
+            .as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
     // Batch sessionization: 30-minute inactivity gap per user.
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(t(s, dir, "events"), "user_id", "ts",
@@ -171,6 +212,35 @@ object Events {
         |FROM spine s LEFT JOIN counts c
         |  ON s.event_type = c.event_type AND s.bucket = c.bucket"""
         .stripMargin,
+
+    "q_funnel" ->
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |      AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  count(t_view) AS stage_view,
+        |  count(CASE WHEN t_click > t_view THEN 1 END) AS stage_click,
+        |  count(CASE WHEN t_purchase > t_click AND t_click > t_view
+        |    THEN 1 END) AS stage_purchase
+        |FROM firsts""".stripMargin,
+
+    "q_retention" ->
+      """WITH activity AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        |  FROM events GROUP BY 1, 2),
+        |cohort AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM activity
+        |  GROUP BY user_id)
+        |SELECT c.cohort_wk,
+        |  CAST(date_diff('week', c.cohort_wk, a.wk) AS BIGINT)
+        |    AS week_offset,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM activity a JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_locf" ->
       """WITH counts AS (
