@@ -73,4 +73,57 @@ class LayoutSpec extends AnyFunSuite {
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
+
+  test("z-order prunes on BOTH dimensions where single-key sort helps only one") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zorder")
+    try {
+      val orders = Sources.table(spark, "/root/testdata/sf0.01", "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val total = orders.count()
+      val files = 16
+
+      val singleDir = s"$root/bykey"
+      orders.repartitionByRange(files, col("o_custkey"))
+        .sortWithinPartitions("o_custkey").write.parquet(singleDir)
+      val zDir = s"$root/zorder"
+      Layout.zOrderBy(orders, "o_custkey", "o_totalprice", files)
+        .write.parquet(zDir)
+
+      // narrow bands on each dimension (~3-5% of the value space)
+      val ck = orders.agg(min("o_custkey"), max("o_custkey")).head()
+      val ckBand = col("o_custkey")
+        .between(ck.getLong(0), ck.getLong(0) + (ck.getLong(1) - ck.getLong(0)) / 32)
+      val tp = orders.stat.approxQuantile("o_totalprice",
+        Array(0.40, 0.45), 0.001)
+      val tpBand = col("o_totalprice").between(tp(0), tp(1))
+
+      def scanRows(dir: String, pred: org.apache.spark.sql.Column): Long = {
+        val df = spark.read.parquet(dir).filter(pred)
+        df.collect()
+        val plan = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        plan.collectLeaves()
+          .collect { case f: org.apache.spark.sql.execution
+            .FileSourceScanExec => f }
+          .map(_.metrics("numOutputRows").value).sum
+      }
+
+      // leading dimension: both layouts prune well
+      assert(scanRows(singleDir, ckBand) <= total / 4)
+      assert(scanRows(zDir, ckBand) <= total / 2,
+        "z-order should still prune the first dimension")
+      // trailing dimension: the single-key layout smears it (reads ~all),
+      // z-order's rectangles prune it too
+      val singleTp = scanRows(singleDir, tpBand)
+      val zTp = scanRows(zDir, tpBand)
+      assert(singleTp.toDouble / total > 0.9,
+        s"single-key layout unexpectedly pruned the trailing dim ($singleTp)")
+      assert(zTp <= singleTp / 2,
+        s"z-order pruned too little on the trailing dim: $zTp vs $singleTp")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
 }
