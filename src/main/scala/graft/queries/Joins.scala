@@ -163,15 +163,27 @@ object Joins {
           round(avg(col("p_retailprice")), 4).as("avg_price"))
     }),
 
+    // Right outer: every part keeps a row even with zero lineitem sales
+    // (the preserved side is the RIGHT input — the mirror of q_join_outer's
+    // left form, completing the outer-join family).
+    "q_join_right" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"), "right")
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(count(col("l_orderkey")).as("n_lines"))),
+
     // Fuzzy (edit-distance) join: vocabulary pairs within levenshtein 1 —
     // the entity-resolution primitive (typo'd brands, OCR'd names). NOT a
-    // quadratic all-pairs: two strings one edit apart always share the
-    // first character or the last (both ends changing needs two edits), so
-    // two equi-joins on those 1-char blocking keys produce a complete,
-    // tiny candidate set and levenshtein verifies only candidates — the
-    // same block→verify shape as the LSH dedup family. Both joins shuffle
-    // on the block key; candidate count is Σ per-block n², bounded by the
-    // blocking-key fanout, not corpus².
+    // quadratic all-pairs: two strings one edit apart share the first
+    // character or the last (one edit can't change both ends — except two
+    // distinct single-char words, the one blind spot, absent from any real
+    // token vocabulary and caught by the blocking-free oracle if it ever
+    // appears), so two equi-joins on those 1-char blocking keys produce a
+    // complete candidate set and levenshtein verifies only candidates —
+    // the same block→verify shape as the LSH dedup family. Both joins
+    // shuffle on the block key; candidate count is Σ per-block n², bounded
+    // by the blocking-key fanout, not corpus².
     "q_fuzzy_join" -> ((s, dir) => {
       val words = t(s, dir, "part")
         .select(explode(split(col("p_name"), " ")).as("w"))
@@ -280,21 +292,22 @@ object Joins {
         |SELECT l.l_orderkey, l.l_linenumber, l.hot_key, r.bucket_rev
         |FROM l JOIN r USING (hot_key)""".stripMargin,
 
-    // Same block→verify decomposition as the Spark plan, so the oracle
-    // also proves the blocking is lossless for distance 1.
+    "q_join_right" ->
+      """SELECT p_partkey, p_name, count(l_orderkey) AS n_lines
+        |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey, p_name""".stripMargin,
+
+    // Deliberately BLOCKING-FREE: the oracle runs exact levenshtein over
+    // ALL word pairs (fine for DuckDB at vocabulary size), so a candidate
+    // pair the Spark-side first/last-char blocking missed would surface as
+    // a row-count mismatch — the oracle independently proves the blocking
+    // lossless on this vocabulary, rather than sharing its blind spots.
     "q_fuzzy_join" ->
       """WITH words AS (
-        |  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part),
-        |cand AS (
-        |  SELECT a.w AS word_a, b.w AS word_b FROM words a JOIN words b
-        |    ON substring(a.w, 1, 1) = substring(b.w, 1, 1) AND a.w < b.w
-        |  UNION
-        |  SELECT a.w, b.w FROM words a JOIN words b
-        |    ON substring(a.w, length(a.w), 1)
-        |         = substring(b.w, length(b.w), 1)
-        |      AND a.w < b.w)
-        |SELECT word_a, word_b,
-        |  CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist
-        |FROM cand WHERE levenshtein(word_a, word_b) = 1""".stripMargin,
+        |  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part)
+        |SELECT a.w AS word_a, b.w AS word_b,
+        |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        |FROM words a JOIN words b ON a.w < b.w
+        |WHERE levenshtein(a.w, b.w) = 1""".stripMargin,
   )
 }
