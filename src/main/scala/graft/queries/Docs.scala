@@ -94,6 +94,48 @@ object Docs {
           round(avg(col("q")), 4).as("avg_quality"),
           sum(col("nt")).as("total_tokens"))),
 
+    // Per-language unigram Shannon entropy (nats), H = ln N − Σ n·ln n / N
+    // — the corpus-diversity signal curation runs use to catch boilerplate
+    // floods (a template-spammed language shows a collapsing H). Explode →
+    // (lang, token) hash-agg → per-lang fold: both aggregations are
+    // partial+final (map-side combine), and state is O(vocab), never
+    // O(tokens) — the token stream itself is never shuffled, only the
+    // count table.
+    "q_entropy" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("lang"))
+        .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("vocab"),
+          sum(col("n") * log(col("n"))).as("sum_nlogn"))
+        .select(col("lang"), col("n_tokens"), col("vocab"),
+          round(log(col("n_tokens")) -
+            col("sum_nlogn") / col("n_tokens"), 4).as("entropy_nats"))
+    }),
+
+    // Pointwise mutual information between the two document facets
+    // (lang × source): PMI = ln(n·N / (n_lang·n_source)) per cell — the
+    // association scan that flags a source feeding one language its
+    // boilerplate. The joint table is |langs|×|sources| (tiny), so the
+    // marginals are broadcast joins back onto it; all counts stay exact
+    // longs until the final ln. One corpus scan total.
+    "q_mutual_info" -> ((s, dir) => {
+      val joint = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val byLang = joint.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+      val bySource = joint.groupBy(col("source"))
+        .agg(sum(col("n")).as("n_source"))
+      val total = joint.agg(sum(col("n")).as("n_total"))
+      joint.join(broadcast(byLang), "lang")
+        .join(broadcast(bySource), "source")
+        .crossJoin(broadcast(total))
+        .select(col("lang"), col("source"), col("n"),
+          round(log(col("n").cast("double") * col("n_total") /
+            (col("n_lang") * col("n_source"))), 4).as("pmi"))
+    }),
+
     // Sequence packing: concatenate each language's token stream in
     // deterministic doc_id order and chunk it into 2048-token context
     // windows — a doc lands in the bin where its first token falls (the
@@ -511,6 +553,27 @@ object Docs {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+    "q_entropy" ->
+      """WITH c AS (
+        |  SELECT lang, tok, count(*) AS n FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  count(*) AS vocab,
+        |  round(ln(CAST(sum(n) AS DOUBLE)) -
+        |    sum(n * ln(n)) / sum(n), 4) AS entropy_nats
+        |FROM c GROUP BY lang""".stripMargin,
+
+    "q_mutual_info" ->
+      """WITH j AS (
+        |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
+        |SELECT lang, source, n,
+        |  round(ln(CAST(n AS DOUBLE) * sum(n) OVER () /
+        |    (sum(n) OVER (PARTITION BY lang) *
+        |     sum(n) OVER (PARTITION BY source))), 4) AS pmi
+        |FROM j""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH tok AS (SELECT doc_id, lang,

@@ -150,6 +150,31 @@ object Events {
         .agg(countDistinct(col("user_id")).as("n_active"))
     }),
 
+    // Gaps-and-islands: maximal runs of CONSECUTIVE active days per user
+    // (the classic streak query), via the row_number difference trick —
+    // day minus dense day-rank is constant within a run, so one window +
+    // one group-by finds every island without self-joins. The window
+    // partitions by user_id (thousands of small partitions), never one
+    // global sort; at 100 TB this is the per-entity-history shape that
+    // scales linearly with users.
+    "q_streaks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      days
+        .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("d")).as("sd"), max(col("d")).as("ed"),
+          count(lit(1)).as("len_days"))
+        // TIMESTAMP on the wire (like q_retention): DuckDB DATE surfaces
+        // as midnight timestamps through the checker's pandas bridge.
+        .select(col("user_id"),
+          col("sd").cast("timestamp").as("start_day"),
+          col("ed").cast("timestamp").as("end_day"), col("len_days"))
+    }),
+
     // Batch sessionization: 30-minute inactivity gap per user.
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(t(s, dir, "events"), "user_id", "ts",
@@ -227,6 +252,19 @@ object Events {
         |  count(CASE WHEN t_purchase > t_click AND t_click > t_view
         |    THEN 1 END) AS stage_purchase
         |FROM firsts""".stripMargin,
+
+    "q_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |g AS (
+        |  SELECT user_id, d,
+        |    d - CAST(row_number() OVER (
+        |      PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+        |  FROM days)
+        |SELECT user_id, CAST(min(d) AS TIMESTAMP) AS start_day,
+        |  CAST(max(d) AS TIMESTAMP) AS end_day,
+        |  count(*) AS len_days
+        |FROM g GROUP BY user_id, grp""".stripMargin,
 
     "q_retention" ->
       """WITH activity AS (

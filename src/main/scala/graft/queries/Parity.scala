@@ -240,6 +240,68 @@ object Parity {
           round(percentile(col("o_totalprice"), lit(0.95)), 4).as("p95"),
           count(lit(1)).as("n"))),
 
+    // Ordered string aggregation (LISTAGG/string_agg): the report/export
+    // shape — values sorted INSIDE the aggregate so the result is a pure
+    // function of the set, not of partition arrival order (an unsorted
+    // collect_list is engine- and run-nondeterministic by construction).
+    // collect_list is the one agg whose state grows with group size: fine
+    // for bounded groups like these; at 100 TB cap or pre-aggregate first.
+    "q_string_agg" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_segments"),
+          concat_ws(",",
+            sort_array(collect_set(col("c_mktsegment")))).as("segments"))),
+
+    // Boolean/conditional aggregate family: every/any/count_if — the
+    // data-quality predicates (validator checks) as native aggregates in
+    // one pass.
+    "q_bool_aggs" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          bool_and(col("l_quantity") > 0).as("all_qty_positive"),
+          bool_or(col("l_discount") > 0.09).as("any_deep_discount"),
+          count_if(col("l_tax") === 0).as("n_tax_free"))),
+
+    // Schema-drift union (UNION ALL BY NAME): two projections with
+    // different column sets merge by NAME, absent columns null-filled —
+    // the shape every multi-batch ingest hits once the upstream schema
+    // evolves (SURVEY §2.7 / Evolution's read-side twin). Positional
+    // union would silently misalign columns; unionByName is the only
+    // safe verb once schemas drift.
+    "q_union_by_name" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val full = o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), lit("full").as("src"))
+      val open = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          lit("open").as("src"))
+      full.unionByName(open, allowMissingColumns = true)
+    }),
+
+    // Z-score standardization + outlier extraction — the feature-scaling
+    // pass a training pipeline runs before model ingest. Deliberately NOT
+    // a window over the value column: per-group moments come from one
+    // hash-agg (3 rows), broadcast back, and the score is a codegen'd
+    // projection — no sort, no single giant window partition. At 100 TB
+    // the window formulation would funnel each group through one task;
+    // this one is two scans and zero wide shuffles.
+    "q_zscore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val stats = li.groupBy(col("l_returnflag"))
+        .agg(avg(col("l_extendedprice")).as("mu"),
+          stddev_samp(col("l_extendedprice")).as("sd"))
+      // 1.6, not the textbook 3: prices are uniform-ish (max |z| ≈ 1.74),
+      // so a 3-sigma cut would select nothing and gate nothing.
+      li.join(broadcast(stats), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          ((col("l_extendedprice") - col("mu")) / col("sd")).as("z"))
+        .filter(abs(col("z")) > 1.6)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("z"), 4).as("z"))
+    }),
+
     // Grouping sets: CUBE (all key combinations via one Expand).
     "q_cube" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -352,6 +414,36 @@ object Parity {
       """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
         |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT c_nationkey, count(*) AS n_segments,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+        |    AS segments
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "q_bool_aggs" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_qty_positive,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount,
+        |  count(CASE WHEN l_tax = 0 THEN 1 END) AS n_tax_free
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_union_by_name" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, 'full' AS src
+        |FROM orders
+        |UNION ALL BY NAME
+        |SELECT o_orderkey, o_orderpriority, 'open' AS src
+        |FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "q_zscore" ->
+      """WITH stats AS (
+        |  SELECT l_returnflag, avg(l_extendedprice) AS mu,
+        |    stddev_samp(l_extendedprice) AS sd
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+        |  round((l_extendedprice - mu) / sd, 4) AS z
+        |FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+        |WHERE abs((l_extendedprice - mu) / sd) > 1.6""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
