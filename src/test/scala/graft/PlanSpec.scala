@@ -132,6 +132,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_zscore broadcasts the moment table, never sorts") {
+    // the scale contract of the hash-agg + broadcast formulation: a
+    // SortMergeJoin (or any sort) would mean the 3-row stats table is
+    // being shuffled against the fact table, and a window formulation
+    // would funnel each l_returnflag group through one task
+    val p = plan("q_zscore")
+    assert(p.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"z-score degenerated to a sort/window formulation:\n$p")
+  }
+
+  test("q_mutual_info joins every marginal by broadcast") {
+    val p = plan("q_mutual_info")
+    assert(!p.contains("SortMergeJoin"),
+      s"PMI marginals should broadcast onto the tiny joint table:\n$p")
+  }
+
+  test("q_streaks reuses the window's user partitioning for the island agg") {
+    // day − row_number is constant per island, and the groupBy keys
+    // (user_id, grp) are clustered by the window's hashpartitioning on
+    // user_id alone — an exchange above the Window would mean
+    // EnsureRequirements stopped recognizing the subset partitioning.
+    // (Two shuffles BELOW it are deliberate: the day-distinct dedups
+    // map-side before shuffling — at raw scale events ≫ user-days, so
+    // that partial agg is worth the second, tiny exchange.)
+    val p = plan("q_streaks")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 2,
+      s"q_streaks should shuffle twice (found $shuffles):\n$p")
+    val aboveWindow = p.substring(0, p.indexOf("Window ["))
+    assert(!aboveWindow.contains("Exchange"),
+      s"island aggregate re-shuffles the window output:\n$p")
+  }
+
   test("no query in the registry plans a CartesianProduct") {
     // Deliberate small-build-side NLJs plan as BroadcastNestedLoopJoin;
     // a CartesianProduct node means a join lost its keys (or a broadcast
