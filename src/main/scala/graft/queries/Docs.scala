@@ -114,6 +114,35 @@ object Docs {
             col("sum_nlogn") / col("n_tokens"), 4).as("entropy_nats"))
     }),
 
+    // Per-source KL divergence from the corpus token distribution,
+    // D(P_src ‖ P_corpus) = Σ_t (n_st/N_s)·ln(n_st·N / (N_s·n_t)) — the
+    // drift detector curation runs per ingest source (a source whose
+    // unigram mix diverges from the corpus is boilerplate, spam, or the
+    // wrong language). Support is total by construction (every source
+    // token is a corpus token), so no smoothing term. The (source, token)
+    // count table is computed once and re-aggregated for both marginals;
+    // the per-token corpus count joins back on token as an ordinary
+    // shuffle join (vocab-sized — too big to assume broadcastable at
+    // 100 TB), the 5-row per-source totals broadcast.
+    "q_kl_sources" -> ((s, dir) => {
+      val st = t(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("n_st"))
+        .localCheckpoint() // feeds three aggregations below
+      val byTok = st.groupBy(col("tok")).agg(sum(col("n_st")).as("n_t"))
+      val bySrc = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
+      val total = st.agg(sum(col("n_st")).as("nn"))
+      st.join(byTok, "tok")
+        .join(broadcast(bySrc), "source")
+        .crossJoin(broadcast(total))
+        .groupBy(col("source"))
+        .agg(first(col("n_s")).as("n_tokens"),
+          round(sum((col("n_st").cast("double") / col("n_s")) *
+            log(col("n_st").cast("double") * col("nn") /
+              (col("n_s").cast("double") * col("n_t")))), 4).as("kl_nats"))
+    }),
+
     // Pointwise mutual information between the two document facets
     // (lang × source): PMI = ln(n·N / (n_lang·n_source)) per cell — the
     // association scan that flags a source feeding one language its
@@ -565,6 +594,23 @@ object Docs {
         |  round(ln(CAST(sum(n) AS DOUBLE)) -
         |    sum(n * ln(n)) / sum(n), 4) AS entropy_nats
         |FROM c GROUP BY lang""".stripMargin,
+
+    "q_kl_sources" ->
+      """WITH st AS (
+        |  SELECT source, tok, count(*) AS n_st FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT tok, sum(n_st) AS n_t FROM st GROUP BY 1),
+        |s AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY 1),
+        |n AS (SELECT sum(n_st) AS nn FROM st)
+        |SELECT st.source, CAST(s.n_s AS BIGINT) AS n_tokens,
+        |  round(sum((CAST(n_st AS DOUBLE) / s.n_s) *
+        |    ln(CAST(n_st AS DOUBLE) * nn /
+        |       (CAST(s.n_s AS DOUBLE) * n_t))), 4) AS kl_nats
+        |FROM st
+        |JOIN tot USING (tok) JOIN s ON st.source = s.source CROSS JOIN n
+        |GROUP BY st.source, s.n_s""".stripMargin,
 
     "q_mutual_info" ->
       """WITH j AS (

@@ -302,6 +302,32 @@ object Parity {
           round(col("z"), 4).as("z"))
     }),
 
+    // Winsorization: clip each group's tail values to its own [p05, p95]
+    // — the outlier treatment training pipelines apply before a model
+    // sees the feature. Same two-pass shape as q_zscore: the per-group
+    // quantile pair is one (sort-based, group-local) aggregate of 3 rows,
+    // broadcast back; the clip is a codegen'd least/greatest projection.
+    // Reports mean-before/after + clip counts per group — the audit line
+    // a curation run logs.
+    "q_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val q = li.groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"), lit(0.05)).as("lo"),
+          percentile(col("l_extendedprice"), lit(0.95)).as("hi"))
+      li.join(broadcast(q), "l_returnflag")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          greatest(col("lo"), least(col("hi"), col("l_extendedprice")))
+            .as("clipped"),
+          (col("l_extendedprice") < col("lo")).as("clip_lo"),
+          (col("l_extendedprice") > col("hi")).as("clip_hi"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          count_if(col("clip_lo")).as("n_clip_lo"),
+          count_if(col("clip_hi")).as("n_clip_hi"),
+          round(avg(col("l_extendedprice")), 4).as("mean_raw"),
+          round(avg(col("clipped")), 4).as("mean_winsorized"))
+    }),
+
     // Grouping sets: CUBE (all key combinations via one Expand).
     "q_cube" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -533,6 +559,21 @@ object Parity {
         |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  count(CASE WHEN l_extendedprice < lo THEN 1 END) AS n_clip_lo,
+        |  count(CASE WHEN l_extendedprice > hi THEN 1 END) AS n_clip_hi,
+        |  round(avg(l_extendedprice), 4) AS mean_raw,
+        |  round(avg(greatest(lo, least(hi, l_extendedprice))), 4)
+        |    AS mean_winsorized
+        |FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+        |GROUP BY l.l_returnflag""".stripMargin,
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
