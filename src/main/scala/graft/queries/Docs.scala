@@ -114,6 +114,52 @@ object Docs {
             col("sum_nlogn") / col("n_tokens"), 4).as("entropy_nats"))
     }),
 
+    // Context-window chunking with overlap: each doc expands to its
+    // 32-token windows at stride 24 (window − 8 overlap) — the chunk
+    // table a pretraining/RAG loader materializes. Pure arithmetic +
+    // sequence() explode: chunk count and sizes derive from the token
+    // count alone, so no token array is shuffled — the expansion is
+    // map-side and output rows ≈ tokens/stride.
+    "q_chunk_overlap" -> ((s, dir) => {
+      val win = 32L
+      val stride = 24L
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.nTokens(col("text")).as("nt"))
+        .withColumn("n_chunks", when(col("nt") <= win, 1L)
+          .otherwise(lit(1L) +
+            ceil((col("nt") - win).cast("double") / stride).cast("long")))
+        .select(col("doc_id"), col("nt"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          least(lit(win), col("nt") - col("chunk_idx") * stride)
+            .as("chunk_tokens"))
+    }),
+
+    // Out-of-vocabulary rate per language against a frequency-thresholded
+    // corpus vocabulary (tokens seen ≥ 50×) — the tokenizer-coverage
+    // metric an LLM pipeline tracks per ingest slice. The vocab is
+    // defined by a COUNT THRESHOLD, not top-K: a K-cut ties at the
+    // boundary and ties are engine-order-dependent; the threshold is a
+    // pure function of the data. Token stream LEFT-joins the vocab on
+    // token; vocab size is heavy-tail-bounded but data-dependent, so the
+    // join strategy is left to the planner/AQE rather than forced
+    // broadcast.
+    "q_oov_rate" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("lang"), explode(Text.tokens(col("text"))).as("tk"))
+        .localCheckpoint() // feeds the vocab agg AND the join probe side
+      val vocab = tok.groupBy(col("tk")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 50)
+        .select(col("tk"), lit(true).as("in_vocab"))
+      tok.join(vocab, Seq("tk"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count_if(col("in_vocab").isNull).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens"), 4)
+            .as("oov_rate"))
+    }),
+
     // Per-source KL divergence from the corpus token distribution,
     // D(P_src ‖ P_corpus) = Σ_t (n_st/N_s)·ln(n_st·N / (N_s·n_t)) — the
     // drift detector curation runs per ingest source (a source whose
@@ -594,6 +640,39 @@ object Docs {
         |  round(ln(CAST(sum(n) AS DOUBLE)) -
         |    sum(n * ln(n)) / sum(n), 4) AS entropy_nats
         |FROM c GROUP BY lang""".stripMargin,
+
+    "q_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, nt,
+        |    CASE WHEN nt <= 32 THEN 1
+        |      ELSE 1 + CAST(ceil((nt - 32) / 24.0) AS BIGINT) END
+        |      AS n_chunks
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, nt,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        |  FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  least(32, nt - chunk_idx * 24) AS chunk_tokens
+        |FROM e""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tk
+        |  FROM documents),
+        |v AS (
+        |  SELECT tk FROM (SELECT tk, count(*) AS n FROM tok GROUP BY 1)
+        |  WHERE n >= 50)
+        |SELECT lang, count(*) AS n_tokens,
+        |  count(CASE WHEN v.tk IS NULL THEN 1 END) AS n_oov,
+        |  round(count(CASE WHEN v.tk IS NULL THEN 1 END) /
+        |    CAST(count(*) AS DOUBLE), 4) AS oov_rate
+        |FROM tok LEFT JOIN v USING (tk)
+        |GROUP BY lang""".stripMargin,
 
     "q_kl_sources" ->
       """WITH st AS (
