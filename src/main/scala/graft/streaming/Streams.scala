@@ -149,6 +149,54 @@ object Streams {
       }
       .start()
 
+  /** Streaming incremental-aggregate materialization: each micro-batch is
+    * reduced to its per-group algebraic partials and appended to a
+    * [[graft.engine.Rollup]] journal, so the standing report over the
+    * stream is `Rollup.report` — O(groups × batches) to read, raw rows
+    * never re-scanned. Guarded by the same commit-ledger idempotence as
+    * [[startIncrementalLoad]]: re-journaling a replayed batchId would
+    * DOUBLE-COUNT its partials (the seam Rollup's scaladoc assigns to the
+    * caller), so under at-least-once foreachBatch the marker is what makes
+    * the journal exactly-once.
+    */
+  def startRollupJournal(stream: DataFrame, journalDir: String,
+      checkpointDir: String, groupCols: Seq[String], valueCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        journalBatchIdempotent(batch, journalDir, batchId, groupCols,
+          valueCol)
+      }
+      .start()
+
+  /** The ledger-guarded journal step of [[startRollupJournal]]. Marker
+    * placement mirrors [[appendBatchIdempotent]] (`_graft_commits/` beside
+    * the data — underscore-prefixed, so parquet readers of the journal
+    * never see it); the residual crash-between-journal-and-marker seam
+    * duplicates ONE batch's partials on replay, which
+    * [[graft.engine.Rollup.report]]'s batch tag column makes auditable
+    * (two journal rows with the same tag and group).
+    */
+  private[graft] def journalBatchIdempotent(batch: DataFrame,
+      journalDir: String, batchId: Long, groupCols: Seq[String],
+      valueCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(journalDir, s"_graft_commits/$batchId")
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      graft.engine.Rollup.journalBatch(batch, journalDir, groupCols,
+        valueCol, s"b$batchId")
+      try fs.create(marker, false).close() // exclusive: lost race = no-op
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+  }
+
   /** Streaming CDC apply: drive [[graft.engine.Pipeline.applyChanges]]
     * from a change stream — each micro-batch of (key, op, seq, payload)
     * records merges into the snapshot atomically. No commit ledger here,

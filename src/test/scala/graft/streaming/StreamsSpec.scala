@@ -345,6 +345,46 @@ class StreamsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
+  test("rollup journal: streamed partials == direct aggregate, replay-safe") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-rollup-stream")
+    try {
+      val journal = s"$root/journal"
+      val b1 = Seq(("A", 10.0), ("B", 20.0), ("A", 5.0))
+      val b2 = Seq(("A", 1.0), ("C", 7.0))
+      val in = MemoryStream[(String, Double)]
+      val q = Streams.startRollupJournal(in.toDF().toDF("k", "v"), journal,
+        s"$root/ckpt", Seq("k"), "v")
+      runBatches(q)(() => in.addData(b1: _*), () => in.addData(b2: _*))
+
+      def report() = graft.engine.Rollup.report(spark, journal, Seq("k"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val direct = (b1 ++ b2).toDF("k", "v").groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v").as("total"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(report() == direct)
+
+      // at-least-once replay of a committed batchId journals nothing new
+      val rows = spark.read.parquet(journal).count()
+      Streams.journalBatchIdempotent(b2.toDF("k", "v"), journal, 1L,
+        Seq("k"), "v")
+      assert(spark.read.parquet(journal).count() == rows,
+        "replayed batch must not double-count partials")
+      assert(report() == direct)
+
+      // a genuinely new batch still lands and shifts the report
+      Streams.journalBatchIdempotent(Seq(("C", 3.0)).toDF("k", "v"),
+        journal, 2L, Seq("k"), "v")
+      assert(report().find(_._1 == "C").get._2 == 10.0)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("commit ledger: dedup-shrunk batches, legacy markers, compaction") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ledger")
