@@ -27,6 +27,40 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Market-basket lift: part pairs co-bought in one order, scored by
+    // lift = P(ab)/(P(a)P(b)) — the co-occurrence analysis behind
+    // recommendations. The same-order self-join is NOT corpus-quadratic:
+    // pairs per order are C(width, 2) with basket width small and bounded,
+    // so join output ~ orders × width² — linear in orders. The support
+    // filter (n_ab ≥ 2) prunes the singleton tail before the marginal
+    // joins; part frequencies join back keyed on the part (planner/AQE
+    // picks broadcast vs shuffle from measured size), the 1-row order
+    // count broadcasts.
+    "q_basket_lift" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint() // both self-join sides + marginals + total
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = items.select(col("l_orderkey").as("ok_b"),
+        col("l_partkey").as("part_b"))
+      val pairs = a.join(b, a("l_orderkey") === b("ok_b") &&
+          col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
+      val total = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      pairs
+        .join(freq.select(col("l_partkey").as("part_a"),
+          col("n_p").as("n_a")), "part_a")
+        .join(freq.select(col("l_partkey").as("part_b"),
+          col("n_p").as("n_b")), "part_b")
+        .crossJoin(broadcast(total))
+        .select(col("part_a"), col("part_b"), col("n_ab"),
+          round(col("n_ab").cast("double") * col("n_orders") /
+            (col("n_a") * col("n_b")), 4).as("lift"))
+    }),
+
     // Q3 shape: shipping priority — segment-filtered customers, orders
     // before / lineitems shipped after a date, top-10 open-order revenue.
     "q_tpch_q3" -> ((s, dir) => {
@@ -544,6 +578,25 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_basket_lift" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |f AS (SELECT l_partkey, count(*) AS n_p FROM items GROUP BY 1),
+        |t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items)
+        |SELECT part_a, part_b, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) * n_orders / (fa.n_p * fb.n_p), 4)
+        |    AS lift
+        |FROM p
+        |JOIN f fa ON p.part_a = fa.l_partkey
+        |JOIN f fb ON p.part_b = fb.l_partkey
+        |CROSS JOIN t""".stripMargin,
+
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
