@@ -74,6 +74,41 @@ class LayoutSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
+  test("quantile bucket: boundary semantics, determinism, codegen/eval parity") {
+    import graft.functions.BucketExprs
+    val bounds = Array(10.0, 20.0, 30.0)
+    val df = spark.range(1).select(
+      BucketExprs.quantileBucket(lit(5.0), bounds).as("below"),
+      BucketExprs.quantileBucket(lit(10.0), bounds).as("on_first"),
+      BucketExprs.quantileBucket(lit(15.0), bounds).as("mid"),
+      BucketExprs.quantileBucket(lit(30.0), bounds).as("on_last"),
+      BucketExprs.quantileBucket(lit(35.0), bounds).as("above"),
+      BucketExprs.quantileBucket(lit(null).cast("double"), bounds).as("nul"))
+    val r = df.head()
+    assert(r.getLong(0) == 0L) // below every boundary
+    assert(r.getLong(1) == 1L) // boundary-equal → upper bucket
+    assert(r.getLong(2) == 1L)
+    assert(r.getLong(3) == 3L)
+    assert(r.getLong(4) == 3L) // above every boundary
+    assert(r.isNullAt(5))
+    // interpreted eval agrees with the codegen'd path exercised above
+    val e = graft.functions.QuantileBucket(
+      org.apache.spark.sql.catalyst.expressions.Literal(15.0), bounds)
+    assert(e.eval(null) == 1L)
+  }
+
+  test("z-order write plan has no Window — rank compression must not global-sort") {
+    val orders = Sources.table(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val planned = Layout.zOrderBy(orders, "o_custkey", "o_totalprice", 4)
+    val windows = planned.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      "z-order write plan contains a Window — at 100 TB that is a " +
+        "single-task global sort at write time")
+  }
+
   test("z-order prunes on BOTH dimensions where single-key sort helps only one") {
     val root = java.nio.file.Files.createTempDirectory("graft-zorder")
     try {
