@@ -185,12 +185,14 @@ object Incremental {
     // reads ONLY the journaled per-batch partials (O(groups × batches)
     // rows); the oracle aggregates the raw table. Equality is the IVM
     // contract — and the reason a daily 100 TB report costs O(increment).
+    // avg divides by n_val (non-null measure count), matching SQL AVG —
+    // dividing by the row count would deflate the mean under NULLs.
     "q_rollup_report" -> ((s, dir) =>
       graft.engine.Rollup.report(s, s"${rollupJournalDir(s, dir)}/journal",
           Seq("o_orderpriority"))
         .select(col("o_orderpriority"), col("n"),
           round(col("total"), 2).as("total"),
-          round(col("total") / col("n"), 4).as("avg_price"),
+          round(col("total") / col("n_val"), 4).as("avg_price"),
           col("min_v"), col("max_v"))))
 
   /** The twin reconstructs both cleaned batches from the fixture and
@@ -252,7 +254,7 @@ object Incremental {
     "q_rollup_report" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total,
-        |  round(sum(o_totalprice) / count(*), 4) AS avg_price,
+        |  round(avg(o_totalprice), 4) AS avg_price,
         |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
         |FROM orders GROUP BY o_orderpriority""".stripMargin)
 }

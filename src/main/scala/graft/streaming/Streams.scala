@@ -175,9 +175,12 @@ object Streams {
     * placement mirrors [[appendBatchIdempotent]] (`_graft_commits/` beside
     * the data — underscore-prefixed, so parquet readers of the journal
     * never see it); the residual crash-between-journal-and-marker seam
-    * duplicates ONE batch's partials on replay, which
-    * [[graft.engine.Rollup.report]]'s batch tag column makes auditable
-    * (two journal rows with the same tag and group).
+    * duplicates ONE batch's partials on replay, and
+    * [[graft.engine.Rollup.report]] SELF-HEALS it: the replayed partials
+    * are byte-identical (same tag, same deterministic agg of the same
+    * input), and the report collapses duplicates by (group, batch tag)
+    * before combining — the seam costs a redundant file, never an
+    * inflated total.
     */
   private[graft] def journalBatchIdempotent(batch: DataFrame,
       journalDir: String, batchId: Long, groupCols: Seq[String],

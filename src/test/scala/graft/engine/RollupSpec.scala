@@ -42,4 +42,87 @@ class RollupSpec extends AnyFunSuite {
     // O(groups × batches) journal rows: 3 statuses × 3 batches at most.
     assert(spark.read.parquet(j).count() <= 9)
   }
+
+  test("compactJournal folds partials to O(groups), report unchanged, ledger carried") {
+    val dir = java.nio.file.Files.createTempDirectory("rollup-compact").toString
+    val j = s"$dir/journal"
+    (0 until 8).foreach(i => Rollup.journalBatch(
+      orders.filter(col("o_orderkey") % 8 === i), j,
+      Seq("o_orderstatus"), "o_totalprice", s"b$i"))
+    // a streaming commit marker that must survive the swap
+    val marker = new java.io.File(s"$j/_graft_commits")
+    marker.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$j/_graft_commits/3"), """{"batchId":3,"rows":0}""")
+
+    def canon() = Rollup.report(spark, j, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n"), col("n_val"),
+        round(col("total"), 2).as("total"), col("min_v"), col("max_v"))
+      .collect().map(_.toSeq).sortBy(_.head.toString).toSeq
+
+    val before = canon()
+    val filesBefore = spark.read.parquet(j).inputFiles.length
+    val rep = Rollup.compactJournal(spark, j)
+    assert(rep.ok, rep.detail)
+    assert(canon() == before, "compaction changed the report")
+    val filesAfter = spark.read.parquet(j).inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"journal file count did not collapse: $filesBefore -> $filesAfter")
+    // one partial row per group now
+    assert(spark.read.parquet(j).count() ==
+      orders.select("o_orderstatus").distinct().count())
+    assert(new java.io.File(s"$j/_graft_commits/3").exists(),
+      "commit ledger lost in the swap — replayed batchIds would re-append")
+  }
+
+  test("report self-heals a crash-replay duplicate (same tag journaled twice)") {
+    val dir = java.nio.file.Files.createTempDirectory("rollup-replay").toString
+    val j = s"$dir/journal"
+    val batch = orders.filter(col("o_orderkey") % 2 === 0)
+    Rollup.journalBatch(batch, j, Seq("o_orderstatus"), "o_totalprice", "b0")
+    val once = Rollup.report(spark, j, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n"), round(col("total"), 2))
+      .collect().map(_.toSeq).sortBy(_.head.toString).toSeq
+    // the crash-between-journal-and-marker seam: the SAME batch appends its
+    // (identical) partials a second time on replay
+    Rollup.journalBatch(batch, j, Seq("o_orderstatus"), "o_totalprice", "b0")
+    val twice = Rollup.report(spark, j, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n"), round(col("total"), 2))
+      .collect().map(_.toSeq).sortBy(_.head.toString).toSeq
+    assert(twice == once, "replayed batch double-counted in the report")
+  }
+
+  test("n vs n_val: derived average must use the non-null count (SQL AVG)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rollup-nulls").toString
+    val j = s"$dir/journal"
+    val batch = Seq(("a", Some(10.0)), ("a", None), ("a", Some(20.0)))
+      .toDF("k", "v")
+    Rollup.journalBatch(batch, j, Seq("k"), "v", "b0")
+    val r = Rollup.report(spark, j, Seq("k")).head()
+    assert(r.getAs[Long]("n") == 3L) // COUNT(*)
+    assert(r.getAs[Long]("n_val") == 2L) // COUNT(v)
+    // AVG(v) = 15.0, not Σv / COUNT(*) = 10.0
+    assert(r.getAs[Double]("total") / r.getAs[Long]("n_val") == 15.0)
+  }
+
+  test("deletes: sum/count retract exactly; min/max degrade to stale bounds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rollup-del").toString
+    val j = s"$dir/journal"
+    Rollup.journalBatch(Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("k", "v"),
+      j, Seq("k"), "v", "b0")
+    // Retraction partial for deleting the row v=3.0: sum/counts negate
+    // (abelian group); min/max have NO retraction value — journal them as
+    // NULL so the combine ignores them.
+    Seq(("a", -3.0, -1L, -1L, Option.empty[Double], Option.empty[Double], "d0"))
+      .toDF("k", "p_sum", "p_cnt", "p_rows", "p_min", "p_max", "batch")
+      .write.mode("append").parquet(j)
+    val r = Rollup.report(spark, j, Seq("k")).head()
+    assert(r.getAs[Double]("total") == 3.0) // 6 - 3: exact under delete
+    assert(r.getAs[Long]("n") == 2L) // exact under delete
+    // true max is now 2.0 but the journal cannot know: max_v keeps the
+    // deleted 3.0 as a conservative BOUND — the documented limitation.
+    assert(r.getAs[Double]("max_v") == 3.0)
+  }
 }
