@@ -23,15 +23,20 @@ object VerifyOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fail fast on a typo'd name BEFORE dumping anything: a partial dump
+    // with exit 0 would leave stale parquet for the misspelled query
+    // sitting in outDir, silently passing the downstream oracle check.
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      unknown.foreach(n =>
+        System.err.println(s"[verify-one] unknown query: $n"))
+      spark.stop()
+      sys.exit(2)
+    }
     names.foreach { name =>
-      SparkEntry.queries.get(name) match {
-        case Some(fn) =>
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          println(s"[verify-one] dumped $name")
-        case None =>
-          System.err.println(s"[verify-one] unknown query: $name")
-      }
+      SparkEntry.queries(name)(spark, sfDir).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
+      println(s"[verify-one] dumped $name")
     }
     Verify.writeOracleJson(outDir)
     spark.stop()

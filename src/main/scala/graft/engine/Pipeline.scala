@@ -222,13 +222,18 @@ object Pipeline {
   def compact(spark: SparkSession, analyticsDir: String,
       keys: Seq[String]): StageReport = {
     import org.apache.hadoop.fs.Path
+    val pLive = new Path(analyticsDir)
+    val pTmp = new Path(analyticsDir + ".compact-tmp")
+    val pOld = new Path(analyticsDir + ".compact-old")
+    val fsEntry = pLive.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStrandedSwap(fsEntry, pLive, pOld) match {
+      case Some(err) => return StageReport("compact", ok = false, err)
+      case None => ()
+    }
     // readTable, not readLatest: a table holding only zero-row appends
     // (sidecar, no data files) compacts to an empty table instead of dying
     // on the schema probe.
     val latest = latestOf(readTable(spark, analyticsDir), keys)
-    val pLive = new Path(analyticsDir)
-    val pTmp = new Path(analyticsDir + ".compact-tmp")
-    val pOld = new Path(analyticsDir + ".compact-old")
     val obs = org.apache.spark.sql.Observation()
     latest.observe(obs, count(lit(1)).as("rows_compacted"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -268,13 +273,32 @@ object Pipeline {
       return StageReport("compact", ok = false,
         s"could not stage current table aside; table untouched")
     if (!fs.rename(pTmp, pLive)) {
-      fs.rename(pOld, pLive) // restore
+      val restored = fs.rename(pOld, pLive)
       return StageReport("compact", ok = false,
-        s"swap failed; original restored")
+        if (restored) "swap failed; original restored"
+        else s"swap failed AND restore failed — table stranded at $pOld")
     }
     fs.delete(pOld, true)
     StageReport("compact", ok = true, s"compacted $analyticsDir")
   }
+
+  /** Crash recovery for the two-rename swap [[compact]]/[[applyChanges]]
+    * use: if a previous run died between "live moved aside" and
+    * "replacement moved in", the data sits in `<dir><oldSuffix>` while the
+    * live path is missing. Detect that exact state on entry and restore
+    * the original before proceeding — any other combination (live exists,
+    * or no old dir) is left alone. Returns an error string if recovery
+    * itself fails.
+    */
+  private[engine] def recoverStrandedSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(live) && fs.exists(old)) {
+      if (fs.rename(old, live)) None
+      else Some(s"found stranded swap ($old exists, $live missing) " +
+        "but could not restore it")
+    } else None
 
   /** Apply a CDC change batch to a parquet snapshot atomically — the
     * MERGE INTO maintenance op (the batch form is oracle-checked as
@@ -302,6 +326,16 @@ object Pipeline {
       changes: DataFrame, keyCol: String, opCol: String = "op",
       seqCol: String = "seq"): StageReport = {
     import org.apache.hadoop.fs.Path
+    // A crash between the two swap renames below leaves the snapshot in
+    // .merge-old with no live dir; recover it before reading, or the
+    // stranded state would persist until a human notices the read failing.
+    val fsEntry = new Path(snapshotDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStrandedSwap(fsEntry, new Path(snapshotDir),
+        new Path(snapshotDir + ".merge-old")) match {
+      case Some(err) => return StageReport("merge", ok = false, err)
+      case None => ()
+    }
     val snap = spark.read.parquet(snapshotDir)
     val payloadCols = snap.columns.filter(_ != keyCol).toSeq
     // Last change per key wins; ties on seq break on op so replayed
@@ -336,9 +370,10 @@ object Pipeline {
       return StageReport("merge", ok = false,
         "could not stage current snapshot aside; snapshot untouched")
     if (!fs.rename(pTmp, pLive)) {
-      fs.rename(pOld, pLive)
+      val restored = fs.rename(pOld, pLive)
       return StageReport("merge", ok = false,
-        "swap failed; original restored")
+        if (restored) "swap failed; original restored"
+        else s"swap failed AND restore failed — snapshot stranded at $pOld")
     }
     fs.delete(pOld, true)
     StageReport("merge", ok = true, s"merged changes into $snapshotDir")

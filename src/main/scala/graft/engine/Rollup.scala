@@ -110,6 +110,12 @@ object Rollup {
     val pLive = new Path(journalDir)
     val pTmp = new Path(journalDir + ".compact-tmp")
     val pOld = new Path(journalDir + ".compact-old")
+    val fsEntry = pLive.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Pipeline.recoverStrandedSwap(fsEntry, pLive, pOld) match {
+      case Some(err) =>
+        return Pipeline.StageReport("compact_journal", ok = false, err)
+      case None => ()
+    }
     val journal = spark.read.parquet(journalDir)
     val groupCols = journal.columns.filterNot(PartialCols.contains).toSeq
     dedupReplays(journal, groupCols)

@@ -240,6 +240,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Pipeline.readTable(spark, analytics).count() == 2)
   }
 
+  test("applyChanges recovers a snapshot stranded mid-swap by a crash") {
+    import spark.implicits._
+    val snapDir = root.resolve("stranded-snap").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+      .write.mode("overwrite").parquet(snapDir)
+    // Simulate a crash between the two swap renames: live dir moved aside
+    // to .merge-old, replacement never landed.
+    val live = new java.io.File(snapDir)
+    val old = new java.io.File(snapDir + ".merge-old")
+    assert(live.renameTo(old))
+    assert(!live.exists() && old.exists())
+    // Next merge must detect the stranded state, restore the original,
+    // and then apply cleanly on top of it.
+    val chg = Seq((2L, "U", 1L, "b2")).toDF("id", "op", "seq", "payload")
+    val rep = Pipeline.applyChanges(spark, snapDir, chg, "id")
+    assert(rep.ok, rep.detail)
+    assert(!old.exists(), ".merge-old not cleaned up after recovery+merge")
+    val out = spark.read.parquet(snapDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b2")))
+  }
+
   test("validate on a missing analytics table fails, blocking") {
     val r = Pipeline.validate(spark, root.resolve("nope").toString,
       _ => Seq(Checks.rowCountMin(1)))
