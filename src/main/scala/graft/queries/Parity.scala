@@ -328,6 +328,34 @@ object Parity {
           round(avg(col("clipped")), 4).as("mean_winsorized"))
     }),
 
+    // The production twin of q_winsorize: approx_percentile instead of
+    // exact percentile. Spark's exact percentile is a
+    // TypedImperativeAggregate buffering a per-group value→count map —
+    // memory-unbounded in the value domain's cardinality — while
+    // approx_percentile's KLL-style sketch buffers O(accuracy) per group
+    // no matter how many distinct values flow through (pinned in
+    // PlanSpec). The oracle is a bounded comparison: accuracy=10000
+    // bounds rank error to n/10000, so the fraction of rows outside the
+    // approx [p05, p95] must land in [0.04, 0.06] per tail — the query
+    // emits that CHECK as booleans, the oracle supplies the constants
+    // they must equal, and the exact per-group counts anchor the rest.
+    "q_winsorize_approx" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val q = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.05), lit(0.95)), lit(10000)).as("qb"))
+        .select(col("l_returnflag"), col("qb")(0).as("lo"),
+          col("qb")(1).as("hi"))
+      li.join(broadcast(q), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          count_if(col("l_extendedprice") < col("lo")).as("below"),
+          count_if(col("l_extendedprice") > col("hi")).as("above"))
+        .select(col("l_returnflag"), col("n"),
+          (col("below") / col("n")).between(0.04, 0.06).as("lo_ok"),
+          (col("above") / col("n")).between(0.04, 0.06).as("hi_ok"))
+    }),
+
     // Grouping sets: CUBE (all key combinations via one Expand).
     "q_cube" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -574,6 +602,14 @@ object Parity {
         |    AS mean_winsorized
         |FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
         |GROUP BY l.l_returnflag""".stripMargin,
+
+    // Bounded-comparison oracle: DuckDB cannot see the sketch, but the
+    // rank-error contract it must satisfy is a constant — per-group count
+    // is exact, and both tail-fraction checks must come back true.
+    "q_winsorize_approx" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(1 AS BOOLEAN) AS lo_ok, CAST(1 AS BOOLEAN) AS hi_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -270,4 +270,17 @@ class PlanSpec extends AnyFunSuite {
     // expand-based distinct rewrite: one Expand, partial+final HashAggregate
     assert(p.contains("Expand") && p.contains("HashAggregate"))
   }
+
+  test("q_winsorize_approx buffers a bounded sketch, never the exact value map") {
+    // exact percentile is a TypedImperativeAggregate holding a per-group
+    // value→count map — memory-unbounded in value cardinality; the
+    // production winsorize dial must plan the approx sketch only
+    val p = plan("q_winsorize_approx")
+    assert(p.contains("approx_percentile") || p.contains("percentile_approx"),
+      s"expected the approx-percentile sketch aggregate:\n$p")
+    val scrubbed =
+      p.replace("percentile_approx", "").replace("approx_percentile", "")
+    assert(!scrubbed.contains("percentile("),
+      s"exact percentile leaked into the approx twin's plan:\n$p")
+  }
 }
