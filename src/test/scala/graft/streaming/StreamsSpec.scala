@@ -385,6 +385,73 @@ class StreamsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
+  test("composition: one CDC stream drives snapshot + rollup; report == snapshot agg through replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-compose")
+    try {
+      // The production topology end-to-end: ONE change stream fans out to
+      // TWO standing consumers — startCdcMerge maintains current state,
+      // startRollupJournal maintains the report — and the standing report
+      // must equal a direct aggregate over the merged snapshot, including
+      // after at-least-once replay at BOTH consumers. Append-only changes:
+      // rollup partials are insert-monotone (an update/delete would need a
+      // retraction partial; the snapshot alone handles those).
+      val snapDir = s"$root/snap"
+      val journal = s"$root/journal"
+      Seq.empty[(Long, String, Double)].toDF("id", "k", "v")
+        .write.parquet(snapDir)
+      val cols = Seq("id", "op", "seq", "k", "v")
+      val b1 = Seq((1L, "I", 1L, "A", 10.0), (2L, "I", 1L, "B", 20.0))
+      val b2 = Seq((3L, "I", 1L, "A", 5.0), (4L, "I", 1L, "C", 7.0))
+
+      val in = MemoryStream[(Long, String, Long, String, Double)]
+      val changes = in.toDF().toDF(cols: _*)
+      val qMerge = Streams.startCdcMerge(changes, snapDir,
+        s"$root/ckpt-merge", keyCol = "id")
+      val qRoll = Streams.startRollupJournal(changes.select("k", "v"),
+        journal, s"$root/ckpt-roll", Seq("k"), "v")
+      try {
+        in.addData(b1: _*)
+        qMerge.processAllAvailable(); qRoll.processAllAvailable()
+        in.addData(b2: _*)
+        qMerge.processAllAvailable(); qRoll.processAllAvailable()
+      } finally { qMerge.stop(); qRoll.stop() }
+
+      def reportRows() = graft.engine.Rollup.report(spark, journal, Seq("k"))
+        .select("k", "total", "n")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      def snapAgg() = spark.read.parquet(snapDir).groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v").as("total"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+
+      val expected = Seq(("A", 15.0, 2L), ("B", 20.0, 1L), ("C", 7.0, 1L))
+      assert(snapAgg() == expected)
+      assert(reportRows() == expected,
+        "standing report diverged from the merged snapshot")
+
+      // at-least-once replay of the last batch at BOTH consumers: merge
+      // converges by idempotence, journal by the commit ledger — the
+      // composed invariant survives
+      graft.engine.Pipeline.applyChanges(spark, snapDir,
+        b2.toDF(cols: _*), "id")
+      Streams.journalBatchIdempotent(
+        b2.toDF(cols: _*).select("k", "v"), journal, 1L, Seq("k"), "v")
+      assert(snapAgg() == expected && reportRows() == expected,
+        "replay at either consumer broke the composed invariant")
+
+      // journal compaction is invisible to the composition
+      val rep = graft.engine.Rollup.compactJournal(spark, journal)
+      assert(rep.ok, rep.detail)
+      assert(reportRows() == expected)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("commit ledger: dedup-shrunk batches, legacy markers, compaction") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ledger")
