@@ -369,6 +369,56 @@ object Docs {
           sum(col("n_chars")).as("chars_kept"))
     }),
 
+    // The curation-policy variant of q_dedup_kept: keep the BEST member of
+    // each near-dup cluster (longest doc wins, min id breaks ties) instead
+    // of the arbitrary min-id — what a production pipeline actually ships,
+    // since near-dups often differ by truncation and the longest copy is
+    // the one worth training on. The ranking window partitions by
+    // cluster_id (data-scaled key — clusters are small by construction,
+    // never a global window).
+    "q_dedup_kept_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 0.5)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val dropIds = clusters
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") =!= 1)
+        .select("doc_id")
+      docs.join(dropIds, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+    }),
+
+    // Deterministic training-order sharding: every doc gets a shard and a
+    // within-shard position from pure id hashes (distinct salts), so the
+    // global "shuffle" a training run needs is reproducible across
+    // engines, runs, and partitionings — and costs ZERO data movement to
+    // ASSIGN (one codegen'd projection; the writer then repartitions by
+    // shard and sorts by the position key, which is the one shuffle the
+    // output layout requires anyway). Summarized per shard with the
+    // order-extreme docs so the oracle checks the ordering, not just
+    // membership.
+    "q_shard_order" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (conv(substring(md5(concat(lit("shard:"), id)), 1, 4), 16, 10)
+            .cast("long") % 8).as("shard"),
+          md5(concat(lit("order:"), id)).as("pos"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          min_by(col("doc_id"), col("pos")).as("first_doc"),
+          max_by(col("doc_id"), col("pos")).as("last_doc"))
+    }),
+
     // Decontamination: near-dup pairs (MinHash-LSH candidates) that CROSS a
     // train/eval split boundary — the canonical "is my eval set leaking
     // into training data" sweep. The split is a pure hash of the id
@@ -879,6 +929,62 @@ object Docs {
         |FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         |GROUP BY lang""".stripMargin,
+
+    "q_dedup_kept_best" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |$minhashCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN d a ON a.doc_id = c.doc_a
+        |  JOIN d b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
+        |    >= 0.5),
+        |nodes AS (
+        |  SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+        |e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |  UNION SELECT id, id FROM nodes),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst),
+        |clu AS (
+        |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach
+        |  GROUP BY src),
+        |ranked AS (
+        |  SELECT c.doc_id, row_number() OVER (
+        |    PARTITION BY c.cluster_id
+        |    ORDER BY dd.n_chars DESC, c.doc_id ASC) AS rn
+        |  FROM clu c JOIN documents dd ON dd.doc_id = c.doc_id),
+        |drops AS (SELECT doc_id FROM ranked WHERE rn != 1)
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |GROUP BY lang""".stripMargin,
+
+    "q_shard_order" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(CONCAT('0x', substring(
+        |      md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |      % 8 AS shard,
+        |    md5('order:' || CAST(doc_id AS VARCHAR)) AS pos
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  arg_min(doc_id, pos) AS first_doc,
+        |  arg_max(doc_id, pos) AS last_doc
+        |FROM d GROUP BY shard""".stripMargin,
 
     "q_decontamination" ->
       s"""WITH $shingleCte,
