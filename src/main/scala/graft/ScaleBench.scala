@@ -53,6 +53,13 @@ object ScaleBench {
 
     val names = Seq("q_sim_neardup_lsh", "q_sim_ivf", "q_sim_recall",
       "q_dedup_clusters", "q_dedup_kept")
+    // Analytics heavies over the TPC-H side of the fixture: lineitem is
+    // replicated on l_orderkey with partkeys UNSHIFTED — order count
+    // grows, the part catalog and per-basket width don't, which is the
+    // real growth mode; basket-lift's pair-join output (Σ per-order
+    // w(w-1)/2) must therefore scale LINEARLY in the factor, never w².
+    val analyticsNames = Seq("q_winsorize", "q_winsorize_approx",
+      "q_basket_lift")
 
     def timeOne(name: String, dir: String): Double = {
       Bench.resetState(spark)
@@ -62,12 +69,64 @@ object ScaleBench {
     }
 
     // JVM/codegen warmup on the base fixture, untimed (Bench methodology)
-    names.foreach(n => Bench.runToExhaustion(SparkEntry.queries(n)(spark, base)))
+    (names ++ analyticsNames).foreach(n =>
+      Bench.runToExhaustion(SparkEntry.queries(n)(spark, base)))
+
+    // Rollup journal read-cost curve (once, base fixture): report cost is
+    // O(groups × batches) by design; the measured curve is what motivates
+    // a compaction threshold, and the post-compaction point shows the
+    // reset to O(groups). One JSON line.
+    {
+      val ordersDf = spark.read.parquet(s"$base/orders.parquet")
+      val jDir = "/tmp/graft-scale/rollup-journal"
+      val jPath = new org.apache.hadoop.fs.Path(jDir)
+      val fs = jPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(jPath, true)
+      def timeReport(): Double = {
+        val t0 = System.nanoTime()
+        Bench.runToExhaustion(
+          graft.engine.Rollup.report(spark, jDir, Seq("o_orderpriority")))
+        (System.nanoTime() - t0) / 1e9
+      }
+      var journaled = 0
+      val points = Seq(16, 64, 128).map { target =>
+        while (journaled < target) {
+          graft.engine.Rollup.journalBatch(
+            ordersDf.filter(col("o_orderkey") % 128 === journaled % 128),
+            jDir, Seq("o_orderpriority"), "o_totalprice", s"b$journaled")
+          journaled += 1
+        }
+        target -> timeReport()
+      }
+      val rep = graft.engine.Rollup.compactJournal(spark, jDir)
+      require(rep.ok, rep.detail)
+      val afterCompact = timeReport()
+      val curve = points.map { case (b, s) =>
+        "\"b" + b + "\":" +
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))
+      }.mkString("{", ",", "}")
+      println(s"""{"rollup_report_sec":$curve,"after_compact_sec":""" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(afterCompact)) +
+        "}")
+      Bench.resetState(spark)
+    }
 
     factors.foreach { f =>
       val dir = s"/tmp/graft-scale/f$f"
       replicate(spark, base, "embeddings", "vec_id", f, dir)
       replicate(spark, base, "documents", "doc_id", f, dir)
+      replicate(spark, base, "lineitem", "l_orderkey", f, dir)
+
+      // Basket-lift's self-join output: Σ per-order w(w-1)/2 over distinct
+      // (order, part) items — the denominator the lift query's cost is
+      // linear in. Measured so "orders grow, width² doesn't" is a number.
+      val items = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val basketPairRows = items.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("w"))
+        // cast: Spark's `/` is double division; the product is always even
+        .select(sum((col("w") * (col("w") - 1) / 2).cast("long")).as("p"))
+        .head().getLong(0)
 
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val nEmb = emb.count()
@@ -132,7 +191,7 @@ object ScaleBench {
       require(mergeReport.ok, mergeReport.detail)
       Bench.resetState(spark)
 
-      val secs = names.map(n => n -> timeOne(n, dir))
+      val secs = (names ++ analyticsNames).map(n => n -> timeOne(n, dir))
       // Locale.ROOT: a comma decimal separator would corrupt the JSON.
       val qs = secs.map { case (k, v) =>
         "\"" + k + "\":" +
@@ -147,6 +206,7 @@ object ScaleBench {
         s""""allpairs":${nEmb * (nEmb - 1) / 2},""" +
         s""""cc_rounds":$ccRounds,"cc_clusters":$nClusters,""" +
         s""""cc_members":$nClustered,""" +
+        s""""basket_pair_rows":$basketPairRows,""" +
         s""""merge_batch_rows":$nChg,"merge_sec":""" +
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(mergeSec)) +
         s""","sec":$qs}""")
