@@ -271,6 +271,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand") && p.contains("HashAggregate"))
   }
 
+  test("q_shard_order assigns shards with zero joins and no window") {
+    // shard + position are pure id-hash projections: the only plan nodes
+    // besides scan/project should be the one hash aggregate — any join or
+    // window would mean assignment stopped being movement-free
+    val p = plan("q_shard_order")
+    assert(!p.contains("Join"), s"shard assignment must not join:\n$p")
+    assert(!p.contains("Window"), s"shard assignment must not window:\n$p")
+    // min_by over a string ordering key plans SortAggregate (no mutable
+    // hash buffer for string extrema) — still partial+final around ONE
+    // shard-keyed exchange, which is the scalable shape being pinned
+    assert(p.contains("partial_"), s"aggregate must be partial+final:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"shard summary should shuffle exactly once:\n$p")
+  }
+
+  test("q_dedup_kept_best ranks within clusters, never globally") {
+    val p = plan("q_dedup_kept_best")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"cluster ranking plans a single-partition exchange (global window):\n$p")
+  }
+
   test("q_winsorize_approx buffers a bounded sketch, never the exact value map") {
     // exact percentile is a TypedImperativeAggregate holding a per-group
     // value→count map — memory-unbounded in value cardinality; the
