@@ -277,6 +277,23 @@ object Docs {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))),
 
+    // Per-stratum exemplar sample: the first k docs per language in pure
+    // id-hash order — the "pull N examples per slice" op an eval or
+    // inspection pass needs, reproducible across engines/runs/partitions
+    // because the order key is content-independent. The ranking window
+    // partitions by the stratum (data-scaled), and the hash order makes
+    // the pick unbiased w.r.t. ingestion order.
+    "q_sample_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("sk"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(concat(lit("pg:"), col("doc_id").cast("string"))).as("sk"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("rn"), col("doc_id"))
+    }),
+
     // Corpus rebalancing: deterministic per-stratum downsampling (cap the
     // dominant language at 20%, keep the rest whole). Membership is a pure
     // (stratum, id) hash — stable under row order, partitioning, and
@@ -971,6 +988,17 @@ object Docs {
         |FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         |GROUP BY lang""".stripMargin,
+
+    "q_sample_per_group" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    md5('pg:' || CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY sk, doc_id) AS BIGINT) AS rn
+        |  FROM d)
+        |SELECT lang, rn, doc_id FROM r WHERE rn <= 5""".stripMargin,
 
     "q_shard_order" ->
       """WITH d AS (

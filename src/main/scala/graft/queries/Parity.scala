@@ -240,6 +240,30 @@ object Parity {
           round(percentile(col("o_totalprice"), lit(0.95)), 4).as("p95"),
           count(lit(1)).as("n"))),
 
+    // The 100 TB dial the q_percentiles comment promises: the same two
+    // quantiles from the approx_percentile sketch (O(accuracy) buffer per
+    // group). Bounded-comparison oracle, same contract as
+    // q_winsorize_approx: accuracy=10000 bounds rank error to n/10000, so
+    // the fraction of rows at or below each approx quantile must sit in a
+    // narrow band around the target rank — emitted as booleans DuckDB
+    // predicts as constants, anchored by the exact per-group count.
+    "q_percentiles_approx" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val q = o.groupBy(col("o_orderpriority"))
+        .agg(percentile_approx(col("o_totalprice"),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("qs"))
+        .select(col("o_orderpriority"), col("qs")(0).as("p50"),
+          col("qs")(1).as("p95"))
+      o.join(broadcast(q), "o_orderpriority")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          count_if(col("o_totalprice") <= col("p50")).as("le50"),
+          count_if(col("o_totalprice") <= col("p95")).as("le95"))
+        .select(col("o_orderpriority"), col("n"),
+          (col("le50") / col("n")).between(0.48, 0.52).as("p50_ok"),
+          (col("le95") / col("n")).between(0.93, 0.97).as("p95_ok"))
+    }),
+
     // Ordered string aggregation (LISTAGG/string_agg): the report/export
     // shape — values sorted INSIDE the aggregate so the result is a pure
     // function of the set, not of partition arrival order (an unsorted
@@ -586,6 +610,11 @@ object Parity {
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
         |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_percentiles_approx" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(1 AS BOOLEAN) AS p50_ok, CAST(1 AS BOOLEAN) AS p95_ok
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q_winsorize" ->

@@ -73,6 +73,15 @@ class RollupSpec extends AnyFunSuite {
       orders.select("o_orderstatus").distinct().count())
     assert(new java.io.File(s"$j/_graft_commits/3").exists(),
       "commit ledger lost in the swap — replayed batchIds would re-append")
+
+    // the compacted journal must stay appendable: a new batch lands on top
+    // of the folded partials and the report keeps combining correctly
+    Rollup.journalBatch(orders.limit(100), j,
+      Seq("o_orderstatus"), "o_totalprice", "b_new")
+    val withNew = Rollup.report(spark, j, Seq("o_orderstatus"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(withNew == orders.count() + 100,
+      "post-compaction append did not combine with folded partials")
   }
 
   test("report self-heals a crash-replay duplicate (same tag journaled twice)") {
