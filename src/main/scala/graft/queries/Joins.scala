@@ -163,6 +163,39 @@ object Joins {
           round(avg(col("p_retailprice")), 4).as("avg_price"))
     }),
 
+    // Binned interval join: point-in-interval with NO equi key — the shape
+    // Spark can only plan as a nested-loop join naively, which is the
+    // classic scale trap (probe × build with no hash path). The standard
+    // fix: quantize time into fixed bins, explode each interval over the
+    // bins it covers (+1 slack bin for the exclusive end), map each point
+    // to its single bin, equi-join on the bin, and let the exact
+    // containment predicate prune the edge bins. Each point has ONE bin,
+    // so no pair can match twice — no dedup pass. The join becomes a
+    // hash/broadcast join on the bin key (PlanSpec pins no
+    // nested-loop), and the only cost knob is bin width vs interval
+    // length (bins-per-interval = fanout of the small side).
+    "q_join_interval_binned" -> ((s, dir) => {
+      val binSec = 600L // 10-minute bins over 20-minute intervals
+      val ev = t(s, dir, "events")
+      val iv = ev.filter(col("user_id") % 50 === 0)
+        .groupBy(col("user_id").as("iv_user"))
+        .agg(min(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + expr("INTERVAL 20 MINUTES"))
+      val ivBins = iv.withColumn("bin",
+        explode(sequence(
+          floor(unix_timestamp(col("lo")) / binSec),
+          floor(unix_timestamp(col("hi")) / binSec))))
+      val evBins = ev
+        .withColumn("bin", floor(unix_timestamp(col("ts")) / binSec))
+      evBins.join(ivBins,
+          evBins("bin") === ivBins("bin") &&
+            col("ts") >= col("lo") && col("ts") < col("hi"))
+        .groupBy(col("iv_user"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total"))
+        .select(col("iv_user").as("user_id"), col("n_events"), col("total"))
+    }),
+
     // Right outer: every part keeps a row even with zero lineitem sales
     // (the preserved side is the RIGHT input — the mirror of q_join_outer's
     // left form, completing the outer-join family).
@@ -281,6 +314,17 @@ object Joins {
         |             ('b4_over_975', 975.0, 1e9)) AS b(band, lo, hi)
         |ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    // The oracle is the UNBINNED range join: binning must be row-invisible.
+    "q_join_interval_binned" ->
+      """WITH iv AS (
+        |  SELECT user_id AS iv_user, min(ts) AS lo,
+        |    min(ts) + INTERVAL 20 MINUTE AS hi
+        |  FROM events WHERE user_id % 50 = 0 GROUP BY user_id)
+        |SELECT iv.iv_user AS user_id, count(*) AS n_events,
+        |  round(sum(e.value), 2) AS total
+        |FROM iv JOIN events e ON e.ts >= iv.lo AND e.ts < iv.hi
+        |GROUP BY 1""".stripMargin,
 
     // The oracle is the UNSALTED join: the mitigation must be row-invisible.
     "q_skew_join" ->

@@ -271,6 +271,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand") && p.contains("HashAggregate"))
   }
 
+  test("q_join_interval_binned hash-joins on the bin key, never nested-loop") {
+    // the naive point-in-interval join has no equi key and plans BNLJ —
+    // probe × build with no hash path; the bin quantization exists to
+    // give the planner an equi key
+    val p = plan("q_join_interval_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"interval join went cartesian:\n$p")
+    assert(p.contains("HashJoin"), s"expected a hash join on the bin key:\n$p")
+  }
+
   test("q_shard_order assigns shards with zero joins and no window") {
     // shard + position are pure id-hash projections: the only plan nodes
     // besides scan/project should be the one hash aggregate — any join or
