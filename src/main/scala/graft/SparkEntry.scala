@@ -41,7 +41,17 @@ object SparkEntry {
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    registry.map(_._2).reduce(_ ++ _)
+    * the same parquet tables. Omit for non-SQL-expressible ops. A null
+    * VALUE fails loudly here: a same-object val referenced ahead of its
+    * declaration initializes to null (Scala template forward reference),
+    * and a null SQL string would crash the oracle-json writer AFTER the
+    * dump, leaving a stale oracle file that silently passes.
+    */
+  def oracleSql: Map[String, String] = {
+    val merged = registry.map(_._2).reduce(_ ++ _)
+    val nulls = merged.collect { case (k, v) if v == null => k }
+    require(nulls.isEmpty,
+      s"null oracle SQL (forward-reference init?): ${nulls.mkString(",")}")
+    merged
+  }
 }

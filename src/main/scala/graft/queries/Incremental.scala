@@ -111,6 +111,27 @@ object Incremental {
       base
     }
 
+  /** The same journal run through [[graft.engine.Rollup.compactJournal]] —
+    * separate build so the batch-granular journal above keeps exercising
+    * the multi-batch combine while this one proves compaction is invisible
+    * to the report (same oracle as q_rollup_report, hash-equal — the
+    * rollup twin of the [[compactedDir]] pattern).
+    */
+  private def rollupCompactedDir(s: SparkSession, dir: String): String =
+    Scratch.cached(s"rollup-compacted:$dir") { base =>
+      val orders = t(s, dir, "orders")
+      val j = s"$base/journal"
+      graft.engine.Rollup.journalBatch(
+        orders.filter(col("o_orderkey") % 2 === 0), j,
+        Seq("o_orderpriority"), "o_totalprice", "b1")
+      graft.engine.Rollup.journalBatch(
+        orders.filter(col("o_orderkey") % 2 === 1), j,
+        Seq("o_orderpriority"), "o_totalprice", "b2")
+      val rep = graft.engine.Rollup.compactJournal(s, j)
+      require(rep.ok, s"journal compaction failed: ${rep.detail}")
+      base
+    }
+
   /** Pre-build every cached table for this fixture — called by Bench and
     * BenchOne outside their timers so what q_incremental_* measures never
     * depends on suite order or warmup-fixture presence.
@@ -120,6 +141,7 @@ object Incremental {
     compactedDir(s, dir)
     dedupJournalDir(s, dir)
     rollupJournalDir(s, dir)
+    rollupCompactedDir(s, dir)
   }
 
   private def latestView(s: SparkSession, dir: String,
@@ -188,12 +210,21 @@ object Incremental {
     // avg divides by n_val (non-null measure count), matching SQL AVG —
     // dividing by the row count would deflate the mean under NULLs.
     "q_rollup_report" -> ((s, dir) =>
-      graft.engine.Rollup.report(s, s"${rollupJournalDir(s, dir)}/journal",
-          Seq("o_orderpriority"))
-        .select(col("o_orderpriority"), col("n"),
-          round(col("total"), 2).as("total"),
-          round(col("total") / col("n_val"), 4).as("avg_price"),
-          col("min_v"), col("max_v"))))
+      rollupSelect(graft.engine.Rollup.report(s,
+        s"${rollupJournalDir(s, dir)}/journal", Seq("o_orderpriority")))),
+
+    // Identical report over the COMPACTED journal: compaction must be
+    // invisible to readers, so this row shares q_rollup_report's oracle —
+    // a hash mismatch means the fold lost or double-counted a partial.
+    "q_rollup_report_compacted" -> ((s, dir) =>
+      rollupSelect(graft.engine.Rollup.report(s,
+        s"${rollupCompactedDir(s, dir)}/journal", Seq("o_orderpriority")))))
+
+  private def rollupSelect(report: DataFrame): DataFrame =
+    report.select(col("o_orderpriority"), col("n"),
+      round(col("total"), 2).as("total"),
+      round(col("total") / col("n_val"), 4).as("avg_price"),
+      col("min_v"), col("max_v"))
 
   /** The twin reconstructs both cleaned batches from the fixture and
     * window-dedups by key on the injected load timestamp. Cleaning mirror:
@@ -225,6 +256,16 @@ object Incremental {
         |  loaded_at, load_date
         |FROM r WHERE rn = 1""".stripMargin
 
+  // Declared BEFORE the map that references it: a same-object val used
+  // ahead of its declaration initializes to null (Scala template forward
+  // reference), which would silently null both rollup oracle entries.
+  private val rollupReportSql =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  round(avg(o_totalprice), 4) AS avg_price,
+      |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_incremental_latest" -> latestSql,
     "q_incremental_compacted" -> latestSql,
@@ -250,11 +291,10 @@ object Incremental {
         |GROUP BY 1""".stripMargin,
 
     // Direct aggregation over the raw table — no journal, no batches.
-    // Matching it proves the partial decomposition is exact.
-    "q_rollup_report" ->
-      """SELECT o_orderpriority, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS total,
-        |  round(avg(o_totalprice), 4) AS avg_price,
-        |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
-        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+    // Matching it proves the partial decomposition is exact. ONE SQL text
+    // for both the batch-granular and the compacted journal: compaction
+    // must be invisible to the report, so the compacted query's twin IS
+    // the report twin.
+    "q_rollup_report" -> rollupReportSql,
+    "q_rollup_report_compacted" -> rollupReportSql)
 }
