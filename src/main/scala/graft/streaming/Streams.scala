@@ -307,6 +307,38 @@ object Streams {
     graft.engine.Pipeline.readTable(spark, analyticsDir).count() == expected
   }
 
+  /** Audit for the rollup journal's commit ledger — the journal twin of
+    * [[ledgerConsistent]]. Two invariants:
+    * (a) every `b<id>` batch tag in the journal has a ledger marker — an
+    *     unmarked tag means an unledgered writer appended partials (the
+    *     crash-between-journal-and-marker seam, or a misconfigured job);
+    * (b) every marker has its tag in the journal, UNLESS the journal has
+    *     been compacted (the `_compacted` tag subsumes folded batches —
+    *     markers deliberately outlive them so replays stay no-ops).
+    * Duplicate same-tag partials are NOT flagged: [[graft.engine.Rollup
+    * .report]] collapses them by construction. O(markers + groups×batches
+    * partial rows) — the journal is tiny by design.
+    */
+  def rollupLedgerConsistent(spark: SparkSession, journalDir: String)
+      : Boolean = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(journalDir, "_graft_commits")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return true
+    val markers = fs.listStatus(dir).filter(_.isFile)
+      .map(_.getPath.getName).toSet
+    val tags = spark.read.parquet(journalDir)
+      .select(col("batch")).distinct().collect()
+      .map(_.getString(0)).toSet
+    val compacted = tags.contains("_compacted")
+    val batchTags = tags.filter(_.startsWith("b"))
+    val unledgered = batchTags.filterNot(t => markers.contains(t.drop(1)))
+    val orphanMarkers =
+      if (compacted) Set.empty[String]
+      else markers.filterNot(m => batchTags.contains(s"b$m"))
+    unledgered.isEmpty && orphanMarkers.isEmpty
+  }
+
   /** Stateful sessionization: 30-minute-gap sessions per user via
     * flatMapGroupsWithState with event-time timeouts — the streaming twin
     * of graft.ext.Sessionize. A session closes when a same-user event

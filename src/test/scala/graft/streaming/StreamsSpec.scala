@@ -381,6 +381,19 @@ class StreamsSpec extends AnyFunSuite {
       Streams.journalBatchIdempotent(Seq(("C", 3.0)).toDF("k", "v"),
         journal, 2L, Seq("k"), "v")
       assert(report().find(_._1 == "C").get._2 == 10.0)
+
+      // ledger audit: ledgered batches are consistent; compaction keeps
+      // markers alive (replay no-ops) without flagging; an UNLEDGERED
+      // direct append is detected
+      assert(Streams.rollupLedgerConsistent(spark, journal))
+      val rep = graft.engine.Rollup.compactJournal(spark, journal)
+      assert(rep.ok, rep.detail)
+      assert(Streams.rollupLedgerConsistent(spark, journal),
+        "markers surviving compaction must not flag as orphans")
+      graft.engine.Rollup.journalBatch(Seq(("D", 1.0)).toDF("k", "v"),
+        journal, Seq("k"), "v", "b99")
+      assert(!Streams.rollupLedgerConsistent(spark, journal),
+        "unledgered journal append must be detected")
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
