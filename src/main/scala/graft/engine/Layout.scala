@@ -46,8 +46,9 @@ object Layout {
   private[engine] def zValue(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
-  /** Z-order `df` across numeric keys (keyA, keyB) into `files` output
-    * files: each key is rank-compressed to a dense ordinal by bucketing
+  /** Z-order `df` across keys (keyA, keyB) — numeric or string — into
+    * `files` output files: each key is rank-compressed to a dense ordinal
+    * by bucketing
     * against `buckets-1` approx-quantile boundaries (computed for both
     * keys in ONE distributed sketch pass, relative error well under a
     * bucket width), Morton-interleaved, and the frame is range-clustered
@@ -68,10 +69,30 @@ object Layout {
       files: Int, buckets: Int = 4096): DataFrame = {
     require(buckets >= 2 && buckets <= 65536,
       s"buckets must be in [2, 65536] (16-bit Morton lanes), got $buckets")
+    // STRING keys ride the same numeric quantile machinery via an
+    // order-preserving 7-byte UTF-8 prefix pack (UTF-8 byte order ==
+    // code-point order; 7 bytes stays non-negative). Clustering only
+    // needs order, and prefix ties simply share a bucket. The packed
+    // column is temporary — quantiles and bucketing both read it, so the
+    // double-rounding of >2^53 longs is applied identically on both
+    // sides (monotone, bucket-consistent).
+    val (packed, pkA, pkB) = {
+      var d = df
+      def pack(key: String, tmp: String): String =
+        if (d.schema(key).dataType ==
+            org.apache.spark.sql.types.StringType) {
+          d = d.withColumn(tmp,
+            graft.functions.BucketExprs.stringPrefixLong(col(key)))
+          tmp
+        } else key
+      val a = pack(keyA, "__zpa")
+      val b = pack(keyB, "__zpb")
+      (d, a, b)
+    }
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     // Error budget: half a bucket width. Bucket occupancy stays within
     // ~±50% of uniform, which is all the interleave needs.
-    val bounds = df.stat.approxQuantile(Array(keyA, keyB), probs,
+    val bounds = packed.stat.approxQuantile(Array(pkA, pkB), probs,
       0.5 / buckets)
     // distinct: under skew (or a low-cardinality key), adjacent quantiles
     // collapse to one value; duplicate boundaries would make
@@ -88,11 +109,11 @@ object Layout {
         graft.functions.BucketExprs.quantileBucket(col(key), cuts) * scale,
         lit(0L))
     }
-    df.withColumn("__za", ordinal(keyA, bounds(0)))
-      .withColumn("__zb", ordinal(keyB, bounds(1)))
+    packed.withColumn("__za", ordinal(pkA, bounds(0)))
+      .withColumn("__zb", ordinal(pkB, bounds(1)))
       .withColumn("__z", zValue(col("__za"), col("__zb")))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__za", "__zb", "__z")
+      .drop("__zpa", "__zpb", "__za", "__zb", "__z")
   }
 }

@@ -97,6 +97,52 @@ class LayoutSpec extends AnyFunSuite {
     assert(e.eval(null) == 1L)
   }
 
+  test("string prefix pack is order-preserving (the property bucketing needs)") {
+    import graft.functions.BucketExprs
+    val df = spark.createDataFrame(Seq(
+      Tuple1(""), Tuple1("a"), Tuple1("ab"), Tuple1("abc"), Tuple1("abce"),
+      Tuple1("abd"), Tuple1("b"), Tuple1("éclair"), Tuple1("zebra-longtail")))
+      .toDF("s")
+      .select(col("s"), BucketExprs.stringPrefixLong(col("s")).as("p"))
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    // packed order must match string order (UTF-8 binary collation):
+    // notably "abce" < "abd" — the case a non-padded hex pack gets wrong
+    val byString = rows.sortBy(_._1).map(_._1).toSeq
+    val byPacked = rows.sortBy(r => (r._2, r._1)).map(_._1).toSeq
+    assert(byPacked == byString,
+      s"packed order diverged from string order: $byPacked vs $byString")
+    assert(rows.forall(_._2 >= 0L), "7-byte pack must stay non-negative")
+  }
+
+  test("z-order clusters string keys: pruning on a string range predicate") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zstr")
+    try {
+      // high-cardinality string key whose order mirrors custkey
+      val orders = Sources.table(spark, "/root/testdata/sf0.01", "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          concat(lit("k"), lpad(col("o_custkey").cast("string"), 6, "0"))
+            .as("skey"))
+      val total = orders.count()
+      val dir = s"$root/z"
+      Layout.zOrderBy(orders, "skey", "o_totalprice", 16)
+        .write.parquet(dir)
+      // a ~3% string range: k000000 .. k000047-ish
+      val pred = col("skey").between("k000001", "k000047")
+      val df = spark.read.parquet(dir).filter(pred)
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scanned = plan.collectLeaves()
+        .collect { case f: FileSourceScanExec => f }
+        .map(_.metrics("numOutputRows").value).sum
+      assert(scanned <= total / 2,
+        s"string-key z-order pruned too little: $scanned of $total")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("z-order write plan has no Window — rank compression must not global-sort") {
     val orders = Sources.table(spark, "/root/testdata/sf0.001", "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
