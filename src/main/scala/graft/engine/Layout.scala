@@ -77,14 +77,25 @@ object Layout {
     // double-rounding of >2^53 longs is applied identically on both
     // sides (monotone, bucket-consistent).
     val (packed, pkA, pkB) = {
+      import org.apache.spark.sql.types._
       var d = df
-      def pack(key: String, tmp: String): String =
-        if (d.schema(key).dataType ==
-            org.apache.spark.sql.types.StringType) {
+      def pack(key: String, tmp: String): String = d.schema(key).dataType match {
+        case StringType =>
           d = d.withColumn(tmp,
             graft.functions.BucketExprs.stringPrefixLong(col(key)))
           tmp
-        } else key
+        // timestamps/dates are the most common clustering dimension but
+        // not NumericType for approxQuantile — epoch cast is exact and
+        // order-preserving
+        case TimestampType =>
+          d = d.withColumn(tmp, unix_micros(col(key))); tmp
+        case TimestampNTZType => // NTZ→TZ cast in session TZ is monotone
+          d = d.withColumn(tmp,
+            unix_micros(col(key).cast(TimestampType))); tmp
+        case DateType =>
+          d = d.withColumn(tmp, datediff(col(key), lit("1970-01-01"))); tmp
+        case _ => key
+      }
       val a = pack(keyA, "__zpa")
       val b = pack(keyB, "__zpb")
       (d, a, b)

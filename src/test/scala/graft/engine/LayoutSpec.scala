@@ -143,6 +143,38 @@ class LayoutSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
+  test("z-order accepts a timestamp key: files cover narrow time spans") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zts")
+    try {
+      val orders = Sources.table(spark, "/root/testdata/sf0.01", "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val dir = s"$root/z"
+      Layout.zOrderBy(orders, "o_orderdate", "o_totalprice", 16)
+        .write.parquet(dir)
+      // Asserted on the WRITE-side property (per-file time min/max), not
+      // scan metrics: Spark currently declines to convert TIMESTAMP_NTZ
+      // predicates into parquet filter predicates, so the reader cannot
+      // yet row-group-prune on this column even though the file stats
+      // would admit it — the layout is what zOrderBy owns, and the same
+      // stats serve any stats-aware reader (and Spark, once NTZ pushdown
+      // lands). Fixture span is 1995-01..2001-08; count files whose
+      // [min, max] overlaps a ~3% band — most must exclude it.
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"))
+      val nFiles = spans.count()
+      val overlapping = spans.filter(
+        col("lo") <= lit("1995-03-15") && col("hi") >= lit("1995-01-01"))
+        .count()
+      assert(nFiles >= 8, s"expected ~16 output files, got $nFiles")
+      assert(overlapping <= nFiles / 2,
+        s"time band overlaps $overlapping of $nFiles files — timestamp key " +
+          "not clustered")
+      assert(overlapping >= 1, "band must overlap at least one file")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("z-order write plan has no Window — rank compression must not global-sort") {
     val orders = Sources.table(spark, "/root/testdata/sf0.001", "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
