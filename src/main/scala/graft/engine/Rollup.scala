@@ -85,6 +85,68 @@ object Rollup {
         sum(col("p_cnt")).as("n_val"),
         min(col("p_min")).as("min_v"), max(col("p_max")).as("max_v"))
 
+  /** Mergeable QUANTILE state — the decomposability the scaladoc above
+    * denies to medians, bought back with bounded error: freeze a global
+    * boundary grid once (approx-quantiles of a reference sample /
+    * first batch), then journal per-batch per-group BUCKET COUNTS.
+    * Histograms over a fixed grid are sum-mergeable (union of batches =
+    * sum of counts), so a standing per-group quantile estimate needs
+    * only the journal — no rescan, same contract as [[journalBatch]].
+    * Rank error ≤ one bucket's occupancy of the reference distribution
+    * (1/buckets if the grid was equi-depth on similar data) plus
+    * whatever the data drifts from the grid; re-grid (and re-journal
+    * from the base table) when drift grows — the estimate degrades, it
+    * never lies about which bucket ranks fell in. Same batch-idempotence
+    * contract as [[journalBatch]]; [[quantileEstimate]] collapses
+    * replayed (group, batch) duplicates the same way.
+    */
+  def journalHistogram(batch: DataFrame, journalDir: String,
+      groupCols: Seq[String], valueCol: String, boundaries: Array[Double],
+      batchTag: String): Unit =
+    batch.select(
+        groupCols.map(col) :+
+          graft.functions.BucketExprs.quantileBucket(col(valueCol),
+            boundaries).as("h_bucket"): _*)
+      .filter(col("h_bucket").isNotNull) // NULL measures carry no rank
+      .groupBy(groupCols.map(col) :+ col("h_bucket"): _*)
+      .agg(count(lit(1)).as("h_cnt"))
+      .withColumn("batch", lit(batchTag))
+      .write.mode("append").parquet(journalDir)
+
+  /** Per-group quantile estimates from the histogram journal alone:
+    * cumulative bucket counts → first bucket reaching each target rank →
+    * that bucket's UPPER boundary. Output: group cols + `p` (the
+    * requested probability) + `est`. The per-group window runs over at
+    * most `boundaries.length + 1` bucket rows — never raw data.
+    */
+  def quantileEstimate(spark: SparkSession, journalDir: String,
+      groupCols: Seq[String], boundaries: Array[Double],
+      probs: Seq[Double]): DataFrame = {
+    val folded = spark.read.parquet(journalDir)
+      .dropDuplicates(groupCols ++ Seq("h_bucket", "batch"))
+      .groupBy(groupCols.map(col) :+ col("h_bucket"): _*)
+      .agg(sum(col("h_cnt")).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("h_bucket"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val bounds = lit(boundaries)
+    folded
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .crossJoin(broadcast(
+        spark.range(1).select(explode(lit(probs.toArray)).as("p"))))
+      .filter(col("cum") >= col("p") * col("total"))
+      .groupBy(groupCols.map(col) :+ col("p"): _*)
+      .agg(min(col("h_bucket")).as("qb"))
+      // bucket b's upper boundary is boundaries(b) (0-based b < k);
+      // the open top bucket k clamps to the last boundary
+      .withColumn("est", element_at(bounds,
+        (least(col("qb"), lit(boundaries.length.toLong - 1)) + 1)
+          .cast("int")))
+      .drop("qb")
+  }
+
   /** Fold the whole journal into ONE partial row per group (tagged
     * `_compacted`), atomically replacing the journal directory — the
     * growth bound for a journal that appends one file-set per batch
@@ -117,13 +179,25 @@ object Rollup {
       case None => ()
     }
     val journal = spark.read.parquet(journalDir)
-    val groupCols = journal.columns.filterNot(PartialCols.contains).toSeq
-    dedupReplays(journal, groupCols)
-      .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("p_sum")).as("p_sum"), sum(col("p_cnt")).as("p_cnt"),
-        sum(col("p_rows")).as("p_rows"),
-        min(col("p_min")).as("p_min"), max(col("p_max")).as("p_max"))
-      .withColumn("batch", lit("_compacted"))
+    // Histogram journals ([[journalHistogram]]) fold by (group, bucket);
+    // algebraic journals ([[journalBatch]]) by group — detected from the
+    // journal's own schema so ONE maintenance op serves both.
+    val folded =
+      if (journal.columns.contains("h_bucket")) {
+        val groupCols = journal.columns
+          .filterNot(Set("h_bucket", "h_cnt", "batch").contains).toSeq
+        journal.dropDuplicates(groupCols ++ Seq("h_bucket", "batch"))
+          .groupBy(groupCols.map(col) :+ col("h_bucket"): _*)
+          .agg(sum(col("h_cnt")).as("h_cnt"))
+      } else {
+        val groupCols = journal.columns.filterNot(PartialCols.contains).toSeq
+        dedupReplays(journal, groupCols)
+          .groupBy(groupCols.map(col): _*)
+          .agg(sum(col("p_sum")).as("p_sum"), sum(col("p_cnt")).as("p_cnt"),
+            sum(col("p_rows")).as("p_rows"),
+            min(col("p_min")).as("p_min"), max(col("p_max")).as("p_max"))
+      }
+    folded.withColumn("batch", lit("_compacted"))
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(pTmp.toString)

@@ -132,6 +132,29 @@ object Incremental {
       base
     }
 
+  /** Histogram-journal quantile state for q_quantile_hist: a frozen
+    * equi-depth boundary grid (persisted beside the journal — the grid
+    * IS part of the state) and two batches of per-group bucket counts.
+    * The registered query estimates per-group quantiles from the journal
+    * alone and rank-checks them against the raw table.
+    */
+  private def histJournalDir(s: SparkSession, dir: String): String =
+    Scratch.cached(s"rollup-hist:$dir") { base =>
+      val os = t(s, dir, "orders")
+      val bounds = os.stat.approxQuantile("o_totalprice",
+        (1 until 256).map(_ / 256.0).toArray, 0.001).distinct.sorted
+      import s.implicits._
+      bounds.toSeq.toDF("b").coalesce(1).write.parquet(s"$base/bounds")
+      val j = s"$base/journal"
+      graft.engine.Rollup.journalHistogram(
+        os.filter(col("o_orderkey") % 2 === 0), j,
+        Seq("o_orderstatus"), "o_totalprice", bounds, "b1")
+      graft.engine.Rollup.journalHistogram(
+        os.filter(col("o_orderkey") % 2 === 1), j,
+        Seq("o_orderstatus"), "o_totalprice", bounds, "b2")
+      base
+    }
+
   /** Pre-build every cached table for this fixture — called by Bench and
     * BenchOne outside their timers so what q_incremental_* measures never
     * depends on suite order or warmup-fixture presence.
@@ -142,6 +165,7 @@ object Incremental {
     dedupJournalDir(s, dir)
     rollupJournalDir(s, dir)
     rollupCompactedDir(s, dir)
+    histJournalDir(s, dir)
   }
 
   private def latestView(s: SparkSession, dir: String,
@@ -218,7 +242,28 @@ object Incremental {
     // a hash mismatch means the fold lost or double-counted a partial.
     "q_rollup_report_compacted" -> ((s, dir) =>
       rollupSelect(graft.engine.Rollup.report(s,
-        s"${rollupCompactedDir(s, dir)}/journal", Seq("o_orderpriority")))))
+        s"${rollupCompactedDir(s, dir)}/journal", Seq("o_orderpriority")))),
+
+    // Mergeable quantile state: per-group p50/p95 estimated from the
+    // histogram journal alone (raw rows never rescanned for the
+    // estimate), then RANK-CHECKED against the raw table — the fraction
+    // of rows at or below each estimate must sit within ±5% of the
+    // target rank (grid error is ~1/256). Bounded-comparison oracle:
+    // DuckDB predicts the count and the booleans.
+    "q_quantile_hist" -> ((s, dir) => {
+      val base = histJournalDir(s, dir)
+      val bounds = s.read.parquet(s"$base/bounds")
+        .collect().map(_.getDouble(0)).sorted
+      val est = graft.engine.Rollup.quantileEstimate(s, s"$base/journal",
+        Seq("o_orderstatus"), bounds, Seq(0.5, 0.95))
+      t(s, dir, "orders").join(broadcast(est), "o_orderstatus")
+        .groupBy(col("o_orderstatus"), col("p"))
+        .agg(count(lit(1)).as("n"),
+          count_if(col("o_totalprice") <= col("est")).as("le"))
+        .select(col("o_orderstatus"), col("p"), col("n"),
+          (col("le") / col("n"))
+            .between(col("p") - 0.05, col("p") + 0.05).as("rank_ok"))
+    }))
 
   private def rollupSelect(report: DataFrame): DataFrame =
     report.select(col("o_orderpriority"), col("n"),
@@ -296,5 +341,13 @@ object Incremental {
     // must be invisible to the report, so the compacted query's twin IS
     // the report twin.
     "q_rollup_report" -> rollupReportSql,
-    "q_rollup_report_compacted" -> rollupReportSql)
+    "q_rollup_report_compacted" -> rollupReportSql,
+
+    // The count is exact per (status, p); the rank-error contract comes
+    // back as constants the estimate must satisfy.
+    "q_quantile_hist" ->
+      """SELECT o_orderstatus, p, count(*) AS n,
+        |  CAST(1 AS BOOLEAN) AS rank_ok
+        |FROM orders CROSS JOIN (VALUES (0.5), (0.95)) v(p)
+        |GROUP BY 1, 2""".stripMargin)
 }

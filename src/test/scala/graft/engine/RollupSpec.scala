@@ -115,6 +115,54 @@ class RollupSpec extends AnyFunSuite {
     assert(r.getAs[Double]("total") / r.getAs[Long]("n_val") == 15.0)
   }
 
+  test("histogram journal: mergeable quantile estimates within grid error") {
+    val dir = java.nio.file.Files.createTempDirectory("rollup-hist").toString
+    val j = s"$dir/journal"
+    val os = graft.engine.Sources.table(spark, "/root/testdata/sf0.01",
+      "orders")
+    // frozen grid: ~256 equi-depth boundaries from the reference data
+    val bounds = os.stat.approxQuantile("o_totalprice",
+      (1 until 256).map(_ / 256.0).toArray, 0.001).distinct.sorted
+    (0 until 3).foreach(i => Rollup.journalHistogram(
+      os.filter(col("o_orderkey") % 3 === i), j,
+      Seq("o_orderstatus"), "o_totalprice", bounds, s"b$i"))
+
+    def ests() = Rollup.quantileEstimate(spark, j, Seq("o_orderstatus"),
+        bounds, Seq(0.5, 0.95))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val est = ests()
+
+    // every estimate must land inside a generous exact-rank band
+    // (grid error is ~1/256 in rank; the band allows ±5%)
+    val exact = os.groupBy(col("o_orderstatus")).agg(
+        percentile(col("o_totalprice"), lit(0.45)).as("lo50"),
+        percentile(col("o_totalprice"), lit(0.55)).as("hi50"),
+        percentile(col("o_totalprice"), lit(0.90)).as("lo95"),
+        percentile(col("o_totalprice"), lit(0.99)).as("hi95"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    est.foreach { case (g, p, v) =>
+      val (lo50, hi50, lo95, hi95) = exact(g)
+      if (p == 0.5) assert(v >= lo50 && v <= hi50,
+        s"$g p50 estimate $v outside [$lo50, $hi50]")
+      else assert(v >= lo95 && v <= hi95,
+        s"$g p95 estimate $v outside [$lo95, $hi95]")
+    }
+
+    // merge-decomposability + replay self-heal: re-journaling a batch
+    // changes nothing; compaction collapses files, estimates identical
+    Rollup.journalHistogram(os.filter(col("o_orderkey") % 3 === 0), j,
+      Seq("o_orderstatus"), "o_totalprice", bounds, "b0")
+    assert(ests() == est, "replayed histogram batch shifted the estimate")
+    val filesBefore = spark.read.parquet(j).inputFiles.length
+    val rep = Rollup.compactJournal(spark, j)
+    assert(rep.ok, rep.detail)
+    assert(ests() == est, "compaction shifted the estimate")
+    assert(spark.read.parquet(j).inputFiles.length < filesBefore)
+  }
+
   test("deletes: sum/count retract exactly; min/max degrade to stale bounds") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("rollup-del").toString
