@@ -200,6 +200,51 @@ object Streams {
     }
   }
 
+  /** Streaming twin of [[graft.engine.Rollup.journalHistogram]]: each
+    * micro-batch's per-group bucket counts (over the FROZEN boundary
+    * grid — the grid is state decided before the stream starts) append
+    * to the histogram journal under the same commit-ledger guard as
+    * [[startRollupJournal]], so standing per-group quantile estimates
+    * ([[graft.engine.Rollup.quantileEstimate]]) are maintained from the
+    * stream without ever rescanning it.
+    */
+  def startHistogramJournal(stream: DataFrame, journalDir: String,
+      checkpointDir: String, groupCols: Seq[String], valueCol: String,
+      boundaries: Array[Double])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        histogramBatchIdempotent(batch, journalDir, batchId, groupCols,
+          valueCol, boundaries)
+      }
+      .start()
+
+  /** Ledger-guarded step of [[startHistogramJournal]] — marker contract
+    * identical to [[journalBatchIdempotent]], and the residual
+    * crash-between-journal-and-marker seam self-heals the same way
+    * (identical replayed rows collapse by (group, bucket, batch) in
+    * [[graft.engine.Rollup.quantileEstimate]]).
+    */
+  private[graft] def histogramBatchIdempotent(batch: DataFrame,
+      journalDir: String, batchId: Long, groupCols: Seq[String],
+      valueCol: String, boundaries: Array[Double]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(journalDir, s"_graft_commits/$batchId")
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      graft.engine.Rollup.journalHistogram(batch, journalDir, groupCols,
+        valueCol, boundaries, s"b$batchId")
+      try fs.create(marker, false).close() // exclusive: lost race = no-op
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+  }
+
   /** Streaming CDC apply: drive [[graft.engine.Pipeline.applyChanges]]
     * from a change stream — each micro-batch of (key, op, seq, payload)
     * records merges into the snapshot atomically. No commit ledger here,

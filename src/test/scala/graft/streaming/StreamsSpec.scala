@@ -465,6 +465,42 @@ class StreamsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
+  test("histogram journal stream: standing quantile estimate == batch twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-hist-stream")
+    try {
+      val journal = s"$root/journal"
+      val bounds = (1 until 100).map(_.toDouble).toArray // unit grid 1..99
+      val b1 = (1 to 60).map(i => ("A", i.toDouble))
+      val b2 = (61 to 100).map(i => ("A", i.toDouble))
+      val in = MemoryStream[(String, Double)]
+      val q = Streams.startHistogramJournal(in.toDF().toDF("k", "v"),
+        journal, s"$root/ckpt", Seq("k"), "v", bounds)
+      runBatches(q)(() => in.addData(b1: _*), () => in.addData(b2: _*))
+
+      def est() = graft.engine.Rollup.quantileEstimate(spark, journal,
+          Seq("k"), bounds, Seq(0.5))
+        .head().getAs[Double]("est")
+      // 100 uniform values on a unit grid: the rank-50 bucket holds value
+      // 50 and reports its EXCLUSIVE upper edge 51 — within the one-grid-
+      // step error bound of the true p50 (50.5)
+      assert(est() >= 50.0 && est() <= 51.0,
+        s"streamed histogram p50 was ${est()}")
+
+      // at-least-once replay journals nothing new; estimate unchanged
+      val before = est()
+      val rows = spark.read.parquet(journal).count()
+      Streams.histogramBatchIdempotent(b2.toDF("k", "v"), journal, 1L,
+        Seq("k"), "v", bounds)
+      assert(spark.read.parquet(journal).count() == rows)
+      assert(est() == before)
+      assert(Streams.rollupLedgerConsistent(spark, journal),
+        "histogram journal ledger must audit clean")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("commit ledger: dedup-shrunk batches, legacy markers, compaction") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ledger")
