@@ -106,6 +106,67 @@ object Pipeline {
     obs.get("rows_written").asInstanceOf[Long]
   }
 
+  /** Backfill ONE day of an incrementally-loaded table: re-clean the
+    * corrected batch under the original load timestamp and replace exactly
+    * that `load_date` partition via dynamic partition overwrite — other
+    * days' files are never touched (the fix for "day N loaded garbage"
+    * that doesn't cost a table rewrite or a compaction). All rows share
+    * the injected timestamp, so exactly one partition is replaced, and
+    * that is the contract: this is a day-repair, not a general rewrite.
+    *
+    * The streaming commit ledger stays EXACT: the replaced partition's
+    * old row count is read first (one pruned partition scan) and a
+    * `_backfill_<date>` marker records the delta — without it,
+    * [[graft.streaming.Streams.ledgerConsistent]] would flag every
+    * backfilled table forever. Returns the rows written.
+    */
+  def backfillDay(batch: DataFrame, analyticsDir: String,
+      at: java.sql.Timestamp): Long = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    // day derived exactly as Cleaning.withLoadMetadata derives load_date
+    // (to_date in the SESSION timezone) — a JVM-default-TZ conversion here
+    // could name a different partition than the one being written
+    val day = spark.range(1)
+      .select(to_date(lit(at)).cast("string")).head().getString(0)
+    val oldRows =
+      try readTable(spark, analyticsDir)
+        .filter(col("load_date") === lit(day).cast("date")).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    val cleaned = Cleaning.cleanAll(batch, Some(at))
+    val obs = org.apache.spark.sql.Observation()
+    cleaned.observe(obs, count(lit(1)).as("rows_written"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("load_date").parquet(analyticsDir)
+    writeSchemaSidecar(spark, analyticsDir, readBackSchema(cleaned.schema))
+    val written = obs.get("rows_written").asInstanceOf[Long]
+    val ledger = new Path(analyticsDir, "_graft_commits")
+    val fs = ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(ledger)) {
+      // Deltas ACCUMULATE across repeated backfills of the same day: the
+      // marker holds Σ deltas, which telescopes to (current day rows −
+      // originally ledgered day rows) — overwriting with only the latest
+      // delta would silently break the audit on the second repair.
+      val marker = new Path(ledger, s"_backfill_$day")
+      val prior =
+        if (!fs.exists(marker)) 0L
+        else {
+          val in = fs.open(marker)
+          val body = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          """"rows":(-?\d+)""".r.findFirstMatchIn(body)
+            .map(_.group(1).toLong).getOrElse(0L)
+        }
+      val out = fs.create(marker, true)
+      try out.write(
+        s"""{"batchId":"_backfill_$day","rows":${prior + written - oldRows}}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    written
+  }
+
   /** Name starts with `_` so Spark's file index ignores it (same convention
     * as `_SUCCESS`) — the sidecar never pollutes the parquet scan.
     */

@@ -342,7 +342,9 @@ object Streams {
       val in = fs.open(st.getPath)
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      val rows = """"rows":(\d+)""".r.findFirstMatchIn(body)
+      // -? : backfill delta markers (Pipeline.backfillDay) are negative
+      // when the repair shrank the day
+      val rows = """"rows":(-?\d+)""".r.findFirstMatchIn(body)
         .map(_.group(1).toLong)
       if (rows.isEmpty)
         Console.err.println(s"graft: skipping unparsable ledger marker " +

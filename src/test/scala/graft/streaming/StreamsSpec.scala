@@ -465,6 +465,45 @@ class StreamsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
+  test("backfillDay repairs one partition; ledger audit stays exact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-backfill")
+    try {
+      val dir = s"$root/tbl"
+      val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+      val t2 = Timestamp.valueOf("2024-01-02 00:00:00")
+      Streams.appendBatchIdempotent(
+        Seq((1L, "bad"), (2L, "bad"), (3L, "bad")).toDF("id", "payload"),
+        dir, batchId = 0L, at = Some(t1))
+      Streams.appendBatchIdempotent(
+        Seq((4L, "ok")).toDF("id", "payload"), dir, batchId = 1L,
+        at = Some(t2))
+      assert(Streams.ledgerConsistent(spark, dir))
+
+      // day-1 repair: replace 3 bad rows with 2 corrected ones
+      val written = graft.engine.Pipeline.backfillDay(
+        Seq((1L, "fixed"), (2L, "fixed")).toDF("id", "payload"), dir, t1)
+      assert(written == 2L)
+      val byDay = spark.read.parquet(dir)
+        .groupBy("load_date").count().collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+      assert(byDay("2024-01-01") == 2L, "day 1 not replaced")
+      assert(byDay("2024-01-02") == 1L, "day 2 must be untouched")
+      assert(spark.read.parquet(dir).filter($"payload" === "bad").count() == 0)
+      assert(Streams.ledgerConsistent(spark, dir),
+        "backfill delta marker must keep the ledger audit exact")
+
+      // a SECOND repair of the same day must accumulate the delta, not
+      // overwrite it — the audit stays exact through repeated backfills
+      graft.engine.Pipeline.backfillDay(
+        Seq((1L, "final")).toDF("id", "payload"), dir, t1)
+      assert(spark.read.parquet(dir).count() == 2L) // 1 day-1 row + day-2
+      assert(Streams.ledgerConsistent(spark, dir),
+        "repeated backfill broke the ledger audit")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("histogram journal stream: standing quantile estimate == batch twin") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
