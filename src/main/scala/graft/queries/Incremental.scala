@@ -132,6 +132,22 @@ object Incremental {
       base
     }
 
+  /** The two-batch table with day 1 REPAIRED through
+    * [[Pipeline.backfillDay]]: the corrected day-1 batch keeps only even
+    * keys, so the oracle is the latest-view reconstruction with day 1's
+    * membership predicate swapped — proving the dynamic partition
+    * overwrite replaced exactly that day and left day 2 byte-identical.
+    */
+  private def backfilledDir(s: SparkSession, dir: String): String =
+    Scratch.cached(s"backfilled:$dir") { base =>
+      val analytics = buildTwoBatch(s, dir, base)
+      val corrected = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .filter(col("o_orderkey") % 10 < 6 && col("o_orderkey") % 2 === 0)
+      Pipeline.backfillDay(corrected, analytics, T1)
+      analytics
+    }
+
   /** Histogram-journal quantile state for q_quantile_hist: a frozen
     * equi-depth boundary grid (persisted beside the journal — the grid
     * IS part of the state) and two batches of per-group bucket counts.
@@ -162,6 +178,7 @@ object Incremental {
   def ensureBuilt(s: SparkSession, dir: String): Unit = {
     analyticsDir(s, dir)
     compactedDir(s, dir)
+    backfilledDir(s, dir)
     dedupJournalDir(s, dir)
     rollupJournalDir(s, dir)
     rollupCompactedDir(s, dir)
@@ -201,6 +218,7 @@ object Incremental {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_incremental_latest" -> ((s, dir) => latestView(s, dir, analyticsDir)),
     "q_incremental_compacted" -> ((s, dir) => latestView(s, dir, compactedDir)),
+    "q_incremental_backfilled" -> ((s, dir) => latestView(s, dir, backfilledDir)),
     "q_incremental_prune" -> ((s, dir) => day2Summary(s, dir)),
 
     // Incremental dedup-state maintenance: the new 20% batch arrives, its
@@ -311,9 +329,36 @@ object Incremental {
       |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** The backfilled twin: identical reconstruction, but day 1's batch is
+    * the CORRECTED membership (even keys only) — if the partition
+    * overwrite had leaked old day-1 rows or touched day 2, the hash
+    * would diverge.
+    */
+  private val backfilledSql =
+    """WITH c AS (
+        |  SELECT o_orderkey, coalesce(o_custkey, 0) AS o_custkey,
+        |    coalesce(o_totalprice, 0.0) AS o_totalprice,
+        |    trim(lower(coalesce(o_orderstatus, 'Unknown'))) AS o_orderstatus
+        |  FROM orders),
+        |u AS (
+        |  SELECT *, TIMESTAMP '2026-01-01 00:00:00' AS loaded_at,
+        |    '2026-01-01' AS load_date
+        |  FROM c WHERE o_orderkey % 10 < 6 AND o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT *, TIMESTAMP '2026-01-02 00:00:00', '2026-01-02'
+        |  FROM c WHERE o_orderkey % 10 BETWEEN 3 AND 7),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderkey ORDER BY loaded_at DESC) AS rn
+        |  FROM u)
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+        |  loaded_at, load_date
+        |FROM r WHERE rn = 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_incremental_latest" -> latestSql,
     "q_incremental_compacted" -> latestSql,
+    "q_incremental_backfilled" -> backfilledSql,
 
     // The twin is the FULL-corpus candidate computation — no batches, no
     // journal. Matching it proves the incremental decomposition is exact.
