@@ -73,6 +73,24 @@ object Docs {
         .orderBy(col("n").desc, col("token").asc)
         .limit(50)),
 
+    // The heavy-hitters twin of q_vocab_topk: ONE mergeable frequent-items
+    // sketch (approx_top_k, DataSketches) instead of a corpus-wide
+    // hash-agg — the exact form shuffles every distinct token to count
+    // it; the sketch shuffles ONE bounded-size buffer per partition, the
+    // 100 TB shape for "what are the top tokens" when the vocabulary
+    // itself is huge. With capacity ≥ the distinct-token count the sketch
+    // is exact, so the oracle is the exact query's; the deterministic
+    // re-rank on (n desc, token asc) restores the tie-break the sketch's
+    // internal ordering doesn't promise.
+    "q_vocab_topk_approx" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .agg(expr("approx_top_k(token, 50, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("token"), col("e.count").as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)),
+
     // LM n-gram statistics: top-40 bigrams (2-token shingles) — same
     // explode/hash-agg/top-k shape as the vocabulary, one size up.
     "q_bigrams_topk" -> ((s, dir) =>
@@ -692,6 +710,13 @@ object Docs {
         |FROM b GROUP BY 1""".stripMargin,
 
     "q_vocab_topk" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+    // Exact-capacity sketch == exact counts, so the twin IS the exact
+    // query's SQL.
+    "q_vocab_topk_approx" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
