@@ -271,6 +271,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand") && p.contains("HashAggregate"))
   }
 
+  test("q_vocab_topk_approx aggregates one mergeable sketch, not the vocabulary") {
+    // the exact twin shuffles every distinct token; the sketch form must
+    // plan a single global aggregate over partial sketch buffers — one
+    // single-partition exchange of sketch bytes, no token-keyed shuffle
+    val p = plan("q_vocab_topk_approx")
+    assert(p.contains("approx_top_k"), s"expected the sketch aggregate:\n$p")
+    assert(!p.contains("hashpartitioning(token"),
+      s"sketch twin still shuffles the vocabulary by token:\n$p")
+  }
+
   test("q_join_interval_binned hash-joins on the bin key, never nested-loop") {
     // the naive point-in-interval join has no equi key and plans BNLJ —
     // probe × build with no hash path; the bin quantization exists to
