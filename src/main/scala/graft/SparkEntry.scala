@@ -23,6 +23,7 @@ object SparkEntry {
     (Analytics.queries, Analytics.oracles),
     (Incremental.queries, Incremental.oracles),
     (Changes.queries, Changes.oracles),
+    (Connector.queries, Connector.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -19,10 +19,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Sinks {
 
-  /** Reference S2: slice into ≤`chunkRows`-row CSV files with headers. */
+  /** Reference S2: slice into ≤`chunkRows`-row CSV files with headers.
+    *
+    * `escape = "` makes embedded quotes come out RFC4180-doubled (`""`)
+    * instead of univocity's default backslash escape, so any standards-
+    * compliant consumer — including [[graft.sources.ChunkCsvSource]] —
+    * round-trips text containing quotes/commas/newlines byte-exactly.
+    */
   def writeChunkedCsv(df: DataFrame, dir: String, chunkRows: Int = 50000): Unit =
     df.write
       .option("header", "true")
+      .option("escape", "\"")
       .option("maxRecordsPerFile", chunkRows.toLong)
       .mode(SaveMode.Overwrite)
       .csv(dir)

@@ -1,0 +1,542 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the reference's chunked-CSV staging tier.
+  *
+  * The reference stages its corpus as ≤50K-row header-bearing CSV chunks in
+  * a bucket (`/root/reference/data_extractor.py:59,95-108`) and then reads
+  * them back serially, chunk by chunk, parsing every column of every row
+  * (`data_extractor.py:414-443`). This connector re-expresses that layout
+  * as a first-class Spark source so the staging tier gets the same scan
+  * economics as a columnar table:
+  *
+  *   - '''one InputPartition per chunk''' — the chunk grain the writer
+  *     chose IS the parallelism grain; a 1000-executor cluster reads 1000
+  *     chunks concurrently instead of the reference's serial loop;
+  *   - '''required-column pruning''' ([[SupportsPushDownRequiredColumns]]):
+  *     the reader tokenizes every field (CSV is row-major — unavoidable)
+  *     but type-converts ONLY the columns the query needs, which is where
+  *     CSV decode time actually goes;
+  *   - '''predicate pushdown''' ([[SupportsPushDownFilters]]): simple
+  *     comparisons are evaluated on the raw parsed record, before any
+  *     InternalRow is built for Spark;
+  *   - '''chunk skipping''': an optional per-chunk min/max sidecar
+  *     (written by [[ChunkStats.index]]) gives the planner parquet-style
+  *     zone maps — chunks whose [min,max] cannot satisfy a pushed filter
+  *     are never opened. At 100 TB the staging dir is ~2M chunks; a date
+  *     predicate over a date-clustered layout then opens only the
+  *     qualifying sliver.
+  *
+  * Schema: pass one explicitly (`spark.read.schema(...)`) for typed reads —
+  * the scalable single-pass path. Without one, [[inferSchema]] reads ONLY
+  * the header line of the first chunk and types every column `STRING`,
+  * mirroring the reference's TEXT-default type lattice
+  * (`data_extractor.py:353`) without a data scan.
+  *
+  * Usage: `spark.read.format("chunkcsv").schema(s).load(dir)`.
+  */
+class ChunkCsvSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "chunkcsv"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = ChunkCsv.pathOf(options)
+    val conf = new Configuration()
+    val files = ChunkCsv.listChunks(dir, conf)
+    require(files.nonEmpty, s"chunkcsv: no chunk files under $dir")
+    val in = files.head.getPath.getFileSystem(conf).open(files.head.getPath)
+    try {
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      val header = Rfc4180.read(reader)
+      require(header != null, s"chunkcsv: empty chunk ${files.head.getPath}")
+      StructType(header.map(name => StructField(name, StringType)))
+    } finally in.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    ChunkCsvTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] object ChunkCsv {
+
+  def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "chunkcsv: 'path' option required (use .load(dir))")
+    p
+  }
+
+  /** Chunk files = the non-hidden, non-sidecar regular files of the dir.
+    * Matches both the reference's `cdc_chunk_%04d.csv` names and Spark's
+    * `part-*.csv` writer output.
+    */
+  def listChunks(dir: String, conf: Configuration): Array[FileStatus] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) Array.empty
+    else fs.listStatus(path)
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .sortBy(_.getPath.getName)
+  }
+}
+
+private[sources] case class ChunkCsvTable(tableSchema: StructType,
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+
+  override def schema(): StructType = tableSchema
+
+  override def name(): String = s"chunkcsv(${ChunkCsv.pathOf(options)})"
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ChunkCsvScanBuilder(tableSchema, ChunkCsv.pathOf(options))
+}
+
+/** Accumulates Catalyst's pushdown calls, then builds the scan.
+  *
+  * `pushFilters` keeps the conjuncts this source can evaluate exactly
+  * (comparisons / null tests / IN on atomic columns, including ANDs of
+  * those) and hands the rest back for Spark to evaluate post-scan. A kept
+  * filter is gone from the query plan — the reader's row eval is the only
+  * thing enforcing it, so [[ChunkCsvFilters.eval]] is correctness-critical
+  * and spec-covered, not best-effort.
+  */
+private[sources] class ChunkCsvScanBuilder(schema: StructType, dir: String)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(ChunkCsvFilters.supported(_, schema))
+    pushed = sup
+    unsup
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = ChunkCsvScan(dir, schema, required, pushed)
+}
+
+/** The scan: plans one partition per surviving chunk.
+  *
+  * Planning happens on the driver: list the chunk files, load the min/max
+  * sidecar if [[ChunkStats.index]] wrote one, and drop every chunk whose
+  * stats prove no row can satisfy the pushed conjunction. `description()`
+  * surfaces the pushed filters and read schema in `explain`, so plan specs
+  * can pin that pruning/pushdown actually reached the source.
+  */
+private[sources] case class ChunkCsvScan(dir: String, fullSchema: StructType,
+    required: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"ChunkCsv[$dir] ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  private lazy val surviving: Array[FileStatus] = {
+    val conf = new Configuration()
+    val all = ChunkCsv.listChunks(dir, conf)
+    val stats = ChunkStats.load(dir, conf, fullSchema)
+    val keep = all.filter { st =>
+      stats.get(st.getPath.getName) match {
+        case Some(colStats) =>
+          pushed.forall(ChunkCsvFilters.maySatisfy(_, colStats))
+        case None => true // unindexed chunk: never skip
+      }
+    }
+    ChunkCsvMetrics.plannedChunks.add(all.length)
+    ChunkCsvMetrics.skippedChunks.add(all.length - keep.length)
+    keep
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    surviving.map(st => ChunkInputPartition(st.getPath.toString))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChunkCsvReaderFactory(fullSchema, required, pushed)
+
+  /** Size of the surviving chunks — lets Catalyst make a sane broadcast
+    * decision when a chunkcsv table sits on the small side of a join.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = surviving.map(_.getLen).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+}
+
+private[sources] case class ChunkInputPartition(file: String)
+    extends InputPartition
+
+private[sources] case class ChunkCsvReaderFactory(fullSchema: StructType,
+    required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    new ChunkCsvReader(
+      partition.asInstanceOf[ChunkInputPartition].file,
+      fullSchema, required, pushed)
+}
+
+/** Streams one chunk: RFC4180 records → pushed-filter eval on the raw
+  * fields → InternalRow with only the required columns converted.
+  *
+  * Column resolution is by header name, not position — chunks written at
+  * different times may order columns differently (the reference's schema
+  * evolution appends columns, data_extractor.py:414-443); a column missing
+  * from a chunk's header reads as NULL, which is exactly Spark's
+  * union-by-name drift semantics.
+  */
+private[sources] class ChunkCsvReader(file: String, fullSchema: StructType,
+    required: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  ChunkCsvMetrics.openedChunks.add(1L)
+
+  private val path = new Path(file)
+  private val in = path.getFileSystem(new Configuration()).open(path)
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8),
+    1 << 16)
+
+  // header name -> field index in this chunk's records
+  private val headerIdx: Map[String, Int] = {
+    val h = Rfc4180.read(reader)
+    if (h == null) Map.empty else h.zipWithIndex.toMap
+  }
+
+  // (chunk field index | -1, converter) per required column
+  private val outCols: Array[(Int, String => Any)] =
+    required.fields.map { f =>
+      (headerIdx.getOrElse(f.name, -1), ChunkCsvFilters.converter(f.dataType))
+    }
+
+  // filter eval plan: for each pushed filter's referenced column, where it
+  // sits in this chunk and how to canonicalize it for comparison
+  private val filterCols: Map[String, (Int, String => Any)] =
+    pushed.flatMap(_.references).distinct.map { name =>
+      val dt = fullSchema(name).dataType
+      name -> (headerIdx.getOrElse(name, -1), ChunkCsvFilters.converter(dt))
+    }.toMap
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var rec = Rfc4180.read(reader)
+    while (rec != null) {
+      if (passes(rec)) {
+        current = convert(rec)
+        return true
+      }
+      rec = Rfc4180.read(reader)
+    }
+    false
+  }
+
+  private def fieldAt(rec: Array[String], idx: Int): String =
+    if (idx >= 0 && idx < rec.length) rec(idx) else null
+
+  private def passes(rec: Array[String]): Boolean =
+    pushed.forall { f =>
+      ChunkCsvFilters.eval(f, name => {
+        val (idx, conv) = filterCols(name)
+        val raw = fieldAt(rec, idx)
+        if (raw == null) null else conv(raw)
+      })
+    }
+
+  private def convert(rec: Array[String]): InternalRow = {
+    val row = new GenericInternalRow(outCols.length)
+    var i = 0
+    while (i < outCols.length) {
+      val (idx, conv) = outCols(i)
+      val raw = fieldAt(rec, idx)
+      row.update(i, if (raw == null) null else conv(raw))
+      i += 1
+    }
+    row
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = reader.close()
+}
+
+/** Filter support / evaluation for the v1 `sources.Filter` algebra.
+  *
+  * Values are canonicalized before comparison: integral/date/timestamp/
+  * boolean → Long, floating → Double, text → String — so a filter value
+  * boxed as `Integer` compares correctly against a `LongType` column.
+  * Comparison across the Long/Double kinds goes through BigDecimal
+  * (exact, no silent precision loss on large longs).
+  */
+private[sources] object ChunkCsvFilters {
+
+  def supported(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(a, v) => atomic(a, schema) && v != null
+    case GreaterThan(a, v) => atomic(a, schema) && v != null
+    case GreaterThanOrEqual(a, v) => atomic(a, schema) && v != null
+    case LessThan(a, v) => atomic(a, schema) && v != null
+    case LessThanOrEqual(a, v) => atomic(a, schema) && v != null
+    case In(a, vs) => atomic(a, schema) && vs != null && vs.forall(_ != null)
+    case IsNull(a) => atomic(a, schema)
+    case IsNotNull(a) => atomic(a, schema)
+    case And(l, r) => supported(l, schema) && supported(r, schema)
+    case _ => false // Or/Not/StartsWith/...: Spark evaluates post-scan
+  }
+
+  private def atomic(name: String, schema: StructType): Boolean =
+    schema.fieldNames.contains(name) && (schema(name).dataType match {
+      case _: StringType | _: LongType | _: IntegerType | _: ShortType |
+           _: ByteType | _: DoubleType | _: FloatType | _: BooleanType |
+           _: DateType | _: TimestampType | _: DecimalType => true
+      case _ => false
+    })
+
+  /** CSV string → Catalyst value for the declared type. Unquoted-empty
+    * fields arrive as Scala null (see [[Rfc4180]]) and never reach these.
+    */
+  def converter(dt: DataType): String => Any = dt match {
+    case StringType => s => UTF8String.fromString(s)
+    case LongType => s => s.trim.toLong
+    case IntegerType => s => s.trim.toInt
+    case ShortType => s => s.trim.toShort
+    case ByteType => s => s.trim.toByte
+    case DoubleType => s => s.trim.toDouble
+    case FloatType => s => s.trim.toFloat
+    case BooleanType => s => s.trim.toBoolean
+    case DateType =>
+      s => java.time.LocalDate.parse(s.trim).toEpochDay.toInt
+    case TimestampType => s => parseTimestampMicros(s.trim)
+    case d: DecimalType =>
+      s => org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(s.trim), d.precision, d.scale)
+    case other =>
+      throw new IllegalArgumentException(s"chunkcsv: unsupported type $other")
+  }
+
+  /** Accepts the two shapes Spark's CSV writer emits (ISO-8601 with offset,
+    * ISO local) plus the classic `yyyy-MM-dd HH:mm:ss[.f]`; locals are
+    * pinned UTC, matching the suite's session timezone.
+    */
+  private def parseTimestampMicros(s: String): Long = {
+    val instant =
+      try java.time.OffsetDateTime.parse(s).toInstant
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          val local =
+            try java.time.LocalDateTime.parse(s)
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            }
+          local.toInstant(java.time.ZoneOffset.UTC)
+      }
+    instant.getEpochSecond * 1000000L + instant.getNano / 1000L
+  }
+
+  /** Canonical comparison domain: Long (integral/date/ts/bool), Double,
+    * BigDecimal, or String.
+    */
+  def canon(v: Any): Any = v match {
+    case null => null
+    case u: UTF8String => u.toString
+    case s: String => s
+    case b: java.lang.Boolean => if (b) 1L else 0L
+    case b: Byte => b.toLong
+    case s: Short => s.toLong
+    case i: Int => i.toLong
+    case l: Long => l
+    case f: Float => f.toDouble
+    case d: Double => d
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate => d.toEpochDay
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    case i: java.time.Instant =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case d: java.math.BigDecimal => d
+    case d: BigDecimal => d.bigDecimal
+    case other =>
+      throw new IllegalArgumentException(
+        s"chunkcsv: incomparable filter value $other (${other.getClass})")
+  }
+
+  private def cmp(a: Any, b: Any): Int = (canon(a), canon(b)) match {
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x, y) => toBig(x).compareTo(toBig(y))
+  }
+
+  private def toBig(v: Any): java.math.BigDecimal = v match {
+    case l: Long => java.math.BigDecimal.valueOf(l)
+    case d: Double => java.math.BigDecimal.valueOf(d)
+    case b: java.math.BigDecimal => b
+    case other =>
+      throw new IllegalArgumentException(s"chunkcsv: non-numeric $other")
+  }
+
+  /** SQL three-valued logic collapsed to keep/drop: a comparison against
+    * NULL is not-true, hence drop — identical to what Spark's own
+    * post-scan Filter would do with the same predicate.
+    */
+  def eval(f: Filter, lookup: String => Any): Boolean = f match {
+    case EqualTo(a, v) => nn(lookup(a), v)(cmp(_, _) == 0)
+    case GreaterThan(a, v) => nn(lookup(a), v)(cmp(_, _) > 0)
+    case GreaterThanOrEqual(a, v) => nn(lookup(a), v)(cmp(_, _) >= 0)
+    case LessThan(a, v) => nn(lookup(a), v)(cmp(_, _) < 0)
+    case LessThanOrEqual(a, v) => nn(lookup(a), v)(cmp(_, _) <= 0)
+    case In(a, vs) =>
+      val x = lookup(a); x != null && vs.exists(v => cmp(x, v) == 0)
+    case IsNull(a) => lookup(a) == null
+    case IsNotNull(a) => lookup(a) != null
+    case And(l, r) => eval(l, lookup) && eval(r, lookup)
+    case other =>
+      throw new IllegalStateException(s"chunkcsv: unpushable filter $other")
+  }
+
+  private def nn(x: Any, v: Any)(p: (Any, Any) => Boolean): Boolean =
+    x != null && v != null && p(x, v)
+
+  /** Zone-map check: can ANY row of a chunk with these [min,max] stats
+    * satisfy `f`? Conservative: unknown column / unparsable stat / null
+    * test → true (never skip). min/max ignore NULLs (they come from a
+    * Spark min/max agg), so IsNull/IsNotNull can never prune a chunk.
+    */
+  def maySatisfy(f: Filter, stats: Map[String, (Any, Any)]): Boolean =
+    f match {
+      case EqualTo(a, v) => stats.get(a).forall { case (lo, hi) =>
+        cmp(v, lo) >= 0 && cmp(v, hi) <= 0 }
+      case GreaterThan(a, v) =>
+        stats.get(a).forall { case (_, hi) => cmp(hi, v) > 0 }
+      case GreaterThanOrEqual(a, v) =>
+        stats.get(a).forall { case (_, hi) => cmp(hi, v) >= 0 }
+      case LessThan(a, v) =>
+        stats.get(a).forall { case (lo, _) => cmp(lo, v) < 0 }
+      case LessThanOrEqual(a, v) =>
+        stats.get(a).forall { case (lo, _) => cmp(lo, v) <= 0 }
+      case In(a, vs) => stats.get(a).forall { case (lo, hi) =>
+        vs.exists(v => cmp(v, lo) >= 0 && cmp(v, hi) <= 0) }
+      case And(l, r) => maySatisfy(l, stats) && maySatisfy(r, stats)
+      case _ => true
+    }
+}
+
+/** Local-mode observability for the spec suite: counters live in the one
+  * shared JVM (`local[*]`), so tests can assert "the date filter opened 3
+  * of 8 chunks". On a real cluster these would be task-level
+  * CustomMetrics; the planner-side counters (planned/skipped) are
+  * driver-side and correct everywhere.
+  */
+object ChunkCsvMetrics {
+  val plannedChunks = new java.util.concurrent.atomic.LongAdder
+  val skippedChunks = new java.util.concurrent.atomic.LongAdder
+  val openedChunks = new java.util.concurrent.atomic.LongAdder
+
+  def reset(): Unit = { plannedChunks.reset(); skippedChunks.reset()
+    openedChunks.reset() }
+}
+
+/** Streaming RFC4180 record reader.
+  *
+  * Hand-rolled (~60 lines) rather than borrowing Spark's univocity
+  * internals: the grammar is tiny, the reader must distinguish
+  * quoted-empty (`""` → empty string) from unquoted-empty (→ NULL) to
+  * match Spark's CSV null semantics, and owning it keeps the connector
+  * free of `private[sql]` surface.
+  *
+  * Contract: returns one record as `Array[String]` (null elements for
+  * unquoted-empty fields), or `null` at end of stream. Handles quoted
+  * fields containing commas, doubled quotes, and embedded CR/LF; accepts
+  * both LF and CRLF record separators; tolerates a missing trailing
+  * newline on the last record.
+  */
+private[sources] object Rfc4180 {
+
+  def read(r: java.io.Reader): Array[String] = {
+    var c = r.read()
+    if (c == -1) return null
+    val fields = new ArrayBuffer[String](16)
+    val sb = new java.lang.StringBuilder(64)
+    var quoted = false // current field was ever inside quotes
+
+    def endField(): Unit = {
+      fields += (if (!quoted && sb.length == 0) null else sb.toString)
+      sb.setLength(0)
+      quoted = false
+    }
+
+    while (c != -1) {
+      if (c == '"' && sb.length == 0 && !quoted) {
+        // quoted field: consume until the closing quote; `after` becomes
+        // the first char past the quoted section (or -1 at EOF, which
+        // also tolerates an unterminated quote)
+        quoted = true
+        var after = -2
+        while (after == -2) {
+          val q = r.read()
+          if (q == -1) after = -1
+          else if (q == '"') {
+            val peek = r.read()
+            if (peek == '"') sb.append('"') else after = peek
+          } else sb.append(q.toChar)
+        }
+        c = after
+        c match {
+          case ',' => endField(); c = r.read()
+          case '\r' =>
+            val n = r.read(); if (n != '\n' && n != -1) sb.append(n.toChar)
+            endField(); return fields.toArray
+          case '\n' | -1 => endField(); return fields.toArray
+          case other => sb.append(other.toChar); c = r.read() // malformed: keep
+        }
+      } else c match {
+        case ',' => endField(); c = r.read()
+        case '\r' =>
+          val n = r.read(); if (n == '\n' || n == -1) { endField(); return fields.toArray }
+          else { sb.append('\r'); c = n }
+        case '\n' => endField(); return fields.toArray
+        case ch => sb.append(ch.toChar); c = r.read()
+      }
+    }
+    endField()
+    fields.toArray
+  }
+}

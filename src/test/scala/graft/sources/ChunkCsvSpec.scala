@@ -1,0 +1,165 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.engine.Sinks
+
+/** The DSv2 chunked-CSV connector, end to end: RFC4180 round-trip against
+  * Spark's own CSV reader/writer, typed reads, column pruning, filter
+  * pushdown (the pushed conjunct is GONE from the plan — the reader's eval
+  * is the only enforcement), per-chunk partition planning, and sidecar
+  * zone-map chunk skipping.
+  */
+class ChunkCsvSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("grade", DoubleType),
+    StructField("flag", BooleanType),
+    StructField("day", DateType),
+    StructField("note", StringType)))
+
+  /** 12 rows over 4 chunks, id-clustered, with RFC4180-hostile strings. */
+  private def fixture(): String = {
+    import scala.jdk.CollectionConverters._
+    val rows = (0L until 12L).map { i =>
+      Row(i, i * 1.5, i % 2 == 0,
+        java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"),
+        if (i == 3) null
+        else if (i == 4) "" // empty string, distinct from null
+        else if (i == 5) "comma, \"quotes\"\nand a newline"
+        else s"note-$i")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("chunkcsv").toString
+    val df = spark.createDataFrame(rows.asJava, schema)
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    Sinks.writeChunkedCsv(df, dir, chunkRows = 3)
+    dir
+  }
+
+  private def readBack(dir: String) =
+    spark.read.format("chunkcsv").schema(schema).load(dir)
+
+  test("round-trips typed rows exactly, matching Spark's own CSV reader") {
+    val dir = fixture()
+    val ours = readBack(dir).collect().toSet
+    val sparks = spark.read.schema(schema)
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true") // Spark needs opting in; we stream quotes natively
+      .csv(dir).collect().toSet
+    assert(ours.size == 12)
+    val r5 = ours.find(_.getLong(0) == 5L).get
+    assert(r5.getString(4) == "comma, \"quotes\"\nand a newline")
+    assert(ours.find(_.getLong(0) == 3L).get.isNullAt(4)) // unquoted empty
+    // the writer quotes empty strings (`""`); we round-trip them as ""
+    // where Spark's own reader lossily collapses them to null — so parity
+    // is modulo that one documented difference
+    assert(ours.find(_.getLong(0) == 4L).get.getString(4) == "") // quoted empty
+    val oursNormalized = ours.map { r =>
+      Row.fromSeq(r.toSeq.map { case "" => null; case v => v })
+    }
+    assert(oursNormalized == sparks)
+  }
+
+  test("plans one partition per chunk file") {
+    val dir = fixture()
+    assert(readBack(dir).rdd.getNumPartitions == 4)
+  }
+
+  test("prunes columns and pushes supported filters out of the plan") {
+    val dir = fixture()
+    val q = readBack(dir).filter(col("id") >= 6L && col("note").isNotNull)
+      .select("id", "grade")
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[ChunkCsvScan]
+    }.get
+    // note is ONLY a filter column: fully pushed filters leave the plan,
+    // so pruning drops it from the read schema — the reader evaluates
+    // pushed predicates on raw fields outside the output row
+    assert(scan.readSchema().fieldNames.toSet == Set("id", "grade"))
+    assert(scan.pushed.length == 3) // id>=6, note notnull, id notnull
+    // the pushed filters are NOT re-evaluated by Spark: no Filter node left
+    assert(!q.queryExecution.executedPlan.toString.contains("Filter ("))
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(6L, 7L, 8L, 9L, 10L, 11L))
+  }
+
+  test("filter eval handles nulls, In, dates, and doubles") {
+    val dir = fixture()
+    assert(readBack(dir).filter(col("note").isNull).count() == 1)
+    assert(readBack(dir)
+      .filter(col("id").isin(1L, 5L, 99L)).count() == 2)
+    assert(readBack(dir)
+      .filter(col("day") > lit(java.sql.Date.valueOf("2024-01-10")))
+      .count() == 2)
+    assert(readBack(dir).filter(col("grade") <= 3.0).count() == 3)
+    assert(readBack(dir).filter(col("flag") === true).count() == 6)
+  }
+
+  test("zone-map sidecar skips chunks the pushed filter excludes") {
+    val dir = fixture()
+    ChunkStats.index(spark, dir, schema)
+    ChunkCsvMetrics.reset()
+    val n = readBack(dir).filter(col("id") >= 9L).count()
+    assert(n == 3)
+    assert(ChunkCsvMetrics.plannedChunks.sum() == 4)
+    assert(ChunkCsvMetrics.skippedChunks.sum() == 3) // ids 0-8 live elsewhere
+    assert(ChunkCsvMetrics.openedChunks.sum() == 1)
+    // and an unskippable full scan still reads everything, correctly
+    ChunkCsvMetrics.reset()
+    assert(readBack(dir).count() == 12)
+    assert(ChunkCsvMetrics.skippedChunks.sum() == 0)
+    assert(ChunkCsvMetrics.openedChunks.sum() == 4)
+  }
+
+  test("skipping never changes results, only work: agg parity under filters") {
+    val dir = fixture()
+    ChunkStats.index(spark, dir, schema)
+    val filtered = readBack(dir).filter(col("day") < lit("2024-01-07"))
+    assert(filtered.agg(sum("id")).head.getLong(0) == 15L) // 0+..+5
+  }
+
+  test("schema inference reads only the header and types all-string") {
+    val dir = fixture()
+    val inferred = spark.read.format("chunkcsv").load(dir).schema
+    assert(inferred.fieldNames.toSeq ==
+      Seq("id", "grade", "flag", "day", "note"))
+    assert(inferred.fields.forall(_.dataType == StringType))
+  }
+
+  test("missing columns read as null (schema-evolution drift)") {
+    val dir = fixture()
+    val widened = schema.add(StructField("extra", LongType))
+    val df = spark.read.format("chunkcsv").schema(widened).load(dir)
+    assert(df.filter(col("extra").isNull).count() == 12)
+  }
+
+  test("reports surviving-chunk bytes so join planning can broadcast") {
+    val dir = fixture()
+    val stats = readBack(dir).queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0)
+    // real file bytes, not spark.sql.defaultSizeInBytes's "huge" fallback
+    assert(stats.sizeInBytes < 1000000L)
+  }
+
+  test("Rfc4180 tokenizer: quoting, CRLF, trailing field, EOF forms") {
+    def parse(s: String): Seq[Seq[String]] = {
+      val r = new java.io.StringReader(s)
+      Iterator.continually(Rfc4180.read(r)).takeWhile(_ != null)
+        .map(_.toSeq).toSeq
+    }
+    assert(parse("a,b\r\nc,d\n") == Seq(Seq("a", "b"), Seq("c", "d")))
+    assert(parse("a,\"b\"\"x\"\",\ny\",c") ==
+      Seq(Seq("a", "b\"x\",\ny", "c")))
+    assert(parse("x,,\n") == Seq(Seq("x", null, null)))
+    assert(parse("x,\"\"\n") == Seq(Seq("x", "")))
+    assert(parse("last,row") == Seq(Seq("last", "row"))) // no trailing \n
+  }
+}
