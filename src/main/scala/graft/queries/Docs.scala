@@ -489,6 +489,33 @@ object Docs {
         .agg(countDistinct(col("shingle")).as("n_hit_grams"))
     }),
 
+    // Bloom-prefiltered decontamination — the scale path when the eval
+    // gram set is large enough that shuffling the FULL train gram explode
+    // into the join is the bottleneck. Build a bloom filter over the eval
+    // grams' hashes (distributed treeAggregate, a few bits per gram),
+    // probe each train gram in the scan stage (codegen'd, no shuffle),
+    // and only survivors — true hits plus the fpp sliver — reach the
+    // exact verify join. False negatives are impossible, the join removes
+    // false positives, so the answer is IDENTICAL to q_decontam_ngram's
+    // (the oracle asserts exactly that); at a 1% hit rate the join's
+    // shuffle input drops ~25× (fpp 0.03).
+    "q_decontam_bloom" -> ((s, dir) => {
+      val grams = Dedup.docShingles(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("split", splitCol(col("doc_id")))
+        .localCheckpoint()
+      val evalGrams = grams.filter(col("split") =!= "train")
+        .select(col("shingle")).distinct()
+        .localCheckpoint() // feeds the bloom build AND the verify join
+      val bloom = evalGrams.select(xxhash64(col("shingle")).as("gh"))
+        .stat.bloomFilter("gh", math.max(evalGrams.count(), 64L), 0.03)
+      grams.filter(col("split") === "train")
+        .filter(graft.functions.BloomExprs.mightContainHashed(
+          xxhash64(col("shingle")), bloom))
+        .join(evalGrams, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("shingle")).as("n_hit_grams"))
+    }),
+
     // Winnowing fingerprints (MOSS): per-doc summary over the shared
     // Dedup.winnowFingerprints frame — one shuffle total (the aggregation
     // reuses the window's doc_id partitioning).
@@ -1070,6 +1097,23 @@ object Docs {
         |GROUP BY 1, 2""".stripMargin,
 
     "q_decontam_ngram" ->
+      s"""WITH $shingleCte,
+        |$splitsCte,
+        |ev AS (
+        |  SELECT DISTINCT shingle FROM sh
+        |  JOIN splits USING (doc_id) WHERE split != 'train')
+        |SELECT sh.doc_id, count(DISTINCT sh.shingle) AS n_hit_grams
+        |FROM sh
+        |JOIN splits USING (doc_id)
+        |JOIN ev USING (shingle)
+        |WHERE split = 'train'
+        |GROUP BY 1""".stripMargin,
+
+    // The bloom prefilter is a pure optimization: the exact verify join
+    // makes the answer identical to q_decontam_ngram's, so the oracle IS
+    // the exact query — a bloom false negative (impossible by
+    // construction) or a dropped verify would fail this row.
+    "q_decontam_bloom" ->
       s"""WITH $shingleCte,
         |$splitsCte,
         |ev AS (

@@ -325,4 +325,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!scrubbed.contains("percentile("),
       s"exact percentile leaked into the approx twin's plan:\n$p")
   }
+
+  test("q_decontam_bloom probes the bloom filter before the verify join") {
+    // the codegen'd membership probe must sit in the plan as a Filter
+    // below the exact join — that prefilter is the whole point of the twin
+    val p = plan("q_decontam_bloom")
+    assert(p.contains("bloom_might_contain"),
+      s"bloom probe missing from the plan:\n$p")
+    assert(p.contains("Join"), s"exact verify join missing:\n$p")
+  }
+
+  test("chunkcsv queries push their predicate into the DSv2 scan") {
+    // fully pushed → the scan reports it and no Spark-side Filter remains
+    // to re-evaluate it (the connector's row eval is the enforcement)
+    val p = plan("q_chunkcsv_skip")
+    assert("ChunkCsv\\[.*PushedFilters: \\[[^\\]]*o_orderdate".r
+      .findFirstIn(p.replaceAll("\n", " ")).isDefined,
+      s"o_orderdate not pushed to the chunkcsv scan:\n$p")
+    assert(!"Filter .*o_orderdate".r.findFirstIn(p).isDefined,
+      s"pushed filter re-evaluated post-scan:\n$p")
+  }
 }
