@@ -312,6 +312,27 @@ object Docs {
         .select(col("lang"), col("rn"), col("doc_id"))
     }),
 
+    // Weighted priority sample (Duffield-Lund-Thorup): top-k by
+    // priority w/u with u uniform from the id hash — inclusion odds scale
+    // with the weight (here n_chars: long docs count for more), yet
+    // membership is a pure function of (id, weight), reproducible across
+    // engines/runs/partitions. The priority is ONE correctly-rounded
+    // IEEE division of exactly-represented integers (48-bit hash, long
+    // weight), so Spark and DuckDB compute bit-identical keys — no
+    // transcendentals (the classic u^(1/w) form would hit libm drift).
+    // TakeOrderedAndProject: per-partition heaps, no global sort.
+    "q_sample_weighted" -> ((s, dir) => {
+      val u = conv(substring(md5(concat(lit("ws:"),
+          col("doc_id").cast("string"))), 1, 12), 16, 10)
+        .cast("long") + lit(1L)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (col("n_chars").cast("double") / u.cast("double")).as("pri"))
+        .orderBy(col("pri").desc, col("doc_id"))
+        .limit(50)
+        .select("doc_id", "n_chars")
+    }),
+
     // Corpus rebalancing: deterministic per-stratum downsampling (cap the
     // dominant language at 20%, keep the rest whole). Membership is a pure
     // (stratum, id) hash — stable under row order, partitioning, and
@@ -697,6 +718,14 @@ object Docs {
       """SELECT doc_id FROM (
         |  SELECT doc_id, md5('sample:' || CAST(doc_id AS VARCHAR)) AS sk
         |  FROM documents ORDER BY sk, doc_id LIMIT 50)""".stripMargin,
+
+    "q_sample_weighted" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    CAST(n_chars AS DOUBLE) / CAST(CAST(CONCAT('0x', substring(
+        |      md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        |      + 1 AS DOUBLE) AS pri
+        |  FROM documents ORDER BY pri DESC, doc_id LIMIT 50)""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents

@@ -40,6 +40,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q_sample_weighted takes its top-k via per-partition heaps") {
+    // priority sampling must never globally sort the corpus by priority
+    val p = plan("q_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("non-LIMIT queries carry no terminal global sort") {
     for (q <- Seq("q_cleaning", "q_join_inner", "q_dedup_exact",
         "q_range_violations", "q_date_parts")) {
