@@ -87,6 +87,18 @@ object Connector {
         .agg(count(lit(1)).as("n_orders"),
           min(col("o_orderkey")).as("min_key"),
           round(sum(col("o_totalprice")), 2).as("sum_price"))),
+
+    // Metadata-only aggregation: COUNT/MIN/MAX folded from the sidecar on
+    // the driver — zero chunk files opened (ChunkCsvSpec pins the zero;
+    // this row pins that the metadata answer equals the data answer).
+    "q_chunkcsv_agg_meta" -> ((s, dir) =>
+      s.read.format("chunkcsv").schema(ordersSchema)
+        .load(orderChunks(s, dir))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_date"))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -102,5 +114,11 @@ object Connector {
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderstatus""".stripMargin,
+
+    "q_chunkcsv_agg_meta" ->
+      """SELECT count(*) AS n_orders, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key, min(o_orderdate) AS first_date,
+        |  max(o_orderdate) AS last_date
+        |FROM orders""".stripMargin,
   )
 }

@@ -8,7 +8,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -78,6 +78,9 @@ class ChunkCsvSource extends TableProvider with DataSourceRegister {
 
 private[sources] object ChunkCsv {
 
+  /** Metadata column: which chunk file a row came from. */
+  val ChunkFileColumn = "_chunk"
+
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null, "chunkcsv: 'path' option required (use .load(dir))")
@@ -102,11 +105,27 @@ private[sources] object ChunkCsv {
 }
 
 private[sources] case class ChunkCsvTable(tableSchema: StructType,
-    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead
+    with SupportsMetadataColumns {
 
   override def schema(): StructType = tableSchema
 
   override def name(): String = s"chunkcsv(${ChunkCsv.pathOf(options)})"
+
+  /** `_chunk` — the chunk file a row came from. Provenance is first-class
+    * in the reference's staging model (chunk-numbered file names,
+    * data_extractor.py:97-103), and it lets [[ChunkStats.index]] group by
+    * chunk THROUGH this source, so sidecar stats share the exact
+    * empty-vs-null read semantics of the data path (Spark's own CSV
+    * reader collapses quoted-empty to null and would skew string minima).
+    */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = ChunkCsv.ChunkFileColumn
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "name of the source chunk file"
+    })
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -126,10 +145,12 @@ private[sources] case class ChunkCsvTable(tableSchema: StructType,
   */
 private[sources] class ChunkCsvScanBuilder(schema: StructType, dir: String)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggSpecs: Option[Seq[ChunkAgg]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, unsup) = filters.partition(ChunkCsvFilters.supported(_, schema))
@@ -142,7 +163,163 @@ private[sources] class ChunkCsvScanBuilder(schema: StructType, dir: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = ChunkCsvScan(dir, schema, required, pushed)
+  /** Metadata-only aggregation: an ungrouped, unfiltered COUNT(*)/MIN/MAX
+    * over indexed columns is answered from the sidecar without opening a
+    * single chunk — the parquet-footer trick for the CSV staging tier. We
+    * report PARTIAL pushdown (the scan emits one row of totals and Spark's
+    * final agg merges it), which keeps the contract simple and correct.
+    * Gate: no pushed filters, no grouping, and the sidecar covers EVERY
+    * listed chunk for every referenced column (a post-index append must
+    * fall back to a real scan, not a stale answer).
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+        schema.fieldNames.contains(r.fieldNames.head) =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(ChunkAgg.RowCount)
+      case m: Min => colOf(m.column).map(ChunkAgg.MinOf)
+      case m: Max => colOf(m.column).map(ChunkAgg.MaxOf)
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return false
+    val flat = specs.flatten
+    // coverage check (driver-side metadata read, like listing footers)
+    val conf = new Configuration()
+    val chunks = ChunkCsv.listChunks(dir, conf).map(_.getPath.getName)
+    val sidecar = ChunkStats.load(dir, conf)
+    val covered = chunks.forall { f =>
+      sidecar.rows.contains(f) && flat.forall {
+        case ChunkAgg.MinOf(c) => sidecar.raw.get(f).exists(_.contains(c))
+        case ChunkAgg.MaxOf(c) => sidecar.raw.get(f).exists(_.contains(c))
+        case ChunkAgg.RowCount => true
+      }
+    }
+    if (!covered) return false
+    aggSpecs = Some(flat)
+    true
+  }
+
+  override def build(): Scan = aggSpecs match {
+    case Some(specs) => ChunkCsvAggScan(dir, schema, specs)
+    case None => ChunkCsvScan(dir, schema, required, pushed)
+  }
+}
+
+/** The aggregate specs the sidecar can answer. */
+private[sources] sealed trait ChunkAgg
+private[sources] object ChunkAgg {
+  case object RowCount extends ChunkAgg
+  case class MinOf(col: String) extends ChunkAgg
+  case class MaxOf(col: String) extends ChunkAgg
+}
+
+/** Metadata-only scan: one partition, one row, zero chunk files opened.
+  * The totals are folded from the sidecar ON THE DRIVER at planning time
+  * and shipped to the single reader as raw stat strings (the reader
+  * converts them with the same converters a data read uses).
+  */
+private[sources] case class ChunkCsvAggScan(dir: String,
+    fullSchema: StructType, specs: Seq[ChunkAgg]) extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(specs.map {
+    case ChunkAgg.RowCount => StructField("count(*)", LongType, nullable = false)
+    case ChunkAgg.MinOf(c) => StructField(s"min($c)", fullSchema(c).dataType)
+    case ChunkAgg.MaxOf(c) => StructField(s"max($c)", fullSchema(c).dataType)
+  })
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"ChunkCsvAgg[$dir] PushedAggregates: [${specs.mkString(", ")}]"
+
+  // computed once per scan (planInputPartitions may be invoked repeatedly)
+  private lazy val folded: Array[String] = {
+    val sidecar = ChunkStats.load(dir, new Configuration())
+    def fold(c: String, sign: Int): String = {
+      val conv = ChunkCsvFilters.converter(fullSchema(c).dataType)
+      val cands = sidecar.raw.values.flatMap(_.get(c)).collect {
+        case (lo, hi) if lo != null => if (sign < 0) lo else hi
+      }
+      if (cands.isEmpty) null
+      else cands.minBy(s => Wrapped(ChunkCsvFilters.canon(conv(s)), sign))
+    }
+    val values: Array[String] = specs.map {
+      case ChunkAgg.RowCount => sidecar.rows.values.sum.toString
+      case ChunkAgg.MinOf(c) => fold(c, -1)
+      case ChunkAgg.MaxOf(c) => fold(c, 1)
+    }.toArray
+    ChunkCsvMetrics.metadataAggs.add(1L)
+    values
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ChunkAggPartition(folded))
+
+  /** Orders canon'd stat values; `sign` = -1 for min, +1 for max (max
+    * negates so minBy always selects the right extreme).
+    */
+  private case class Wrapped(v: Any, sign: Int) extends Ordered[Wrapped] {
+    override def compare(that: Wrapped): Int = {
+      val c = (v, that.v) match {
+        case (x: String, y: String) => x.compareTo(y)
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+        case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+          x.compareTo(y)
+        case (x, y) => throw new IllegalStateException(s"mixed $x/$y")
+      }
+      if (sign < 0) c else -c
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChunkAggReaderFactory(fullSchema, specs)
+}
+
+private[sources] case class ChunkAggPartition(values: Array[String])
+    extends InputPartition
+
+private[sources] case class ChunkAggReaderFactory(fullSchema: StructType,
+    specs: Seq[ChunkAgg]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val values = partition.asInstanceOf[ChunkAggPartition].values
+      private var emitted = false
+
+      override def next(): Boolean = !emitted && { emitted = true; true }
+
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(specs.length)
+        specs.zipWithIndex.foreach { case (spec, i) =>
+          val raw = values(i)
+          val v = spec match {
+            case ChunkAgg.RowCount => raw.toLong
+            case ChunkAgg.MinOf(c) =>
+              if (raw == null) null
+              else ChunkCsvFilters.converter(fullSchema(c).dataType)(raw)
+            case ChunkAgg.MaxOf(c) =>
+              if (raw == null) null
+              else ChunkCsvFilters.converter(fullSchema(c).dataType)(raw)
+          }
+          row.update(i, v)
+        }
+        row
+      }
+
+      override def close(): Unit = ()
+    }
 }
 
 /** The scan: plans one partition per surviving chunk.
@@ -168,7 +345,7 @@ private[sources] case class ChunkCsvScan(dir: String, fullSchema: StructType,
   private lazy val surviving: Array[FileStatus] = {
     val conf = new Configuration()
     val all = ChunkCsv.listChunks(dir, conf)
-    val stats = ChunkStats.load(dir, conf, fullSchema)
+    val stats = ChunkStats.load(dir, conf).canon(fullSchema)
     val keep = all.filter { st =>
       stats.get(st.getPath.getName) match {
         case Some(colStats) =>
@@ -240,10 +417,16 @@ private[sources] class ChunkCsvReader(file: String, fullSchema: StructType,
     if (h == null) Map.empty else h.zipWithIndex.toMap
   }
 
-  // (chunk field index | -1, converter) per required column
+  // (chunk field index | -1 missing | -2 _chunk metadata, converter)
+  private val chunkName = UTF8String.fromString(path.getName)
   private val outCols: Array[(Int, String => Any)] =
     required.fields.map { f =>
-      (headerIdx.getOrElse(f.name, -1), ChunkCsvFilters.converter(f.dataType))
+      headerIdx.get(f.name) match {
+        case Some(i) => (i, ChunkCsvFilters.converter(f.dataType))
+        case None if f.name == ChunkCsv.ChunkFileColumn =>
+          (-2, ChunkCsvFilters.converter(f.dataType))
+        case None => (-1, ChunkCsvFilters.converter(f.dataType))
+      }
     }
 
   // filter eval plan: for each pushed filter's referenced column, where it
@@ -285,8 +468,11 @@ private[sources] class ChunkCsvReader(file: String, fullSchema: StructType,
     var i = 0
     while (i < outCols.length) {
       val (idx, conv) = outCols(i)
-      val raw = fieldAt(rec, idx)
-      row.update(i, if (raw == null) null else conv(raw))
+      if (idx == -2) row.update(i, chunkName)
+      else {
+        val raw = fieldAt(rec, idx)
+        row.update(i, if (raw == null) null else conv(raw))
+      }
       i += 1
     }
     row
@@ -436,27 +622,36 @@ private[sources] object ChunkCsvFilters {
     x != null && v != null && p(x, v)
 
   /** Zone-map check: can ANY row of a chunk with these [min,max] stats
-    * satisfy `f`? Conservative: unknown column / unparsable stat / null
-    * test → true (never skip). min/max ignore NULLs (they come from a
-    * Spark min/max agg), so IsNull/IsNotNull can never prune a chunk.
+    * satisfy `f`? Conservative: unknown column / unparsable stat → true
+    * (never skip). A (null, null) stat means "indexed and all-null in
+    * this chunk": comparisons and IS NOT NULL are unsatisfiable there.
+    * Non-null min/max ignore NULLs (they come from a Spark min/max agg),
+    * so IS NULL can never prune a chunk.
     */
-  def maySatisfy(f: Filter, stats: Map[String, (Any, Any)]): Boolean =
+  def maySatisfy(f: Filter, stats: Map[String, (Any, Any)]): Boolean = {
+    def bound(a: String)(p: (Any, Any) => Boolean): Boolean =
+      stats.get(a) match {
+        case Some((null, null)) => false // all-null: no comparison holds
+        case Some((lo, hi)) => p(lo, hi)
+        case None => true
+      }
     f match {
-      case EqualTo(a, v) => stats.get(a).forall { case (lo, hi) =>
-        cmp(v, lo) >= 0 && cmp(v, hi) <= 0 }
-      case GreaterThan(a, v) =>
-        stats.get(a).forall { case (_, hi) => cmp(hi, v) > 0 }
-      case GreaterThanOrEqual(a, v) =>
-        stats.get(a).forall { case (_, hi) => cmp(hi, v) >= 0 }
-      case LessThan(a, v) =>
-        stats.get(a).forall { case (lo, _) => cmp(lo, v) < 0 }
-      case LessThanOrEqual(a, v) =>
-        stats.get(a).forall { case (lo, _) => cmp(lo, v) <= 0 }
-      case In(a, vs) => stats.get(a).forall { case (lo, hi) =>
-        vs.exists(v => cmp(v, lo) >= 0 && cmp(v, hi) <= 0) }
+      case EqualTo(a, v) =>
+        bound(a)((lo, hi) => cmp(v, lo) >= 0 && cmp(v, hi) <= 0)
+      case GreaterThan(a, v) => bound(a)((_, hi) => cmp(hi, v) > 0)
+      case GreaterThanOrEqual(a, v) => bound(a)((_, hi) => cmp(hi, v) >= 0)
+      case LessThan(a, v) => bound(a)((lo, _) => cmp(lo, v) < 0)
+      case LessThanOrEqual(a, v) => bound(a)((lo, _) => cmp(lo, v) <= 0)
+      case In(a, vs) => bound(a)((lo, hi) =>
+        vs.exists(v => cmp(v, lo) >= 0 && cmp(v, hi) <= 0))
+      case IsNotNull(a) => stats.get(a) match {
+        case Some((null, null)) => false // provably all-null
+        case _ => true
+      }
       case And(l, r) => maySatisfy(l, stats) && maySatisfy(r, stats)
       case _ => true
     }
+  }
 }
 
 /** Local-mode observability for the spec suite: counters live in the one
@@ -469,9 +664,10 @@ object ChunkCsvMetrics {
   val plannedChunks = new java.util.concurrent.atomic.LongAdder
   val skippedChunks = new java.util.concurrent.atomic.LongAdder
   val openedChunks = new java.util.concurrent.atomic.LongAdder
+  val metadataAggs = new java.util.concurrent.atomic.LongAdder
 
   def reset(): Unit = { plannedChunks.reset(); skippedChunks.reset()
-    openedChunks.reset() }
+    openedChunks.reset(); metadataAggs.reset() }
 }
 
 /** Streaming RFC4180 record reader.

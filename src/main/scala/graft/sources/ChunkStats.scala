@@ -6,32 +6,67 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Per-chunk zone maps for [[ChunkCsvSource]].
+/** Per-chunk zone maps + row counts for [[ChunkCsvSource]].
   *
   * `index` is one executor-parallel Spark pass over the chunk dir (read
   * with the declared schema, grouped by `input_file_name`): per chunk, the
-  * min/max of each indexed column. The result is O(chunks × columns) —
-  * at 2M chunks × a handful of indexed columns it collects a few MB to
-  * the driver, the same order as parquet footer metadata — and lands as
-  * a `_chunk_stats.csv` sidecar in the chunk dir itself (leading
-  * underscore: invisible to [[ChunkCsv.listChunks]] and to Spark's own
-  * file sources).
+  * row count and min/max of each indexed column. The result is
+  * O(chunks × columns) — at 2M chunks × a handful of indexed columns it
+  * collects a few MB to the driver, the same order as parquet footer
+  * metadata — and lands as a `_chunk_stats.csv` sidecar in the chunk dir
+  * itself (leading underscore: invisible to [[ChunkCsv.listChunks]] and
+  * to Spark's own file sources).
   *
   * The sidecar is RFC4180 CSV (`file,column,min,max`), written/read with
   * the connector's own [[Rfc4180]] tokenizer — the stats index for the
   * CSV source is itself CSV, so the whole staging tier stays one format
-  * with zero serialization dependencies. Values are stored as
-  * `CAST(x AS STRING)` of the declared column type and re-parsed with the
-  * same converters the reader uses, so planner-side comparisons happen in
-  * the column's real domain, never lexicographically on digit strings.
+  * with zero serialization dependencies. Three row shapes:
+  *
+  *   - `chunk,col,lo,hi` — min/max as `CAST(x AS STRING)` of the declared
+  *     type, re-parsed with the reader's own converters so planner-side
+  *     comparisons happen in the column's real domain, never
+  *     lexicographically on digit strings;
+  *   - `chunk,col,,` (empty lo/hi) — the column is indexed and ALL-NULL
+  *     in this chunk: comparisons and IS NOT NULL are unsatisfiable there;
+  *   - `chunk,_rows,n,n` — the chunk's row count, which lets COUNT(*)
+  *     (and the min/max aggregate pushdown) answer from metadata alone.
   *
   * Stats reflect the chunks at index time: [[ChunkCsvScan]] skips only
-  * chunks present in the sidecar, so chunks added after indexing are
-  * scanned (correct, just unpruned) — re-run `index` after appending.
+  * chunks present in the sidecar, and the aggregate pushdown engages only
+  * when EVERY listed chunk is covered — chunks added after indexing are
+  * scanned (correct, just unpruned); re-run `index` after appending.
   */
 object ChunkStats {
 
   val SidecarName = "_chunk_stats.csv"
+  val RowsKey = "_rows"
+
+  /** Raw sidecar content: per chunk, per column, the stat strings as
+    * written ((null, null) = indexed but all-null), plus row counts.
+    */
+  case class Sidecar(raw: Map[String, Map[String, (String, String)]],
+      rows: Map[String, Long]) {
+
+    /** Planner view: stats parsed into the comparison domain of `schema`.
+      * A stat that fails to parse (e.g. the declared type changed since
+      * indexing) is dropped — conservative, never wrong.
+      */
+    def canon(schema: StructType): Map[String, Map[String, (Any, Any)]] =
+      raw.map { case (file, cols) =>
+        file -> cols.flatMap { case (c, (lo, hi)) =>
+          if (!schema.fieldNames.contains(c)) None
+          else if (lo == null && hi == null) Some(c -> ((null, null)))
+          else {
+            val conv = ChunkCsvFilters.converter(schema(c).dataType)
+            try Some(c -> ((ChunkCsvFilters.canon(conv(lo)),
+              ChunkCsvFilters.canon(conv(hi)))))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+        }
+      }
+
+    def isEmpty: Boolean = raw.isEmpty && rows.isEmpty
+  }
 
   /** Index `cols` (default: every atomic column) of the chunks in `dir`. */
   def index(spark: SparkSession, dir: String, schema: StructType,
@@ -41,14 +76,13 @@ object ChunkStats {
         org.apache.spark.sql.sources.IsNotNull(f.name),
         StructType(Seq(f))) => f.name
     }.toSeq
-    // read through Spark's built-in CSV file source, not chunkcsv:
-    // input_file_name() is only populated for file-based scans, and the
-    // built-in reader needs multiLine to cross quoted newlines
-    val df = spark.read.schema(schema)
-      .option("header", "true").option("escape", "\"")
-      .option("multiLine", "true").csv(dir)
-      .withColumn("_file", element_at(split(input_file_name(), "/"), -1))
-    val aggs = indexed.flatMap { c =>
+    // read through the connector itself, grouped by its _chunk metadata
+    // column: the sidecar MUST share the data path's read semantics
+    // (Spark's own CSV reader collapses quoted-empty strings to null,
+    // which would skew string minima vs what the data path returns)
+    val df = spark.read.format("chunkcsv").schema(schema).load(dir)
+      .withColumn("_file", col(ChunkCsv.ChunkFileColumn))
+    val aggs = count(lit(1)).as(RowsKey) +: indexed.flatMap { c =>
       Seq(min(col(c)).cast("string").as(s"min_$c"),
         max(col(c)).cast("string").as(s"max_$c"))
     }
@@ -57,11 +91,14 @@ object ChunkStats {
     val sb = new StringBuilder("file,column,min,max\n")
     rows.foreach { r =>
       val file = r.getString(0)
+      val n = r.getAs[Long](RowsKey).toString
+      sb.append(Seq(file, RowsKey, n, n).map(quote).mkString(",")).append('\n')
       indexed.foreach { c =>
         val lo = r.getAs[String](s"min_$c")
         val hi = r.getAs[String](s"max_$c")
-        if (lo != null && hi != null)
-          sb.append(Seq(file, c, lo, hi).map(quote).mkString(",")).append('\n')
+        // all-null column in this chunk → empty (unquoted) lo/hi
+        sb.append(Seq(file, c, lo, hi).map(quote).mkString(","))
+          .append('\n')
       }
     }
     val path = new Path(dir, SidecarName)
@@ -72,44 +109,42 @@ object ChunkStats {
   }
 
   private def quote(s: String): String =
-    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+    if (s == null) "" // unquoted-empty round-trips as null
+    else if (s.isEmpty) "\"\"" // a real empty-string stat, NOT the null marker
+    else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 
-  /** Load the sidecar for planning: chunk file name → column → (min, max)
-    * as canonicalized comparison values. Missing sidecar → empty (no
-    * chunk is skippable). A stat that fails to parse under the current
-    * schema (e.g. the column's declared type changed since indexing) is
-    * dropped — conservative, never wrong.
+  /** Load the sidecar. Missing sidecar → empty (nothing skippable, no
+    * aggregate pushdown).
     */
-  def load(dir: String, conf: Configuration, schema: StructType)
-      : Map[String, Map[String, (Any, Any)]] = {
+  def load(dir: String, conf: Configuration): Sidecar = {
     val path = new Path(dir, SidecarName)
     val fs = path.getFileSystem(conf)
-    if (!fs.exists(path)) return Map.empty
+    if (!fs.exists(path)) return Sidecar(Map.empty, Map.empty)
     val in = fs.open(path)
     try {
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
       val header = Rfc4180.read(reader)
-      if (header == null) return Map.empty
-      val out = scala.collection.mutable.Map
-        .empty[String, Map[String, (Any, Any)]]
+      if (header == null) return Sidecar(Map.empty, Map.empty)
+      val raw = scala.collection.mutable.Map
+        .empty[String, Map[String, (String, String)]]
+      val rows = scala.collection.mutable.Map.empty[String, Long]
       var rec = Rfc4180.read(reader)
       while (rec != null) {
-        if (rec.length == 4 && rec.forall(_ != null) &&
-            schema.fieldNames.contains(rec(1))) {
-          val conv = ChunkCsvFilters.converter(schema(rec(1)).dataType)
-          try {
-            val lo = ChunkCsvFilters.canon(conv(rec(2)))
-            val hi = ChunkCsvFilters.canon(conv(rec(3)))
-            out(rec(0)) = out.getOrElse(rec(0), Map.empty) +
-              (rec(1) -> ((lo, hi)))
-          } catch { case scala.util.control.NonFatal(_) => () }
+        if (rec.length == 4 && rec(0) != null && rec(1) != null) {
+          if (rec(1) == RowsKey) {
+            try rows(rec(0)) = rec(2).toLong
+            catch { case scala.util.control.NonFatal(_) => () }
+          } else if ((rec(2) == null) == (rec(3) == null)) {
+            raw(rec(0)) = raw.getOrElse(rec(0), Map.empty) +
+              (rec(1) -> ((rec(2), rec(3))))
+          }
         }
         rec = Rfc4180.read(reader)
       }
-      out.toMap
+      Sidecar(raw.toMap, rows.toMap)
     } finally in.close()
   }
 }

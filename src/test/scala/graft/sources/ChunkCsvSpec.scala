@@ -112,9 +112,10 @@ class ChunkCsvSpec extends AnyFunSuite {
     assert(ChunkCsvMetrics.plannedChunks.sum() == 4)
     assert(ChunkCsvMetrics.skippedChunks.sum() == 3) // ids 0-8 live elsewhere
     assert(ChunkCsvMetrics.openedChunks.sum() == 1)
-    // and an unskippable full scan still reads everything, correctly
+    // and an unskippable full read still opens everything, correctly
+    // (collect, not count — an ungrouped count would take the metadata path)
     ChunkCsvMetrics.reset()
-    assert(readBack(dir).count() == 12)
+    assert(readBack(dir).collect().length == 12)
     assert(ChunkCsvMetrics.skippedChunks.sum() == 0)
     assert(ChunkCsvMetrics.openedChunks.sum() == 4)
   }
@@ -147,6 +148,51 @@ class ChunkCsvSpec extends AnyFunSuite {
     assert(stats.sizeInBytes > 0)
     // real file bytes, not spark.sql.defaultSizeInBytes's "huge" fallback
     assert(stats.sizeInBytes < 1000000L)
+  }
+
+  test("ungrouped count/min/max answer from the sidecar, zero chunks opened") {
+    val dir = fixture()
+    ChunkStats.index(spark, dir, schema)
+    ChunkCsvMetrics.reset()
+    val r = readBack(dir)
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"),
+        max("day").as("last_day"), min("note").as("first_note"))
+      .head
+    assert(r.getLong(0) == 12L && r.getLong(1) == 0L && r.getLong(2) == 11L)
+    assert(r.getDate(3).toString == "2024-01-12")
+    assert(r.getString(4) == "") // min over strings incl. the quoted empty
+    assert(ChunkCsvMetrics.metadataAggs.sum() == 1L)
+    assert(ChunkCsvMetrics.openedChunks.sum() == 0L)
+  }
+
+  test("aggregate pushdown declines: filters, group-by, or missing sidecar") {
+    val dir = fixture() // NO index → must fall back to a real scan
+    ChunkCsvMetrics.reset()
+    assert(readBack(dir).agg(count(lit(1))).head.getLong(0) == 12L)
+    assert(ChunkCsvMetrics.metadataAggs.sum() == 0L)
+    assert(ChunkCsvMetrics.openedChunks.sum() == 4L)
+    ChunkStats.index(spark, dir, schema)
+    ChunkCsvMetrics.reset()
+    // a filtered agg must not use the metadata path
+    assert(readBack(dir).filter(col("id") >= 6L)
+      .agg(count(lit(1))).head.getLong(0) == 6L)
+    assert(ChunkCsvMetrics.metadataAggs.sum() == 0L)
+    // grouped agg: same
+    assert(readBack(dir).groupBy("flag").count().count() == 2L)
+    assert(ChunkCsvMetrics.metadataAggs.sum() == 0L)
+  }
+
+  test("a chunk added after indexing disables the metadata answer") {
+    val dir = fixture()
+    ChunkStats.index(spark, dir, schema)
+    // append one more chunk the sidecar doesn't know about
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-extra.csv"),
+      "id,grade,flag,day,note\n99,9.9,true,2024-02-01,late\n".getBytes)
+    ChunkCsvMetrics.reset()
+    val r = readBack(dir).agg(count(lit(1)), max("id")).head
+    assert(r.getLong(0) == 13L && r.getLong(1) == 99L)
+    assert(ChunkCsvMetrics.metadataAggs.sum() == 0L) // fell back, correctly
   }
 
   test("Rfc4180 tokenizer: quoting, CRLF, trailing field, EOF forms") {
