@@ -128,7 +128,8 @@ private[sources] case class ChunkCsvTable(tableSchema: StructType,
     })
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ChunkCsvScanBuilder(tableSchema, ChunkCsv.pathOf(options))
@@ -338,6 +339,10 @@ private[sources] case class ChunkCsvScan(dir: String, fullSchema: StructType,
 
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ChunkCsvMicroBatchStream(dir, fullSchema, required, pushed)
+
   override def description(): String =
     s"ChunkCsv[$dir] ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
@@ -378,6 +383,74 @@ private[sources] case class ChunkCsvScan(dir: String, fullSchema: StructType,
 
 private[sources] case class ChunkInputPartition(file: String)
     extends InputPartition
+
+/** Streaming read of an accreting chunk dir — the reference's daily
+  * arrival pattern (a new zero-padded `cdc_chunk_%04d.csv` per batch run,
+  * data_extractor.py:97-103) as a Structured Streaming source.
+  *
+  * The offset is a chunk-NAME high watermark: a batch is "the chunks that
+  * sort after the last processed name", so the contract is monotonic
+  * chunk naming — exactly what the reference's zero-padded counter (and
+  * any timestamped landing convention) provides. The watermark lives in
+  * the query checkpoint, giving exactly-once chunk processing across
+  * restarts with no side state of our own; `commit` is a no-op because
+  * the watermark alone reconstructs any batch (offsets are replayable).
+  *
+  * Pushed filters and pruning apply per micro-batch, and zone-map chunk
+  * skipping works mid-stream: a skipped chunk still advances the
+  * watermark (it was processed — provably empty), it just never opens.
+  */
+private[sources] case class ChunkOffset(watermark: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = watermark
+}
+
+private[sources] class ChunkCsvMicroBatchStream(dir: String,
+    fullSchema: StructType, required: StructType, pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val conf = new Configuration()
+
+  override def initialOffset(): Offset = ChunkOffset("")
+
+  override def deserializeOffset(json: String): Offset = ChunkOffset(json)
+
+  override def latestOffset(): Offset = {
+    val names = ChunkCsv.listChunks(dir, conf).map(_.getPath.getName)
+    ChunkOffset(if (names.isEmpty) "" else names.max)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[ChunkOffset].watermark
+    val hi = end.asInstanceOf[ChunkOffset].watermark
+    val batch = ChunkCsv.listChunks(dir, conf).filter { st =>
+      val n = st.getPath.getName
+      n > lo && n <= hi
+    }
+    val stats = ChunkStats.load(dir, conf).canon(fullSchema)
+    val keep = batch.filter { st =>
+      stats.get(st.getPath.getName) match {
+        case Some(colStats) =>
+          pushed.forall(ChunkCsvFilters.maySatisfy(_, colStats))
+        case None => true
+      }
+    }
+    ChunkCsvMetrics.plannedChunks.add(batch.length)
+    ChunkCsvMetrics.skippedChunks.add(batch.length - keep.length)
+    keep.map(st =>
+      ChunkInputPartition(st.getPath.toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChunkCsvReaderFactory(fullSchema, required, pushed)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
 
 private[sources] case class ChunkCsvReaderFactory(fullSchema: StructType,
     required: StructType, pushed: Array[Filter])
