@@ -527,11 +527,17 @@ object Docs {
       val evalGrams = grams.filter(col("split") =!= "train")
         .select(col("shingle")).distinct()
         .localCheckpoint() // feeds the bloom build AND the verify join
-      val bloom = evalGrams.select(xxhash64(col("shingle")).as("gh"))
-        .stat.bloomFilter("gh", math.max(evalGrams.count(), 64L), 0.03)
+      val nEval = evalGrams.count()
+      // empty eval set: nothing can be contaminated, and Spark's
+      // stat.bloomFilter over zero rows yields a null-bits filter
+      val prefilter =
+        if (nEval == 0L) lit(false)
+        else graft.functions.BloomExprs.mightContainHashed(
+          xxhash64(col("shingle")),
+          evalGrams.select(xxhash64(col("shingle")).as("gh"))
+            .stat.bloomFilter("gh", math.max(nEval, 64L), 0.03))
       grams.filter(col("split") === "train")
-        .filter(graft.functions.BloomExprs.mightContainHashed(
-          xxhash64(col("shingle")), bloom))
+        .filter(prefilter)
         .join(evalGrams, "shingle")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("shingle")).as("n_hit_grams"))

@@ -333,7 +333,28 @@ private[sources] case class ChunkAggReaderFactory(fullSchema: StructType,
   */
 private[sources] case class ChunkCsvScan(dir: String, fullSchema: StructType,
     required: StructType, pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Join-driven chunk skipping: Spark's runtime filtering (the DSv2 face
+    * of dynamic partition pruning) hands this scan the join keys it
+    * learned at execution time — e.g. an IN-set from a broadcast dim —
+    * and the zone maps drop every chunk whose [min,max] excludes them.
+    * Chunk-level only: Spark still evaluates the join itself, so an
+    * over-approximate keep is merely unpruned work, never wrong.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields // Spark resolves these against the PRUNED output
+      .filter(f => ChunkCsvFilters.supported(IsNotNull(f.name),
+        StructType(Seq(f))))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions
+        .column(f.name))
+
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(ChunkCsvFilters.supported(_, fullSchema))
 
   override def readSchema(): StructType = required
 
@@ -347,24 +368,36 @@ private[sources] case class ChunkCsvScan(dir: String, fullSchema: StructType,
     s"ChunkCsv[$dir] ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
-  private lazy val surviving: Array[FileStatus] = {
-    val conf = new Configuration()
-    val all = ChunkCsv.listChunks(dir, conf)
-    val stats = ChunkStats.load(dir, conf).canon(fullSchema)
-    val keep = all.filter { st =>
-      stats.get(st.getPath.getName) match {
+  private lazy val statsCanon: Map[String, Map[String, (Any, Any)]] =
+    ChunkStats.load(dir, new Configuration()).canon(fullSchema)
+
+  private def zoneMapKeep(chunks: Array[FileStatus], fs: Array[Filter])
+      : Array[FileStatus] =
+    chunks.filter { st =>
+      statsCanon.get(st.getPath.getName) match {
         case Some(colStats) =>
-          pushed.forall(ChunkCsvFilters.maySatisfy(_, colStats))
+          fs.forall(ChunkCsvFilters.maySatisfy(_, colStats))
         case None => true // unindexed chunk: never skip
       }
     }
+
+  private lazy val surviving: Array[FileStatus] = {
+    val all = ChunkCsv.listChunks(dir, new Configuration())
+    val keep = zoneMapKeep(all, pushed)
     ChunkCsvMetrics.plannedChunks.add(all.length)
     ChunkCsvMetrics.skippedChunks.add(all.length - keep.length)
     keep
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    surviving.map(st => ChunkInputPartition(st.getPath.toString))
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rf = runtime
+    val keep = if (rf.isEmpty) surviving else {
+      val k = zoneMapKeep(surviving, rf)
+      ChunkCsvMetrics.runtimeSkippedChunks.add(surviving.length - k.length)
+      k
+    }
+    keep.map(st => ChunkInputPartition(st.getPath.toString): InputPartition)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     ChunkCsvReaderFactory(fullSchema, required, pushed)
@@ -736,11 +769,12 @@ private[sources] object ChunkCsvFilters {
 object ChunkCsvMetrics {
   val plannedChunks = new java.util.concurrent.atomic.LongAdder
   val skippedChunks = new java.util.concurrent.atomic.LongAdder
+  val runtimeSkippedChunks = new java.util.concurrent.atomic.LongAdder
   val openedChunks = new java.util.concurrent.atomic.LongAdder
   val metadataAggs = new java.util.concurrent.atomic.LongAdder
 
   def reset(): Unit = { plannedChunks.reset(); skippedChunks.reset()
-    openedChunks.reset(); metadataAggs.reset() }
+    runtimeSkippedChunks.reset(); openedChunks.reset(); metadataAggs.reset() }
 }
 
 /** Streaming RFC4180 record reader.
