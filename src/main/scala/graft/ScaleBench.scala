@@ -191,6 +191,53 @@ object ScaleBench {
       require(mergeReport.ok, mergeReport.detail)
       Bench.resetState(spark)
 
+      // Chunked-CSV connector economics: a shipdate-clustered chunk layout
+      // (fixed rows/chunk, so chunk count grows with the corpus) under a
+      // fixed 3-month predicate. The claim: a selective scan's cost tracks
+      // the SURVIVING chunks (a ~constant fraction), and the sidecar
+      // answers ungrouped COUNT/MIN/MAX without opening any chunk at any
+      // factor — the reference's serial full reread never gets cheaper.
+      val chunkDir = s"$dir/lineitem_chunks"
+      val liSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("l_shipdate",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("l_quantity",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("l_extendedprice",
+          org.apache.spark.sql.types.DoubleType)))
+      graft.engine.Sinks.writeChunkedCsv(
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice")
+          .repartitionByRange(8 * f, col("l_shipdate"))
+          .sortWithinPartitions("l_shipdate"),
+        chunkDir, 100000)
+      graft.sources.ChunkStats.index(spark, chunkDir, liSchema,
+        Seq("l_shipdate", "l_orderkey"))
+      def chunkRead = spark.read.format("chunkcsv").schema(liSchema)
+        .load(chunkDir)
+      graft.sources.ChunkCsvMetrics.reset()
+      val tc0 = System.nanoTime()
+      Bench.runToExhaustion(chunkRead
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-06-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-09-01")))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty")))
+      val chunkFilteredSec = (System.nanoTime() - tc0) / 1e9
+      val chunksPlanned = graft.sources.ChunkCsvMetrics.plannedChunks.sum()
+      val chunksOpened = graft.sources.ChunkCsvMetrics.openedChunks.sum()
+      val tc1 = System.nanoTime()
+      Bench.runToExhaustion(
+        chunkRead.agg(sum(col("l_quantity")).as("qty"))) // sum: real scan
+      val chunkFullSec = (System.nanoTime() - tc1) / 1e9
+      graft.sources.ChunkCsvMetrics.reset()
+      val tc2 = System.nanoTime()
+      Bench.runToExhaustion(chunkRead
+        .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_shipdate"))))
+      val chunkMetaSec = (System.nanoTime() - tc2) / 1e9
+      val metaOpened = graft.sources.ChunkCsvMetrics.openedChunks.sum()
+      Bench.resetState(spark)
+
       val secs = (names ++ analyticsNames).map(n => n -> timeOne(n, dir))
       // Locale.ROOT: a comma decimal separator would corrupt the JSON.
       val qs = secs.map { case (k, v) =>
@@ -209,6 +256,17 @@ object ScaleBench {
         s""""basket_pair_rows":$basketPairRows,""" +
         s""""merge_batch_rows":$nChg,"merge_sec":""" +
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(mergeSec)) +
+        s""","chunks_planned":$chunksPlanned,""" +
+        s""""chunks_opened":$chunksOpened,""" +
+        s""""chunk_meta_opened":$metaOpened,"chunk_filtered_sec":""" +
+        String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(chunkFilteredSec)) +
+        s""","chunk_full_sec":""" +
+        String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(chunkFullSec)) +
+        s""","chunk_meta_sec":""" +
+        String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(chunkMetaSec)) +
         s""","sec":$qs}""")
     }
     spark.stop()

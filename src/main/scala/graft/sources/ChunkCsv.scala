@@ -131,8 +131,12 @@ private[sources] case class ChunkCsvTable(tableSchema: StructType,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
 
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new ChunkCsvScanBuilder(tableSchema, ChunkCsv.pathOf(options))
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](options)
+    merged.putAll(opts)
+    new ChunkCsvScanBuilder(tableSchema, ChunkCsv.pathOf(options),
+      new CaseInsensitiveStringMap(merged))
+  }
 }
 
 /** Accumulates Catalyst's pushdown calls, then builds the scan.
@@ -144,14 +148,25 @@ private[sources] case class ChunkCsvTable(tableSchema: StructType,
   * thing enforcing it, so [[ChunkCsvFilters.eval]] is correctness-critical
   * and spec-covered, not best-effort.
   */
-private[sources] class ChunkCsvScanBuilder(schema: StructType, dir: String)
+private[sources] class ChunkCsvScanBuilder(schema: StructType, dir: String,
+    options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
   private var aggSpecs: Option[Seq[ChunkAgg]] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT reaches the readers (each stops after `n` emitted rows) and,
+    * when the sidecar knows every chunk's row count and no filter is in
+    * play, the planner itself (only enough chunks to cover `n` are
+    * planned). Partial pushdown: Spark still applies the global limit.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, unsup) = filters.partition(ChunkCsvFilters.supported(_, schema))
@@ -212,7 +227,8 @@ private[sources] class ChunkCsvScanBuilder(schema: StructType, dir: String)
 
   override def build(): Scan = aggSpecs match {
     case Some(specs) => ChunkCsvAggScan(dir, schema, specs)
-    case None => ChunkCsvScan(dir, schema, required, pushed)
+    case None => ChunkCsvScan(dir, schema, required, pushed, limit,
+      Option(options.get("maxChunksPerTrigger")).map(_.toInt))
   }
 }
 
@@ -332,7 +348,8 @@ private[sources] case class ChunkAggReaderFactory(fullSchema: StructType,
   * can pin that pruning/pushdown actually reached the source.
   */
 private[sources] case class ChunkCsvScan(dir: String, fullSchema: StructType,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None, maxChunksPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -362,7 +379,8 @@ private[sources] case class ChunkCsvScan(dir: String, fullSchema: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ChunkCsvMicroBatchStream(dir, fullSchema, required, pushed)
+    new ChunkCsvMicroBatchStream(dir, fullSchema, required, pushed,
+      maxChunksPerTrigger)
 
   override def description(): String =
     s"ChunkCsv[$dir] ReadSchema: ${required.simpleString}, " +
@@ -396,11 +414,27 @@ private[sources] case class ChunkCsvScan(dir: String, fullSchema: StructType,
       ChunkCsvMetrics.runtimeSkippedChunks.add(surviving.length - k.length)
       k
     }
-    keep.map(st => ChunkInputPartition(st.getPath.toString): InputPartition)
+    // plan-level LIMIT: with no predicates in play and sidecar row counts
+    // for every surviving chunk, only enough chunks to cover the limit
+    // are planned at all (readers cap their own rows either way)
+    val planned = limit match {
+      case Some(n) if pushed.isEmpty && rf.isEmpty =>
+        val rows = ChunkStats.load(dir, new Configuration()).rows
+        if (keep.forall(st => rows.contains(st.getPath.getName))) {
+          var acc = 0L
+          keep.takeWhile { st =>
+            val take = acc < n
+            acc += rows(st.getPath.getName)
+            take
+          }
+        } else keep
+      case _ => keep
+    }
+    planned.map(st => ChunkInputPartition(st.getPath.toString): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ChunkCsvReaderFactory(fullSchema, required, pushed)
+    ChunkCsvReaderFactory(fullSchema, required, pushed, limit)
 
   /** Size of the surviving chunks — lets Catalyst make a sane broadcast
     * decision when a chunkcsv table sits on the small side of a join.
@@ -439,10 +473,12 @@ private[sources] case class ChunkOffset(watermark: String)
 }
 
 private[sources] class ChunkCsvMicroBatchStream(dir: String,
-    fullSchema: StructType, required: StructType, pushed: Array[Filter])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    fullSchema: StructType, required: StructType, pushed: Array[Filter],
+    maxChunksPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private val conf = new Configuration()
 
@@ -454,6 +490,31 @@ private[sources] class ChunkCsvMicroBatchStream(dir: String,
     val names = ChunkCsv.listChunks(dir, conf).map(_.getPath.getName)
     ChunkOffset(if (names.isEmpty) "" else names.max)
   }
+
+  /** Admission control: cap chunks per micro-batch (`maxChunksPerTrigger`
+    * read option) so a backlogged dir — say, a month of daily chunks after
+    * an outage — catches up in bounded batches instead of one giant one.
+    * A chunk maps to `ReadLimit.maxFiles`.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxChunksPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start match {
+      case c: ChunkOffset => c.watermark
+      case _ => ""
+    }
+    val pending = ChunkCsv.listChunks(dir, conf).map(_.getPath.getName)
+      .filter(_ > lo).sorted
+    val admitted = limit match {
+      case f: ReadMaxFiles => pending.take(f.maxFiles())
+      case _ => pending
+    }
+    ChunkOffset(if (admitted.isEmpty) lo else admitted.last)
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
@@ -486,14 +547,15 @@ private[sources] class ChunkCsvMicroBatchStream(dir: String,
 }
 
 private[sources] case class ChunkCsvReaderFactory(fullSchema: StructType,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new ChunkCsvReader(
       partition.asInstanceOf[ChunkInputPartition].file,
-      fullSchema, required, pushed)
+      fullSchema, required, pushed, limit)
 }
 
 /** Streams one chunk: RFC4180 records → pushed-filter eval on the raw
@@ -506,7 +568,8 @@ private[sources] case class ChunkCsvReaderFactory(fullSchema: StructType,
   * union-by-name drift semantics.
   */
 private[sources] class ChunkCsvReader(file: String, fullSchema: StructType,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   ChunkCsvMetrics.openedChunks.add(1L)
@@ -544,12 +607,15 @@ private[sources] class ChunkCsvReader(file: String, fullSchema: StructType,
     }.toMap
 
   private var current: InternalRow = _
+  private var emitted = 0
 
   override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false // pushed LIMIT: stop early
     var rec = Rfc4180.read(reader)
     while (rec != null) {
       if (passes(rec)) {
         current = convert(rec)
+        emitted += 1
         return true
       }
       rec = Rfc4180.read(reader)

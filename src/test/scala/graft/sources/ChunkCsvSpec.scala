@@ -237,6 +237,43 @@ class ChunkCsvSpec extends AnyFunSuite {
     }
   }
 
+  test("pushed LIMIT stops readers early and plans fewer chunks") {
+    val dir = fixture()
+    ChunkStats.index(spark, dir, schema)
+    ChunkCsvMetrics.reset()
+    assert(readBack(dir).limit(2).collect().length == 2)
+    // sidecar row counts say chunk 0 (3 rows) covers limit 2 alone
+    assert(ChunkCsvMetrics.openedChunks.sum() == 1L)
+    // with a pushed filter the plan can't pre-count, but results stay right
+    assert(readBack(dir).filter(col("id") >= 3L).limit(4)
+      .collect().length == 4)
+  }
+
+  test("maxChunksPerTrigger paces a backlogged stream into bounded batches") {
+    val dir = java.nio.file.Files.createTempDirectory("chunkpace").toString
+    (1 to 4).foreach(n => writeStreamChunk(dir, n, Seq(n.toLong)))
+    val q = spark.readStream.format("chunkcsv").schema(streamSchema)
+      .option("maxChunksPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName("chunkpaced")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("chunkpaced").count() == 4L)
+      // 4 pending chunks admitted one per micro-batch, not one giant batch
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 4, s"expected 4 paced batches, saw $dataBatches")
+    } finally q.stop()
+  }
+
+  private val streamSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def writeStreamChunk(dir: String, n: Int, ids: Seq[Long]): Unit = {
+    val body = "id,v\n" + ids.map(i => s"$i,v-$i\n").mkString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, f"chunk-$n%04d.csv"), body.getBytes)
+  }
+
   test("Rfc4180 tokenizer: quoting, CRLF, trailing field, EOF forms") {
     def parse(s: String): Seq[Seq[String]] = {
       val r = new java.io.StringReader(s)
