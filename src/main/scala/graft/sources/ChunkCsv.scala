@@ -60,7 +60,10 @@ class ChunkCsvSource extends TableProvider with DataSourceRegister {
     val dir = ChunkCsv.pathOf(options)
     val conf = new Configuration()
     val files = ChunkCsv.listChunks(dir, conf)
-    require(files.nonEmpty, s"chunkcsv: no chunk files under $dir")
+    // empty/fresh dir: no columns to infer — a WRITE is about to define
+    // them (newWriteBuilder uses the query schema); a READ of nothing
+    // yields an empty, zero-column frame
+    if (files.isEmpty) return StructType(Nil)
     val in = files.head.getPath.getFileSystem(conf).open(files.head.getPath)
     try {
       val reader = new java.io.BufferedReader(
@@ -106,11 +109,25 @@ private[sources] object ChunkCsv {
 
 private[sources] case class ChunkCsvTable(tableSchema: StructType,
     options: CaseInsensitiveStringMap) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
     with SupportsMetadataColumns {
 
   override def schema(): StructType = tableSchema
 
   override def name(): String = s"chunkcsv(${ChunkCsv.pathOf(options)})"
+
+  /** Writes take the QUERY's schema (a fresh dir has nothing to infer)
+    * and run under the temp-file commit protocol in [[ChunkCsvBatchWrite]].
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val chunkRows = Option(info.options.get("chunkRows"))
+      .orElse(Option(options.get("chunkRows"))).map(_.toInt)
+      .getOrElse(50000)
+    new ChunkCsvWriteBuilder(ChunkCsv.pathOf(options), info.schema(),
+      chunkRows)
+  }
 
   /** `_chunk` — the chunk file a row came from. Provenance is first-class
     * in the reference's staging model (chunk-numbered file names,
@@ -129,7 +146,8 @@ private[sources] case class ChunkCsvTable(tableSchema: StructType,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](options)
@@ -858,6 +876,17 @@ object ChunkCsvMetrics {
   * newline on the last record.
   */
 private[sources] object Rfc4180 {
+
+  /** Serialize one field under the convention [[read]] inverts: null →
+    * unquoted empty, empty string → quoted empty, specials → quote-doubled.
+    * (Rfc4180Props keeps an independent copy as the executable spec.)
+    */
+  def writeField(s: String): String =
+    if (s == null) ""
+    else if (s.isEmpty) "\"\""
+    else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
 
   def read(r: java.io.Reader): Array[String] = {
     var c = r.read()

@@ -1,0 +1,178 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Transactional chunk writes for [[ChunkCsvSource]].
+  *
+  * The reference's extractor writes chunks directly to their final names
+  * (`data_extractor.py:95-108`) — a crash mid-run leaves a half-written
+  * chunk that the next read ingests as truncated data. Here every task
+  * writes to `_tmp-<uuid>` files and only the DRIVER's commit renames them
+  * to their final names; abort deletes the temps, so readers never observe
+  * a partial chunk — the same two-phase shape as Spark's file commit
+  * protocol, scoped to this layout.
+  *
+  * Final names are `chunk-<commitMillis>-<seq>.csv`: zero-padded and
+  * commit-stamped, so (a) lexicographic order is commit order, which is
+  * exactly the monotonic-naming contract [[ChunkCsvMicroBatchStream]]
+  * needs — an appended batch streams as the next micro-batch — and (b)
+  * concurrent historical names never collide. Truncate (SaveMode.
+  * Overwrite) deletes prior chunks AND the stats sidecar (now stale);
+  * append leaves the sidecar, which is safe by construction — unindexed
+  * chunks are never skipped and veto the metadata-aggregate path.
+  *
+  * Each task rolls to a new temp file every `chunkRows` rows (the `
+  * chunkRows` write option, default 50000), preserving the reference's
+  * ≤50K-row chunk contract no matter how rows are partitioned.
+  */
+private[sources] class ChunkCsvWriteBuilder(dir: String, schema: StructType,
+    chunkRows: Int) extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new ChunkCsvBatchWrite(dir, schema, chunkRows, truncateFirst)
+  }
+}
+
+private[sources] case class ChunkTempsMessage(tempPaths: Seq[String])
+    extends WriterCommitMessage
+
+private[sources] class ChunkCsvBatchWrite(dir: String, schema: StructType,
+    chunkRows: Int, truncateFirst: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = ChunkCsvWriterFactory(dir, schema, chunkRows)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    if (truncateFirst) {
+      ChunkCsv.listChunks(dir, conf)
+        .foreach(st => fs.delete(st.getPath, false))
+      fs.delete(new Path(dirPath, ChunkStats.SidecarName), false)
+    }
+    val temps = messages.flatMap {
+      case ChunkTempsMessage(paths) => paths
+      case other => throw new IllegalStateException(s"bad message $other")
+    }
+    val stamp = System.currentTimeMillis()
+    temps.zipWithIndex.foreach { case (tmp, i) =>
+      val target = new Path(dirPath, f"chunk-$stamp%013d-$i%05d.csv")
+      if (!fs.rename(new Path(tmp), target))
+        throw new java.io.IOException(s"commit rename failed: $tmp -> $target")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val fs = new Path(dir).getFileSystem(conf)
+    messages.foreach {
+      case ChunkTempsMessage(paths) =>
+        paths.foreach(p => fs.delete(new Path(p), false))
+      case _ => ()
+    }
+  }
+}
+
+private[sources] case class ChunkCsvWriterFactory(dir: String,
+    schema: StructType, chunkRows: Int) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new ChunkCsvDataWriter(dir, schema, chunkRows, partitionId, taskId)
+}
+
+private[sources] class ChunkCsvDataWriter(dir: String, schema: StructType,
+    chunkRows: Int, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val conf = new Configuration()
+  private val dirPath = new Path(dir)
+  private val fs = dirPath.getFileSystem(conf)
+  fs.mkdirs(dirPath)
+
+  private val temps = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var out: java.io.Writer = _
+  private var rowsInFile = 0
+
+  private val header =
+    schema.fieldNames.map(Rfc4180.writeField).mkString(",") + "\n"
+
+  private def roll(): Unit = {
+    if (out != null) out.close()
+    val tmp = new Path(dirPath,
+      s"_tmp-$partitionId-$taskId-${temps.length}-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    temps += tmp.toString
+    out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+    out.write(header)
+    rowsInFile = 0
+  }
+
+  /** Catalyst value → the CSV text [[ChunkCsvFilters.converter]] inverts. */
+  private val formatters: Array[InternalRow => String] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val get: InternalRow => String = f.dataType match {
+        case StringType => r => r.getUTF8String(i).toString
+        case LongType => r => r.getLong(i).toString
+        case IntegerType => r => r.getInt(i).toString
+        case ShortType => r => r.getShort(i).toString
+        case ByteType => r => r.getByte(i).toString
+        case DoubleType => r => r.getDouble(i).toString
+        case FloatType => r => r.getFloat(i).toString
+        case BooleanType => r => r.getBoolean(i).toString
+        case DateType =>
+          r => java.time.LocalDate.ofEpochDay(r.getInt(i).toLong).toString
+        case TimestampType => r => {
+          val micros = r.getLong(i)
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC).toString
+        }
+        case d: DecimalType =>
+          r => r.getDecimal(i, d.precision, d.scale)
+            .toJavaBigDecimal.toPlainString
+        case other => throw new IllegalArgumentException(
+          s"chunkcsv write: unsupported type $other")
+      }
+      (r: InternalRow) => if (r.isNullAt(i)) null else get(r)
+    }
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null || rowsInFile >= chunkRows) roll()
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i < formatters.length) {
+      if (i > 0) sb.append(',')
+      sb.append(Rfc4180.writeField(formatters(i)(row)))
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+    rowsInFile += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    ChunkTempsMessage(temps.toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    temps.foreach(p => fs.delete(new Path(p), false))
+  }
+
+  override def close(): Unit = if (out != null) { out.close(); out = null }
+}

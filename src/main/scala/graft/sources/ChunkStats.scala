@@ -108,12 +108,7 @@ object ChunkStats {
     finally out.close()
   }
 
-  private def quote(s: String): String =
-    if (s == null) "" // unquoted-empty round-trips as null
-    else if (s.isEmpty) "\"\"" // a real empty-string stat, NOT the null marker
-    else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
-      "\"" + s.replace("\"", "\"\"") + "\""
-    else s
+  private def quote(s: String): String = Rfc4180.writeField(s)
 
   /** Load the sidecar. Missing sidecar → empty (nothing skippable, no
     * aggregate pushdown).

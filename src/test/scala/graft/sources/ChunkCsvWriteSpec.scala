@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The DSv2 write path: transactional temp-then-rename commits, typed
+  * round trips through the connector's own reader, chunk-size rolling,
+  * overwrite-truncate semantics, and append names that keep the streaming
+  * source's monotonic contract.
+  */
+class ChunkCsvWriteSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("grade", DoubleType),
+    StructField("flag", BooleanType),
+    StructField("day", DateType),
+    StructField("ts", TimestampType),
+    StructField("note", StringType)))
+
+  private def mkRows(ids: Range): Seq[Row] = ids.map { i =>
+    Row(i.toLong, i * 1.5, i % 2 == 0,
+      java.sql.Date.valueOf(f"2024-02-${i % 28 + 1}%02d"),
+      java.sql.Timestamp.valueOf(f"2024-02-01 10:0${i % 6}:3${i % 9}.125"),
+      if (i % 7 == 3) null
+      else if (i % 7 == 4) ""
+      else if (i % 7 == 5) "semi,colon \"and\"\nnewline"
+      else s"note-$i")
+  }
+
+  private def df(ids: Range) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(mkRows(ids).asJava, schema)
+  }
+
+  test("write → read round-trips every type, rolling files at chunkRows") {
+    val dir = java.nio.file.Files.createTempDirectory("chunkwrite").toString
+    df(0 until 10).repartition(2)
+      .write.format("chunkcsv").option("chunkRows", "3")
+      .mode("overwrite").save(dir)
+    val files = ChunkCsv.listChunks(dir, new org.apache.hadoop.conf.Configuration())
+    assert(files.length == 4) // 2 partitions × ceil(5/3) rolls
+    assert(files.forall(_.getPath.getName.matches("chunk-\\d{13}-\\d{5}\\.csv")))
+    val back = spark.read.format("chunkcsv").schema(schema).load(dir)
+    assert(back.collect().toSet == df(0 until 10).collect().toSet)
+  }
+
+  test("overwrite truncates old chunks and drops the stale sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("chunktrunc").toString
+    df(0 until 6).write.format("chunkcsv").mode("overwrite").save(dir)
+    ChunkStats.index(spark, dir, schema)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, ChunkStats.SidecarName)))
+    df(100 until 103).write.format("chunkcsv").mode("overwrite").save(dir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, ChunkStats.SidecarName)))
+    val ids = spark.read.format("chunkcsv").schema(schema).load(dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(100L, 101L, 102L))
+  }
+
+  test("append adds chunks that sort after existing ones (stream contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("chunkappend").toString
+    df(0 until 3).write.format("chunkcsv").mode("overwrite").save(dir)
+    val before = ChunkCsv.listChunks(dir,
+      new org.apache.hadoop.conf.Configuration()).map(_.getPath.getName)
+    Thread.sleep(2) // commit stamps are millis; ensure a later stamp
+    df(3 until 6).write.format("chunkcsv").mode("append").save(dir)
+    val after = ChunkCsv.listChunks(dir,
+      new org.apache.hadoop.conf.Configuration()).map(_.getPath.getName)
+    val added = after.diff(before)
+    assert(added.nonEmpty && added.forall(n => before.forall(_ < n)),
+      s"appended names must sort after existing: $before vs $added")
+    assert(spark.read.format("chunkcsv").schema(schema).load(dir)
+      .count() == 6L)
+  }
+
+  test("no temp files survive a committed write") {
+    val dir = java.nio.file.Files.createTempDirectory("chunktemps").toString
+    df(0 until 6).write.format("chunkcsv").mode("overwrite").save(dir)
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("_tmp-")).toSeq
+    assert(leftovers.isEmpty, s"stranded temps: $leftovers")
+  }
+
+  test("written chunks stream through the micro-batch source") {
+    val dir = java.nio.file.Files.createTempDirectory("chunkwstream").toString
+    df(0 until 4).write.format("chunkcsv").mode("overwrite").save(dir)
+    val q = spark.readStream.format("chunkcsv").schema(schema).load(dir)
+      .writeStream.format("memory").queryName("chunkwritten").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("chunkwritten").count() == 4L)
+      Thread.sleep(2)
+      df(4 until 7).write.format("chunkcsv").mode("append").save(dir)
+      q.processAllAvailable()
+      assert(spark.table("chunkwritten").count() == 7L)
+    } finally q.stop()
+  }
+}
