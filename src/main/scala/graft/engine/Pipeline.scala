@@ -27,8 +27,31 @@ object Pipeline {
     * computed and reported to preserve the reference's observable policy).
     */
   def extract(spark: SparkSession, landingCsv: String, stagingDir: String)
+      : StageReport =
+    stageToStaging(spark, Sources.readCsvInferred(spark, landingCsv),
+      stagingDir)
+
+  /** Chunk-staged variant of [[extract]]: the reference slices the landing
+    * data into ≤50K-row CSV chunks and then loads them back SERIALLY, one
+    * blob at a time (data_extractor.py:206-217, 414-443). This reads the
+    * same transient tier through the chunkcsv connector (SURVEY §2.1 S12)
+    * instead — one executor task per chunk, header-driven column
+    * resolution per chunk (schema drift reads as NULL, the reference's
+    * evolution semantics), and the staging write stays one atomic job.
+    * Without an explicit schema every column lands as STRING — exactly
+    * the reference's TEXT-default type lattice (data_extractor.py:353).
+    */
+  def extractChunked(spark: SparkSession, chunkDir: String,
+      stagingDir: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
       : StageReport = {
-    val raw = Sources.readCsvInferred(spark, landingCsv)
+    val reader = spark.read.format("chunkcsv")
+    val raw = schema.fold(reader)(reader.schema).load(chunkDir)
+    stageToStaging(spark, raw, stagingDir)
+  }
+
+  private def stageToStaging(spark: SparkSession, raw: DataFrame,
+      stagingDir: String): StageReport = {
     if (raw.isEmpty)
       return StageReport("extract", ok = false, "empty API dataset") // P7 guard
     val normalized = Schemas.normalizeColumns(raw)

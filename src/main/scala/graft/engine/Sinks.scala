@@ -25,11 +25,18 @@ object Sinks {
     * instead of univocity's default backslash escape, so any standards-
     * compliant consumer — including [[graft.sources.ChunkCsvSource]] —
     * round-trips text containing quotes/commas/newlines byte-exactly.
+    * The ignore-whitespace flags default TRUE on write and would silently
+    * trim field edges: whitespace is data here — the reference's own
+    * cleaning trims it explicitly LATER, in the load stage
+    * (data_loader.py:325-333), and a staging tier that pre-trims would
+    * make that pass unobservable.
     */
   def writeChunkedCsv(df: DataFrame, dir: String, chunkRows: Int = 50000): Unit =
     df.write
       .option("header", "true")
       .option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .option("maxRecordsPerFile", chunkRows.toLong)
       .mode(SaveMode.Overwrite)
       .csv(dir)

@@ -76,6 +76,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .exists(_.getName.startsWith("load_date=")))
   }
 
+  test("chunk-staged extract equals the direct landing extract") {
+    val landing = writeLanding("landing-chunks-src.csv", goodRows)
+    val direct = root.resolve("staging-direct").toString
+    assert(Pipeline.extract(spark, landing, direct).ok)
+
+    // stage the same landing data as the reference's transient chunk tier,
+    // then extract THROUGH the chunkcsv connector; contents must match
+    // (all-string lattice on both paths: the landing read is re-read
+    // schema-less through the chunk tier)
+    val chunks = root.resolve("transient-chunks").toString
+    Sinks.writeChunkedCsv(
+      Sources.readCsvInferred(spark, landing).selectExpr(
+        spark.read.option("header", "true").csv(landing)
+          .columns.map(c => s"cast(`$c` as string) as `$c`").toIndexedSeq: _*),
+      chunks, chunkRows = 2)
+    val viaChunks = root.resolve("staging-chunked").toString
+    val rep = Pipeline.extractChunked(spark, chunks, viaChunks)
+    assert(rep.ok, rep.detail)
+
+    val a = spark.read.parquet(direct)
+      .selectExpr("cast(yearstart as string)", "topic", "data_value")
+      .collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq)
+    val b = spark.read.parquet(viaChunks)
+      .selectExpr("cast(yearstart as string)", "topic", "data_value")
+      .collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq)
+    assert(b.map(_.map(Option(_).map(_.toString))) ==
+      a.map(_.map(Option(_).map(_.toString))))
+    // and the chunk tier really was chunked (ceil(4/2) files) + parallel
+    assert(spark.read.format("chunkcsv").load(chunks)
+      .rdd.getNumPartitions == 2)
+  }
+
   test("extract evolution decision is reported across runs") {
     val landing = writeLanding("landing2.csv", goodRows)
     val staging = root.resolve("staging2").toString
