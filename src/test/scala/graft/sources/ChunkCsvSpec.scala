@@ -212,29 +212,32 @@ class ChunkCsvSpec extends AnyFunSuite {
     assert(scan.planInputPartitions().length == 4)
   }
 
-  test("a selective broadcast join over chunkcsv stays correct under DPP") {
+  test("broadcast-join DPP reaches the scan and zone maps skip chunks") {
     import spark.implicits._
     val dir = fixture()
     ChunkStats.index(spark, dir, schema)
+    // Two fixture-shape traps make DPP silently vanish at test scale, so
+    // the dim is built to dodge both. (1) A driver-local dim collapses to
+    // LocalRelation — its Filter constant-folds away, and PartitionPruning
+    // requires a surviving selective Filter on the creation side; back the
+    // dim with a real (parquet) scan. (2) A predicate on the JOIN KEY is
+    // inferred onto the chunkcsv side as a STATIC pushed filter
+    // (constraint propagation), leaving the runtime IN-set nothing to
+    // skip; filter a non-key column so the surviving keys are unknowable
+    // before execution.
+    val dimDir = java.nio.file.Files.createTempDirectory("chunkdim").toString
+    (0L to 11L).map(i => (i, if (i >= 10) "keep" else "drop"))
+      .toDF("id", "cat").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+      .filter(col("cat") === "keep").select("id")
     ChunkCsvMetrics.reset()
-    // PartitionPruning wants a selective predicate on the filtering side
-    // and no stats-based veto; force both so the injection path runs
-    val prev = spark.conf.getOption(
-      "spark.sql.optimizer.dynamicPartitionPruning.useStats")
-    spark.conf.set(
-      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
-    try {
-      val dim = (0L to 11L).toDF("id").filter(col("id") >= 10L)
-      val joined = readBack(dir).join(broadcast(dim), "id")
-        .agg(sum("id")).head.getLong(0)
-      assert(joined == 21L)
-      info(s"runtime-skipped chunks: ${ChunkCsvMetrics.runtimeSkippedChunks.sum()}")
-    } finally prev match {
-      case Some(v) => spark.conf.set(
-        "spark.sql.optimizer.dynamicPartitionPruning.useStats", v)
-      case None => spark.conf.unset(
-        "spark.sql.optimizer.dynamicPartitionPruning.useStats")
-    }
+    val q = readBack(dir).join(broadcast(dim), "id").agg(sum("id"))
+    assert(q.head.getLong(0) == 21L)
+    // the injected filter is visible on the scan node...
+    assert(q.queryExecution.executedPlan.toString.contains(
+      "dynamicpruningexpression"))
+    // ...and actually executed: ids {10,11} keep only the 9-11 chunk
+    assert(ChunkCsvMetrics.runtimeSkippedChunks.sum() == 3L)
   }
 
   test("pushed LIMIT stops readers early and plans fewer chunks") {
