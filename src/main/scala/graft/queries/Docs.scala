@@ -543,6 +543,63 @@ object Docs {
         .agg(countDistinct(col("shingle")).as("n_hit_grams"))
     }),
 
+    // END-TO-END CURATION: the composition the stage queries rehearse
+    // individually, run as ONE plan — quality gate → exact dedup (min-id
+    // survivor per normalized fingerprint) → n-gram decontamination of
+    // the train split → per-source mixture toward an equal token budget —
+    // reporting kept docs/tokens per (source, lang). Stage order matters
+    // and is the production order: quality first (cheapest, biggest cut),
+    // dedup before decontam (fewer docs to shingle), mixture last (rates
+    // computed over what actually survived). Scale shape: the quality
+    // gate and both hash memberships are codegen'd projections; dedup is
+    // one shuffle by fingerprint; decontam shingles ONLY eval docs (the
+    // 5-10% non-train slice) and the deduped train survivors — never the
+    // raw corpus; mixture's weights ride a broadcast. Eval-side grams
+    // come from the FULL corpus (contamination doesn't care whether the
+    // eval doc would pass OUR quality bar), train-side grams only from
+    // survivors (anything already cut can't contaminate the output).
+    "q_curation" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nt = size(toks).cast("long")
+      val ndist = size(array_distinct(toks)).cast("double")
+      val avgLen = length(regexp_replace(col("text"), " ", ""))
+        .cast("double") / nt.cast("double")
+      val quality = t(s, dir, "documents")
+        .filter(nt >= 30 && nt <= 400 && ndist / nt.cast("double") >= 0.2 &&
+          avgLen >= 2 && avgLen <= 12)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          nt.as("nt"))
+      val deduped = quality
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(Text.fingerprint(col("text")))
+            .orderBy(col("doc_id"))))
+        .filter(col("rk") === 1).drop("rk")
+        .filter(splitCol(col("doc_id")) === "train")
+        .localCheckpoint() // feeds the shingle explode AND the anti join
+      val evalGrams = Dedup.docShingles(
+          t(s, dir, "documents").filter(splitCol(col("doc_id")) =!= "train"),
+          "doc_id", "text")
+        .select(col("shingle")).distinct()
+      val contaminated = Dedup.docShingles(deduped, "doc_id", "text")
+        .join(evalGrams, "shingle")
+        .select(col("doc_id")).distinct()
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint() // weights agg + membership filter both read it
+      val bySource = clean.groupBy(col("source"))
+        .agg(sum(col("nt")).as("src_toks"))
+      val totals = bySource.agg(sum(col("src_toks")).as("tot_toks"),
+        count(lit(1)).as("k"))
+      val weights = bySource.crossJoin(broadcast(totals))
+        .select(col("source"), least(lit(100L),
+          expr("(100 * tot_toks) DIV (k * src_toks)")).as("w_pct"))
+      clean.join(broadcast(weights), "source")
+        .filter(hashBucket(concat(lit("mix:"), col("source"), lit(":"),
+          col("doc_id").cast("string"))) < col("w_pct"))
+        .groupBy(col("source"), col("lang"), col("w_pct"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("toks"))
+    }),
+
     // Winnowing fingerprints (MOSS): per-doc summary over the shared
     // Dedup.winnowFingerprints frame — one shuffle total (the aggregation
     // reuses the window's doc_id partitioning).
@@ -1160,6 +1217,65 @@ object Docs {
         |JOIN ev USING (shingle)
         |WHERE split = 'train'
         |GROUP BY 1""".stripMargin,
+
+    // The composed pipeline, stage for stage: quality CTE mirrors
+    // q_quality_filter's keep rules, dedup q_dedup_fingerprint's
+    // normalized md5 (min-id survivor), decontam q_decontam_ngram's
+    // eval-shingle sweep (eval side over the full corpus, train side over
+    // survivors), mixture q_mixture_sample's integer keep-rate + md5
+    // membership.
+    "q_curation" ->
+      s"""WITH q AS (
+        |  SELECT doc_id, source, lang, text, nt FROM (
+        |    SELECT doc_id, source, lang, text,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        AS ndist,
+        |      CAST(length(replace(text, ' ', '')) AS DOUBLE) AS cl
+        |    FROM documents)
+        |  WHERE nt >= 30 AND nt <= 400 AND ndist / nt >= 0.2
+        |    AND cl / nt >= 2 AND cl / nt <= 12),
+        |$splitsCte,
+        |d AS (
+        |  SELECT doc_id, source, lang, text, nt FROM (
+        |    SELECT q.*, row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rk FROM q)
+        |  WHERE rk = 1
+        |    AND doc_id IN (SELECT doc_id FROM splits WHERE split = 'train')),
+        |evtok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM splits WHERE split != 'train')),
+        |ev AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(t) >= 5
+        |    THEN list_transform(range(1, len(t) - 3),
+        |           i -> array_to_string(t[i:i+4], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS shingle
+        |  FROM evtok),
+        |dtok AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
+        |dsh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_transform(range(1, len(t) - 3),
+        |           i -> array_to_string(t[i:i+4], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS shingle
+        |  FROM dtok),
+        |contam AS (SELECT DISTINCT doc_id FROM dsh JOIN ev USING (shingle)),
+        |clean AS (
+        |  SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |bs AS (SELECT source, CAST(sum(nt) AS BIGINT) AS src_toks
+        |  FROM clean GROUP BY 1),
+        |tot AS (SELECT CAST(sum(src_toks) AS BIGINT) AS tot_toks,
+        |    count(*) AS k FROM bs),
+        |w AS (SELECT source,
+        |    least(100, (100 * tot_toks) // (k * src_toks)) AS w_pct
+        |  FROM bs CROSS JOIN tot)
+        |SELECT clean.source, clean.lang, w_pct, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS toks
+        |FROM clean JOIN w USING (source)
+        |WHERE CAST(CONCAT('0x', substring(md5(
+        |    'mix:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 4))
+        |  AS BIGINT) % 100 < w_pct
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // 64-bit simhash: positions 1-32 from md5(tok), 33-64 from md5('x:'+tok);
     // bit = majority vote of the nibble's top bit; 4 bands of 16 bits.
