@@ -115,6 +115,46 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest centroid
+    * (broadcast argmax, zero shuffle), find within-cluster pairs with
+    * cosine ≥ threshold, drop the higher id of every such pair (the
+    * deterministic one-survivor policy), and report per cluster how many
+    * members were kept vs dropped.
+    *
+    * The scale argument is the whole point of the clustering: the
+    * quadratic pair join is CONFINED to a cluster cell — pair work is
+    * Σ per-cluster |cell|², and the centroid count is the dial that keeps
+    * cells bounded as the corpus grows. A cross-cluster near-dup is
+    * missed BY DESIGN (that recall loss is the published tradeoff; more
+    * centroids = cheaper and blinder, fewer = costlier and sharper). The
+    * pair join shuffles each cluster's rows once on cluster_id; the
+    * drop-set anti side is a distinct over pair survivors, tiny by
+    * construction.
+    */
+  def semanticDedupReport(emb: DataFrame, idCol: String, vecCol: String,
+      centroidPred: Column, threshold: Double): DataFrame = {
+    // feeds both self-join sides AND the report group-by
+    val asgn = assignClusters(emb, idCol, vecCol, centroidPred)
+      .localCheckpoint()
+    val a = asgn.select(col("cluster_id"), col(idCol).as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = asgn.select(col("cluster_id"), col(idCol).as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, "cluster_id")
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .select(col("vec_b").as(idCol)).distinct()
+      .withColumn("is_dropped", lit(1L))
+    asgn.join(broadcast(dropped), Seq(idCol), "left")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"),
+        (count(lit(1)) - sum(coalesce(col("is_dropped"), lit(0L))))
+          .as("n_kept"))
+  }
+
   /** Random-hyperplane (sign) LSH for cosine near-dups: `planes`
     * deterministic ±1 hyperplanes (sign = md5 parity of "plane:dim", so any
     * engine can regenerate them), signature bit j = sign(v · h_j), banded

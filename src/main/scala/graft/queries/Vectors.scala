@@ -113,6 +113,16 @@ object Vectors {
           "embedding"),
         "vec_id", col("vec_id") % 25 === 0, k = 5)),
 
+    // SemDeDup (semantic dedup): cluster-confine the quadratic — nearest
+    // broadcast centroid per vector, within-cluster cosine ≥ 0.3 pairs,
+    // drop the higher id of each pair; per-cluster kept/dropped report.
+    // Centroid count is the cell-size dial that keeps Σ|cell|² linear-ish
+    // at corpus scale; cross-cluster dups missed by design (the published
+    // recall tradeoff).
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semanticDedupReport(t(s, dir, "embeddings"), "vec_id",
+        "embedding", col("vec_id") < 10, threshold = 0.3)),
+
     // The WIDER band dial (32 planes, 4 bands × 8 bits) under the same
     // oracle: 16× lower random-collision floor per band at reduced recall —
     // the dial a big-corpus sweep turns (ScaleBench measures the tradeoff;
@@ -274,6 +284,27 @@ object Vectors {
 
     "q_sim_neardup_lsh" -> lshTwin(planes = 16, bands = 4),
     "q_sim_neardup_lsh32" -> lshTwin(planes = 32, bands = 4),
+
+    // Same assignment CTEs as the IVF family; the drop policy (higher id
+    // of any within-cluster pair at cosine ≥ 0.3) mirrors the Scala fold.
+    "q_semdedup" ->
+      s"""WITH $withNorm,
+        |$centAsgn,
+        |pairs AS (
+        |  SELECT aa.vec_id AS va, ab.vec_id AS vb
+        |  FROM asgn aa JOIN asgn ab ON aa.cluster_id = ab.cluster_id
+        |    AND aa.vec_id < ab.vec_id
+        |  JOIN c a ON a.vec_id = aa.vec_id
+        |  JOIN c b ON b.vec_id = ab.vec_id
+        |  WHERE ${cos("a", "b")} >= 0.3),
+        |dropped AS (SELECT DISTINCT vb AS vec_id FROM pairs)
+        |SELECT cluster_id, count(*) AS n_members,
+        |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept
+        |FROM asgn LEFT JOIN dropped d USING (vec_id)
+        |GROUP BY cluster_id""".stripMargin,
 
     "q_sim_ivf" ->
       s"""WITH $withNorm,

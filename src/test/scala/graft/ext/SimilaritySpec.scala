@@ -152,4 +152,30 @@ class SimilaritySpec extends AnyFunSuite {
         col("vec_id") === 7, k = 5, nprobe = 0)
     }
   }
+
+  test("semanticDedupReport drops higher ids within a cluster only") {
+    // Centroids on orthogonal axes. Cluster 0: ids 2, 3 are near-dups of
+    // the centroid vector 0 (cosine ≈ .995, .999) — the policy keeps the
+    // lowest id, drops 2 and 3. Cluster 1: id 4 sits at cosine ≈ .87 from
+    // 1, under the .9 threshold — kept. Ids 5 and 6 are near-identical
+    // (cosine ≈ .999) but straddle the cell boundary (5 → cluster 0,
+    // 6 → cluster 1), so that dup pair is MISSED by design — the
+    // published SemDeDup recall tradeoff the scaladoc documents.
+    val df = emb(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (1L, Seq(0f, 1f, 0f), 0),
+      (2L, Seq(0.99f, 0.1f, 0f), 0),
+      (3L, Seq(0.98f, 0.05f, 0f), 0),
+      (4L, Seq(0f, 0.9f, 0.5f), 0),
+      (5L, Seq(0.72f, 0.69f, 0f), 0),
+      (6L, Seq(0.69f, 0.72f, 0f), 0))
+    val report = Similarity.semanticDedupReport(df, "vec_id", "embedding",
+        col("vec_id") < 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(report(0L) == ((4L, 2L, 2L))) // 0, 5 kept; 2, 3 dropped
+    assert(report(1L) == ((3L, 0L, 3L))) // 1, 4, 6 kept (6's dup is in cell 0)
+    // members partition the corpus: every vector counted exactly once
+    assert(report.values.map(_._1).sum == 7L)
+  }
 }
