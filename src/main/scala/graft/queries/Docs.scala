@@ -620,9 +620,12 @@ object Docs {
           "text")
         .select(col("doc_id"), col("fp")).distinct()
         .localCheckpoint() // consumed by both sides of the self-join
-      val a = fps.select(col("doc_id").as("doc_a"), col("fp"))
-      val b = fps.select(col("doc_id").as("doc_b"), col("fp"))
-      a.join(b, a("fp") === b("fp") && a("doc_a") < b("doc_b"))
+      // distinct column names per side: same-lineage a("fp") === b("fp")
+      // trips Spark's ambiguous-self-join disambiguation (WARN + reliance
+      // on dataset-id tagging); renaming makes the condition unambiguous
+      val a = fps.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+      val b = fps.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+      a.join(b, col("fp_a") === col("fp_b") && col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("shared_fp"))
         .filter(col("shared_fp") >= 3)
