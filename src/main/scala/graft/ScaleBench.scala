@@ -52,7 +52,7 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = Seq("q_sim_neardup_lsh", "q_sim_ivf", "q_sim_recall",
-      "q_dedup_clusters", "q_dedup_kept")
+      "q_dedup_clusters", "q_dedup_kept", "q_semdedup", "q_curation")
     // Analytics heavies over the TPC-H side of the fixture: lineitem is
     // replicated on l_orderkey with partkeys UNSHIFTED — order count
     // grows, the part catalog and per-basket width don't, which is the
@@ -155,6 +155,25 @@ object ScaleBench {
         .head().getLong(0)
       val nQueries = assigned.filter(col("vec_id") % 25 === 0).count()
 
+      // SemDeDup's cost driver is Σ per-cell |cell|·(|cell|−1)/2 — the
+      // within-cluster pair-join input. Measured under BOTH centroid
+      // dials: a FIXED 10 centroids (cells grow ×F → pair work ×F², the
+      // degenerate setting) vs a corpus-scaled 10·F centroids (cells stay
+      // ~fixture-sized → pair work ~linear). The scaled set must be 10·F
+      // DISTINCT vectors (base ids < 10·F), not per-replica copies of the
+      // same 10 points — duplicated centroid positions tie-break back to
+      // one winner and change nothing. The two curves side by side ARE
+      // the documented scaling rule: grow the centroid count with the
+      // corpus.
+      def semdedupPairs(pred: org.apache.spark.sql.Column): Long =
+        Similarity.assignClusters(emb, "vec_id", "embedding", pred)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("c"))
+          .select(sum((col("c") * (col("c") - 1) / 2).cast("long")).as("p"))
+          .head().getLong(0)
+      val semPairsFixed = semdedupPairs(col("vec_id") < 10)
+      val semPairsScaled = semdedupPairs(col("vec_id") < 10L * f)
+      Bench.resetState(spark)
+
       // Dedup endgame: verified pairs → clusters, measuring the ONE dedup
       // stage whose cost is iterative — label-propagation rounds must track
       // component DIAMETER (near-cliques of duplicates: 2-3 rounds flat),
@@ -253,6 +272,8 @@ object ScaleBench {
         s""""allpairs":${nEmb * (nEmb - 1) / 2},""" +
         s""""cc_rounds":$ccRounds,"cc_clusters":$nClusters,""" +
         s""""cc_members":$nClustered,""" +
+        s""""semdedup_pairs_fixed":$semPairsFixed,""" +
+        s""""semdedup_pairs_scaled":$semPairsScaled,""" +
         s""""basket_pair_rows":$basketPairRows,""" +
         s""""merge_batch_rows":$nChg,"merge_sec":""" +
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(mergeSec)) +

@@ -342,6 +342,46 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), s"exact verify join missing:\n$p")
   }
 
+  test("q_semdedup: broadcast-argmax assignment, per-cell pair join") {
+    // the assignment stage (checkpointed inside the query, so pinned via
+    // the library call): broadcast centroid fold — no shuffle, no window,
+    // no join in the plan that computes cluster ids
+    import org.apache.spark.sql.functions.col
+    val asgnPlan = graft.ext.Similarity.assignClusters(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+        "embedding", col("vec_id") < 10)
+      .queryExecution.executedPlan.toString()
+    assert(!asgnPlan.contains("Window"),
+      s"window in centroid assignment:\n$asgnPlan")
+    assert(!asgnPlan.contains("ShuffleExchange") &&
+      !asgnPlan.contains("Exchange hashpartitioning"),
+      s"shuffle in centroid assignment:\n$asgnPlan")
+    assert(asgnPlan.contains("BroadcastExchange") ||
+      asgnPlan.contains("BroadcastNestedLoopJoin"),
+      s"centroid set not broadcast:\n$asgnPlan")
+    // the visible final stage: native dot product in the pair verify,
+    // drop set broadcast into the report join, no cartesian anywhere
+    val p = plan("q_semdedup")
+    assert(p.contains("vec_dot"), s"native dot product missing:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in semdedup plan:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"drop set should broadcast into the report join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian pair join:\n$p")
+  }
+
+  test("q_curation's visible stage broadcasts weights, never sorts") {
+    // earlier stages sit behind checkpoints (their shapes are pinned by
+    // their standalone twins: q_quality_filter, q_dedup_fingerprint,
+    // q_decontam_ngram); the final mixture stage must broadcast the
+    // per-source weights and stay sort- and cartesian-free
+    val p = plan("q_curation")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"mixture weights not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in curation:\n$p")
+    assert(!p.contains("Sort "), s"unexpected sort in curation plan:\n$p")
+  }
+
   test("chunkcsv queries push their predicate into the DSv2 scan") {
     // fully pushed → the scan reports it and no Spark-side Filter remains
     // to re-evaluate it (the connector's row eval is the enforcement)
