@@ -452,6 +452,33 @@ object Docs {
           sum(col("n_chars")).as("chars_kept"))
     }),
 
+    // LEAKAGE-SAFE SPLITS: train/val/test assignment where the unit is the
+    // near-dup CLUSTER, not the document — two near-duplicates can never
+    // straddle a split boundary (the leakage that quietly inflates eval
+    // scores when splits hash raw doc ids). Every doc's unit is its
+    // verified-cluster label (singletons: the doc itself), and the split
+    // is the usual pure hash membership over the UNIT id — deterministic,
+    // order/partition/growth-stable, zero extra shuffles beyond the
+    // clustering itself. The per-doc (unit_id, split) detail makes the
+    // invariant visible: one cluster → one split, by construction on both
+    // engines.
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 0.5)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+      val bucket = hashBucket(
+        concat(lit("csplit:"), col("unit_id").cast("string")))
+      docs.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("unit_id"))
+        .select(col("doc_id"), col("unit_id"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"))
+    }),
+
     // Deterministic training-order sharding: every doc gets a shard and a
     // within-shard position from pure id hashes (distinct salts), so the
     // global "shuffle" a training run needs is reproducible across
@@ -733,6 +760,40 @@ object Docs {
       |           i -> array_to_string(t[i:i+4], ' '))
       |    ELSE [array_to_string(t, ' ')] END) AS shingle
       |  FROM toks)""".stripMargin
+
+  /** Verified-pair → transitive-closure CTE chain (`d`, the minhash `cand`
+    * set, `sizes`, `common`, `pairs`, `reach`) — ONE definition for every
+    * component-label oracle (clusters, kept, kept_best, leakage-safe
+    * splits), the same drift-proofing as [[shingleCte]]/[[minhashCandCte]].
+    * Needs `WITH RECURSIVE` and the `sh` shingle CTE in scope; a
+    * component's label is `min(dst)` over `reach` grouped by `src`.
+    */
+  private[queries] val verifiedReachCte =
+    s"""d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |$minhashCandCte,
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
+      |common AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS common
+      |  FROM cand c
+      |  JOIN d a ON a.doc_id = c.doc_a
+      |  JOIN d b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM common
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
+      |    >= 0.5),
+      |nodes AS (
+      |  SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+      |e AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |  UNION SELECT id, id FROM nodes),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst)""".stripMargin
 
   /** DuckDB CTEs `toks`/`g` building the 4-token gram md5 list `hs` per doc
     * — mirrors [[graft.ext.Dedup.winnowFingerprints]]'s gram/hash stage;
@@ -1030,61 +1091,13 @@ object Docs {
     // the declarative twin of the Spark side's min-label propagation loop.
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
-        |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
-        |$minhashCandCte,
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
-        |common AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS common
-        |  FROM cand c
-        |  JOIN d a ON a.doc_id = c.doc_a
-        |  JOIN d b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM common
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
-        |    >= 0.5),
-        |nodes AS (
-        |  SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
-        |e AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs
-        |  UNION SELECT id, id FROM nodes),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst)
+        |$verifiedReachCte
         |SELECT src AS doc_id, min(dst) AS cluster_id
         |FROM reach GROUP BY src""".stripMargin,
 
     "q_dedup_kept" ->
       s"""WITH RECURSIVE $shingleCte,
-        |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
-        |$minhashCandCte,
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
-        |common AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS common
-        |  FROM cand c
-        |  JOIN d a ON a.doc_id = c.doc_a
-        |  JOIN d b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM common
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
-        |    >= 0.5),
-        |nodes AS (
-        |  SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
-        |e AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs
-        |  UNION SELECT id, id FROM nodes),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst),
+        |$verifiedReachCte,
         |drops AS (
         |  SELECT src AS doc_id FROM reach
         |  GROUP BY src HAVING src != min(dst))
@@ -1096,31 +1109,7 @@ object Docs {
 
     "q_dedup_kept_best" ->
       s"""WITH RECURSIVE $shingleCte,
-        |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
-        |$minhashCandCte,
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
-        |common AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS common
-        |  FROM cand c
-        |  JOIN d a ON a.doc_id = c.doc_a
-        |  JOIN d b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM common
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
-        |    >= 0.5),
-        |nodes AS (
-        |  SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
-        |e AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs
-        |  UNION SELECT id, id FROM nodes),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst),
+        |$verifiedReachCte,
         |clu AS (
         |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach
         |  GROUP BY src),
@@ -1135,6 +1124,26 @@ object Docs {
         |FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         |GROUP BY lang""".stripMargin,
+
+    // Unit = component label (singletons: own id); split = md5 bucket of
+    // the unit — the same membership formula as every other hash split,
+    // salted 'csplit:'.
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$verifiedReachCte,
+        |clu AS (
+        |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach
+        |  GROUP BY src),
+        |units AS (
+        |  SELECT dd.doc_id, coalesce(clu.cluster_id, dd.doc_id) AS unit_id
+        |  FROM documents dd LEFT JOIN clu ON clu.doc_id = dd.doc_id)
+        |SELECT doc_id, unit_id,
+        |  CASE WHEN b < 90 THEN 'train'
+        |       WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, unit_id,
+        |  CAST(CONCAT('0x', substring(
+        |    md5('csplit:' || CAST(unit_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |    % 100 AS b FROM units)""".stripMargin,
 
     "q_sample_per_group" ->
       """WITH d AS (

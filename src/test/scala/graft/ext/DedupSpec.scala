@@ -126,4 +126,23 @@ class DedupSpec extends AnyFunSuite {
       full.contains((12L, 14L)) && full.contains((2L, 3L)))
     assert(isNew(0L) && !isNew(7L) && !isNew(1L) && isNew(10L))
   }
+
+  test("leakage-safe splits: a near-dup cluster never straddles a split") {
+    // the invariant the operator exists for, asserted on the real fixture:
+    // every assignment unit maps to exactly ONE split, every doc is
+    // assigned, and clustered docs share their cluster-mates' split
+    val out = graft.SparkEntry.queries("q_split_leakage_safe")(
+      spark, "/root/testdata/sf0.001")
+    val splitsPerUnit = out.groupBy(col("unit_id"))
+      .agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k"))).head.getLong(0)
+    assert(splitsPerUnit == 1L)
+    val docsTotal = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(out.select(col("doc_id")).distinct().count() == docsTotal)
+    // and it is not vacuous: at least one multi-member unit exists
+    val biggest = out.groupBy(col("unit_id")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(biggest >= 2L)
+  }
 }
