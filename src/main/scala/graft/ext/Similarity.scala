@@ -134,24 +134,29 @@ object Similarity {
     */
   def semanticDedupReport(emb: DataFrame, idCol: String, vecCol: String,
       centroidPred: Column, threshold: Double): DataFrame = {
-    // feeds both self-join sides AND the report group-by
+    // feeds both self-join sides AND the membership count
     val asgn = assignClusters(emb, idCol, vecCol, centroidPred)
       .localCheckpoint()
     val a = asgn.select(col("cluster_id"), col(idCol).as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = asgn.select(col("cluster_id"), col(idCol).as("vec_b"),
       col("v").as("vb"), col("nrm").as("nb"))
+    // The report needs only per-cluster COUNTS, so the drop set never
+    // joins back to the corpus: at scale `dropped` is a constant fraction
+    // of the corpus (a doc-level join-back — let alone a broadcast of
+    // it — would grow without bound). Both aggregates are cluster-keyed;
+    // the final join is |clusters| × 2 columns.
     val dropped = a.join(b, "cluster_id")
       .filter(col("vec_a") < col("vec_b"))
       .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
         >= threshold)
-      .select(col("vec_b").as(idCol)).distinct()
-      .withColumn("is_dropped", lit(1L))
-    asgn.join(broadcast(dropped), Seq(idCol), "left")
-      .groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_members"),
-        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"),
-        (count(lit(1)) - sum(coalesce(col("is_dropped"), lit(0L))))
+      .select(col("cluster_id"), col("vec_b")).distinct()
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_dropped"))
+    asgn.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+      .join(dropped, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("n_dropped"), lit(0L)))
           .as("n_kept"))
   }
 

@@ -359,14 +359,17 @@ class PlanSpec extends AnyFunSuite {
     assert(asgnPlan.contains("BroadcastExchange") ||
       asgnPlan.contains("BroadcastNestedLoopJoin"),
       s"centroid set not broadcast:\n$asgnPlan")
-    // the visible final stage: native dot product in the pair verify,
-    // drop set broadcast into the report join, no cartesian anywhere
+    // the visible final stage: native dot product in the pair verify, no
+    // cartesian anywhere, and — the scale property — the drop set never
+    // joins back to the corpus: the report joins two CLUSTER-keyed
+    // aggregates, so exactly one doc-level (per-row) aggregate feeds it
+    // and the drop side is aggregated before the join
     val p = plan("q_semdedup")
     assert(p.contains("vec_dot"), s"native dot product missing:\n$p")
     assert(!p.contains("Window"), s"unexpected window in semdedup plan:\n$p")
-    assert(p.contains("BroadcastExchange"),
-      s"drop set should broadcast into the report join:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian pair join:\n$p")
+    assert("partial_count".r.findAllIn(p).size >= 2,
+      s"both report sides should pre-aggregate before the join:\n$p")
   }
 
   test("q_curation's visible stage broadcasts weights, never sorts") {
