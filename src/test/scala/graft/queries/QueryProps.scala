@@ -92,4 +92,40 @@ object QueryProps extends Properties("Queries") {
     } yield (a, b)
     noSameSplit && mustFlag.forall(flagged.contains)
   }
+
+  /** Small random embedding corpora: a handful of base directions plus
+    * near-duplicates of some of them, ids distinct, order randomized —
+    * enough structure for non-trivial clusters and drops.
+    */
+  private val vecCorpus: Gen[List[(Long, Seq[Float])]] = for {
+    n <- Gen.chooseNum(4, 16)
+    dirs <- Gen.listOfN(n, Gen.chooseNum(0, 3))
+    noise <- Gen.listOfN(n, Gen.chooseNum(-5, 5))
+  } yield dirs.zip(noise).zipWithIndex.map { case ((d, nz), i) =>
+    val v = Array.fill(4)(0f)
+    v(d) = 1f
+    v((d + 1) % 4) = nz * 0.01f // near-dup jitter within the direction
+    (i.toLong, v.toSeq)
+  }
+
+  property("semanticDedupReport: counts partition each cell, the lowest " +
+      "member survives, row order never matters") =
+    Prop.forAllNoShrink(vecCorpus) { rows =>
+      import spark.implicits._
+      def report(rs: Seq[(Long, Seq[Float])]) =
+        graft.ext.Similarity.semanticDedupReport(
+            rs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+            col("vec_id") < 2, threshold = 0.9)
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toMap
+      val rep = report(rows)
+      val partitions = rep.values.forall { case (m, d, k) => m == d + k }
+      val allCounted = rep.values.map(_._1).sum == rows.length
+      // the lowest id in a cluster is never a pair's vec_b, so every
+      // non-empty cell keeps at least one member
+      val survivorPerCell = rep.values.forall { case (_, _, k) => k >= 1 }
+      val orderFree = report(rows.reverse) == rep
+      partitions && allCounted && survivorPerCell && orderFree
+    }
 }
