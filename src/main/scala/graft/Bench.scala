@@ -126,21 +126,38 @@ object Bench {
     queries.Joins.ensureBucketed(spark, sfDir)
     resetState(spark)
 
+    // Checkpoint-pressure instrumentation (r9 verdict: the minhash family
+    // ran 6-13x its quiet time in gate runs, suspected localCheckpoint
+    // storage pressure): per query, record the JVM GC-time delta across
+    // the timed window and the RDD storage bytes (memory+disk — i.e. the
+    // checkpoint blocks the query materialized) at query end, before
+    // resetState drops them. A gate rerun showing inflated times WITH
+    // inflated gc/storage confirms the hypothesis; inflated times with
+    // flat gc/storage means external contention (driver co-scheduling).
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     val results = names.map { name =>
       val sh0 = tally.settled() // outside the timer, like resetState
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val ok = execute(name, sfDir)
       val sec = (System.nanoTime() - t0) / 1e9
+      val gcMs = gcMillis() - gc0
+      val stored = spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
       val shuffled = tally.settled() - sh0
       resetState(spark) // outside the timer: isolate the NEXT query's line
-      (name, ok, sec, shuffled)
+      (name, ok, sec, shuffled, gcMs, stored)
     }
     // A failed query must make the run visibly worse, never smaller: any
     // failure forces the headline value to the -1.0 whole-run sentinel
     // (a sum that merely omitted the broken query would read as a speedup),
     // and the names land in a `failed` list alongside the passing timings.
-    val passed = results.collect { case (n, true, s, _) => n -> s }
-    val failed = results.collect { case (n, false, _, _) => n }
+    val passed = results.collect { case (n, true, s, _, _, _) => n -> s }
+    val failed = results.collect { case (n, false, _, _, _, _) => n }
     // 4-decimal seconds: full-precision doubles made the one-line artifact
     // long enough that the driver's log-tail capture clipped it.
     // Locale.ROOT: the default locale can render a comma decimal
@@ -149,8 +166,12 @@ object Bench {
       s"\"" + k + "\":" +
         String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     }.mkString("{", ",", "}")
-    val sh = results.collect { case (n, true, _, b) => s"\"" + n + "\":" + b }
-      .mkString("{", ",", "}")
+    val sh = results.collect { case (n, true, _, b, _, _) =>
+      s"\"" + n + "\":" + b }.mkString("{", ",", "}")
+    val gc = results.collect { case (n, true, _, _, g, _) =>
+      s"\"" + n + "\":" + g }.mkString("{", ",", "}")
+    val st = results.collect { case (n, true, _, _, _, b) =>
+      s"\"" + n + "\":" + b }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // `order` records each query's run position explicitly — JSON object key
     // order is not something every reader preserves.
@@ -165,7 +186,7 @@ object Bench {
     // headline carries the total, failure list, and the 10 slowest queries
     // (labeled as such), so the tail parse yields the numbers that matter;
     // the complete map lives in the file the headline points to.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"order":$ord,"shuffle_bytes":$sh,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"order":$ord,"shuffle_bytes":$sh,"gc_millis":$gc,"storage_bytes":$st,"sf":"$sfDir"}"""
     val slowest = passed.sortBy(-_._2).take(10).map { case (k, v) =>
       s"\"" + k + "\":" +
         String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))

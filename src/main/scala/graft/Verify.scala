@@ -24,8 +24,19 @@ object Verify {
       }
     }
     writeOracleJson(outDir)
+    writeDiagnostics(spark, sfDir)
     spark.stop()
   }
+
+  /** Gate-flake forensics: fixture digests + per-chunk evidence for the
+    * connector queries, dumped to target/verify-diag — NOT outDir, which
+    * the driver sweeps for oracle results. Never fails the dump.
+    */
+  def writeDiagnostics(spark: SparkSession, sfDir: String): Unit =
+    try queries.Connector.writeDiagnostics(spark, sfDir, "target/verify-diag")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] diagnostics failed: ${e.getMessage}")
+    }
 
   /** Dump SparkEntry.oracleSql as JSON (shared with [[VerifyOne]]).
     * JSON string escape: backslash, quote, and ALL control chars (<0x20)

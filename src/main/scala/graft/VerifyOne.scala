@@ -39,6 +39,8 @@ object VerifyOne {
       println(s"[verify-one] dumped $name")
     }
     Verify.writeOracleJson(outDir)
+    if (names.exists(_.startsWith("q_chunkcsv")))
+      Verify.writeDiagnostics(spark, sfDir)
     spark.stop()
   }
 }

@@ -39,11 +39,37 @@ object Connector {
 
   /** documents as free-text chunks — the tokenizer's production workout
     * (quotes/commas/newlines inside `text` cross chunk lines).
+    *
+    * The layout is PINNED: hash-repartition on `doc_id` + in-partition
+    * sort, so the chunk files are byte-identical in every environment.
+    * Without the pin, Spark's input-split partitioning decided the chunk
+    * boundaries, which vary with core count / maxPartitionBytes — every
+    * run tokenized DIFFERENT files, and any boundary-sensitive reader bug
+    * surfaces as an unreproducible one-off hash mismatch (the r9 flake)
+    * instead of a deterministic failure.
     */
   private def docChunks(s: SparkSession, dir: String): String =
     Scratch.cached(s"chunkcsv-docs:$dir") { tmp =>
       val out = tmp + "/docs"
-      Sinks.writeChunkedCsv(t(s, dir, "documents"), out, chunkRows = 2048)
+      val pinned = t(s, dir, "documents")
+        .repartition(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+      Sinks.writeChunkedCsv(pinned, out, chunkRows = 2048)
+      out
+    }
+
+  /** documents written THROUGH the connector's own transactional writer
+    * (`format("chunkcsv")`) — puts the commit/rename path under the same
+    * DuckDB gate as the read path. Layout pinned like [[docChunks]].
+    */
+  private def docChunksRoundtrip(s: SparkSession, dir: String): String =
+    Scratch.cached(s"chunkcsv-docs-rt:$dir") { tmp =>
+      val out = tmp + "/docs-rt"
+      t(s, dir, "documents")
+        .repartition(4, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.format("chunkcsv").option("chunkRows", "2048")
+        .mode("overwrite").save(out)
       out
     }
 
@@ -99,6 +125,20 @@ object Connector {
           max(col("o_orderkey")).as("max_key"),
           min(col("o_orderdate")).as("first_date"),
           max(col("o_orderdate")).as("last_date"))),
+
+    // Write → read round trip through the connector's OWN writer: the
+    // transactional temp-file/commit-rename path and its RFC4180 field
+    // quoting (which, unlike univocity, always quotes bare CR) sit under
+    // the DuckDB gate, not just ScalaTest. Per-language aggregates catch
+    // any row lost, duplicated, or corrupted in flight.
+    "q_chunkcsv_roundtrip" -> ((s, dir) =>
+      s.read.format("chunkcsv").schema(docsSchema)
+        .load(docChunksRoundtrip(s, dir))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,5 +160,61 @@ object Connector {
         |  max(o_orderkey) AS max_key, min(o_orderdate) AS first_date,
         |  max(o_orderdate) AS last_date
         |FROM orders""".stripMargin,
+
+    "q_chunkcsv_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc,
+        |  sum(n_chars) AS sum_chars, sum(length(text)) AS sum_text_len
+        |FROM documents GROUP BY lang""".stripMargin,
   )
+
+  /** Gate-flake forensics (the r9 `q_chunkcsv_scan` hash-fail left only a
+    * bare hash to debug from): dump, unconditionally and cheaply,
+    *
+    *   1. a content digest of every chunk fixture file (name, bytes, md5)
+    *      — separates fixture-BUILD nondeterminism from READ-path
+    *      nondeterminism after the fact;
+    *   2. the flaky query's aggregates re-grouped by `_chunk` provenance —
+    *      a later mismatch localizes to the exact chunk file whose
+    *      tokenization diverged.
+    *
+    * Written OUTSIDE the verify outDir (the driver sweeps that dir for
+    * oracle results); failures here never fail the dump.
+    */
+  def writeDiagnostics(s: SparkSession, dir: String, diagDir: String): Unit = {
+    val base = java.nio.file.Paths.get(diagDir)
+    java.nio.file.Files.createDirectories(base)
+    val fixtures = Seq(
+      "docs" -> docChunks(s, dir),
+      "orders" -> orderChunks(s, dir),
+      "docs_rt" -> docChunksRoundtrip(s, dir))
+    val sb = new StringBuilder("fixture,file,bytes,md5\n")
+    fixtures.foreach { case (label, d) =>
+      val files = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith(".")).sortBy(_.getName)
+      files.foreach { f =>
+        sb.append(s"$label,${f.getName},${f.length},${md5File(f)}\n")
+      }
+    }
+    java.nio.file.Files.writeString(
+      base.resolve("chunk_fixtures.csv"), sb.toString)
+    s.read.format("chunkcsv").schema(docsSchema).load(docChunks(s, dir))
+      .filter(col("lang") === "en")
+      .groupBy(col("_chunk"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        sum(col("n_chars")).as("sum_chars"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(base.resolve("q_chunkcsv_scan_chunks").toString)
+  }
+
+  private def md5File(f: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = new java.io.FileInputStream(f)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
 }

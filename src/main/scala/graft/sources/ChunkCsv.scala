@@ -174,7 +174,7 @@ private[sources] class ChunkCsvScanBuilder(schema: StructType, dir: String,
 
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
-  private var aggSpecs: Option[Seq[ChunkAgg]] = None
+  private var aggFold: Option[(Seq[ChunkAgg], Array[String])] = None
   private var limit: Option[Int] = None
 
   /** LIMIT reaches the readers (each stops after `n` emitted rows) and,
@@ -239,12 +239,17 @@ private[sources] class ChunkCsvScanBuilder(schema: StructType, dir: String,
       }
     }
     if (!covered) return false
-    aggSpecs = Some(flat)
-    true
+    // fold NOW: presence isn't parseability — a sidecar indexed under a
+    // different declared type must veto this path (fall back to a real
+    // scan), not throw at execution
+    ChunkAgg.tryFold(sidecar, schema, flat) match {
+      case Some(values) => aggFold = Some((flat, values)); true
+      case None => false
+    }
   }
 
-  override def build(): Scan = aggSpecs match {
-    case Some(specs) => ChunkCsvAggScan(dir, schema, specs)
+  override def build(): Scan = aggFold match {
+    case Some((specs, values)) => ChunkCsvAggScan(dir, schema, specs, values)
     case None => ChunkCsvScan(dir, schema, required, pushed, limit,
       Option(options.get("maxChunksPerTrigger")).map(_.toInt))
   }
@@ -256,15 +261,51 @@ private[sources] object ChunkAgg {
   case object RowCount extends ChunkAgg
   case class MinOf(col: String) extends ChunkAgg
   case class MaxOf(col: String) extends ChunkAgg
+
+  /** Fold the sidecar's raw stat strings into ONE raw value per spec —
+    * min/max selected in the declared comparison domain (numeric for
+    * numbers, UTF8String binary order for text — Spark's own min/max
+    * ordering), never lexicographically on digit strings. Returns None
+    * when any covered stat fails to parse under the declared type (a
+    * stale sidecar indexed under a different schema): the caller must
+    * then veto the metadata-aggregate path and fall back to a real scan
+    * rather than throw at execution.
+    */
+  def tryFold(sidecar: ChunkStats.Sidecar, schema: StructType,
+      specs: Seq[ChunkAgg]): Option[Array[String]] =
+    try {
+      Some(specs.map {
+        case RowCount => sidecar.rows.values.sum.toString
+        case MinOf(c) => extreme(sidecar, schema, c, wantMin = true)
+        case MaxOf(c) => extreme(sidecar, schema, c, wantMin = false)
+      }.toArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def extreme(sidecar: ChunkStats.Sidecar, schema: StructType,
+      c: String, wantMin: Boolean): String = {
+    val conv = ChunkCsvFilters.converter(schema(c).dataType)
+    val cands = sidecar.raw.values.flatMap(_.get(c)).collect {
+      case (lo, hi) if lo != null => if (wantMin) lo else hi
+    }
+    if (cands.isEmpty) null
+    else {
+      val ord: Ordering[String] =
+        (a, b) => ChunkCsvFilters.cmp(conv(a), conv(b))
+      if (wantMin) cands.min(ord) else cands.max(ord)
+    }
+  }
 }
 
 /** Metadata-only scan: one partition, one row, zero chunk files opened.
-  * The totals are folded from the sidecar ON THE DRIVER at planning time
-  * and shipped to the single reader as raw stat strings (the reader
-  * converts them with the same converters a data read uses).
+  * The totals were folded from the sidecar ON THE DRIVER at pushdown time
+  * ([[ChunkAgg.tryFold]] — which also proved every stat parses, so this
+  * scan can never throw on a stale sidecar) and ship to the single reader
+  * as raw stat strings (the reader converts them with the same converters
+  * a data read uses).
   */
 private[sources] case class ChunkCsvAggScan(dir: String,
-    fullSchema: StructType, specs: Seq[ChunkAgg]) extends Scan with Batch {
+    fullSchema: StructType, specs: Seq[ChunkAgg], folded: Array[String])
+    extends Scan with Batch {
 
   override def readSchema(): StructType = StructType(specs.map {
     case ChunkAgg.RowCount => StructField("count(*)", LongType, nullable = false)
@@ -277,44 +318,12 @@ private[sources] case class ChunkCsvAggScan(dir: String,
   override def description(): String =
     s"ChunkCsvAgg[$dir] PushedAggregates: [${specs.mkString(", ")}]"
 
-  // computed once per scan (planInputPartitions may be invoked repeatedly)
-  private lazy val folded: Array[String] = {
-    val sidecar = ChunkStats.load(dir, new Configuration())
-    def fold(c: String, sign: Int): String = {
-      val conv = ChunkCsvFilters.converter(fullSchema(c).dataType)
-      val cands = sidecar.raw.values.flatMap(_.get(c)).collect {
-        case (lo, hi) if lo != null => if (sign < 0) lo else hi
-      }
-      if (cands.isEmpty) null
-      else cands.minBy(s => Wrapped(ChunkCsvFilters.canon(conv(s)), sign))
-    }
-    val values: Array[String] = specs.map {
-      case ChunkAgg.RowCount => sidecar.rows.values.sum.toString
-      case ChunkAgg.MinOf(c) => fold(c, -1)
-      case ChunkAgg.MaxOf(c) => fold(c, 1)
-    }.toArray
-    ChunkCsvMetrics.metadataAggs.add(1L)
-    values
-  }
+  // counted once per scan (planInputPartitions may be invoked repeatedly)
+  private lazy val counted: Unit = ChunkCsvMetrics.metadataAggs.add(1L)
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    counted
     Array(ChunkAggPartition(folded))
-
-  /** Orders canon'd stat values; `sign` = -1 for min, +1 for max (max
-    * negates so minBy always selects the right extreme).
-    */
-  private case class Wrapped(v: Any, sign: Int) extends Ordered[Wrapped] {
-    override def compare(that: Wrapped): Int = {
-      val c = (v, that.v) match {
-        case (x: String, y: String) => x.compareTo(y)
-        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-        case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
-          x.compareTo(y)
-        case (x, y) => throw new IllegalStateException(s"mixed $x/$y")
-      }
-      if (sign < 0) c else -c
-    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -747,12 +756,18 @@ private[sources] object ChunkCsvFilters {
   }
 
   /** Canonical comparison domain: Long (integral/date/ts/bool), Double,
-    * BigDecimal, or String.
+    * BigDecimal, or UTF8String. Text canonicalizes to UTF8String — NOT
+    * java.lang.String — because sidecar min/max come from Spark's own
+    * min/max, which order text by UTF-8 BINARY bytes (code points), while
+    * String.compareTo orders by UTF-16 code units. The two disagree when
+    * supplementary-plane chars (≥U+10000) mix with U+E000–U+FFFF, and a
+    * zone map compared in the wrong order can silently skip a chunk that
+    * holds matching rows.
     */
   def canon(v: Any): Any = v match {
     case null => null
-    case u: UTF8String => u.toString
-    case s: String => s
+    case u: UTF8String => u
+    case s: String => UTF8String.fromString(s)
     case b: java.lang.Boolean => if (b) 1L else 0L
     case b: Byte => b.toLong
     case s: Short => s.toLong
@@ -774,8 +789,8 @@ private[sources] object ChunkCsvFilters {
         s"chunkcsv: incomparable filter value $other (${other.getClass})")
   }
 
-  private def cmp(a: Any, b: Any): Int = (canon(a), canon(b)) match {
-    case (x: String, y: String) => x.compareTo(y)
+  private[sources] def cmp(a: Any, b: Any): Int = (canon(a), canon(b)) match {
+    case (x: UTF8String, y: UTF8String) => x.binaryCompare(y)
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: Double, y: Double) => java.lang.Double.compare(x, y)
     case (x, y) => toBig(x).compareTo(toBig(y))

@@ -65,7 +65,18 @@ private[sources] class ChunkCsvBatchWrite(dir: String, schema: StructType,
       case ChunkTempsMessage(paths) => paths
       case other => throw new IllegalStateException(s"bad message $other")
     }
-    val stamp = System.currentTimeMillis()
+    // Strictly-increasing stamp regardless of clock behavior: two commits
+    // in the same millisecond must not collide, and a backwards clock step
+    // must not mint names at or below the streaming watermark (appended
+    // chunks that sort ≤ the watermark would never be streamed). Floor the
+    // wall clock at maxExistingStamp+1, read from the surviving listing
+    // (after any truncate).
+    val stampRe = "chunk-(\\d{13})-\\d{5}\\.csv".r
+    val maxExisting = ChunkCsv.listChunks(dir, conf)
+      .map(_.getPath.getName)
+      .collect { case stampRe(s) => s.toLong }
+      .foldLeft(0L)(math.max)
+    val stamp = math.max(System.currentTimeMillis(), maxExisting + 1L)
     temps.zipWithIndex.foreach { case (tmp, i) =>
       val target = new Path(dirPath, f"chunk-$stamp%013d-$i%05d.csv")
       if (!fs.rename(new Path(tmp), target))

@@ -88,6 +88,8 @@ object ChunkStats {
     }
     val rows = df.groupBy(col("_file")).agg(aggs.head, aggs.tail: _*)
       .collect() // O(chunks) rows — driver-sized by design, like footers
+      .sortBy(_.getString(0)) // collect order varies with shuffle partition
+      // count; a byte-deterministic sidecar lets fixture digests diff clean
     val sb = new StringBuilder("file,column,min,max\n")
     rows.foreach { r =>
       val file = r.getString(0)
