@@ -187,16 +187,10 @@ object Connector {
       "docs" -> docChunks(s, dir),
       "orders" -> orderChunks(s, dir),
       "docs_rt" -> docChunksRoundtrip(s, dir))
-    val sb = new StringBuilder("fixture,file,bytes,md5\n")
-    fixtures.foreach { case (label, d) =>
-      val files = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith(".")).sortBy(_.getName)
-      files.foreach { f =>
-        sb.append(s"$label,${f.getName},${f.length},${md5File(f)}\n")
-      }
-    }
+    val lines = "fixture,file,bytes,md5" +:
+      fixtures.flatMap { case (label, d) => digestLines(label, d) }
     java.nio.file.Files.writeString(
-      base.resolve("chunk_fixtures.csv"), sb.toString)
+      base.resolve("chunk_fixtures.csv"), lines.mkString("", "\n", "\n"))
     s.read.format("chunkcsv").schema(docsSchema).load(docChunks(s, dir))
       .filter(col("lang") === "en")
       .groupBy(col("_chunk"), col("source"))
@@ -206,6 +200,17 @@ object Connector {
       .coalesce(1).write.mode("overwrite")
       .parquet(base.resolve("q_chunkcsv_scan_chunks").toString)
   }
+
+  /** One digest line per regular file of `dir`, name-sorted — the unit the
+    * fault-injection spec pins: a flipped byte anywhere changes exactly its
+    * file's line, so a later fixture diff localizes to the damaged chunk.
+    */
+  private[queries] def digestLines(label: String, dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+      .map(f => s"$label,${f.getName},${f.length},${md5File(f)}")
+      .toSeq
 
   private def md5File(f: java.io.File): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

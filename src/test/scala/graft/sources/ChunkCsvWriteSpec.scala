@@ -81,6 +81,28 @@ class ChunkCsvWriteSpec extends AnyFunSuite {
       .count() == 6L)
   }
 
+  test("append after a clock step back still mints strictly-later names") {
+    // Simulate the hazard: the dir's newest chunk carries a stamp AHEAD of
+    // the wall clock (a backwards clock step, or a same-millisecond pair).
+    // The commit must floor its stamp at maxExisting+1 — names at or below
+    // the streaming watermark would never be streamed.
+    val dir = java.nio.file.Files.createTempDirectory("chunkclock").toString
+    val future = 9000000000000L // year ~2255, far ahead of any test clock
+    val planted = f"chunk-$future%013d-00000.csv"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, planted),
+      "id,grade,flag,day,ts,note\n" +
+        "99,1.5,true,2024-02-01,2024-02-01T10:00:30.125,planted\n")
+    df(0 until 3).write.format("chunkcsv").mode("append").save(dir)
+    val names = ChunkCsv.listChunks(dir,
+      new org.apache.hadoop.conf.Configuration()).map(_.getPath.getName)
+    val added = names.filterNot(_ == planted)
+    assert(added.nonEmpty && added.forall(_ > planted),
+      s"appended names must sort after the planted future stamp: $names")
+    assert(spark.read.format("chunkcsv").schema(schema).load(dir)
+      .count() == 4L)
+  }
+
   test("no temp files survive a committed write") {
     val dir = java.nio.file.Files.createTempDirectory("chunktemps").toString
     df(0 until 6).write.format("chunkcsv").mode("overwrite").save(dir)
