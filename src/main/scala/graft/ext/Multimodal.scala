@@ -161,6 +161,64 @@ object Multimodal {
     }
   }
 
+  /** Synthesize a minimal valid 16-bit PCM WAV (RIFF/WAVE/fmt/data) with
+    * the given header parameters and an all-zero sample payload. The
+    * oracle-twin trick: header fields are pure arithmetic on the inputs,
+    * so a DuckDB oracle can predict what [[decodeAudio]] must read back —
+    * putting the REAL header parser under the driver's correctness gate,
+    * not just ScalaTest (`q_multimodal_audio`).
+    */
+  def buildWav(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+    val blockAlign = channels * 2 // 16-bit PCM
+    val dataSize = frames * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort) // PCM
+      .putInt(sampleRate).putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    buf.array() // remaining dataSize bytes are zero samples
+  }
+
+  /** Synthesize a minimal ISO-BMFF (MP4) header: `ftyp` + `moov` holding
+    * one video `trak` (given 16.16-fixed width/height) and, when
+    * `audioLead`, a 0×0 audio trak BEFORE it — exercising
+    * [[decodeVideo]]'s find-the-visual-track logic. `v1` emits a
+    * version-1 tkhd (64-bit times) to cover both layout variants.
+    * Same oracle-twin role as [[buildWav]] (`q_multimodal_video`).
+    */
+  def buildMp4(width: Int, height: Int, audioLead: Boolean,
+      v1: Boolean): Array[Byte] = {
+    def tkhd(w: Int, h: Int): Array[Byte] = {
+      val bodyLen = (if (v1) 36 else 24) + 52 + 8
+      val buf = java.nio.ByteBuffer.allocate(8 + bodyLen)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      buf.putInt(8 + bodyLen).put("tkhd".getBytes("US-ASCII"))
+      buf.putInt(if (v1) 0x01000000 else 0) // version byte + zero flags
+      // v0: 5×u32 times/id/reserved; v1: widened to 8+8+4+4+8 = 32 bytes
+      (0 until (if (v1) 32 else 20)).foreach(_ => buf.put(0.toByte))
+      (0 until 52).foreach(_ => buf.put(0.toByte)) // reserved+layer+matrix
+      buf.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+      buf.array()
+    }
+    def box(typ: String, children: Array[Byte]*): Array[Byte] = {
+      val body = children.flatten.toArray
+      val buf = java.nio.ByteBuffer.allocate(8 + body.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      buf.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      buf.array()
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII"), Array[Byte](0, 0, 0, 0))
+    val traks =
+      (if (audioLead) Seq(box("trak", tkhd(0, 0))) else Seq.empty) :+
+        box("trak", tkhd(width, height))
+    ftyp ++ box("moov", traks: _*)
+  }
+
   /** Decode dispatch: real image decode when javax.imageio recognizes the
     * payload, real audio header decode when javax.sound.sampled does,
     * [[decodeStub]] otherwise — the remaining stub surface is exactly the

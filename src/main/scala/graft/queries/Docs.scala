@@ -744,6 +744,48 @@ object Docs {
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(Multimodal.mediaTable(s, dir).toDF(),
         "doc_id", "media")),
+
+    // REAL audio header decode under the gate: synthesize a valid PCM WAV
+    // per doc whose header fields are arithmetic on (doc_id, n_chars),
+    // parse it back with javax.sound ([[Multimodal.decodeAudio]]), and let
+    // the DuckDB oracle predict the same arithmetic — a misparse surfaces
+    // as -1 sentinels and fails the hash. Executor-side map, no shuffle.
+    "q_multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .filter(col("n_chars").isNotNull)
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          val wav = Multimodal.buildWav(
+            (8000L + (id % 5L) * 2000L).toInt,
+            (1L + id % 2L).toInt,
+            (50L + nChars % 100L).toInt)
+          val (rate, frames, ch) =
+            Multimodal.decodeAudio(wav).getOrElse((-1L, -1L, -1L))
+          (id, rate, frames, ch)
+        }.toDF("doc_id", "sample_rate", "n_frames", "n_channels")
+    }),
+
+    // REAL MP4 box-walk decode under the gate, same oracle-twin shape:
+    // odd ids lead with a 0×0 audio trak (exercises find-the-visual-track)
+    // and every third id uses a version-1 tkhd (64-bit times layout).
+    "q_multimodal_video" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val mp4 = Multimodal.buildMp4(
+            (160L + (id % 8L) * 8L).toInt,
+            (120L + (id % 6L) * 10L).toInt,
+            audioLead = id % 2L == 1L,
+            v1 = id % 3L == 0L)
+          val (w, h, tracks) =
+            Multimodal.decodeVideo(mp4).getOrElse((-1L, -1L, -1L))
+          (id, w, h, tracks)
+        }.toDF("doc_id", "width", "height", "n_tracks")
+    }),
   )
 
   /** DuckDB shingle CTE shared by the dedup oracles — mirrors
@@ -1438,6 +1480,20 @@ object Docs {
         |  CASE WHEN substring(md5(text), 1, 1) >= '8'
         |    THEN CAST(3 AS BIGINT) ELSE CAST(1 AS BIGINT) END
         |    AS channels
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_audio" ->
+      """SELECT doc_id,
+        |  8000 + (doc_id % 5) * 2000 AS sample_rate,
+        |  50 + (n_chars % 100) AS n_frames,
+        |  1 + doc_id % 2 AS n_channels
+        |FROM documents WHERE n_chars IS NOT NULL""".stripMargin,
+
+    "q_multimodal_video" ->
+      """SELECT doc_id,
+        |  160 + (doc_id % 8) * 8 AS width,
+        |  120 + (doc_id % 6) * 10 AS height,
+        |  1 + doc_id % 2 AS n_tracks
         |FROM documents""".stripMargin,
   )
 }
