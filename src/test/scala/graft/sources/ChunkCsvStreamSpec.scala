@@ -64,6 +64,66 @@ class ChunkCsvStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("sf0.01 fixture: kill mid-stream, resume, counts ledger-exact") {
+    // The toy tests above prove the watermark logic on hand-written chunks;
+    // this one drives it at gate scale: the real documents table (500 rows,
+    // ~16 production-writer chunks), one chunk per micro-batch, a HARD stop
+    // while a backlog is still pending, more chunks arriving while down,
+    // then a resume — the sink must end byte-exact with the fixture
+    // (nothing lost to the kill, nothing double-counted on replay).
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val staging = java.nio.file.Files.createTempDirectory("sfstage").toString
+    val live = java.nio.file.Files.createTempDirectory("sflive").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sfckpt").toString
+    val sink = java.nio.file.Files.createTempDirectory("sfsink").toString
+    graft.engine.Sinks.writeChunkedCsv(
+      docs.repartition(1).sortWithinPartitions("doc_id"), staging,
+      chunkRows = 32)
+    val staged = new java.io.File(staging).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".csv"))
+      .sortBy(_.getName)
+    assert(staged.length >= 8, s"want a real backlog, got ${staged.length}")
+    def arrive(files: Array[java.io.File], from: Int): Unit =
+      files.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(live, f"chunk-${from + i}%04d.csv"))
+      }
+    val (firstHalf, secondHalf) = staged.splitAt(staged.length / 2)
+    arrive(firstHalf, 0)
+
+    def start() = spark.readStream.format("chunkcsv").schema(docsSchema)
+      .option("maxChunksPerTrigger", "1").load(live)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    try {
+      // hard stop after the first committed batch, backlog still pending
+      val deadline = System.nanoTime() + 60000000000L
+      while (q1.recentProgress.length < 1 && System.nanoTime() < deadline)
+        Thread.sleep(25)
+    } finally q1.stop()
+
+    arrive(secondHalf, firstHalf.length) // chunks land while the query is down
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(sink).select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      val want = docs.select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got == want,
+        s"ledger mismatch: got ${got.size} rows, want ${want.size}")
+    } finally q2.stop()
+  }
+
   test("streaming filters push into each micro-batch read") {
     val dir = java.nio.file.Files.createTempDirectory("chunkstreamf").toString
     writeChunk(dir, 1, 1L to 10L)
