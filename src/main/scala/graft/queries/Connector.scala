@@ -60,7 +60,9 @@ object Connector {
 
   /** documents written THROUGH the connector's own transactional writer
     * (`format("chunkcsv")`) — puts the commit/rename path under the same
-    * DuckDB gate as the read path. Layout pinned like [[docChunks]].
+    * DuckDB gate as the read path. Layout pinned like [[docChunks]];
+    * `indexStats` makes the write commit its zone-map sidecar too, so the
+    * write-time stats feed `q_chunkcsv_write_meta`'s metadata aggregates.
     */
   private def docChunksRoundtrip(s: SparkSession, dir: String): String =
     Scratch.cached(s"chunkcsv-docs-rt:$dir") { tmp =>
@@ -69,6 +71,7 @@ object Connector {
         .repartition(4, col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.format("chunkcsv").option("chunkRows", "2048")
+        .option("indexStats", "true")
         .mode("overwrite").save(out)
       out
     }
@@ -139,6 +142,20 @@ object Connector {
           min(col("doc_id")).as("first_doc"),
           sum(col("n_chars")).as("sum_chars"),
           sum(length(col("text"))).as("sum_text_len"))),
+
+    // Stats-at-write under the gate: the metadata-only aggregate over the
+    // writer-committed sidecar (zero chunks opened) must equal DuckDB over
+    // the original parquet — wrong write-time min/max would fail the hash.
+    "q_chunkcsv_write_meta" -> ((s, dir) =>
+      s.read.format("chunkcsv").schema(docsSchema)
+        .load(docChunksRoundtrip(s, dir))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          min(col("lang")).as("first_lang"),
+          max(col("source")).as("last_source"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,6 +182,13 @@ object Connector {
       """SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc,
         |  sum(n_chars) AS sum_chars, sum(length(text)) AS sum_text_len
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_chunkcsv_write_meta" ->
+      """SELECT count(*) AS n_docs, min(doc_id) AS min_doc,
+        |  max(doc_id) AS max_doc, min(lang) AS first_lang,
+        |  max(source) AS last_source, min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents""".stripMargin,
   )
 
   /** Gate-flake forensics (the r9 `q_chunkcsv_scan` hash-fail left only a

@@ -125,8 +125,13 @@ private[sources] case class ChunkCsvTable(tableSchema: StructType,
     val chunkRows = Option(info.options.get("chunkRows"))
       .orElse(Option(options.get("chunkRows"))).map(_.toInt)
       .getOrElse(50000)
+    // indexStats: track per-file min/max/rowcount DURING the write and
+    // commit the zone-map sidecar with the final chunk names — parquet's
+    // footer economics (no ChunkStats.index re-read pass over the data)
+    val indexStats = Option(info.options.get("indexStats"))
+      .orElse(Option(options.get("indexStats"))).exists(_.toBoolean)
     new ChunkCsvWriteBuilder(ChunkCsv.pathOf(options), info.schema(),
-      chunkRows)
+      chunkRows, indexStats)
   }
 
   /** `_chunk` — the chunk file a row came from. Provenance is first-class

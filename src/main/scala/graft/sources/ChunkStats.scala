@@ -88,23 +88,43 @@ object ChunkStats {
     }
     val rows = df.groupBy(col("_file")).agg(aggs.head, aggs.tail: _*)
       .collect() // O(chunks) rows — driver-sized by design, like footers
-      .sortBy(_.getString(0)) // collect order varies with shuffle partition
-      // count; a byte-deterministic sidecar lets fixture digests diff clean
+    val rowCounts = rows.map(r =>
+      r.getString(0) -> r.getAs[Long](RowsKey)).toMap
+    val raw = rows.map { r =>
+      r.getString(0) -> indexed.map { c =>
+        // all-null column in this chunk → (null, null)
+        c -> ((r.getAs[String](s"min_$c"), r.getAs[String](s"max_$c")))
+      }.toMap
+    }.toMap
+    write(dir, spark.sparkContext.hadoopConfiguration,
+      Sidecar(raw, rowCounts), indexed)
+  }
+
+  /** Serialize a sidecar (shared by [[index]] and the writer's
+    * stats-at-commit path). Files in sorted order — collect/map order
+    * varies with partitioning, and a byte-deterministic sidecar lets
+    * fixture digests diff clean; columns in `colOrder` (schema order),
+    * any others trailing sorted.
+    */
+  def write(dir: String, conf: Configuration, sidecar: Sidecar,
+      colOrder: Seq[String]): Unit = {
     val sb = new StringBuilder("file,column,min,max\n")
-    rows.foreach { r =>
-      val file = r.getString(0)
-      val n = r.getAs[Long](RowsKey).toString
-      sb.append(Seq(file, RowsKey, n, n).map(quote).mkString(",")).append('\n')
-      indexed.foreach { c =>
-        val lo = r.getAs[String](s"min_$c")
-        val hi = r.getAs[String](s"max_$c")
-        // all-null column in this chunk → empty (unquoted) lo/hi
+    val files = (sidecar.rows.keySet ++ sidecar.raw.keySet).toSeq.sorted
+    val rank = colOrder.zipWithIndex.toMap
+    files.foreach { file =>
+      sidecar.rows.get(file).foreach { n =>
+        sb.append(Seq(file, RowsKey, n.toString, n.toString)
+          .map(quote).mkString(",")).append('\n')
+      }
+      val cols = sidecar.raw.getOrElse(file, Map.empty).toSeq
+        .sortBy { case (c, _) => (rank.getOrElse(c, Int.MaxValue), c) }
+      cols.foreach { case (c, (lo, hi)) =>
         sb.append(Seq(file, c, lo, hi).map(quote).mkString(","))
           .append('\n')
       }
     }
     val path = new Path(dir, SidecarName)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = path.getFileSystem(conf)
     val out = fs.create(path, true)
     try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

@@ -113,6 +113,67 @@ class ChunkCsvWriteSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"stranded temps: $leftovers")
   }
 
+  test("indexStats write commits a sidecar: metadata aggs, zero opens") {
+    val dir = java.nio.file.Files.createTempDirectory("chunkstats").toString
+    df(0 until 20).repartition(2)
+      .write.format("chunkcsv")
+      .option("chunkRows", "4").option("indexStats", "true")
+      .mode("overwrite").save(dir)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, ChunkStats.SidecarName)))
+    val back = spark.read.format("chunkcsv").schema(schema).load(dir)
+    ChunkCsvMetrics.reset()
+    val r = back.agg(count(lit(1)), min(col("id")), max(col("id")),
+      min(col("ts")), max(col("ts")), min(col("note")), max(col("note")))
+      .collect().head
+    assert(ChunkCsvMetrics.metadataAggs.sum() == 1L)
+    assert(ChunkCsvMetrics.openedChunks.sum() == 0L) // sidecar answered
+    assert(r.getLong(0) == 20L && r.getLong(1) == 0L && r.getLong(2) == 19L)
+    assert(r.getTimestamp(3) ==
+      java.sql.Timestamp.valueOf("2024-02-01 10:00:30.125"))
+    // write-time stats must agree with a post-hoc data-pass index in the
+    // PARSED comparison domain (raw text may differ — e.g. ISO 'T' vs
+    // Spark-cast space in timestamps — but canon values must be equal)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val atWrite = ChunkStats.load(dir, conf)
+    ChunkStats.index(spark, dir, schema)
+    val rescanned = ChunkStats.load(dir, conf)
+    assert(atWrite.rows == rescanned.rows)
+    assert(atWrite.canon(schema) == rescanned.canon(schema),
+      "stats-at-write diverged from the data pass")
+  }
+
+  test("indexStats write enables zone-map skipping immediately") {
+    val dir = java.nio.file.Files.createTempDirectory("chunkzm").toString
+    // one partition, id-sorted → chunkRows=5 gives 4 id-clustered chunks
+    df(0 until 20).repartition(1).sortWithinPartitions("id")
+      .write.format("chunkcsv")
+      .option("chunkRows", "5").option("indexStats", "true")
+      .mode("overwrite").save(dir)
+    ChunkCsvMetrics.reset()
+    val n = spark.read.format("chunkcsv").schema(schema).load(dir)
+      .filter(col("id") >= 15L).count()
+    assert(n == 5L)
+    assert(ChunkCsvMetrics.skippedChunks.sum() == 3L)
+    assert(ChunkCsvMetrics.openedChunks.sum() == 1L)
+  }
+
+  test("indexStats append merges the sidecar and keeps full coverage") {
+    val dir = java.nio.file.Files.createTempDirectory("chunkmerge").toString
+    df(0 until 6).write.format("chunkcsv")
+      .option("indexStats", "true").mode("overwrite").save(dir)
+    df(6 until 10).write.format("chunkcsv")
+      .option("indexStats", "true").mode("append").save(dir)
+    val back = spark.read.format("chunkcsv").schema(schema).load(dir)
+    ChunkCsvMetrics.reset()
+    val r = back.agg(count(lit(1)), min(col("id")), max(col("id")))
+      .collect().head
+    // every chunk covered → the merged sidecar still answers from metadata
+    assert(ChunkCsvMetrics.metadataAggs.sum() == 1L)
+    assert(ChunkCsvMetrics.openedChunks.sum() == 0L)
+    assert(r.getLong(0) == 10L && r.getLong(1) == 0L && r.getLong(2) == 9L)
+  }
+
   test("written chunks stream through the micro-batch source") {
     val dir = java.nio.file.Files.createTempDirectory("chunkwstream").toString
     df(0 until 4).write.format("chunkcsv").mode("overwrite").save(dir)
