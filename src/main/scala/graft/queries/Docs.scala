@@ -754,7 +754,7 @@ object Docs {
       import s.implicits._
       t(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"))
-        .filter(col("n_chars").isNotNull)
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
         .as[(Long, Long)]
         .map { case (id, nChars) =>
           val wav = Multimodal.buildWav(
@@ -774,6 +774,8 @@ object Docs {
       import s.implicits._
       t(s, dir, "documents")
         .select(col("doc_id"))
+        .filter(col("doc_id").isNotNull) // the empty-input guard: a null id
+        // would violate the non-nullable Long encoder before the map runs
         .as[Long]
         .map { id =>
           val mp4 = Multimodal.buildMp4(
