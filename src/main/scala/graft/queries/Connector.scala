@@ -79,13 +79,20 @@ object Connector {
   /** orders date-clustered into chunks + zone-map sidecar: the layout a
     * daily staging pipeline naturally produces (each day's load is its own
     * chunk run), which makes date predicates chunk-prunable.
+    *
+    * Clustering is by HASH of the order year, not `repartitionByRange` —
+    * range partitioning samples its boundaries from whatever input splits
+    * the session derives, so chunk contents varied between 8- and 32-CPU
+    * environments (caught by the r10 digest forensics). Hash-of-year is a
+    * pure function of the data: deterministic everywhere, and still
+    * year-clustered enough that a date predicate prunes whole chunks.
     */
   private def orderChunks(s: SparkSession, dir: String): String =
     Scratch.cached(s"chunkcsv-orders:$dir") { tmp =>
       val out = tmp + "/orders"
       val clustered = t(s, dir, "orders")
-        .repartitionByRange(8, col("o_orderdate"))
-        .sortWithinPartitions("o_orderdate")
+        .repartition(8, year(col("o_orderdate")))
+        .sortWithinPartitions("o_orderdate", "o_orderkey")
       Sinks.writeChunkedCsv(clustered, out, chunkRows = 100000)
       ChunkStats.index(s, out, ordersSchema,
         Seq("o_orderdate", "o_orderkey"))
