@@ -67,21 +67,36 @@ object Sources {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events fixture carries a parquet TIMESTAMP(NANOS) column, which
-    * Spark 4 rejects by default. The session must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (Bench/Verify/TestSpark all
-    * do) — a reader must not mutate session config as a plan-build side
-    * effect. The long nanos convert to a microsecond timestamp with INTEGRAL
-    * division — epoch nanos (~1.7e18) exceed double's 2^53 mantissa, so a
-    * floating-point divide would corrupt timestamps.
+  /** Type-adaptive events reader. The fixture's `ts` physical encoding has
+    * shipped two ways across testdata generations — parquet TIMESTAMP(NANOS)
+    * (arriving as LongType under `spark.sql.legacy.parquet.nanosAsLong=true`,
+    * which Bench/Verify/TestSpark all set) and plain `timestamp[us]`
+    * (arriving as TimestampType/TimestampNTZType). Branching on the OBSERVED
+    * Spark-level type keeps every event-time query alive across fixture
+    * regenerations instead of hard-coding one encoding.
+    *
+    * Nanos arrive as epoch-nanos longs and convert with INTEGRAL division —
+    * epoch nanos (~1.7e18) exceed double's 2^53 mantissa, so a
+    * floating-point divide would corrupt timestamps. Any third encoding
+    * fails loudly with the observed type rather than passing through
+    * untouched.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-        == "true",
-      "events.parquet has TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // TIMESTAMP(NANOS) read under nanosAsLong (or raw INT64 epoch-nanos)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _: TimestampNTZType =>
+        // session timezone is UTC everywhere in this engine; NTZ == instant
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts column has unsupported type $other; expected " +
+            "LongType (nanos-as-long), TimestampType, or TimestampNTZType")
+    }
   }
 }

@@ -169,7 +169,7 @@ object Connector {
 
     "q_chunkcsv_scan" ->
       """SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc,
-        |  sum(n_chars) AS sum_chars
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
 
     "q_chunkcsv_skip" ->
@@ -187,7 +187,8 @@ object Connector {
 
     "q_chunkcsv_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc,
-        |  sum(n_chars) AS sum_chars, sum(length(text)) AS sum_text_len
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
         |FROM documents GROUP BY lang""".stripMargin,
 
     "q_chunkcsv_write_meta" ->

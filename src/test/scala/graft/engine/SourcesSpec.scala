@@ -65,7 +65,46 @@ class SourcesSpec extends AnyFunSuite {
       Seq(Seq(1L, "a", 1.5), Seq(2L, "b", 2.5)))
   }
 
-  test("events fixture reads nano timestamps as microsecond instants") {
+  test("events reader adapts to a nanos-as-long ts encoding") {
+    import spark.implicits._
+    // Synthesize the LongType shape the legacy TIMESTAMP(NANOS) fixture
+    // presents under nanosAsLong=true: epoch-nanos int64. The reader must
+    // integral-divide to micros (a float divide would corrupt ~1.7e18).
+    val dir = Files.createTempDirectory("graft-evt-nanos").toString
+    val nanos = 1700000000123456789L
+    Seq((1L, nanos, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val df = Sources.events(spark, dir)
+    assert(df.schema("ts").dataType == TimestampType)
+    val got = df.selectExpr("unix_micros(ts)").head().getLong(0)
+    assert(got == nanos / 1000L)
+  }
+
+  test("events reader passes a native timestamp ts encoding through") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evt-us").toString
+    val micros = 1700000000123456L
+    Seq((1L, new java.sql.Timestamp(0), 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.lit(micros)))
+      .write.parquet(s"$dir/events.parquet")
+    val df = Sources.events(spark, dir)
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.selectExpr("unix_micros(ts)").head().getLong(0) == micros)
+  }
+
+  test("events reader rejects an unsupported ts type loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evt-bad").toString
+    Seq((1L, "not-a-time")).toDF("event_id", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Sources.events(spark, dir))
+    assert(e.getMessage.contains("StringType"))
+  }
+
+  test("events shared fixture reads as microsecond instants (any encoding)") {
     val df = Sources.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType == TimestampType)
     assert(df.selectExpr("max(ts)").head().getTimestamp(0) != null)
