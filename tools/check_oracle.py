@@ -40,6 +40,54 @@ def eq(a, b) -> bool:
     return a == b
 
 
+# DuckDB result dtypes Spark can also produce when writing parquet. Anything
+# outside this set (HUGEINT from sum(BIGINT), unsigned ints, INTERVAL, ...)
+# hash-mismatches in the driver's dtype-sensitive canonicalization even when
+# every value is equal — the r9/r10 chunkcsv saga. Nested types are scanned
+# for forbidden payloads by substring.
+ALLOWED_BASE = {
+    "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "FLOAT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP",
+    "TIMESTAMP WITH TIME ZONE", "BLOB",
+}
+FORBIDDEN_TOKENS = [
+    "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    "INTERVAL", "UUID", "ENUM", "BIT",
+]
+
+
+def lint_dtype_ok(t: str) -> bool:
+    t = t.strip().upper()
+    for tok in FORBIDDEN_TOKENS:
+        if tok in t:
+            return False
+    if t in ALLOWED_BASE or t.startswith("DECIMAL("):
+        return True
+    # nested types already passed the forbidden-token scan
+    return t.startswith(("STRUCT(", "LIST(", "MAP(")) or t.endswith("[]")
+
+
+def lint_oracles(con, oracle: dict) -> int:
+    """DESCRIBE every oracle; fail on any dtype Spark can't emit (VERDICT r10
+    item 3 — makes the HUGEINT class of silent hash-red unrepresentable)."""
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            cols = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            print(f"LINT FAIL {name}: DESCRIBE error: {e}")
+            failures += 1
+            continue
+        for cname, ctype, *_ in cols:
+            if not lint_dtype_ok(ctype):
+                print(f"LINT FAIL {name}: column {cname} has oracle dtype "
+                      f"{ctype}, outside the Spark-writable set — add a CAST")
+                failures += 1
+    if not failures:
+        print(f"LINT PASS: {len(oracle)} oracles, all dtypes Spark-writable")
+    return failures
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
@@ -47,7 +95,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    failures = 0
+    failures = lint_oracles(con, oracle)
     for name, sql in sorted(oracle.items()):
         try:
             spark_df = canon(pd.read_parquet(f"{out_dir}/{name}"))
