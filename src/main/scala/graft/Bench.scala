@@ -82,7 +82,20 @@ object Bench {
     spark.catalog.clearCache()
   }
 
+  /** Machine load context (1/5/15-min loadavg + runnable/total threads),
+    * read at run start and end. The r10 gate bench ran on a visibly
+    * contended machine (uniform 4-6x inflation, flat gc/storage) and it
+    * took a cross-artifact forensic pass to prove the engine hadn't
+    * regressed; with load stamped in the line, environment vs engine is a
+    * one-glance call. Returns "unavailable" off Linux.
+    */
+  private[graft] def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).trim
+    catch { case scala.util.control.NonFatal(_) => "unavailable" }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
     val spark = SparkSession.builder()
@@ -186,12 +199,15 @@ object Bench {
     // headline carries the total, failure list, and the 10 slowest queries
     // (labeled as such), so the tail parse yields the numbers that matter;
     // the complete map lives in the file the headline points to.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"order":$ord,"shuffle_bytes":$sh,"gc_millis":$gc,"storage_bytes":$st,"sf":"$sfDir"}"""
+    val loadEnd = loadavg()
+    val load =
+      s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd""""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"order":$ord,"shuffle_bytes":$sh,"gc_millis":$gc,"storage_bytes":$st,$load,"sf":"$sfDir"}"""
     val slowest = passed.sortBy(-_._2).take(10).map { case (k, v) =>
       s"\"" + k + "\":" +
         String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     }.mkString("{", ",", "}")
-    val slim = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${passed.size},"queries":$slowest,"queries_note":"10 slowest of ${passed.size}; full map in target/bench.json","failed":$fs,"sf":"$sfDir"}"""
+    val slim = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${passed.size},"queries":$slowest,"queries_note":"10 slowest of ${passed.size}; full map in target/bench.json","failed":$fs,$load,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath,
