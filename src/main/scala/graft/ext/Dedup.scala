@@ -212,12 +212,14 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
-    * (inverted-index join), thresholded.
+  /** Exact n-gram Jaccard from a DISTINCT (id, shingle) view: inverted-index
+    * join (pairs sharing ≥1 shingle), thresholded on the rounded score.
+    * Factored from [[jaccardPairs]] so callers that already materialized the
+    * shingle set (e.g. the recall audit, which feeds the same set to the LSH
+    * path) don't pay a second corpus explode.
     */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 5): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, shingleN).distinct()
+  def jaccardFromShingles(sh: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
     val b = sh.select(col(idCol).as("doc_b"), col("shingle").as("sh_b"))
@@ -234,6 +236,14 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
+    * (inverted-index join), thresholded.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 5): DataFrame =
+    jaccardFromShingles(
+      docShingles(docs, idCol, textCol, shingleN).distinct(), idCol, threshold)
 
   /** SimHash signatures per doc: explode tokens, project the two per-token
     * md5s once, then their 8 long quarters once, one hash-agg of 64

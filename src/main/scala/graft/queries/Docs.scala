@@ -62,6 +62,50 @@ object Docs {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Near-dup provenance matrix: verified pairs annotated with BOTH sides'
+    // source, rolled up per unordered source pair — the syndication
+    // diagnostic (which feeds re-publish which) a curation run reads before
+    // deciding per-source mixture weights. The source lookup joins on doc
+    // id (corpus-sized — never assumed broadcastable); the pair key is
+    // normalized least/greatest so (A,B) and (B,A) land in one cell.
+    "q_dedup_cross_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("src_b")), "doc_b")
+        .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
+          greatest(col("src_a"), col("src_b")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jaccard")), 4).as("avg_jaccard"))
+    }),
+
+    // LSH recall audit — measure, don't guess: the banded-minhash candidate
+    // set scored against the exact inverted-index ground truth (all pairs
+    // with Jaccard ≥ 0.5 share a shingle, so the index join IS exhaustive
+    // truth at this threshold). ONE materialized distinct-shingle set feeds
+    // both paths; output is one row (truth size, candidates emitted,
+    // detected, recall) — the number that justifies shipping the O(docs ×
+    // bands) path instead of the hot-shingle-quadratic exact join at 100 TB.
+    "q_dedup_recall" -> ((s, dir) => {
+      val sh = Dedup.docShingles(t(s, dir, "documents"), "doc_id", "text")
+        .distinct().localCheckpoint()
+      val truth = Dedup.jaccardFromShingles(sh, "doc_id", 0.5)
+        .select("doc_a", "doc_b")
+      val cand = Dedup.bandsToCandidatePairs(
+        Dedup.lshBands(Dedup.minhashFromShingles(sh, "doc_id")
+          .localCheckpoint(), "doc_id"), "doc_id")
+      val scored = truth
+        .join(cand.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_detected"),
+          round(count(col("hit")).cast("double") / count(lit(1)), 4)
+            .as("recall"))
+      scored.crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+    }),
+
     // Vocabulary building: corpus-wide token frequencies, top 50 — explode
     // is map-side, the count is one partial+final hash-agg, and the top-k
     // is TakeOrderedAndProject (no global sort of the vocabulary).
@@ -205,6 +249,29 @@ object Docs {
           round(sum((col("n_st").cast("double") / col("n_s")) *
             log(col("n_st").cast("double") * col("nn") /
               (col("n_s").cast("double") * col("n_t")))), 4).as("kl_nats"))
+    }),
+
+    // Unigram-LM negative log-likelihood per document — the CCNet/KenLM
+    // perplexity-filter signal, restated with the corpus itself as the LM:
+    // nll_d = Σ_{t∈d} ln(N / n_t) / |d| (nats/token). Low = stuffed with
+    // corpus boilerplate; high = rare-token soup — both tails are what
+    // perplexity filtering trims. Support is total by construction (every
+    // doc token is a corpus token), so no smoothing term. Shape: ONE
+    // materialized token stream feeds the model aggregation and the scoring
+    // join (token-keyed shuffle, vocab too big to assume broadcastable at
+    // scale); the 1-row corpus total broadcasts.
+    "q_perplexity" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .localCheckpoint() // feeds the model agg AND the scoring join
+      val model = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
+      val total = tok.agg(count(lit(1)).as("nn"))
+      tok.join(model, "tok")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(log(col("nn").cast("double") / col("n_t"))) /
+            count(lit(1)), 4).as("nll"))
     }),
 
     // Pointwise mutual information between the two document facets
@@ -1010,6 +1077,17 @@ object Docs {
         |JOIN tot USING (tok) JOIN s ON st.source = s.source CROSS JOIN n
         |GROUP BY st.source, s.n_s""".stripMargin,
 
+    "q_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |m AS (SELECT tok, count(*) AS n_t FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(ln(CAST(nn AS DOUBLE) / n_t)) / count(*), 4) AS nll
+        |FROM tok JOIN m USING (tok) CROSS JOIN n
+        |GROUP BY doc_id""".stripMargin,
+
     "q_mutual_info" ->
       """WITH j AS (
         |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
@@ -1129,6 +1207,63 @@ object Docs {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
         |  >= 0.5""".stripMargin,
+
+    // Verified pairs (same derivation as q_dedup_minhash_verified) joined
+    // to both sides' source, rolled up per unordered source pair.
+    "q_dedup_cross_source" ->
+      s"""WITH $shingleCte,
+        |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |$minhashCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS common
+        |  FROM cand c
+        |  JOIN d a ON a.doc_id = c.doc_a
+        |  JOIN d b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
+        |      AS jaccard
+        |  FROM common
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
+        |    >= 0.5)
+        |SELECT least(da.source, db.source) AS source_lo,
+        |  greatest(da.source, db.source) AS source_hi,
+        |  count(*) AS n_pairs, round(avg(jaccard), 4) AS avg_jaccard
+        |FROM verified v
+        |JOIN documents da ON da.doc_id = v.doc_a
+        |JOIN documents db ON db.doc_id = v.doc_b
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Ground truth = the exact inverted-index join at threshold 0.5 (a
+    // Jaccard ≥ 0.5 pair necessarily shares a shingle, so the index join is
+    // exhaustive); candidates = the banded minhash CTE. One row.
+    "q_dedup_recall" ->
+      s"""WITH $shingleCte,
+        |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |$minhashCandCte,
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT doc_a, doc_b
+        |  FROM common
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
+        |    >= 0.5)
+        |SELECT count(*) AS n_true,
+        |  count(c.doc_a) AS n_detected,
+        |  round(count(c.doc_a) / CAST(count(*) AS DOUBLE), 4) AS recall,
+        |  (SELECT count(*) FROM cand) AS n_candidates
+        |FROM truth tr
+        |LEFT JOIN cand c ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b"""
+        .stripMargin,
 
     // Same verified-pair derivation, then component labels via a recursive
     // transitive closure (symmetric + reflexive edges, min reachable id) —
