@@ -197,6 +197,59 @@ object Docs {
             .as("chunk_tokens"))
     }),
 
+    // Chunk MATERIALIZATION (the RAG/pretraining loader's actual output,
+    // where q_chunk_overlap computes only the accounting): each 32-token
+    // window at stride 24 is sliced out of the token array and re-joined
+    // into chunk text. Map-side only — the token array never leaves its
+    // row, the explode multiplies rows ≈ tokens/stride, and no shuffle
+    // exists in the plan; at 100 TB this runs at scan speed and the output
+    // lands partitioned exactly like the input.
+    "q_chunk_text" -> ((s, dir) => {
+      val win = 32L
+      val stride = 24L
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        .withColumn("nt", size(col("t")).cast("long"))
+        .withColumn("n_chunks", when(col("nt") <= win, 1L)
+          .otherwise(lit(1L) +
+            ceil((col("nt") - win).cast("double") / stride).cast("long")))
+        .select(col("doc_id"), col("t"), col("nt"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          concat_ws(" ", slice(col("t"),
+            (col("chunk_idx") * stride + 1).cast("int"),
+            least(lit(win), col("nt") - col("chunk_idx") * stride)
+              .cast("int"))).as("chunk_text"))
+    }),
+
+    // Temperature-based mixture sampling (the multilingual-pretraining
+    // reweighting of mT5/XLM-R): per-token keep-probability ∝ share^(α−1)
+    // with α = 0.5, anchored so the SMALLEST source keeps 100% —
+    // pct_s = ⌊100·√(n_min/n_s)⌋ — which flattens the source distribution
+    // toward uniform without upsampling. The rate formula is one division
+    // and one correctly-rounded IEEE sqrt on exact longs (no float
+    // aggregation anywhere), so both engines compute bit-identical rates;
+    // membership is the usual pure doc-id hash. Marginals are a 1-row /
+    // |sources|-row broadcast; the corpus is touched once.
+    "q_mixture_temperature" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), Text.nTokens(col("text")).as("nt"))
+        .localCheckpoint() // feeds the marginal agg AND the membership scan
+      val bySrc = docs.groupBy(col("source")).agg(sum(col("nt")).as("n_s"))
+      val mn = bySrc.agg(min(col("n_s")).as("n_min"))
+      val rates = bySrc.crossJoin(broadcast(mn))
+        .withColumn("pct", least(lit(100L),
+          floor(lit(100.0) *
+            sqrt(col("n_min").cast("double") / col("n_s"))).cast("long")))
+        .select(col("source"), col("pct"))
+      docs.join(broadcast(rates), "source")
+        .filter(hashBucket(concat(lit("temp:"), col("doc_id").cast("string")))
+          < col("pct"))
+        .groupBy(col("source"))
+        .agg(min(col("pct")).as("pct"), count(lit(1)).as("n_docs_kept"),
+          sum(col("nt")).as("n_tokens_kept"))
+    }),
+
     // Out-of-vocabulary rate per language against a frequency-thresholded
     // corpus vocabulary (tokens seen ≥ 50×) — the tokenizer-coverage
     // metric an LLM pipeline tracks per ingest slice. The vocab is
@@ -1076,6 +1129,48 @@ object Docs {
         |FROM st
         |JOIN tot USING (tok) JOIN s ON st.source = s.source CROSS JOIN n
         |GROUP BY st.source, s.n_s""".stripMargin,
+
+    "q_chunk_text" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t, nt,
+        |    CASE WHEN nt <= 32 THEN 1
+        |      ELSE 1 + CAST(ceil((nt - 32) / 24.0) AS BIGINT) END
+        |      AS n_chunks
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, t, nt,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        |  FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(
+        |    t[CAST(chunk_idx * 24 + 1 AS BIGINT):
+        |      CAST(chunk_idx * 24 + least(32, nt - chunk_idx * 24) AS BIGINT)],
+        |    ' ') AS chunk_text
+        |FROM e""".stripMargin,
+
+    "q_mixture_temperature" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |s AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_s
+        |  FROM d GROUP BY 1),
+        |mn AS (SELECT min(n_s) AS n_min FROM s),
+        |r AS (
+        |  SELECT source, least(100, CAST(floor(
+        |    100.0 * sqrt(CAST(n_min AS DOUBLE) / n_s)) AS BIGINT)) AS pct
+        |  FROM s CROSS JOIN mn)
+        |SELECT d.source, min(pct) AS pct, count(*) AS n_docs_kept,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens_kept
+        |FROM d JOIN r ON d.source = r.source
+        |WHERE CAST(CONCAT('0x', substring(
+        |    md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |  % 100 < pct
+        |GROUP BY d.source""".stripMargin,
 
     "q_perplexity" ->
       """WITH tok AS (
