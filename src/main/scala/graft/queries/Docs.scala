@@ -135,6 +135,25 @@ object Docs {
         .orderBy(col("n").desc, col("token").asc)
         .limit(50)),
 
+    // Boilerplate detector (the C4 "repeated verbatim span" signal): the
+    // 5-token shingles that appear in the MOST DISTINCT documents, with
+    // their total occurrence count — a shingle whose doc spread is high is
+    // template text (headers, footers, license blurbs), the spans
+    // curation strips before dedup so they can't glue unrelated docs into
+    // one near-dup cluster. distinct(doc, shingle) → per-shingle hash-agg
+    // (doc spread = count, occurrences summed from per-doc counts) →
+    // TakeOrderedAndProject; the token stream shuffles once, keyed on
+    // shingle.
+    "q_boilerplate_shingles" -> ((s, dir) =>
+      Dedup.docShingles(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy(col("doc_id"), col("shingle"))
+        .agg(count(lit(1)).as("n_in_doc"))
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_in_doc")).as("n_total"))
+        .filter(col("n_docs") >= 3)
+        .orderBy(col("n_docs").desc, col("n_total").desc, col("shingle").asc)
+        .limit(30)),
+
     // LM n-gram statistics: top-40 bigrams (2-token shingles) — same
     // explode/hash-agg/top-k shape as the vocabulary, one size up.
     "q_bigrams_topk" -> ((s, dir) =>
@@ -1129,6 +1148,17 @@ object Docs {
         |FROM st
         |JOIN tot USING (tok) JOIN s ON st.source = s.source CROSS JOIN n
         |GROUP BY st.source, s.n_s""".stripMargin,
+
+    "q_boilerplate_shingles" ->
+      s"""WITH $shingleCte,
+        |pd AS (SELECT doc_id, shingle, count(*) AS n_in_doc
+        |  FROM sh GROUP BY 1, 2),
+        |g AS (SELECT shingle, count(*) AS n_docs,
+        |    CAST(sum(n_in_doc) AS BIGINT) AS n_total
+        |  FROM pd GROUP BY 1)
+        |SELECT shingle, n_docs, n_total FROM g WHERE n_docs >= 3
+        |ORDER BY n_docs DESC, n_total DESC, shingle ASC LIMIT 30"""
+        .stripMargin,
 
     "q_chunk_text" ->
       """WITH d AS (

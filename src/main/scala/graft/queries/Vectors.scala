@@ -123,6 +123,34 @@ object Vectors {
       Similarity.semanticDedupReport(t(s, dir, "embeddings"), "vec_id",
         "embedding", col("vec_id") < 10, threshold = 0.3)),
 
+    // Semantic decontamination: the embedding-space sweep the n-gram
+    // decontamination family can't do — a paraphrased eval doc shares no
+    // 5-token shingle with its source but sits next to it in embedding
+    // space. Flags every TRAIN doc (shared split hash, so this audits the
+    // split the pipeline actually uses) with cosine ≥ 0.35 to ANY val/test
+    // doc, reporting hit count, max similarity, and the lowest offending
+    // eval id (deterministic; an argmax would tie-break on engine order).
+    // Eval sets are small by construction, so the eval side broadcasts and
+    // the corpus streams once — O(train × eval) flops but zero shuffle;
+    // embeddings are 1:1 with documents (vec_id = doc_id).
+    "q_semantic_decontam" -> ((s, dir) => {
+      val c = Similarity.withNorm(t(s, dir, "embeddings"), "vec_id",
+        "embedding")
+      val train = c.filter(splitCol(col("vec_id")) === "train")
+        .select(col("vec_id").as("train_id"), col("v"), col("nrm"))
+      val eval = c.filter(splitCol(col("vec_id")) =!= "train")
+        .select(col("vec_id").as("eval_id"), col("v").as("ev"),
+          col("nrm").as("en"))
+      train.crossJoin(broadcast(eval))
+        .select(col("train_id"), col("eval_id"),
+          round(Similarity.dot(col("v"), col("ev")) /
+            (col("nrm") * col("en")), 6).as("sim"))
+        .filter(col("sim") >= 0.35)
+        .groupBy(col("train_id"))
+        .agg(count(lit(1)).as("n_eval_hits"), max(col("sim")).as("max_sim"),
+          min(col("eval_id")).as("first_eval_id"))
+    }),
+
     // The WIDER band dial (32 planes, 4 bands × 8 bits) under the same
     // oracle: 16× lower random-collision floor per band at reduced recall —
     // the dial a big-corpus sweep turns (ScaleBench measures the tradeoff;
@@ -225,6 +253,26 @@ object Vectors {
         |  ${cos("a", "b")} AS sim
         |FROM c a JOIN c b ON a.vec_id < b.vec_id
         |WHERE ${cos("a", "b")} >= 0.35""".stripMargin,
+
+    "q_semantic_decontam" ->
+      s"""WITH $withNorm,
+        |b AS (
+        |  SELECT vec_id, CAST(CONCAT('0x', substring(
+        |    md5('split:' || CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |    % 100 AS bucket
+        |  FROM c),
+        |x AS (SELECT c.vec_id, v, nrm FROM c JOIN b USING (vec_id)
+        |  WHERE bucket < 90),
+        |y AS (SELECT c.vec_id, v, nrm FROM c JOIN b USING (vec_id)
+        |  WHERE bucket >= 90),
+        |sims AS (
+        |  SELECT x.vec_id AS train_id, y.vec_id AS eval_id,
+        |    ${cos("x", "y")} AS sim
+        |  FROM x, y)
+        |SELECT train_id, count(*) AS n_eval_hits, max(sim) AS max_sim,
+        |  min(eval_id) AS first_eval_id
+        |FROM sims WHERE sim >= 0.35
+        |GROUP BY train_id""".stripMargin,
 
     "q_sim_kmeans_step" ->
       s"""WITH $withNorm,
