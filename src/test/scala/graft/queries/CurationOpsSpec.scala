@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Invariants for the r11 curation operators (recall audit, temperature
+  * mixture, chunk materialization, semantic decontamination, boilerplate
+  * detector, perplexity) on the sf0.001 fixture — the oracle gate pins
+  * engine parity; these pin the SEMANTIC claims each query's doc comment
+  * makes, so a refactor that keeps both engines wrong in the same way
+  * still fails here.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_dedup_recall: detected <= truth, detected <= candidates, and " +
+      "recall is their exact ratio") {
+    val r = Docs.queries("q_dedup_recall")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nTrue, nDet, recall, nCand) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getLong(3))
+    assert(nDet <= nTrue)
+    assert(nDet <= nCand)
+    assert(recall == math.rint(nDet.toDouble / nTrue * 10000) / 10000)
+  }
+
+  test("q_mixture_temperature: rates anti-monotone in source size, the " +
+      "smallest source keeps 100%, and kept tokens never exceed the " +
+      "source's total") {
+    val docs = t(spark, dir, "documents")
+      .select(col("source"), graft.ext.Text.nTokens(col("text")).as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Docs.queries("q_mixture_temperature")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.nonEmpty)
+    val pct = out.map { case (s, p, _) => s -> p }.toMap
+    // anti-monotone: a strictly larger source never keeps a higher rate
+    for ((sa, pa) <- pct; (sb, pb) <- pct
+         if docs(sa) < docs(sb)) assert(pa >= pb)
+    val smallest = docs.minBy(_._2)._1
+    if (pct.contains(smallest)) assert(pct(smallest) == 100L)
+    out.foreach { case (s, _, kept) => assert(kept <= docs(s)) }
+  }
+
+  test("q_chunk_text: every chunk is the exact token slice of its doc at " +
+      "stride 24, width <= 32") {
+    val texts = t(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val chunks = Docs.queries("q_chunk_text")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (id, idx, text) =>
+      val toks = texts(id)
+      val start = (idx * 24).toInt
+      val expect = toks.slice(start, start + math.min(32, toks.length - start))
+      assert(text == expect.mkString(" "),
+        s"doc $id chunk $idx mismatch")
+    }
+    // coverage: concatenating each doc's chunk STRIDES (first 24 tokens of
+    // every chunk, all of the last) reproduces the full token stream
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val ordered = cs.sortBy(_._2).map(_._3.split(" ").toSeq)
+      val rebuilt = ordered.init.flatMap(_.take(24)) ++ ordered.last
+      assert(rebuilt.toSeq == texts(id).toSeq,
+        s"doc $id chunk coverage broken")
+    }
+  }
+
+  test("q_semantic_decontam: flags only train docs, offenders are eval " +
+      "docs, and every hit clears the threshold") {
+    val rows = Vectors.queries("q_semantic_decontam")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val splitOf = t(spark, dir, "embeddings")
+      .select(col("vec_id"), splitCol(col("vec_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      assert(splitOf(r.getLong(0)) == "train")
+      assert(splitOf(r.getLong(3)) != "train")
+      assert(r.getDouble(2) >= 0.35)
+      assert(r.getLong(1) >= 1L)
+    }
+  }
+
+  test("q_boilerplate_shingles: spread-ordered, threshold respected, and " +
+      "every reported shingle really occurs in >= n_docs distinct docs") {
+    val rows = Docs.queries("q_boilerplate_shingles")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 3))
+    assert(rows.forall { case (_, nd, nt) => nt >= nd })
+    val spreads = rows.map(_._2).toSeq
+    assert(spreads == spreads.sortBy(-_))
+    // spot-verify the top row's doc spread against a direct count
+    val (top, nDocs, _) = rows.head
+    val direct = graft.ext.Dedup
+      .docShingles(t(spark, dir, "documents"), "doc_id", "text")
+      .filter(col("shingle") === top)
+      .select("doc_id").distinct().count()
+    assert(direct == nDocs)
+  }
+
+  test("q_perplexity: positive nll, token counts match the tokenizer, " +
+      "every doc scored") {
+    val n = t(spark, dir, "documents").count()
+    val rows = Docs.queries("q_perplexity")(spark, dir).collect()
+    assert(rows.length == n)
+    val texts = t(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == texts(r.getLong(0)).split(" ", -1).length)
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
+
+  test("q_dedup_cross_source: unordered pair key is normalized and pair " +
+      "counts sum to the verified pair total") {
+    val rows = Docs.queries("q_dedup_cross_source")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    rows.foreach { case (lo, hi, _) => assert(lo <= hi) }
+    val total = graft.ext.Dedup.minhashVerifiedPairs(
+      t(spark, dir, "documents"), "doc_id", "text", 0.5).count()
+    assert(rows.map(_._3).sum == total)
+  }
+}
