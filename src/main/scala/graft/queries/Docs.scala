@@ -101,8 +101,11 @@ object Docs {
       val scored = truth
         .join(cand.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_detected"),
-          round(count(col("hit")).cast("double") / count(lit(1)), 4)
-            .as("recall"))
+          // empty truth ⇒ NULL, not 0/0 (ANSI divide-by-zero) — mirrored
+          // in the oracle so both engines agree on the degenerate corpus
+          when(count(lit(1)) > 0,
+            round(count(col("hit")).cast("double") / count(lit(1)), 4))
+            .otherwise(lit(null).cast("double")).as("recall"))
       scored.crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
     }),
 
@@ -1384,7 +1387,9 @@ object Docs {
         |    >= 0.5)
         |SELECT count(*) AS n_true,
         |  count(c.doc_a) AS n_detected,
-        |  round(count(c.doc_a) / CAST(count(*) AS DOUBLE), 4) AS recall,
+        |  CASE WHEN count(*) > 0 THEN
+        |    round(count(c.doc_a) / CAST(count(*) AS DOUBLE), 4)
+        |  ELSE NULL END AS recall,
         |  (SELECT count(*) FROM cand) AS n_candidates
         |FROM truth tr
         |LEFT JOIN cand c ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b"""
