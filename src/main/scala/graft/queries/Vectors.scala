@@ -131,8 +131,10 @@ object Vectors {
     // doc, reporting hit count, max similarity, and the lowest offending
     // eval id (deterministic; an argmax would tie-break on engine order).
     // Eval sets are small by construction, so the eval side broadcasts and
-    // the corpus streams once — O(train × eval) flops but zero shuffle;
-    // embeddings are 1:1 with documents (vec_id = doc_id).
+    // the corpus streams once through the broadcast join — O(train × eval)
+    // flops with NO corpus shuffle; only flagged rows (≈ leaks, tiny)
+    // reach the final aggregate's exchange (PlanSpec-pinned). Embeddings
+    // are 1:1 with documents (vec_id = doc_id).
     "q_semantic_decontam" -> ((s, dir) => {
       val c = Similarity.withNorm(t(s, dir, "embeddings"), "vec_id",
         "embedding")

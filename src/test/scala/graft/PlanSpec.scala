@@ -385,6 +385,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Sort "), s"unexpected sort in curation plan:\n$p")
   }
 
+  test("q_chunk_text is map-side only: zero exchanges") {
+    val p = plan("q_chunk_text")
+    assert(!p.contains("Exchange"),
+      s"chunk materialization must run at scan speed, no shuffle:\n$p")
+  }
+
+  test("q_semantic_decontam broadcasts the eval side; only flagged rows " +
+      "reach the final aggregate's exchange") {
+    val p = plan("q_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval side not broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the post-filter agg exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
+  }
+
+  test("q_mixture_temperature broadcasts the per-source rates into the " +
+      "membership scan") {
+    val p = plan("q_mixture_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must broadcast — the corpus is never shuffled to filter:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the join:\n$p")
+  }
+
+  test("q_boilerplate_shingles takes its top-k without a global sort") {
+    val p = plan("q_boilerplate_shingles")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("chunkcsv queries push their predicate into the DSv2 scan") {
     // fully pushed → the scan reports it and no Spark-side Filter remains
     // to re-evaluate it (the connector's row eval is the enforcement)
