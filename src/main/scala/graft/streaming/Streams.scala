@@ -245,6 +245,73 @@ object Streams {
     }
   }
 
+  /** Streaming incremental near-dup maintenance — the continuous-ingest
+    * twin of the batch band journal (`q_dedup_incremental`): each arriving
+    * micro-batch of documents is banded (MinHash k=8, 4×2 LSH) and ONLY
+    * pairs involving a new doc are emitted — one band join of the batch
+    * against the journal ∪ itself, O(batch × bands) per trigger,
+    * independent of corpus history. State is plain parquet under
+    * `stateDir/bands/<tag>` and `stateDir/pairs/<tag>`, one subdir per
+    * micro-batch.
+    *
+    * Idempotence is BY PATH, not by ledger arithmetic: a batch's bands and
+    * pairs are deterministic functions of (batch content, prior tags), and
+    * both land with mode=overwrite under the batch's own tag — a replay
+    * recomputes byte-identical output onto the same paths and converges.
+    * The prior-band read EXCLUDES the current tag, so a crash between the
+    * two writes cannot pair the batch against its own half-written state.
+    * The trailing marker only short-circuits clean replays.
+    *
+    * The union of `pairs/` subdirs equals the full-corpus candidate set
+    * (the decomposition the batch oracle pins), so downstream
+    * verify/cluster stages read one directory and never rescan history.
+    */
+  def startDedupJournal(docs: DataFrame, stateDir: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupBatchIdempotent(batch, stateDir, batchId, idCol, textCol)
+      }
+      .start()
+
+  /** The per-batch step of [[startDedupJournal]]. */
+  private[graft] def dedupBatchIdempotent(batch: DataFrame, stateDir: String,
+      batchId: Long, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.ext.Dedup
+    val spark = batch.sparkSession
+    val tag = s"b$batchId"
+    val marker = new Path(stateDir, s"_graft_commits/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    val newBands = Dedup.lshBands(
+      Dedup.minhashSignatures(batch, idCol, textCol), idCol)
+      .localCheckpoint() // feeds the pair join AND the journal write
+    val bandsRoot = new Path(stateDir, "bands")
+    val priorTags =
+      if (fs.exists(bandsRoot))
+        fs.listStatus(bandsRoot).toSeq.map(_.getPath.getName)
+          .filter(_ != tag) // self-exclusion: replay after a bands write
+      else Seq.empty
+    val oldBands =
+      if (priorTags.isEmpty) newBands.filter(lit(false))
+      else spark.read.parquet(
+        priorTags.map(t => s"$stateDir/bands/$t"): _*)
+    val pairs = Dedup.incrementalCandidatePairs(oldBands, newBands, idCol)
+    pairs.write.mode("overwrite").parquet(s"$stateDir/pairs/$tag")
+    newBands.write.mode("overwrite").parquet(s"$stateDir/bands/$tag")
+    try fs.create(marker, false).close() // exclusive: lost race = no-op
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    }
+  }
+
   /** Streaming CDC apply: drive [[graft.engine.Pipeline.applyChanges]]
     * from a change stream — each micro-batch of (key, op, seq, payload)
     * records merges into the snapshot atomically. No commit ledger here,

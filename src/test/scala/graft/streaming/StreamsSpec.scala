@@ -583,6 +583,55 @@ class StreamsSpec extends AnyFunSuite {
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
+
+  test("startDedupJournal: streamed candidate pairs == full-corpus LSH; " +
+      "replay and the crash seam both converge") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    try {
+      val state = s"$root/state"
+      // three batches; the duplicate text spans batches 0↔1 and 1↔2
+      val dup1 = (0 until 12).map(i => s"alpha$i").mkString(" ")
+      val dup2 = (0 until 12).map(i => s"beta$i").mkString(" ")
+      def uniq(id: Long) = (0 until 12).map(i => s"only${id}x$i").mkString(" ")
+      val b0 = Seq((1L, dup1), (2L, uniq(2)))
+      val b1 = Seq((3L, dup1), (4L, dup2), (5L, uniq(5)))
+      val b2 = Seq((6L, dup2), (7L, dup1))
+
+      val in = MemoryStream[(Long, String)]
+      val q = Streams.startDedupJournal(in.toDF().toDF("doc_id", "text"),
+        state, s"$root/ckpt")
+      runBatches(q)(() => in.addData(b0: _*), () => in.addData(b1: _*),
+        () => in.addData(b2: _*))
+
+      def streamedPairs() =
+        spark.read.parquet(s"$state/pairs/*")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val allDocs = (b0 ++ b1 ++ b2).toDF("doc_id", "text")
+      val full = graft.ext.Dedup.minhashPairs(allDocs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamedPairs() == full,
+        "journal union must equal the full-corpus candidate set")
+      assert(full.contains((1L, 3L)) && full.contains((4L, 6L)),
+        "fixture must actually produce cross-batch duplicates")
+
+      // clean replay: marker short-circuits, state unchanged
+      Streams.dedupBatchIdempotent(b1.toDF("doc_id", "text"), state, 1L)
+      assert(streamedPairs() == full)
+
+      // crash seam: marker lost AFTER the state writes — replay recomputes
+      // byte-identical output onto the same tagged paths and converges
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(state, "_graft_commits/2"),
+        false)
+      Streams.dedupBatchIdempotent(b2.toDF("doc_id", "text"), state, 2L)
+      assert(streamedPairs() == full,
+        "replay across the crash seam must converge, not duplicate")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
 }
 
 /** Minimal GroupState stub for direct unit-testing of the session fold
