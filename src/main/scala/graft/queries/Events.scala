@@ -199,6 +199,27 @@ object Events {
           col("session_window.end").as("session_end"),
           col("n_events"), col("total_value"))),
 
+    // Event-path mining: first-order Markov transition matrix over each
+    // user's time-ordered event sequence — the (from → to) counts and
+    // per-from probabilities behind "what do users do after a view".
+    // Per-user lag window (user-keyed partitions, the per-entity-history
+    // shape that scales with users); the transition table itself is
+    // |types|², so the probability normalization window is over a
+    // vanishingly small aggregate, not the event stream.
+    "q_event_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val seq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(seq))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      trans.withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 4))
+    }),
+
     // JSON scalar extraction from the props column (F-extension; the
     // reference carries WKT/JSON-ish payloads as opaque text).
     "q_json_extract" -> ((s, dir) =>
@@ -358,6 +379,20 @@ object Events {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |trans AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    sum(n) OVER (PARTITION BY from_type), 4) AS p
+        |FROM trans""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id,
