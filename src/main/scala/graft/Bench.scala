@@ -94,6 +94,23 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).trim
     catch { case scala.util.control.NonFatal(_) => "unavailable" }
 
+  /** Single-core calibration probe: a fixed 200k-round md5 chain, timed in
+    * ms. Containers differ across rounds (r11 measured the same unchanged
+    * queries ~1.6-2.5× slower than the r10 snapshot on a QUIET machine —
+    * slower host, not engine regression), so the bench line carries its
+    * own hardware yardstick: divide suite seconds by probe ms to compare
+    * rounds on different metal.
+    */
+  private[graft] def cpuProbeMs(): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var h = Array[Byte]('x')
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 200000) { h = md.digest(h); i += 1 }
+    val ms = (System.nanoTime() - t0) / 1000000L
+    if (h.length == 16) ms else -1L // defeat dead-code elimination
+  }
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -201,7 +218,8 @@ object Bench {
     // the complete map lives in the file the headline points to.
     val loadEnd = loadavg()
     val load =
-      s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd""""
+      s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+        s""""cpu_probe_ms":${cpuProbeMs()}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"order":$ord,"shuffle_bytes":$sh,"gc_millis":$gc,"storage_bytes":$st,$load,"sf":"$sfDir"}"""
     val slowest = passed.sortBy(-_._2).take(10).map { case (k, v) =>
       s"\"" + k + "\":" +
