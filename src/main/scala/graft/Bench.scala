@@ -80,6 +80,13 @@ object Bench {
   private[graft] def resetState(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     spark.catalog.clearCache()
+    // Broadcast vars and shuffle files are reclaimed by the ContextCleaner
+    // only after their refs are GC'd; this suite generates almost no heap
+    // pressure (r11 measured 2.4 s of GC over 169 queries), so the weak
+    // refs survive for minutes and every timed query inherits the whole
+    // suite's accumulated broadcast/shuffle debris. One explicit GC here —
+    // OUTSIDE every timer — lets the cleaner run between queries instead.
+    System.gc()
   }
 
   /** Machine load context (1/5/15-min loadavg + runnable/total threads),
