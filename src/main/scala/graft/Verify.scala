@@ -24,6 +24,11 @@ object Verify {
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Same suite hygiene as Bench.resetState: drop checkpoint blocks and
+      // let the ContextCleaner reclaim broadcast/shuffle debris — without
+      // it the 169-query dump accumulates every query's leftovers (the
+      // r11-measured multi-x in-suite slowdown).
+      Bench.resetState(spark)
     }
     writeOracleJson(outDir)
     writeDiagnostics(spark, sfDir, errors.toMap)
