@@ -272,6 +272,23 @@ object Docs {
           sum(col("nt")).as("n_tokens_kept"))
     }),
 
+    // Split-parity audit: per-(split, lang) counts, average length, and
+    // within-split language share — the bias check that a hash split is
+    // supposed to pass by construction (a skewed share means the split
+    // key correlates with content and eval metrics won't transfer).
+    // Two tiny aggregates; the share window runs over |splits|×|langs|
+    // rows, never the corpus.
+    "q_split_parity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(splitCol(col("doc_id")).as("split"), col("lang"),
+          col("n_chars"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 2).as("avg_chars"))
+      d.withColumn("share", round(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(Window.partitionBy(col("split"))), 4))
+    }),
+
     // Out-of-vocabulary rate per language against a frequency-thresholded
     // corpus vocabulary (tokens seen ≥ 50×) — the tokenizer-coverage
     // metric an LLM pipeline tracks per ingest slice. The vocab is
@@ -677,6 +694,29 @@ object Docs {
         .join(evalGrams, "shingle")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("shingle")).as("n_hit_grams"))
+    }),
+
+    // The REMOVAL endpoint the detection sweep exists for: the train
+    // corpus with every flagged doc dropped (LEFT ANTI against the
+    // contaminated set) — what actually ships to the trainer, the same
+    // flag→remove completion the dedup family has in q_dedup_kept.
+    // Summarized per (source, lang) with ends pinned so a wrongly kept or
+    // dropped doc moves a count or an endpoint.
+    "q_decontam_kept" -> ((s, dir) => {
+      val grams = Dedup.docShingles(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("split", splitCol(col("doc_id")))
+        .localCheckpoint()
+      val evalGrams = grams.filter(col("split") =!= "train")
+        .select(col("shingle")).distinct()
+      val flagged = grams.filter(col("split") === "train")
+        .join(evalGrams, "shingle")
+        .select(col("doc_id")).distinct()
+      t(s, dir, "documents")
+        .filter(splitCol(col("doc_id")) === "train")
+        .join(flagged, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
     }),
 
     // Bloom-prefiltered decontamination — the scale path when the eval
@@ -1205,6 +1245,18 @@ object Docs {
         |  % 100 < pct
         |GROUP BY d.source""".stripMargin,
 
+    "q_split_parity" ->
+      s"""WITH $splitsCte,
+        |g AS (
+        |  SELECT split, lang, count(*) AS n_docs,
+        |    round(avg(n_chars), 2) AS avg_chars
+        |  FROM documents JOIN splits USING (doc_id)
+        |  GROUP BY 1, 2)
+        |SELECT split, lang, n_docs, avg_chars,
+        |  round(CAST(n_docs AS DOUBLE) /
+        |    sum(n_docs) OVER (PARTITION BY split), 4) AS share
+        |FROM g""".stripMargin,
+
     "q_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -1521,6 +1573,25 @@ object Docs {
         |JOIN ev USING (shingle)
         |WHERE split = 'train'
         |GROUP BY 1""".stripMargin,
+
+    "q_decontam_kept" ->
+      s"""WITH $shingleCte,
+        |$splitsCte,
+        |ev AS (
+        |  SELECT DISTINCT shingle FROM sh
+        |  JOIN splits USING (doc_id) WHERE split != 'train'),
+        |flagged AS (
+        |  SELECT DISTINCT sh.doc_id FROM sh
+        |  JOIN splits USING (doc_id)
+        |  JOIN ev USING (shingle)
+        |  WHERE split = 'train')
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM documents JOIN splits USING (doc_id)
+        |WHERE split = 'train'
+        |  AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |GROUP BY 1, 2""".stripMargin,
 
     // The bloom prefilter is a pure optimization: the exact verify join
     // makes the answer identical to q_decontam_ngram's, so the oracle IS
