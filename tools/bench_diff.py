@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Compare two bench JSON artifacts, normalized for host speed.
+
+Usage: python3 tools/bench_diff.py <old.json> <new.json> [threshold]
+
+Prints per-query ratios (new/old), optionally normalized by the
+cpu_probe_ms each artifact carries (r11+): if both files have a probe,
+ratios are divided by probe_new/probe_old so a slower container does not
+read as an engine regression. Queries above `threshold` (default 2.0)
+after normalization are listed as regressions; exit 1 if any.
+
+Accepts either the full artifact (target/bench.json / BENCH_FULL.json)
+or a driver BENCH_r*.json whose `queries` map holds only the slowest
+subset — comparison runs over the intersection.
+"""
+import json, sys
+
+
+def load(path):
+    raw = open(path).read().strip()
+    # tolerate an sbt "[info] " prefix on captured lines
+    if raw.startswith("[info] "):
+        raw = raw[len("[info] "):]
+    return json.loads(raw)
+
+
+def main(old_path, new_path, threshold=2.0):
+    old, new = load(old_path), load(new_path)
+    po, pn = old.get("cpu_probe_ms"), new.get("cpu_probe_ms")
+    norm = (pn / po) if (po and pn and po > 0 and pn > 0) else 1.0
+    if norm != 1.0:
+        print(f"host normalization: probe {po} -> {pn} ms "
+              f"(dividing ratios by {norm:.2f})")
+    else:
+        print("no probe in one/both artifacts: raw ratios "
+              "(host drift not separable)")
+    oq, nq = old["queries"], new["queries"]
+    common = sorted(set(oq) & set(nq))
+    if not common:
+        print("no common queries")
+        return 1
+    rows = []
+    for q in common:
+        if oq[q] <= 0:
+            continue
+        rows.append((q, oq[q], nq[q], (nq[q] / oq[q]) / norm))
+    rows.sort(key=lambda r: -r[3])
+    regressions = [r for r in rows if r[3] > threshold]
+    print(f"{len(common)} common queries; "
+          f"totals {sum(oq[q] for q in common):.1f}s -> "
+          f"{sum(nq[q] for q in common):.1f}s "
+          f"(normalized ratio "
+          f"{(sum(nq[q] for q in common)/sum(oq[q] for q in common))/norm:.2f}x)")
+    for q, o, n, r in rows[:10]:
+        flag = "  <-- REGRESSION" if r > threshold else ""
+        print(f"  {q:30s} {o:8.3f}s -> {n:8.3f}s  {r:5.2f}x{flag}")
+    if regressions:
+        print(f"{len(regressions)} queries above {threshold}x normalized")
+        return 1
+    print(f"no query above {threshold}x normalized")
+    return 0
+
+
+if __name__ == "__main__":
+    th = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    sys.exit(main(sys.argv[1], sys.argv[2], th))
