@@ -584,6 +584,32 @@ object Docs {
           sum(col("n_chars")).as("chars_kept"))
     }),
 
+    // Dedup ROI report: what the near-dup sweep actually SAVED, per
+    // source — doc and char volumes dropped (non-representative cluster
+    // members) beside the totals, with the drop rate. The number that
+    // decides whether a 100 TB dedup pass pays for itself, and the
+    // per-source view that localizes where duplication concentrates.
+    // Same cluster derivation as q_dedup_kept; one extra corpus-keyed
+    // LEFT join + hash-agg.
+    "q_dedup_savings" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dropIds = Dedup.connectedComponents(
+        Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 0.5)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"), lit(1L).as("dropped"))
+      docs.join(dropIds, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_if(col("dropped").isNotNull).as("n_dropped"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(when(col("dropped").isNotNull, col("n_chars")).otherwise(0L))
+            .as("chars_dropped"))
+        .withColumn("drop_rate",
+          round(col("n_dropped").cast("double") / col("n_docs"), 4))
+    }),
+
     // The curation-policy variant of q_dedup_kept: keep the BEST member of
     // each near-dup cluster (longest doc wins, min id breaks ties) instead
     // of the arbitrary min-id — what a production pipeline actually ships,
@@ -1467,6 +1493,23 @@ object Docs {
         |FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         |GROUP BY lang""".stripMargin,
+
+    "q_dedup_savings" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$verifiedReachCte,
+        |drops AS (
+        |  SELECT src AS doc_id FROM reach
+        |  GROUP BY src HAVING src != min(dst))
+        |SELECT source, count(*) AS n_docs,
+        |  count(drops.doc_id) AS n_dropped,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(CASE WHEN drops.doc_id IS NOT NULL THEN n_chars
+        |    ELSE 0 END) AS BIGINT) AS chars_dropped,
+        |  round(count(drops.doc_id) / CAST(count(*) AS DOUBLE), 4)
+        |    AS drop_rate
+        |FROM documents d
+        |LEFT JOIN drops ON d.doc_id = drops.doc_id
+        |GROUP BY source""".stripMargin,
 
     "q_dedup_kept_best" ->
       s"""WITH RECURSIVE $shingleCte,
