@@ -118,6 +118,62 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_savings: dropped <= totals per source, rate is the exact " +
+      "ratio, and the dropped volume complements q_dedup_kept") {
+    val rows = Docs.queries("q_dedup_savings")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nd, ct, cd, rate) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))
+      assert(nd <= n && cd <= ct)
+      assert(rate == math.rint(nd.toDouble / n * 10000) / 10000)
+    }
+    val keptChars = Docs.queries("q_dedup_kept")(spark, dir)
+      .agg(sum(col("chars_kept"))).head().getLong(0)
+    val (tot, dropped) = (rows.map(_.getLong(3)).sum, rows.map(_.getLong(4)).sum)
+    assert(tot - dropped == keptChars,
+      "savings' complement must equal the kept corpus volume")
+  }
+
+  test("q_decontam_kept: kept + flagged partitions the train split") {
+    val kept = Docs.queries("q_decontam_kept")(spark, dir)
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    val flagged = Docs.queries("q_decontam_ngram")(spark, dir).count()
+    val train = t(spark, dir, "documents")
+      .filter(splitCol(col("doc_id")) === "train").count()
+    assert(kept + flagged == train,
+      s"kept $kept + flagged $flagged != train $train")
+  }
+
+  test("q_split_parity: shares sum to 1 within every split and counts " +
+      "cover the corpus") {
+    val rows = Docs.queries("q_split_parity")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(4)))
+    val total = t(spark, dir, "documents").count()
+    assert(rows.map(_._2).sum == total)
+    rows.groupBy(_._1).foreach { case (split, g) =>
+      val s = g.map(_._3).sum
+      assert(math.abs(s - 1.0) < 0.01, // each share rounds to 4 decimals
+        s"split $split shares sum to $s")
+    }
+  }
+
+  test("q_event_transitions: per-from probabilities sum to 1 and counts " +
+      "total events minus one per active user") {
+    val rows = Events.queries("q_event_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (from, g) =>
+      val s = g.map(_._3).sum
+      assert(math.abs(s - 1.0) < 0.01, s"from $from probs sum to $s")
+    }
+    val ev = t(spark, dir, "events")
+    val expected = ev.count() -
+      ev.select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == expected,
+      "each user contributes (events - 1) transitions")
+  }
+
   test("q_dedup_cross_source: unordered pair key is normalized and pair " +
       "counts sum to the verified pair total") {
     val rows = Docs.queries("q_dedup_cross_source")(spark, dir)
