@@ -96,6 +96,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = lint_oracles(con, oracle)
+    # Completeness: a dumped query with no oracle entry would silently
+    # skip the gate (the loop below iterates oracle keys). Surface it.
+    import os
+    dumped = {d for d in os.listdir(out_dir)
+              if os.path.isdir(os.path.join(out_dir, d))}
+    unchecked = sorted(dumped - set(oracle))
+    if unchecked:
+        print(f"FAIL completeness: {len(unchecked)} dumped queries have no "
+              f"oracle entry: {', '.join(unchecked)}")
+        failures += len(unchecked)
     for name, sql in sorted(oracle.items()):
         try:
             spark_df = canon(pd.read_parquet(f"{out_dir}/{name}"))
