@@ -199,6 +199,31 @@ object Events {
           col("session_window.end").as("session_end"),
           col("n_events"), col("total_value"))),
 
+    // Robust outlier detection by median absolute deviation — the
+    // heavy-tail-safe twin of q_outliers' z-score (mean and stddev are
+    // themselves dragged by the outliers they're meant to find; median
+    // and MAD are 50%-breakdown estimators). Two grouped exact-percentile
+    // passes (state O(groups), the aggregation buffers hold values — the
+    // production dial swaps in approx_percentile exactly as
+    // q_winsorize_approx does) + one broadcast join back; flag at the
+    // conventional |x − med| > 3·1.4826·MAD.
+    "q_mad_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("med")).as("med"),
+          expr("percentile(abs(value - med), 0.5)").as("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(first(col("med")), 4).as("med"),
+          round(first(col("mad")), 4).as("mad"),
+          count_if(abs(col("value") - col("med")) >
+            lit(3.0) * lit(1.4826) * col("mad")).as("n_outliers"))
+    }),
+
     // Event-path mining: first-order Markov transition matrix over each
     // user's time-ordered event sequence — the (from → to) counts and
     // per-from probabilities behind "what do users do after a view".
@@ -379,6 +404,22 @@ object Events {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, min(med) AS med,
+        |    quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM events e JOIN med USING (event_type)
+        |  GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(min(m.med), 4) AS med, round(min(m.mad), 4) AS mad,
+        |  count(CASE WHEN abs(value - m.med) > 3.0 * 1.4826 * m.mad
+        |    THEN 1 END) AS n_outliers
+        |FROM events e JOIN mad m USING (event_type)
+        |GROUP BY 1""".stripMargin,
 
     "q_event_transitions" ->
       """WITH seq AS (
