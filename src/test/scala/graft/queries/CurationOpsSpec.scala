@@ -174,6 +174,26 @@ class CurationOpsSpec extends AnyFunSuite {
       "each user contributes (events - 1) transitions")
   }
 
+  test("q_mad_outliers: outliers bounded by n, MAD nonnegative, and the " +
+      "flag count matches a direct recount") {
+    val rows = Events.queries("q_mad_outliers")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, _, mad, out) =>
+      assert(mad >= 0.0 && out <= n)
+    }
+    // direct recount for one type using the same exact percentiles
+    val (ty, _, _, _, reported) = rows.head
+    val ev = t(spark, dir, "events").filter(col("event_type") === ty)
+    val med = ev.agg(expr("percentile(value, 0.5)")).head().getDouble(0)
+    val mad = ev.agg(expr(s"percentile(abs(value - $med), 0.5)"))
+      .head().getDouble(0)
+    val direct = ev.filter(abs(col("value") - med) > 3.0 * 1.4826 * mad)
+      .count()
+    assert(direct == reported, s"$ty: direct $direct vs $reported")
+  }
+
   test("q_dedup_cross_source: unordered pair key is normalized and pair " +
       "counts sum to the verified pair total") {
     val rows = Docs.queries("q_dedup_cross_source")(spark, dir)
