@@ -415,6 +415,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("q_perplexity: no cartesian, no global sort; the 1-row total " +
+      "broadcasts") {
+    val p = plan("q_perplexity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"corpus total not broadcast:\n$p")
+  }
+
+  test("q_mad_outliers: the per-group medians broadcast back; no window, " +
+      "no sort of the event stream") {
+    val p = plan("q_mad_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"median/mad tables must broadcast:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("q_decontam_kept: anti-join keeps the corpus unsorted and " +
+      "cartesian-free") {
+    val p = plan("q_decontam_kept")
+    assert(p.contains("LeftAnti"), s"removal must be a LEFT ANTI join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("q_event_transitions: user-keyed window, normalization over the " +
+      "transition aggregate only") {
+    val p = plan("q_event_transitions")
+    assert(p.contains("Window"), p)
+    // exactly two shuffles feed windows/aggs: the user-keyed lag window's
+    // and the per-from normalization over the tiny transition table; the
+    // raw stream is never range-sorted globally
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global single-partition window would serialize the stream:\n$p")
+  }
+
   test("chunkcsv queries push their predicate into the DSv2 scan") {
     // fully pushed → the scan reports it and no Spark-side Filter remains
     // to re-evaluate it (the connector's row eval is the enforcement)
