@@ -48,6 +48,27 @@ class CurationOpsSpec extends AnyFunSuite {
     out.foreach { case (s, _, kept) => assert(kept <= docs(s)) }
   }
 
+  test("q_mixture_temperature rates are scale-invariant: replicating the " +
+      "whole corpus uniformly changes no source's keep rate") {
+    import spark.implicits._
+    val base = t(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-temp-scale")
+    try {
+      // 3x the corpus with distinct ids: every source grows by the same
+      // factor, so n_min/n_s — and every pct — must be unchanged
+      (0 until 3).map(r => base.withColumn("doc_id",
+          col("doc_id") + lit(r * 1000000L)))
+        .reduce(_ unionAll _)
+        .write.parquet(s"$tmp/documents.parquet")
+      def rates(d: String) =
+        Docs.queries("q_mixture_temperature")(spark, d)
+          .select("source", "pct")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rates(tmp.toString) == rates(dir))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("q_chunk_text: every chunk is the exact token slice of its doc at " +
       "stride 24, width <= 32") {
     val texts = t(spark, dir, "documents").select("doc_id", "text")
