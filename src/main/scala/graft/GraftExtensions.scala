@@ -71,7 +71,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "ARRAY<DOUBLE> (the frozen boundary grid)")
         val arr = bounds.eval(null).asInstanceOf[ArrayData]
         require(arr != null, "boundary grid must not be NULL")
-        QuantileBucket(v, arr.toDoubleArray())
+        // binarySearch preconditions: no null elements (toDoubleArray NPEs
+        // unhelpfully at plan time) and strictly ascending order (an unsorted
+        // grid silently returns wrong buckets).
+        require(!(0 until arr.numElements()).exists(arr.isNullAt),
+          "boundary grid must not contain NULL elements")
+        val grid = arr.toDoubleArray()
+        require(grid.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+          "boundary grid must be strictly ascending")
+        QuantileBucket(v, grid)
       })
   }
 }

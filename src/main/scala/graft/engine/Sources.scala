@@ -87,7 +87,25 @@ object Sources {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType =>
-        // TIMESTAMP(NANOS) read under nanosAsLong (or raw INT64 epoch-nanos)
+        // TIMESTAMP(NANOS) read under nanosAsLong (or raw INT64 epoch-nanos).
+        // Guard against a fixture regeneration shipping int64 epoch-MICROS or
+        // -MILLIS instead: plausible dates in epoch-nanos are ~1e18, in micros
+        // ~1e15, in millis ~1e12. A silent /1000 of the wrong unit would shift
+        // timestamps by 10^3/10^6, so probe one non-null value and fail loudly
+        // if its magnitude does not look like nanos.
+        val probe = raw.select(col("ts")).filter(col("ts").isNotNull).head(1)
+        probe.headOption.map(_.getLong(0)).foreach { v =>
+          val abs = math.abs(v)
+          if (abs != 0L && abs < 1e16.toLong) {
+            val suspect =
+              if (abs >= 1e14.toLong) "epoch-micros"
+              else if (abs >= 1e11.toLong) "epoch-millis"
+              else "epoch-seconds or unknown"
+            throw new IllegalStateException(
+              s"events.parquet ts is int64 but magnitude $v is too small for " +
+                s"epoch-nanos (suspected $suspect); refusing to divide by 1000")
+          }
+        }
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => raw
       case _: TimestampNTZType =>

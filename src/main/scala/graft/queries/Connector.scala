@@ -84,8 +84,16 @@ object Connector {
     * range partitioning samples its boundaries from whatever input splits
     * the session derives, so chunk contents varied between 8- and 32-CPU
     * environments (caught by the r10 digest forensics). Hash-of-year is a
-    * pure function of the data: deterministic everywhere, and still
-    * year-clustered enough that a date predicate prunes whole chunks.
+    * pure function of the data: deterministic everywhere.
+    *
+    * Hash buckets alone prune poorly, though — murmur3 coalesces years
+    * {1995, 1997, 2001} into ONE bucket, whose [min,max] date range then
+    * straddles any mid-range predicate (the r11 q_chunkcsv_skip residual:
+    * one 19k-row chunk per bucket meant zone maps could skip only 1 of 5
+    * chunks). The pruning granularity therefore comes from the
+    * in-partition date sort + SMALL chunks: each bucket emits ~4 chunks
+    * of contiguous date runs, so a date predicate skips every chunk that
+    * sits wholly before the cut — still a pure function of the data.
     */
   private def orderChunks(s: SparkSession, dir: String): String =
     Scratch.cached(s"chunkcsv-orders:$dir") { tmp =>
@@ -93,7 +101,7 @@ object Connector {
       val clustered = t(s, dir, "orders")
         .repartition(8, year(col("o_orderdate")))
         .sortWithinPartitions("o_orderdate", "o_orderkey")
-      Sinks.writeChunkedCsv(clustered, out, chunkRows = 100000)
+      Sinks.writeChunkedCsv(clustered, out, chunkRows = 8192)
       ChunkStats.index(s, out, ordersSchema,
         Seq("o_orderdate", "o_orderkey"))
       out

@@ -255,10 +255,13 @@ object Streams {
     * micro-batch.
     *
     * Idempotence is BY PATH, not by ledger arithmetic: a batch's bands and
-    * pairs are deterministic functions of (batch content, prior tags), and
-    * both land with mode=overwrite under the batch's own tag — a replay
-    * recomputes byte-identical output onto the same paths and converges.
-    * The prior-band read EXCLUDES the current tag, so a crash between the
+    * pairs are deterministic functions of (batch content, strictly-earlier
+    * tags), and both land with mode=overwrite under the batch's own tag —
+    * an IN-ORDER replay recomputes byte-identical output onto the same
+    * paths and converges. (An out-of-order replay — batch N rerun after
+    * N+1 landed — is also safe: the prior-band read filters to numeric
+    * tags < batchId, so it sees exactly the state the original run saw.)
+    * Excluding the current-and-later tags also means a crash between the
     * two writes cannot pair the batch against its own half-written state.
     * The trailing marker only short-circuits clean replays.
     *
@@ -293,10 +296,18 @@ object Streams {
       Dedup.minhashSignatures(batch, idCol, textCol), idCol)
       .localCheckpoint() // feeds the pair join AND the journal write
     val bandsRoot = new Path(stateDir, "bands")
+    // Strictly-earlier batches only: a replay of batch N after N+1 has
+    // landed (manual backfill, marker deleted out of band) must not pair
+    // against FUTURE bands — that would write extra pairs under pairs/bN
+    // and duplicate them across journal subdirs. Filtering to numeric ids
+    // < batchId also self-excludes the current tag.
     val priorTags =
       if (fs.exists(bandsRoot))
         fs.listStatus(bandsRoot).toSeq.map(_.getPath.getName)
-          .filter(_ != tag) // self-exclusion: replay after a bands write
+          .filter { t =>
+            t.startsWith("b") && t.drop(1).forall(_.isDigit) &&
+              t.drop(1).toLong < batchId
+          }
       else Seq.empty
     val oldBands =
       if (priorTags.isEmpty) newBands.filter(lit(false))

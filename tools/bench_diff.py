@@ -27,8 +27,9 @@ def load(path):
 def main(old_path, new_path, threshold=2.0):
     old, new = load(old_path), load(new_path)
     po, pn = old.get("cpu_probe_ms"), new.get("cpu_probe_ms")
-    norm = (pn / po) if (po and pn and po > 0 and pn > 0) else 1.0
-    if norm != 1.0:
+    both_probed = bool(po and pn and po > 0 and pn > 0)
+    norm = (pn / po) if both_probed else 1.0
+    if both_probed:
         print(f"host normalization: probe {po} -> {pn} ms "
               f"(dividing ratios by {norm:.2f})")
     else:
