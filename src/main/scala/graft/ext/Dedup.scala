@@ -378,4 +378,38 @@ object Dedup {
     (labels.select(col("id").as("doc_id"), col("label").as("cluster_id")),
       iter)
   }
+
+  /** Substring-level exact dedup, phase 1: gram positions that are part of
+    * a duplicated run of >= `l` tokens (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — their ExactSubstr
+    * removes repeated >=50-token spans INSIDE otherwise-distinct
+    * documents; whole-doc dedup and shingle-set near-dup both miss this
+    * case). The paper builds a suffix array; with the span length fixed
+    * at `l`, l-gram equality is a complete substitute — every repeated
+    * span of >= l tokens is exactly a maximal run of positions whose
+    * l-gram occurs >= 2 times corpus-wide (self-repeats included, as in
+    * the paper) — so the whole detection is one hash shuffle on the gram
+    * digest: O(tokens) rows carrying a 32-byte md5, never the l-token
+    * gram text, and no suffix-array construction. `l` is a dial: the
+    * paper uses 50 for web-scale corpora; the fixture's docs run 10-99
+    * tokens, so callers here use 20.
+    *
+    * Returns (doc_id, pos): 0-based token positions (as long) whose
+    * l-gram is duplicated. Downstream turns runs into spans
+    * (gaps-and-islands) or masks tokens (running-max coverage window).
+    */
+  def substringDupPositions(docs: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame = {
+    val grams = docs
+      .filter(size(split(col(textCol), " ")) >= l)
+      .select(col(idCol),
+        posexplode(shingles(col(textCol), l)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        md5(col("gram").cast("binary")).as("h"))
+    import org.apache.spark.sql.expressions.Window
+    grams
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("n") >= 2)
+      .select(col(idCol), col("pos"))
+  }
 }

@@ -62,6 +62,59 @@ object Docs {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Substring-level exact dedup (Lee et al. 2021 ExactSubstr): maximal
+    // duplicated >=20-token spans per doc — the repeated region INSIDE
+    // otherwise-distinct documents that whole-doc and shingle-set dedup
+    // both miss. Duplicated gram positions (one hash shuffle on the gram
+    // digest, ext/Dedup.substringDupPositions) → gaps-and-islands run
+    // merge per doc (window + hash-agg, second shuffle). Overlapping
+    // repeated spans coalesce into one maximal span, exactly like the
+    // oracle's window twin.
+    "q_dedup_substring" -> ((s, dir) => {
+      val l = 20
+      val flagged = Dedup.substringDupPositions(
+        t(s, dir, "documents"), "doc_id", "text", l)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      flagged
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + lit(l - 1)).as("span_end"),
+          (max(col("pos")) - min(col("pos")) + lit(l)).as("n_span_tokens"))
+        .select("doc_id", "span_start", "span_end", "n_span_tokens")
+    }),
+
+    // The rewrite phase: every token covered by a duplicated >=20-token
+    // span is dropped from every occurrence (the paper's ExactSubstr cut
+    // semantics) and the survivor text is reassembled in token order.
+    // Coverage is a running max of flagged-span ends over the token
+    // stream — one window per doc, no token×span range join. Shuffles:
+    // gram digest (flag), (doc,pos) equi-join, doc (window + rebuild agg).
+    "q_dedup_substring_kept" -> ((s, dir) => {
+      val l = 20
+      val docs = t(s, dir, "documents")
+      val flagged = Dedup.substringDupPositions(docs, "doc_id", "text", l)
+        .withColumn("fpos", col("pos"))
+      val toks = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .withColumn("pos", col("pos").cast("long"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val covered = toks
+        .join(flagged, Seq("doc_id", "pos"), "left")
+        .withColumn("cov_end",
+          max(when(col("fpos").isNotNull, col("fpos") + lit(l - 1))).over(w))
+        .withColumn("kept", col("cov_end").isNull || col("cov_end") < col("pos"))
+      covered.groupBy(col("doc_id"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("pos"), col("token"))))),
+            x => x("token")), " ").as("text_kept"),
+          count(when(col("kept"), lit(1))).as("n_kept"),
+          count(when(!col("kept"), lit(1))).as("n_dropped"))
+    }),
+
     // Near-dup provenance matrix: verified pairs annotated with BOTH sides'
     // source, rolled up per unordered source pair — the syndication
     // diagnostic (which feeds re-publish which) a curation run reads before
@@ -1062,6 +1115,49 @@ object Docs {
       |  FROM toks)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_substring" ->
+      """WITH lt AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        |grams AS (
+        |  SELECT doc_id, t.pos, md5(array_to_string(l[t.pos+1:t.pos+20], ' ')) AS h
+        |  FROM lt, LATERAL (SELECT unnest(range(len(l) - 19)) AS pos) t
+        |  WHERE len(l) >= 20),
+        |flagged AS (
+        |  SELECT doc_id, pos
+        |  FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS n FROM grams)
+        |  WHERE n >= 2),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM flagged)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 19 AS span_end,
+        |  max(pos) - min(pos) + 20 AS n_span_tokens
+        |FROM runs GROUP BY doc_id, grp""".stripMargin,
+
+    "q_dedup_substring_kept" ->
+      """WITH lt AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        |grams AS (
+        |  SELECT doc_id, t.pos, md5(array_to_string(l[t.pos+1:t.pos+20], ' ')) AS h
+        |  FROM lt, LATERAL (SELECT unnest(range(len(l) - 19)) AS pos) t
+        |  WHERE len(l) >= 20),
+        |flagged AS (
+        |  SELECT doc_id, pos
+        |  FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS n FROM grams)
+        |  WHERE n >= 2),
+        |toks AS (
+        |  SELECT doc_id, unnest(l) AS token, unnest(range(len(l))) AS pos FROM lt),
+        |cover AS (
+        |  SELECT t.doc_id, t.pos, t.token,
+        |    max(CASE WHEN f.pos IS NOT NULL THEN f.pos + 19 END)
+        |      OVER (PARTITION BY t.doc_id ORDER BY t.pos
+        |            ROWS UNBOUNDED PRECEDING) AS cov_end
+        |  FROM toks t LEFT JOIN flagged f ON t.doc_id = f.doc_id AND t.pos = f.pos)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN cov_end IS NULL OR cov_end < pos THEN token END,
+        |    ' ' ORDER BY pos), '') AS text_kept,
+        |  count(*) FILTER (WHERE cov_end IS NULL OR cov_end < pos) AS n_kept,
+        |  count(*) FILTER (WHERE cov_end IS NOT NULL AND cov_end >= pos) AS n_dropped
+        |FROM cover GROUP BY doc_id""".stripMargin,
+
     "q_text_stats" ->
       """WITH x AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
