@@ -357,4 +357,94 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Product quantization codes (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): split each D-dim vector into `m`
+    * contiguous subspaces of `ds` dims, encode every sub-vector as the id
+    * of its nearest (L2, lowest-id tiebreak) codebook centroid for that
+    * subspace. Codebooks here are seeded from `centroidPred` rows' own
+    * sub-vectors (deterministic, oracle-reproducible); production trains
+    * them with per-subspace k-means ([[centroidRefinement]] iterated on
+    * the sub-vector table, same machinery).
+    *
+    * This is the published 16-32× memory lever beyond int8's 4×: m bytes
+    * per vector (m=8..16, 256 centroids) instead of D floats, and it
+    * composes with IVF (encode residuals per cluster) exactly because the
+    * code table is just another (id, j, code) relation. The argmin is the
+    * same broadcast-fold shape as [[assignClustersFrom]]: zero shuffle to
+    * encode, O(corpus × m) rows out, the codebook (m × k centroids)
+    * broadcast — never the corpus.
+    *
+    * Input must be [[withNorm]]-shaped (idCol, v, nrm); `v`'s length must
+    * equal m × ds. Returns (idCol, j, code, rsv) — subspace index, chosen
+    * centroid id, and that centroid's sub-vector (the reconstruction the
+    * ADC distance reads).
+    */
+  def pqCodes(corpus: DataFrame, idCol: String, m: Int, ds: Int,
+      centroidPred: Column): DataFrame = {
+    val subs = corpus.select(col(idCol),
+      posexplode(array((0 until m).map(j =>
+        slice(col("v"), j * ds + 1, ds)): _*)).as(Seq("j", "sv")))
+      .withColumn("j", col("j").cast("long"))
+    val cb = subs.filter(centroidPred)
+      .groupBy(col("j"))
+      .agg(array_sort(collect_list(struct(col(idCol).as("cent_id"),
+        col("sv").as("cv")))).as("cents"))
+    // Squared L2 as the same sequential left fold both engines compute —
+    // bit-identical doubles, so the strict-< argmin scanning the
+    // cent_id-sorted codebook equals the oracle's ORDER BY d2, cent_id.
+    def d2Of(c: Column): Column =
+      aggregate(zip_with(col("sv"), c.getField("cv"),
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    val first = try_element_at(col("cents"), lit(1))
+    val best = aggregate(
+      col("cents"),
+      struct(first.getField("cent_id").as("code"),
+        first.getField("cv").as("rsv"), d2Of(first).as("d2")),
+      (acc, c) => {
+        val d2 = d2Of(c)
+        when(d2 < acc.getField("d2"),
+          struct(c.getField("cent_id").as("code"),
+            c.getField("cv").as("rsv"), d2.as("d2")))
+          .otherwise(acc)
+      })
+    subs.join(broadcast(cb), Seq("j"))
+      .select(col(idCol), col("j"), best.getField("code").as("code"),
+        best.getField("rsv").as("rsv"))
+  }
+
+  /** Reassemble the PQ reconstruction (concat of coded centroids in
+    * subspace order) with its norm — [[withNorm]]-shaped, so the ADC
+    * top-k is just the brute-force machinery over the reconstructed
+    * corpus with FULL-precision queries: dot(recon, q) is exactly the
+    * sum of per-subspace table lookups the PQ paper's ADC computes.
+    */
+  def pqReconstruct(codes: DataFrame, idCol: String): DataFrame =
+    codes.groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("j"), col("rsv")))),
+        x => x.getField("rsv"))).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  /** PQ ANN top-k via asymmetric distance (ADC): queries stay
+    * full-precision, corpus vectors are their PQ reconstructions. Returns
+    * (query_id, neighbor_id, sim, rank) like [[bruteForceTopKFrom]].
+    */
+  def pqTopK(corpus: DataFrame, idCol: String, m: Int, ds: Int,
+      centroidPred: Column, queryPred: Column, k: Int): DataFrame = {
+    val recon = pqReconstruct(pqCodes(corpus, idCol, m, ds, centroidPred),
+      idCol)
+    val queries = corpus.filter(queryPred)
+      .select(col(idCol).as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    recon.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -160,6 +160,48 @@ object Vectors {
     "q_sim_neardup_lsh32" -> ((s, dir) =>
       Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", dim = 64, threshold = 0.35, planes = 32)),
+
+    // Product-quantization code table (4 subspaces × 16 dims, 16 seed
+    // centroids each): the (vec_id, subspace, code) relation a PQ index
+    // stores — 4 small ints instead of 64 floats. The oracle reproduces
+    // every code exactly (bit-identical sequential-fold L2 + lowest-id
+    // tiebreak on both engines).
+    "q_sim_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(
+        Similarity.withNorm(t(s, dir, "embeddings"), "vec_id", "embedding"),
+        "vec_id", m = 4, ds = 16, col("vec_id") < 16)
+        .select("vec_id", "j", "code")),
+
+    // PQ ANN top-5 via asymmetric distance: full-precision queries against
+    // PQ reconstructions — the published 16-32× memory lever beyond int8's
+    // 4×, and it composes with IVF (the code table is just another
+    // relation).
+    "q_sim_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(
+        Similarity.withNorm(t(s, dir, "embeddings"), "vec_id", "embedding"),
+        "vec_id", m = 4, ds = 16, col("vec_id") < 16,
+        col("vec_id") % 25 === 0, k = 5)),
+
+    // PQ quality evaluation: recall@5 of the ADC top-k against the
+    // brute-force ground truth — the recall row that sits beside
+    // q_sim_recall's IVF measurement, from one shared normalized corpus.
+    "q_sim_pq_recall" -> ((s, dir) => {
+      val corpus = Similarity.withNorm(t(s, dir, "embeddings"), "vec_id",
+        "embedding").localCheckpoint()
+      val brute = Similarity.bruteForceTopKFrom(corpus, "vec_id",
+        col("vec_id") % 25 === 0, k = 5)
+      val pq = Similarity.pqTopK(corpus, "vec_id", m = 4, ds = 16,
+        col("vec_id") < 16, col("vec_id") % 25 === 0, k = 5)
+      brute.select(col("query_id"), col("neighbor_id"))
+        .join(pq.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .select(col("query_id"), col("n_true"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_true"), 4)
+            .as("recall_at_5"))
+    }),
   )
 
   /** Sequential-fold cosine matching [[graft.ext.Similarity.dot]]:
@@ -196,6 +238,37 @@ object Vectors {
        |        ORDER BY ${cos("x", "cent")} DESC, cent.cent_id ASC) AS rn
        |    FROM c x, cent)
        |  WHERE rn = 1)""".stripMargin
+
+  /** Shared PQ CTEs (`pqcode`, `pqr`) — codes via the same sequential-fold
+    * squared-L2 argmin (lowest-cent_id tiebreak) the Scala side folds, and
+    * the reconstruction (`pqr`) shaped like `c` so [[cos]] applies
+    * unchanged. ONE definition for the three PQ oracles.
+    */
+  private def pqCtes: String =
+    s"""pqsub AS (
+       |  SELECT c.vec_id, t.j, c.v[t.j*16+1 : t.j*16+16] AS sv
+       |  FROM c, (SELECT unnest(range(4)) AS j) t),
+       |pqcb AS (SELECT vec_id AS cent_id, j, sv AS cv
+       |  FROM pqsub WHERE vec_id < 16),
+       |pqd AS (
+       |  SELECT s.vec_id, s.j, cb.cent_id, cb.cv,
+       |    list_reduce(list_transform(range(1, 17),
+       |      i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])),
+       |      (x, y) -> x + y) AS d2
+       |  FROM pqsub s JOIN pqcb cb ON s.j = cb.j),
+       |pqcode AS (
+       |  SELECT vec_id, j, cent_id AS code, cv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |      ORDER BY d2 ASC, cent_id ASC) AS rn
+       |    FROM pqd)
+       |  WHERE rn = 1),
+       |pqr AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+       |      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+       |  FROM (
+       |    SELECT vec_id, flatten(list(cv ORDER BY j)) AS v
+       |    FROM pqcode GROUP BY vec_id))""".stripMargin
 
   /** DuckDB twin of [[graft.ext.Similarity.cosineLshPairs]] at a given
     * (planes, bands) dial — mirrors the Scala parameterization so both
@@ -236,6 +309,55 @@ object Vectors {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_sim_pq_codes" ->
+      s"""WITH $withNorm,
+        |$pqCtes
+        |SELECT vec_id, j, code FROM pqcode""".stripMargin,
+
+    "q_sim_pq_topk" ->
+      s"""WITH $withNorm,
+        |$pqCtes,
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    ${cos("n", "q")} AS sim
+        |  FROM pqr n, c q
+        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM sims)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_sim_pq_recall" ->
+      s"""WITH $withNorm,
+        |$pqCtes,
+        |brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cos("n", "q")} DESC, n.vec_id ASC) AS BIGINT)
+        |        AS rank
+        |    FROM c n, c q
+        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |  WHERE rank <= 5),
+        |pq AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cos("n", "q")} DESC, n.vec_id ASC) AS BIGINT)
+        |        AS rank
+        |    FROM pqr n, c q
+        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |  WHERE rank <= 5)
+        |SELECT b.query_id, count(*) AS n_true,
+        |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_found,
+        |  round(CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 4) AS recall_at_5
+        |FROM brute b LEFT JOIN pq p
+        |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+        |GROUP BY b.query_id""".stripMargin,
+
     "q_sim_topk_brute" ->
       s"""WITH $withNorm,
         |sims AS (
