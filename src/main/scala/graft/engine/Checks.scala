@@ -114,9 +114,18 @@ object Checks {
     * the reference's FLOW_DIAGRAMS.md but unimplemented; trivial here).
     */
   def freshness(tsCol: String, maxAgeHours: Double): Check =
+    freshnessAt(tsCol, maxAgeHours, current_timestamp())
+
+  /** [[freshness]] with an injected evaluation instant — the same
+    * constant-injection pattern the incremental family uses for
+    * `loaded_at`, which is what lets the age metric sit under the DuckDB
+    * oracle (q_freshness) instead of only wall-clock ScalaTest. Seconds
+    * resolution (unix_timestamp truncates sub-second), matching the
+    * reference's hour-granularity gate.
+    */
+  def freshnessAt(tsCol: String, maxAgeHours: Double, now: Column): Check =
     Check(s"freshness_$tsCol",
-      (unix_timestamp(current_timestamp()) -
-        unix_timestamp(max(col(tsCol)))) / 3600.0,
+      (unix_timestamp(now) - unix_timestamp(max(col(tsCol)))) / 3600.0,
       _ <= maxAgeHours, blocking = true)
 
   /** Required-columns contract (metadata check, no data pass). */

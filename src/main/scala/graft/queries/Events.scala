@@ -21,6 +21,23 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // A6 freshness gate under the oracle: per-stream age-hours of the
+    // newest event against a 0.5 h SLA, evaluated at an INJECTED instant
+    // (Checks.freshnessAt — same constant-injection pattern as the
+    // incremental family's loaded_at) so the wall-clock check becomes
+    // deterministic and DuckDB-comparable. At sf0.01 the outcome is
+    // mixed: view/click pass, error/purchase/signup fail — the gate
+    // actually gates. One hash-agg keyed by type; the metric expression
+    // IS Checks.freshnessAt's, not a re-derivation.
+    "q_freshness" -> ((s, dir) => {
+      val chk = graft.engine.Checks.freshnessAt("ts", 0.5,
+        to_timestamp(lit("2024-01-31 00:00:00")))
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(chk.metric, 6).as("age_hours"))
+        .withColumn("passed", col("age_hours") <= 0.5)
+    }),
+
     // Tumbling 1-hour window per event type (Spark's window() operator;
     // epoch-aligned buckets).
     "q_time_tumbling" -> ((s, dir) =>
@@ -265,6 +282,14 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_freshness" ->
+      """SELECT event_type,
+        |  round((floor(epoch(TIMESTAMP '2024-01-31 00:00:00'))
+        |    - floor(epoch(max(ts)))) / 3600.0, 6) AS age_hours,
+        |  round((floor(epoch(TIMESTAMP '2024-01-31 00:00:00'))
+        |    - floor(epoch(max(ts)))) / 3600.0, 6) <= 0.5 AS passed
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q_time_tumbling" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total
