@@ -526,4 +526,39 @@ object Pipeline {
     RunReport(s0 +: run(spark, landingFile, stagingDir, analyticsDir,
       auditDir, checks, required, rangeCol).stages)
   }
+
+  /** Global training-order writer: materialize the corpus in the exact
+    * order a pretraining loader will stream it — sharded by a pure id
+    * hash (the q_shard_order assignment: zero data movement to decide),
+    * position-sorted inside each shard by a second independent id hash
+    * (the deterministic global shuffle order), one directory per shard
+    * with the rows physically in position order.
+    *
+    * Execution is ONE shuffle total: the seq-stamping window shuffles by
+    * shard, which is exactly the output layout, so the writer's
+    * `partitionBy` consumes that distribution directly — each shard lives
+    * wholly in one task and lands as one contiguous position-sorted file.
+    * No global sort: order is only ever per-shard (loaders consume shards
+    * independently), so nothing serializes through a single partition at
+    * 100 TB. `seq` (row_number by position within shard) is written so
+    * consumers and audits can verify/seek the order without re-deriving
+    * the hash — and so the manifest is oracle-checkable row by row.
+    */
+  def writeTrainingOrder(docs: DataFrame, idCol: String, outDir: String,
+      nShards: Int = 8): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val id = col(idCol).cast("string")
+    val keyed = docs
+      .withColumn("shard",
+        conv(substring(md5(concat(lit("shard:"), id)), 1, 4), 16, 10)
+          .cast("long") % nShards)
+      .withColumn("pos", md5(concat(lit("order:"), id)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("pos"), col(idCol))
+    keyed
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
 }

@@ -740,6 +740,25 @@ object Docs {
           max_by(col("doc_id"), col("pos")).as("last_doc"))
     }),
 
+    // The WRITTEN training order (Pipeline.writeTrainingOrder): read the
+    // sharded, position-sorted corpus layout back and emit every (shard,
+    // seq, doc_id, pos) row — the oracle recomputes the same assignment +
+    // row_number from the raw table, so a writer that sharded, ordered,
+    // or seq-stamped wrongly mismatches row-by-row. q_shard_order proves
+    // the ASSIGNMENT; this proves the MATERIALIZATION (SinksSpec pins the
+    // physical file order on top).
+    "q_shard_manifest" -> ((s, dir) => {
+      val out = Scratch.cached(s"training-order:$dir") { tmp =>
+        val o = tmp + "/corpus"
+        graft.engine.Pipeline.writeTrainingOrder(
+          t(s, dir, "documents"), "doc_id", o)
+        o
+      }
+      s.read.parquet(out)
+        .select(col("shard").cast("long").as("shard"), col("seq"),
+          col("doc_id"), col("pos"))
+    }),
+
     // Decontamination: near-dup pairs (MinHash-LSH candidates) that CROSS a
     // train/eval split boundary — the canonical "is my eval set leaking
     // into training data" sweep. The split is a pure hash of the id
@@ -1669,6 +1688,20 @@ object Docs {
         |  arg_min(doc_id, pos) AS first_doc,
         |  arg_max(doc_id, pos) AS last_doc
         |FROM d GROUP BY shard""".stripMargin,
+
+    "q_shard_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CONCAT('0x', substring(
+        |      md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |      % 8 AS shard,
+        |    md5('order:' || CAST(doc_id AS VARCHAR)) AS pos
+        |  FROM documents)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY pos, doc_id) AS BIGINT) AS seq,
+        |  doc_id, pos
+        |FROM d""".stripMargin,
 
     "q_decontamination" ->
       s"""WITH $shingleCte,

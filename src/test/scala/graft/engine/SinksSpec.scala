@@ -66,4 +66,31 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sinks.deleteRecursive(df, dir))
     assert(!new java.io.File(dir).exists())
   }
+
+  test("writeTrainingOrder lands one contiguous position-sorted file per " +
+      "shard, physical row order == seq order") {
+    import spark.implicits._
+    val dir = root.resolve("training-order").toString
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    Pipeline.writeTrainingOrder(docs, "doc_id", dir, nShards = 4)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    var total = 0L
+    shardDirs.foreach { sd =>
+      val parts = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"${sd.getName} must be one contiguous file, got ${parts.length}")
+      // single file, single split: collect order IS physical row order
+      val rows = spark.read.parquet(parts.head.toString)
+        .select("seq", "pos").collect()
+      total += rows.length
+      assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq,
+        s"${sd.getName}: physical order must be exactly seq 1..n")
+      val ps = rows.map(_.getString(1)).toSeq
+      assert(ps == ps.sorted,
+        s"${sd.getName}: rows must be position-sorted on disk")
+    }
+    assert(total == 200L, "every doc lands in exactly one shard")
+  }
 }
