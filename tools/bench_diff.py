@@ -24,11 +24,30 @@ def load(path):
     return json.loads(raw)
 
 
-def main(old_path, new_path, threshold=2.0):
-    old, new = load(old_path), load(new_path)
+def diff(old, new, threshold=2.0):
+    """Probe-normalized per-query comparison of two loaded artifacts.
+
+    Returns (rows, regressions, norm, both_probed): rows are
+    (query, old_sec, new_sec, normalized_ratio) sorted worst-first;
+    regressions is the subset above `threshold`.
+    """
     po, pn = old.get("cpu_probe_ms"), new.get("cpu_probe_ms")
     both_probed = bool(po and pn and po > 0 and pn > 0)
     norm = (pn / po) if both_probed else 1.0
+    oq, nq = old["queries"], new["queries"]
+    rows = []
+    for q in sorted(set(oq) & set(nq)):
+        if oq[q] <= 0:
+            continue
+        rows.append((q, oq[q], nq[q], (nq[q] / oq[q]) / norm))
+    rows.sort(key=lambda r: -r[3])
+    return rows, [r for r in rows if r[3] > threshold], norm, both_probed
+
+
+def main(old_path, new_path, threshold=2.0):
+    old, new = load(old_path), load(new_path)
+    po, pn = old.get("cpu_probe_ms"), new.get("cpu_probe_ms")
+    rows, regressions, norm, both_probed = diff(old, new, threshold)
     if both_probed:
         print(f"host normalization: probe {po} -> {pn} ms "
               f"(dividing ratios by {norm:.2f})")
@@ -40,13 +59,6 @@ def main(old_path, new_path, threshold=2.0):
     if not common:
         print("no common queries")
         return 1
-    rows = []
-    for q in common:
-        if oq[q] <= 0:
-            continue
-        rows.append((q, oq[q], nq[q], (nq[q] / oq[q]) / norm))
-    rows.sort(key=lambda r: -r[3])
-    regressions = [r for r in rows if r[3] > threshold]
     print(f"{len(common)} common queries; "
           f"totals {sum(oq[q] for q in common):.1f}s -> "
           f"{sum(nq[q] for q in common):.1f}s "

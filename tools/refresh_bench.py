@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Refresh the committed quiet snapshot (BENCH_FULL.json) from a fresh
+target/bench.json, gated by the probe-normalized regression check.
+
+Usage: python3 tools/refresh_bench.py [new.json] [snapshot.json] [threshold]
+Defaults: target/bench.json  BENCH_FULL.json  2.0
+
+This is THE refresh path — it always runs bench_diff against the previous
+snapshot first, so a regressed refresh cannot land silently:
+
+- the new snapshot is written with a `regression_banner` field: [] when
+  clean, else one entry per query above `threshold` x probe-normalized
+  vs the previous snapshot (query, old_sec, new_sec, normalized_ratio);
+- exit status is 1 when the banner is non-empty, so a scripted round
+  ritual fails loudly while the artifact still records what regressed.
+
+Sub-second-absolute queries are exempt from the banner (old and new both
+< 1 s): at that scale scheduler jitter dominates and the r10/r11 verdicts
+treated such ratios as noise.
+"""
+import json
+import sys
+
+from bench_diff import diff, load
+
+
+def main(new_path="target/bench.json", snap_path="BENCH_FULL.json",
+         threshold=2.0):
+    new = load(new_path)
+    banner = []
+    try:
+        old = load(snap_path)
+    except FileNotFoundError:
+        old = None
+        print(f"no previous snapshot at {snap_path}: writing first snapshot")
+    if old is not None:
+        rows, regressions, norm, both_probed = diff(old, new, threshold)
+        kind = "probe-normalized" if both_probed else "RAW (no probe)"
+        print(f"diff vs {snap_path}: {len(rows)} common queries, "
+              f"norm {norm:.2f} ({kind})")
+        banner = [
+            {"query": q, "old_sec": round(o, 4), "new_sec": round(n, 4),
+             "normalized_ratio": round(r, 2)}
+            for q, o, n, r in regressions if o >= 1.0 or n >= 1.0
+        ]
+        for e in banner:
+            print(f"REGRESSION {e['query']}: {e['old_sec']}s -> "
+                  f"{e['new_sec']}s ({e['normalized_ratio']}x normalized)")
+    new["regression_banner"] = banner
+    with open(snap_path, "w") as f:
+        json.dump(new, f, indent=1)
+        f.write("\n")
+    if banner:
+        print(f"snapshot written WITH {len(banner)} regression(s) flagged; "
+              f"failing the refresh")
+        return 1
+    print(f"snapshot refreshed clean: {snap_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    sys.exit(main(
+        a[0] if len(a) > 0 else "target/bench.json",
+        a[1] if len(a) > 1 else "BENCH_FULL.json",
+        float(a[2]) if len(a) > 2 else 2.0))
