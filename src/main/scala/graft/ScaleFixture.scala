@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Consistent F× replication of the WHOLE fixture star (every table, FK
+  * chains preserved), used by [[ScaleSuite]] to measure the full registry
+  * at 10× the bench scale ("sf1") and by ScaleFixtureSpec.
+  *
+  * Design goals, in order:
+  *
+  *  1. FK-consistent growth. Every key that participates in a join chain
+  *     shifts by the same replica offset on both sides, so join
+  *     cardinalities grow linearly (orders ×F, each order still joins its
+  *     own lineitems). `region`/`nation` stay fixed — they are bounded
+  *     catalogs in TPC-H and in any real warehouse.
+  *  2. Realistic duplicate structure. Verbatim replication would make
+  *     every document 10× exactly-duplicated and every embedding 10×
+  *     repeated, so LSH/minhash candidate volume and SemDeDup cell pairs
+  *     would grow ×F² BY FIXTURE CONSTRUCTION — a measurement artifact,
+  *     not an engine property (a real 10× crawl has ~10× the duplicate
+  *     clusters, not 10×-bigger clusters). Replica r>0 therefore gets:
+  *       - `documents.text` passed through a per-replica character
+  *         substitution (`translate` over the 10 most frequent English
+  *         letters, rotated by r). Length, token boundaries, and
+  *         within-replica duplicate/near-dup structure are preserved
+  *         exactly; cross-replica shingle overlap drops to ~0.
+  *       - `embeddings.embedding` rotated by r positions. Norms and
+  *         within-replica cosine geometry are preserved exactly;
+  *         cross-replica alignment is broken.
+  *     Replica 0 is always byte-identical to the base fixture.
+  *  3. Predicate compatibility. The offset is a multiple of 25 and 100
+  *     (same contract as ScaleBench), so the registry's modular
+  *     predicates (`vec_id % 25 === 0` query sets) select in every
+  *     replica, while absolute predicates (`vec_id < 10` centroid sets)
+  *     deliberately stay fixture-sized — the fixed-dial behavior the
+  *     scale ledger exists to expose.
+  */
+object ScaleFixture {
+
+  /** > any fixture id (sf0.1 max is o_orderkey=149,999); multiple of 25
+    * and 100 so modular query-set predicates keep their meaning.
+    */
+  val Offset = 1000000L
+
+  /** Per-table long id columns that shift by `replica * Offset`. Both
+    * sides of every FK chain appear, keyed consistently.
+    */
+  val shiftCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "region" -> Seq.empty,
+    "nation" -> Seq.empty,
+  )
+
+  /** The 10 most frequent English letters; replica r substitutes each for
+    * the letter r positions later (cyclically). Bijective on the alphabet
+    * subset, so document length and token structure are untouched while
+    * nearly every shingle hash changes.
+    */
+  private val SubstAlphabet = "etaoinsrhl"
+
+  private def perturb(table: String, df: DataFrame, r: Int): DataFrame =
+    table match {
+      case _ if r == 0 => df
+      case "documents" =>
+        val k = r % SubstAlphabet.length
+        val to = SubstAlphabet.drop(k) + SubstAlphabet.take(k)
+        df.withColumn("text", translate(col("text"), SubstAlphabet, to))
+      case "embeddings" =>
+        // Cyclic rotation by r: an over-long slice length returns "to the
+        // end", so size(e) keeps this dimension-agnostic. Never pass
+        // Int.MaxValue as the length — slice's start+length overflows and
+        // downstream HOFs (aggregate) silently read a corrupted array
+        // (observed on Spark 4.1.2: the fold returned last-element² only).
+        df.withColumn("embedding", concat(
+          slice(col("embedding"), lit(r + 1), size(col("embedding"))),
+          slice(col("embedding"), 1, r)))
+      case _ => df
+    }
+
+  /** One table, F replicas, ids shifted and content perturbed per the
+    * rules above. Exposed (not just `build`) so the spec can assert the
+    * invariants frame-to-frame.
+    */
+  def replicateTable(spark: SparkSession, srcDir: String, table: String,
+      factor: Int): DataFrame = {
+    val src = spark.read.parquet(s"$srcDir/$table.parquet")
+    val cols = shiftCols.getOrElse(table,
+      sys.error(s"no replication rule for table $table"))
+    if (cols.isEmpty || factor == 1) src
+    else {
+      // An id at/above the offset would collide with a replica's range and
+      // silently corrupt every join-growth measurement downstream.
+      val maxExprs = cols.map(c => max(col(c)).as(c))
+      val maxRow = src.agg(maxExprs.head, maxExprs.tail: _*).head()
+      cols.zipWithIndex.foreach { case (c, i) =>
+        val m = maxRow.getLong(i)
+        require(m < Offset, s"$table.$c max $m >= offset $Offset")
+      }
+      (0 until factor).map { r =>
+        val shifted = cols.foldLeft(src)((d, c) =>
+          d.withColumn(c, col(c) + lit(r * Offset)))
+        perturb(table, shifted, r)
+      }.reduce(_.unionAll(_))
+    }
+  }
+
+  /** Materialize all tables at `factor`× under `outDir`, once: a marker
+    * file records the built factor and short-circuits rebuilds (delete
+    * the directory to force).
+    */
+  def build(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, "_BUILT")
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker)).trim ==
+          s"$factor:$srcDir") return
+    shiftCols.keys.toSeq.sorted.foreach { table =>
+      replicateTable(spark, srcDir, table, factor)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    java.nio.file.Files.write(marker,
+      s"$factor:$srcDir\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}

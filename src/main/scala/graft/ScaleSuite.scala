@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Full-registry scale proof: run EVERY registry query at the bench
+  * fixture (sf0.1) and at `factor`× that scale (default 10× = "sf1"),
+  * same JVM, same session, and write per-query growth factors to
+  * `BENCH_SF1.json`. This turns the 100 TB plan pins into measurements:
+  * a query whose plan is genuinely linear should grow ≈×10 (minus
+  * fixed planning overhead); anything materially above lands in a
+  * `superlinear` list to be fixed or documented.
+  *
+  * Methodology (deliberately different from Bench's gate numbers):
+  * growth factors must compare steady-state SCAN+COMPUTE cost, so each
+  * fixture gets an untimed pre-pass over the whole registry first —
+  * that absorbs JIT, codegen, and every Scratch-cached fixture build
+  * (chunkcsv layouts, incremental history tables, bucketed tables)
+  * which Bench bills to the first timed run. Base and scaled runs use
+  * identical methodology, so the ratio is internally consistent even
+  * when the host is noisy (same-JVM, interleaved in time).
+  *
+  * Every execution (pre-pass included) runs under a watchdog: the query
+  * executes on its own thread inside a cancellable job group, and a
+  * query that exceeds the per-query timeout is cancelled and recorded
+  * as `timeout` — a quadratic blow-up gets NAMED, never stalls the
+  * suite.
+  *
+  * Usage: runMain graft.ScaleSuite [factor] (default 10)
+  * Env: SPARK_GRAFT_SF_DIR (base, default sf0.1), SPARK_GRAFT_CPUS,
+  *      SPARK_GRAFT_SCALE_TIMEOUT (sec/query, default 300).
+  */
+object ScaleSuite {
+
+  private final case class Res(sec: Double, status: String, shuffle: Long)
+
+  def main(args: Array[String]): Unit = {
+    val loadStart = Bench.loadavg()
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val timeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_TIMEOUT", "300").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Bench.defaultCpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sc = spark.sparkContext
+
+    val scaled = s"/tmp/graft-sf1/f$factor"
+    ScaleFixture.build(spark, base, scaled, factor)
+
+    val tally = new Bench.ShuffleTally
+    sc.addSparkListener(tally)
+
+    /** Execute one query on a watchdog thread; cancel its job group at
+      * the deadline. `interruptOnCancel` interrupts running tasks; a
+      * driver-side iteration (connected components) dies on the next
+      * job submission against the cancelled group.
+      */
+    def run(name: String, dir: String): Res = {
+      val group = s"scale:$name"
+      @volatile var status = "ok"
+      val sh0 = tally.settled()
+      val t = new Thread(() => {
+        sc.setJobGroup(group, name, interruptOnCancel = true)
+        try Bench.runToExhaustion(SparkEntry.queries(name)(spark, dir))
+        catch { case scala.util.control.NonFatal(_) =>
+          if (status == "ok") status = "failed" }
+        finally sc.clearJobGroup()
+      }, s"scale-$name")
+      t.setDaemon(true)
+      val t0 = System.nanoTime()
+      t.start()
+      t.join(timeoutSec * 1000)
+      if (t.isAlive) {
+        status = "timeout"
+        sc.cancelJobGroup(group)
+        t.join(60000) // bounded drain; a daemon thread can't block exit
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val res = Res(sec, status, tally.settled() - sh0)
+      Bench.resetState(spark)
+      res
+    }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+
+    // JIT/codegen warmup on the smallest fixture, untimed.
+    names.foreach(n =>
+      try Bench.runToExhaustion(
+        SparkEntry.queries(n)(spark, Bench.warmupDir(base)))
+      catch { case scala.util.control.NonFatal(_) => () })
+    Bench.resetState(spark)
+
+    def suite(dir: String): Map[String, Res] = {
+      queries.Incremental.ensureBuilt(spark, dir)
+      queries.Joins.ensureBucketed(spark, dir)
+      // Untimed pre-pass: builds every Scratch-cached fixture for this
+      // dir and reaches steady state. A query that fails or times out
+      // here is recorded as such and NOT re-run (a second 300 s stall
+      // would buy no information).
+      val pre = names.map(n => n -> run(n, dir)).toMap
+      names.map { n =>
+        n -> (if (pre(n).status == "ok") run(n, dir) else pre(n))
+      }.toMap
+    }
+
+    val baseRes = suite(base)
+    val scaledRes = suite(scaled)
+
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    def totalOf(m: Map[String, Res]): Double =
+      m.values.collect { case Res(s, "ok", _) => s }.sum
+
+    val perQuery = names.map { n =>
+      val b = baseRes(n); val s = scaledRes(n)
+      val x = if (b.status == "ok" && s.status == "ok" && b.sec > 0)
+        fmt(s.sec / b.sec) else "null"
+      s""""$n":{"base":${fmt(b.sec)},"scaled":${fmt(s.sec)},"x":$x,""" +
+        s""""scaled_shuffle":${s.shuffle}}"""
+    }.mkString("{", ",", "}")
+
+    // Superlinear flag: materially above the data growth AND above the
+    // noise floor (sub-2 s absolute is planning overhead territory).
+    val superlinear = names.filter { n =>
+      val b = baseRes(n); val s = scaledRes(n)
+      b.status == "ok" && s.status == "ok" &&
+        s.sec > 2.0 && b.sec > 0 && s.sec / b.sec > factor * 1.5
+    }
+    def lst(ns: Seq[String]) = ns.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failed = names.filter(n => scaledRes(n).status == "failed")
+    val timedOut = names.filter(n => scaledRes(n).status == "timeout")
+    val baseBad = names.filter(n => baseRes(n).status != "ok")
+
+    val rows = Seq("lineitem", "orders", "events", "documents", "embeddings")
+      .map(t => s""""$t":${
+        spark.read.parquet(s"$scaled/$t.parquet").count()}""")
+      .mkString("{", ",", "}")
+
+    val line =
+      s"""{"metric":"scale_suite","factor":$factor,"base_dir":"$base",""" +
+      s""""scaled_dir":"$scaled","n_queries":${names.size},""" +
+      s""""base_total":${fmt(totalOf(baseRes))},""" +
+      s""""scaled_total":${fmt(totalOf(scaledRes))},""" +
+      s""""timeout_sec":$timeoutSec,"scaled_rows":$rows,""" +
+      s""""base_not_ok":${lst(baseBad)},"scaled_failed":${lst(failed)},""" +
+      s""""scaled_timeout":${lst(timedOut)},""" +
+      s""""superlinear":${lst(superlinear)},""" +
+      s""""loadavg_start":"$loadStart","loadavg_end":"${Bench.loadavg()}",""" +
+      s""""cpu_probe_ms":${Bench.cpuProbeMs()},"queries":$perQuery}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SF1.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
+    spark.stop()
+  }
+}

@@ -426,6 +426,45 @@ object Similarity {
         x => x.getField("rsv"))).as("v"))
       .withColumn("nrm", l2norm(col("v")))
 
+  /** IVF+PQ (the IVFADC composition, Jégou et al. 2011 §V): coarse
+    * quantizer confines the search to the query's cluster, PQ codes stand
+    * in for the cluster's vectors, queries stay full-precision (ADC). This
+    * is THE published billion-scale layout — candidate volume bounded by
+    * the cluster (IVF's lever) AND per-candidate memory bounded by m codes
+    * (PQ's lever); both index relations ((id, cluster_id) and
+    * (id, j, code)) build with zero corpus shuffle, and the search is one
+    * broadcast-queries join against the reconstructed cluster members.
+    * Classic IVFADC encodes RESIDUALS (v − centroid) per cluster; encoding
+    * raw vectors keeps the oracle's code table identical to [[pqTopK]]'s
+    * (recall measured beside it), and the residual variant is the same
+    * relations with `v` shifted before [[pqCodes]]. Returns (query_id,
+    * neighbor_id, cluster_id, sim, rank).
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      centroidPred: Column, pqCentroidPred: Column, m: Int, ds: Int,
+      queryPred: Column, k: Int): DataFrame = {
+    // ONE normalized corpus feeds the coarse assignment, the codebooks,
+    // and the query side — the same shared-scan discipline as q_sim_recall.
+    val corpus = withNorm(emb, idCol, vecCol)
+    val assigned = assignClustersFrom(corpus, idCol, centroidPred)
+    val recon = pqReconstruct(pqCodes(corpus, idCol, m, ds, pqCentroidPred),
+      idCol)
+      .join(assigned.select(col(idCol), col("cluster_id")), Seq(idCol))
+    val queries = assigned.filter(queryPred)
+      .select(col(idCol).as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cluster_id").as("qc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    recon.join(broadcast(queries),
+        col("cluster_id") === col("qc") && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("cluster_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** PQ ANN top-k via asymmetric distance (ADC): queries stay
     * full-precision, corpus vectors are their PQ reconstructions. Returns
     * (query_id, neighbor_id, sim, rank) like [[bruteForceTopKFrom]].

@@ -123,6 +123,18 @@ object Vectors {
       Similarity.semanticDedupReport(t(s, dir, "embeddings"), "vec_id",
         "embedding", col("vec_id") < 10, threshold = 0.3)),
 
+    // SemDeDup, corpus-scaled centroid dial: every 100th vector is a
+    // centroid, so the centroid count grows WITH the corpus and expected
+    // cell size stays ~100 regardless of scale — Σ|cell|² (the pair-join
+    // input) grows linearly where q_semdedup's fixed 10 centroids grow it
+    // quadratically (both dials measured in ScaleBench; BENCH_SF1 shows
+    // the full-suite consequence). Assignment is still one broadcast
+    // argmax — O(n·k) flops; at extreme scale k itself gets a coarse
+    // two-level quantizer, which changes the constant, not this shape.
+    "q_semdedup_scaled" -> ((s, dir) =>
+      Similarity.semanticDedupReport(t(s, dir, "embeddings"), "vec_id",
+        "embedding", col("vec_id") % 100 === 0, threshold = 0.3)),
+
     // Semantic decontamination: the embedding-space sweep the n-gram
     // decontamination family can't do — a paraphrased eval doc shares no
     // 5-token shingle with its source but sits next to it in embedding
@@ -171,6 +183,16 @@ object Vectors {
         Similarity.withNorm(t(s, dir, "embeddings"), "vec_id", "embedding"),
         "vec_id", m = 4, ds = 16, col("vec_id") < 16)
         .select("vec_id", "j", "code")),
+
+    // IVF+PQ composed (IVFADC): coarse cluster confinement AND PQ-coded
+    // candidates, full-precision queries — the published billion-scale
+    // layout, here as one oracle-checked relation. Same centroid dials as
+    // q_sim_ivf (coarse) and q_sim_pq_codes (codebooks), so its recall
+    // reads directly against q_sim_recall / q_sim_pq_recall.
+    "q_sim_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, col("vec_id") < 16, m = 4, ds = 16,
+        col("vec_id") % 25 === 0, k = 5)),
 
     // PQ ANN top-5 via asymmetric distance: full-precision queries against
     // PQ reconstructions — the published 16-32× memory lever beyond int8's
@@ -229,8 +251,36 @@ object Vectors {
     * [[withNorm]]: a change to the assignment rule must not need four
     * synchronized edits.
     */
-  private def centAsgn: String =
-    s"""cent AS (SELECT vec_id AS cent_id, v, nrm FROM c WHERE vec_id < 10),
+  private def centAsgn: String = centAsgnWhere("vec_id < 10")
+
+  /** SemDeDup oracle body over a given assignment CTE set — the drop
+    * policy (higher id of any within-cluster pair at cosine ≥ 0.3)
+    * mirrors the Scala fold; shared by the fixed- and scaled-dial rows.
+    */
+  private def semdedupSql(asgnCtes: String): String =
+    s"""WITH $withNorm,
+      |$asgnCtes,
+      |pairs AS (
+      |  SELECT aa.vec_id AS va, ab.vec_id AS vb
+      |  FROM asgn aa JOIN asgn ab ON aa.cluster_id = ab.cluster_id
+      |    AND aa.vec_id < ab.vec_id
+      |  JOIN c a ON a.vec_id = aa.vec_id
+      |  JOIN c b ON b.vec_id = ab.vec_id
+      |  WHERE ${cos("a", "b")} >= 0.3),
+      |dropped AS (SELECT DISTINCT vb AS vec_id FROM pairs)
+      |SELECT cluster_id, count(*) AS n_members,
+      |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_dropped,
+      |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept
+      |FROM asgn LEFT JOIN dropped d USING (vec_id)
+      |GROUP BY cluster_id""".stripMargin
+
+  /** [[centAsgn]] with the centroid predicate as a parameter — the
+    * corpus-scaled dial (`vec_id % 100 = 0`) shares every other line.
+    */
+  private def centAsgnWhere(pred: String): String =
+    s"""cent AS (SELECT vec_id AS cent_id, v, nrm FROM c WHERE $pred),
        |asgn AS (
        |  SELECT vec_id, cent_id AS cluster_id FROM (
        |    SELECT x.vec_id, cent.cent_id,
@@ -459,24 +509,28 @@ object Vectors {
 
     // Same assignment CTEs as the IVF family; the drop policy (higher id
     // of any within-cluster pair at cosine ≥ 0.3) mirrors the Scala fold.
-    "q_semdedup" ->
+    // The scaled row differs ONLY in the centroid predicate.
+    "q_semdedup" -> semdedupSql(centAsgn),
+    "q_semdedup_scaled" -> semdedupSql(centAsgnWhere("vec_id % 100 = 0")),
+
+    // IVFADC: the q_sim_ivf shape with the neighbor side swapped from the
+    // full-precision corpus `c` to the PQ reconstruction `pqr`.
+    "q_sim_ivfpq" ->
       s"""WITH $withNorm,
         |$centAsgn,
-        |pairs AS (
-        |  SELECT aa.vec_id AS va, ab.vec_id AS vb
-        |  FROM asgn aa JOIN asgn ab ON aa.cluster_id = ab.cluster_id
-        |    AND aa.vec_id < ab.vec_id
-        |  JOIN c a ON a.vec_id = aa.vec_id
-        |  JOIN c b ON b.vec_id = ab.vec_id
-        |  WHERE ${cos("a", "b")} >= 0.3),
-        |dropped AS (SELECT DISTINCT vb AS vec_id FROM pairs)
-        |SELECT cluster_id, count(*) AS n_members,
-        |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_dropped,
-        |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_kept
-        |FROM asgn LEFT JOIN dropped d USING (vec_id)
-        |GROUP BY cluster_id""".stripMargin,
+        |$pqCtes,
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    na.cluster_id, ${cos("n", "q")} AS sim
+        |  FROM pqr n JOIN asgn na ON na.vec_id = n.vec_id
+        |  JOIN asgn qa ON na.cluster_id = qa.cluster_id
+        |  JOIN c q ON qa.vec_id = q.vec_id
+        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, cluster_id, sim, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM sims)
+        |WHERE rank <= 5""".stripMargin,
 
     "q_sim_ivf" ->
       s"""WITH $withNorm,

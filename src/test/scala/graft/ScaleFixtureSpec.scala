@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the scale-suite replicator: the growth measurements in
+  * BENCH_SF1.json are only meaningful if replication (a) grows joins
+  * linearly, (b) keeps replicas key-disjoint, and (c) perturbs text /
+  * embeddings without changing their statistics — otherwise the dedup
+  * and similarity families would be measured against a degenerate
+  * everything-is-duplicated corpus.
+  */
+class ScaleFixtureSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("row counts scale by the factor; replica keys are disjoint") {
+    val docs = ScaleFixture.replicateTable(spark, dir, "documents", 3)
+    val baseN = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(docs.count() === baseN * 3)
+    assert(docs.select("doc_id").distinct().count() === baseN * 3)
+  }
+
+  test("FK chains grow linearly: lineitem-orders join count scales") {
+    val li = ScaleFixture.replicateTable(spark, dir, "lineitem", 2)
+    val os = ScaleFixture.replicateTable(spark, dir, "orders", 2)
+    val joined = li.join(os, col("l_orderkey") === col("o_orderkey")).count()
+    val baseJoined = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined === baseJoined * 2)
+  }
+
+  test("document perturbation preserves length, breaks cross-replica equality") {
+    val docs = ScaleFixture.replicateTable(spark, dir, "documents", 2)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val paired = docs.filter(col("doc_id") < ScaleFixture.Offset).as("a")
+      .join(docs.filter(col("doc_id") >= ScaleFixture.Offset).as("b"),
+        col("a.doc_id") + ScaleFixture.Offset === col("b.doc_id"))
+    // translate is length-preserving on every row...
+    assert(paired.filter(col("a.len") =!= col("b.len")).count() === 0)
+    // ...and no non-trivial document survives the substitution verbatim
+    // (a text with zero letters from the substitution alphabet would —
+    // the fixture has none at any sf).
+    assert(paired.filter(col("a.text") === col("b.text")).count() === 0)
+  }
+
+  test("embedding rotation preserves the norm, breaks alignment") {
+    val emb = ScaleFixture.replicateTable(spark, dir, "embeddings", 2)
+    def normOf(idFilter: org.apache.spark.sql.Column) = emb.filter(idFilter)
+      .select(col("vec_id") % ScaleFixture.Offset.toInt,
+        round(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x * x), 4).as("n2"))
+    val a = normOf(col("vec_id") < ScaleFixture.Offset)
+    val b = normOf(col("vec_id") >= ScaleFixture.Offset)
+    assert(a.exceptAll(b).count() === 0) // identical norm multiset, by id
+    // Rotation must actually move coordinates: replica-1 vectors differ
+    // from their replica-0 source.
+    val firstA = emb.filter(col("vec_id") === 0)
+      .select(element_at(col("embedding"), 1)).head().getFloat(0)
+    val firstB = emb.filter(col("vec_id") === ScaleFixture.Offset)
+      .select(element_at(col("embedding"), 1)).head().getFloat(0)
+    assert(firstA !== firstB)
+  }
+
+  test("replica 0 is byte-identical to the base table") {
+    val li = ScaleFixture.replicateTable(spark, dir, "lineitem", 2)
+      .filter(col("l_orderkey") < ScaleFixture.Offset)
+    val baseLi = spark.read.parquet(s"$dir/lineitem.parquet")
+    assert(li.exceptAll(baseLi).count() === 0)
+    assert(baseLi.exceptAll(li).count() === 0)
+  }
+
+  test("an id at the offset fails loudly instead of colliding") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("scalefix").toString
+    Seq((ScaleFixture.Offset, "x")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      ScaleFixture.replicateTable(spark, tmp, "documents", 2).count()
+    }
+    assert(e.getMessage.contains("offset"))
+  }
+}

@@ -153,6 +153,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK confines candidates to the query's cluster and ranks " +
+      "by ADC over reconstructions") {
+    // 4-dim vectors, m=2 subspaces of ds=2. Two clean clusters around
+    // orthogonal axes; PQ codebooks seeded from ids {1,4} (one per
+    // cluster), so reconstructions snap to the seed sub-vectors but
+    // ranking and confinement must still hold.
+    val df = emb(
+      (1L, Seq(1f, 0f, 0f, 0f), 0), (2L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (3L, Seq(0.8f, 0.2f, 0f, 0f), 0),
+      (4L, Seq(0f, 0f, 1f, 0f), 1), (5L, Seq(0f, 0f, 0.9f, 0.1f), 1),
+      (6L, Seq(0f, 0f, 0.8f, 0.2f), 1))
+    val out = Similarity.ivfPqTopK(df, "vec_id", "embedding",
+      centroidPred = col("vec_id") === 1 || col("vec_id") === 4,
+      pqCentroidPred = col("vec_id") === 1 || col("vec_id") === 4,
+      m = 2, ds = 2,
+      queryPred = col("vec_id") === 2 || col("vec_id") === 5, k = 5)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    // Confinement: query 2 never sees cluster-4 members and vice versa.
+    assert(byQuery(2L).map(_.getLong(1)).toSet == Set(1L, 3L))
+    assert(byQuery(5L).map(_.getLong(1)).toSet == Set(4L, 6L))
+    assert(byQuery(2L).map(_.getLong(2)).toSet == Set(1L))
+    assert(byQuery(5L).map(_.getLong(2)).toSet == Set(4L))
+    // Ranks are 1..n dense per query (ADC sims are well-defined doubles).
+    assert(byQuery(2L).map(_.getLong(4)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("semanticDedupReport drops higher ids within a cluster only") {
     // Centroids on orthogonal axes. Cluster 0: ids 2, 3 are near-dups of
     // the centroid vector 0 (cosine ≈ .995, .999) — the policy keeps the
