@@ -486,6 +486,71 @@ object Docs {
         .select("doc_id", "token", "score", "rn")
     }),
 
+    // DSIR data selection (Xie et al. 2023 "Data Selection for Language
+    // Models via Importance Resampling"): score every raw-pool document by
+    // how target-like its hashed-bigram distribution is. Target = the
+    // curated source (src18), pool = everything else; features are bigram
+    // md5 buckets (B=64), both class histograms Laplace-smoothed; a doc's
+    // weight is its MEAN per-bigram log-likelihood ratio ln p_t/p_r (the
+    // length normalization keeps long docs from dominating). Shape: ONE
+    // bigram→bucket stream (codegen'd md5, checkpointed) feeds both
+    // histograms and the scoring join; the ratio table is ≤64 rows →
+    // broadcast; the only data-scaled shuffle is the per-doc aggregation.
+    "q_dsir_weights" -> ((s, dir) => dsirScores(s, dir)),
+
+    // The selection step: top-50 pool docs by DSIR weight. Deterministic
+    // top-k on the ROUNDED weight (+ doc_id tiebreak) replaces the paper's
+    // Gumbel-noise resampling so engines agree bit-for-bit;
+    // TakeOrderedAndProject, no global sort.
+    "q_dsir_selected" -> ((s, dir) =>
+      dsirScores(s, dir)
+        .orderBy(col("dsir_w").desc, col("doc_id"))
+        .limit(50)
+        .select("doc_id", "dsir_w")),
+
+    // BM25 retrieval (Robertson-Spärck Jones, k1=1.2 b=0.75) for a fixed
+    // 3-term query — the lexical-retrieval twin of the ANN family (a RAG
+    // stack runs both and fuses). The term filter lands BEFORE the
+    // tf aggregation, so the shuffle carries only query-term postings
+    // (O(docs × |q|), not the full token stream); df and the corpus
+    // length stats are tiny aggs broadcast back. avgdl is one exact
+    // long-by-long IEEE division, identical across engines.
+    "q_bm25_topk" -> ((s, dir) => {
+      val terms = Seq("spark", "hash", "merge")
+      val docs = t(s, dir, "documents")
+      val dl = docs.select(col("doc_id"),
+        Text.nTokens(col("text")).as("dl"))
+      val tf = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_corpus"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val scored = tf.join(dl, "doc_id")
+        .join(broadcast(df), "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_corpus") - col("df") + 0.5) /
+            (col("df") + 0.5)))
+        // Per-term score in exact micro-units (explicit half-up floor, the
+        // q_sim_quant rounding idiom): the per-doc score is then an
+        // ORDER-INDEPENDENT integer sum — a float sum of rounded terms can
+        // land on a .xxxx5 midpoint and round differently per engine.
+        .withColumn("ts_micro", floor(col("idf") * col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") / col("avgdl"))) * 1e6 + 0.5))
+      val perDoc = scored.groupBy(col("doc_id"))
+        .agg((sum(col("ts_micro")) / lit(1e6)).as("score"),
+          count(lit(1)).as("n_terms_hit"))
+      // Top-10 FIRST (TakeOrderedAndProject — per-partition heaps, no
+      // global sort), THEN the rank window runs over just 10 rows.
+      val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+      perDoc.orderBy(col("score").desc, col("doc_id").asc).limit(10)
+        .withColumn("rank", row_number().over(w).cast("long"))
+    }),
+
     // Deterministic pseudo-random sample: top-k by content-independent hash
     // — reproducible across engines/runs, TakeOrderedAndProject (no global
     // sort), and stable under repartitioning, unlike rand()-based sampling.
@@ -748,15 +813,20 @@ object Docs {
     // the ASSIGNMENT; this proves the MATERIALIZATION (SinksSpec pins the
     // physical file order on top).
     "q_shard_manifest" -> ((s, dir) => {
+      val docsDf = t(s, dir, "documents")
       val out = Scratch.cached(s"training-order:$dir") { tmp =>
         val o = tmp + "/corpus"
-        graft.engine.Pipeline.writeTrainingOrder(
-          t(s, dir, "documents"), "doc_id", o)
+        graft.engine.Pipeline.writeTrainingOrder(docsDf, "doc_id", o)
         o
       }
-      s.read.parquet(out)
-        .select(col("shard").cast("long").as("shard"), col("seq"),
-          col("doc_id"), col("pos"))
+      // Explicit schema: the input's columns + the writer's stamps (and the
+      // shard partition column pinned to long). Skips file-footer schema
+      // inference AND keeps the read lawful when the corpus — hence the
+      // written layout — is empty (zero part files to infer from).
+      val written = docsDf.schema
+        .add("pos", "string").add("seq", "long").add("shard", "long")
+      s.read.schema(written).parquet(out)
+        .select(col("shard"), col("seq"), col("doc_id"), col("pos"))
     }),
 
     // Decontamination: near-dup pairs (MinHash-LSH candidates) that CROSS a
@@ -1133,7 +1203,117 @@ object Docs {
       |    ELSE [md5(array_to_string(t, ' '))] END AS hs
       |  FROM toks)""".stripMargin
 
+  /** DSIR importance weights for every raw-pool doc (see q_dsir_weights):
+    * (doc_id, n_bigrams, dsir_w). One bigram→bucket stream feeds the two
+    * class histograms and the scoring join → localCheckpoint (persist on a
+    * cluster), same multi-consumer policy as the minhash family.
+    */
+  private def dsirScores(s: SparkSession, dir: String): DataFrame = {
+    val target = "src18"
+    val b = 64
+    val feats = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.shingles(col("text"), n = 2)).as("bigram"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(concat(lit("dsir:"), col("bigram"))), 1, 4),
+          16, 10).cast("long") % b).as("bucket"))
+      .localCheckpoint()
+    val pool = feats.filter(col("source") =!= target)
+    val tCounts = feats.filter(col("source") === target)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_t"))
+    val rCounts = pool.groupBy(col("bucket")).agg(count(lit(1)).as("n_r"))
+    val totals = feats.groupBy()
+      .agg(sum(when(col("source") === target, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("source") =!= target, 1L).otherwise(0L)).as("nr"))
+    // Every pool bucket exists in rCounts by construction, so LEFT JOIN
+    // target counts (smoothed where absent) covers the full support.
+    val ratio = rCounts.join(tCounts, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((coalesce(col("n_t"), lit(0L)) + lit(1)).cast("double") /
+            (col("nt") + b)) -
+          log((col("n_r") + lit(1)).cast("double") / (col("nr") + b)))
+          .as("lr"))
+    pool.join(broadcast(ratio), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lr")) / count(lit(1)), 4).as("dsir_w"))
+  }
+
+  /** DuckDB CTE chain ending in `w(doc_id, n_bigrams, dsir_w)` — mirrors
+    * [[dsirScores]] (B=64 md5 bigram buckets, +1/(N+B) Laplace smoothing,
+    * mean per-bigram log ratio); ONE definition for both DSIR oracles.
+    */
+  private val dsirCtes =
+    """toksd AS (SELECT doc_id, source, string_split(text, ' ') AS t
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, source, CAST(CONCAT('0x',
+      |      substring(md5('dsir:' || bigram), 1, 4)) AS BIGINT) % 64 AS bucket
+      |  FROM (
+      |    SELECT doc_id, source, unnest(CASE WHEN len(t) >= 2
+      |      THEN list_transform(range(1, len(t)),
+      |             i -> array_to_string(t[i:i+1], ' '))
+      |      ELSE [array_to_string(t, ' ')] END) AS bigram
+      |    FROM toksd)),
+      |tc AS (SELECT bucket, count(*) AS n_t FROM f
+      |  WHERE source = 'src18' GROUP BY 1),
+      |rc AS (SELECT bucket, count(*) AS n_r FROM f
+      |  WHERE source != 'src18' GROUP BY 1),
+      |tot AS (SELECT
+      |    sum(CASE WHEN source = 'src18' THEN 1 ELSE 0 END) AS nt,
+      |    sum(CASE WHEN source != 'src18' THEN 1 ELSE 0 END) AS nr FROM f),
+      |ratio AS (
+      |  SELECT rc.bucket,
+      |    ln((COALESCE(n_t, 0) + 1.0) / (nt + 64)) -
+      |    ln((n_r + 1.0) / (nr + 64)) AS lr
+      |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+      |w AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    round(sum(lr) / count(*), 4) AS dsir_w
+      |  FROM f JOIN ratio USING (bucket)
+      |  WHERE source != 'src18'
+      |  GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_dsir_weights" ->
+      s"""WITH $dsirCtes
+        |SELECT doc_id, n_bigrams, dsir_w FROM w""".stripMargin,
+
+    "q_dsir_selected" ->
+      s"""WITH $dsirCtes
+        |SELECT doc_id, dsir_w FROM w
+        |ORDER BY dsir_w DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_bm25_topk" ->
+      """WITH dl AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE token IN ('spark', 'hash', 'merge')
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n_corpus,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5))
+        |      * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      * 1000000 + 0.5) AS BIGINT) AS ts_micro
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token)
+        |  CROSS JOIN st),
+        |p AS (SELECT doc_id,
+        |    CAST(sum(ts_micro) AS BIGINT) / 1000000.0 AS score,
+        |    count(*) AS n_terms_hit
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, score, n_terms_hit,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+        |    AS rank
+        |FROM p ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
     "q_dedup_substring" ->
       """WITH lt AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
         |grams AS (

@@ -38,6 +38,41 @@ object Events {
         .withColumn("passed", col("age_hours") <= 0.5)
     }),
 
+    // Distribution-drift monitor: Population Stability Index of the value
+    // distribution per event type, reference period (first half of the
+    // month) vs current (second half). Fixed-width value bins (10 × 50,
+    // top-clamped — deterministic across engines; a quantile grid is the
+    // production dial via quantile_bucket), add-one smoothing over the
+    // OBSERVED bin union so an empty cell on either side stays finite.
+    // Shape: one scan → (type, bin) hash-agg with both period counts as
+    // conditional sums in ONE pass, per-type totals as a tiny broadcast
+    // join back; the PSI fold is ≤10 rows per type. The standard
+    // monitoring thresholds (0.1 / 0.25) label the verdict.
+    "q_psi_drift" -> ((s, dir) => {
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val g = t(s, dir, "events")
+        .withColumn("bin", least(floor(col("value") / 50), lit(9L)))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n_cur"))
+      val tot = g.groupBy(col("event_type"))
+        .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"),
+          count(lit(1)).as("n_bins"))
+      g.join(broadcast(tot), "event_type")
+        .withColumn("p_ref",
+          (col("n_ref") + lit(1)).cast("double") / (col("t_ref") + col("n_bins")))
+        .withColumn("p_cur",
+          (col("n_cur") + lit(1)).cast("double") / (col("t_cur") + col("n_bins")))
+        .groupBy(col("event_type"))
+        .agg(round(sum((col("p_cur") - col("p_ref")) *
+            log(col("p_cur") / col("p_ref"))), 6).as("psi"),
+          max(col("n_bins")).as("n_bins"),
+          sum(col("n_ref")).as("n_events_ref"),
+          sum(col("n_cur")).as("n_events_cur"))
+        .withColumn("verdict", when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate").otherwise("shifted"))
+    }),
+
     // Tumbling 1-hour window per event type (Spark's window() operator;
     // epoch-aligned buckets).
     "q_time_tumbling" -> ((s, dir) =>
@@ -289,6 +324,36 @@ object Events {
         |  round((floor(epoch(TIMESTAMP '2024-01-31 00:00:00'))
         |    - floor(epoch(max(ts)))) / 3600.0, 6) <= 0.5 AS passed
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    least(CAST(floor(value / 50) AS BIGINT), 9) AS bin,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        |    CAST(sum(n_cur) AS BIGINT) AS t_cur, count(*) AS n_bins
+        |  FROM g GROUP BY 1),
+        |p AS (
+        |  SELECT g.event_type, n_ref, n_cur, n_bins,
+        |    (n_ref + 1.0) / (t_ref + n_bins) AS p_ref,
+        |    (n_cur + 1.0) / (t_cur + n_bins) AS p_cur
+        |  FROM g JOIN tot USING (event_type)),
+        |a AS (
+        |  SELECT event_type,
+        |    round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+        |    max(n_bins) AS n_bins,
+        |    CAST(sum(n_ref) AS BIGINT) AS n_events_ref,
+        |    CAST(sum(n_cur) AS BIGINT) AS n_events_cur
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, psi, n_bins, n_events_ref, n_events_cur,
+        |  CASE WHEN psi < 0.1 THEN 'stable'
+        |       WHEN psi < 0.25 THEN 'moderate' ELSE 'shifted' END AS verdict
+        |FROM a""".stripMargin,
 
     "q_time_tumbling" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,

@@ -224,6 +224,34 @@ object Vectors {
           round(col("n_found").cast("double") / col("n_true"), 4)
             .as("recall_at_5"))
     }),
+
+    // Hard-negative mining for contrastive/embedding training: for every
+    // query vector, the top-5 most-similar CORPUS vectors with a DIFFERENT
+    // label — near neighbors that are semantically wrong, the negatives a
+    // retrieval trainer wants. Same broadcast-queries/stream-corpus shape
+    // as the brute baseline (the label predicate prunes before ranking);
+    // at scale the corpus side is the IVF-confined candidate set instead
+    // of the full scan — composition, not a new operator.
+    "q_hard_negatives" -> ((s, dir) => {
+      val c = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", Similarity.l2norm(col("v")))
+      val qs = c.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("label").as("qlabel"))
+      val sims = c.crossJoin(broadcast(qs))
+        .filter(col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("label"),
+          round(Similarity.dot(col("v"), col("qv")) /
+            (col("nrm") * col("qn")), 6).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      sims.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+    }),
   )
 
   /** Sequential-fold cosine matching [[graft.ext.Similarity.dot]]:
@@ -359,6 +387,27 @@ object Vectors {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_hard_negatives" ->
+      s"""WITH el AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cl AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+        |      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+        |  FROM el),
+        |simsh AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label,
+        |    ${cos("n", "q")} AS sim
+        |  FROM cl n, cl q
+        |  WHERE q.vec_id % 25 = 0 AND n.label != q.label)
+        |SELECT query_id, neighbor_id, label, sim, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM simsh)
+        |WHERE rank <= 5""".stripMargin,
+
     "q_sim_pq_codes" ->
       s"""WITH $withNorm,
         |$pqCtes

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Invariants for the r12 selection/retrieval/monitoring operators (DSIR
+  * importance weights, BM25 retrieval, PSI drift, hard-negative mining) on
+  * the sf0.001 fixture — the oracle gate pins engine parity; these pin the
+  * SEMANTIC claims each query's doc comment makes.
+  */
+class SelectionOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_dsir_weights scores every pool doc exactly once and no target " +
+      "doc; weights are finite mean-per-bigram log ratios") {
+    val docs = t(spark, dir, "documents")
+    val pool = docs.filter(col("source") =!= "src18")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val target = docs.filter(col("source") === "src18")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val w = Docs.queries("q_dsir_weights")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.keySet == pool)
+    assert(w.keySet.intersect(target).isEmpty)
+    // mean per-bigram |log ratio| is bounded by the largest single-bucket
+    // ratio, itself << 10 nats for any smoothed histogram pair
+    w.values.foreach(v => assert(!v.isNaN && math.abs(v) < 10))
+  }
+
+  test("q_dsir_selected is the top-50 of q_dsir_weights by (weight desc, " +
+      "doc_id)") {
+    val w = Docs.queries("q_dsir_weights")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val expect = w.sortBy { case (id, dw) => (-dw, id) }
+      .take(50).map(_._1).toSeq
+    val got = Docs.queries("q_dsir_selected")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+  }
+
+  test("q_bm25_topk: every hit contains a query term, scores are " +
+      "positive and non-increasing in rank, n_terms_hit within 1..3") {
+    val terms = Set("spark", "hash", "merge")
+    val hasTerm = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[String](1).exists(terms.contains)).toMap
+    val rows = Docs.queries("q_bm25_topk")(spark, dir)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_._4).toSeq == (1L to rows.length).toSeq)
+    rows.foreach { case (id, score, hit, _) =>
+      assert(hasTerm(id))
+      assert(score > 0)
+      assert(hit >= 1 && hit <= 3)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 >= b._2)
+      case _ =>
+    }
+  }
+
+  test("q_psi_drift: PSI is non-negative (Gibbs), per-type event totals " +
+      "reconcile with the raw table, verdict follows the thresholds") {
+    val raw = t(spark, dir, "events").groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Docs.queries.size // force registry guard once
+    assert(rows > 0)
+    val out = Events.queries("q_psi_drift")(spark, dir).collect()
+    assert(out.map(_.getString(0)).toSet == raw.keySet)
+    out.foreach { r =>
+      val (tpe, psi) = (r.getString(0), r.getDouble(1))
+      val (nRef, nCur) = (r.getLong(3), r.getLong(4))
+      val verdict = r.getString(5)
+      // each PSI term (p-q)ln(p/q) >= 0, so the rounded sum is >= 0
+      assert(psi >= 0)
+      assert(nRef + nCur == raw(tpe))
+      assert(verdict == (if (psi < 0.1) "stable"
+        else if (psi < 0.25) "moderate" else "shifted"))
+    }
+  }
+
+  test("q_hard_negatives: 5 per query, neighbor label always differs " +
+      "from the query's, sims non-increasing in rank") {
+    val labels = t(spark, dir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Vectors.queries("q_hard_negatives")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getLong(4)))
+    val qs = labels.keys.filter(_ % 25 == 0).toSet
+    assert(out.map(_._1).toSet == qs)
+    qs.foreach { q =>
+      val mine = out.filter(_._1 == q).sortBy(_._5)
+      assert(mine.length == 5)
+      assert(mine.map(_._5).toSeq == (1L to 5L).toSeq)
+      mine.foreach { case (_, n, lbl, _, _) =>
+        assert(lbl != labels(q))
+        assert(lbl == labels(n))
+      }
+      mine.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4)
+        case _ =>
+      }
+    }
+  }
+}
