@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Text}
+import graft.ext.{Dedup, Multimodal, Similarity, Text}
 
 /** LLM-training-data operators over the documents fixture (north star:
   * dedup, text analysis, multimodal columns) as driver-checkable
@@ -510,45 +510,45 @@ object Docs {
 
     // BM25 retrieval (Robertson-Spärck Jones, k1=1.2 b=0.75) for a fixed
     // 3-term query — the lexical-retrieval twin of the ANN family (a RAG
-    // stack runs both and fuses). The term filter lands BEFORE the
-    // tf aggregation, so the shuffle carries only query-term postings
-    // (O(docs × |q|), not the full token stream); df and the corpus
-    // length stats are tiny aggs broadcast back. avgdl is one exact
-    // long-by-long IEEE division, identical across engines.
-    "q_bm25_topk" -> ((s, dir) => {
-      val terms = Seq("spark", "hash", "merge")
-      val docs = t(s, dir, "documents")
-      val dl = docs.select(col("doc_id"),
-        Text.nTokens(col("text")).as("dl"))
-      val tf = docs
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
-        .filter(col("token").isin(terms: _*))
-        .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val stats = dl.agg(count(lit(1)).as("n_corpus"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val scored = tf.join(dl, "doc_id")
-        .join(broadcast(df), "token")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log(lit(1.0) + (col("n_corpus") - col("df") + 0.5) /
-            (col("df") + 0.5)))
-        // Per-term score in exact micro-units (explicit half-up floor, the
-        // q_sim_quant rounding idiom): the per-doc score is then an
-        // ORDER-INDEPENDENT integer sum — a float sum of rounded terms can
-        // land on a .xxxx5 midpoint and round differently per engine.
-        .withColumn("ts_micro", floor(col("idf") * col("tf") * 2.2 /
-          (col("tf") + lit(1.2) * (lit(0.25) +
-            lit(0.75) * col("dl") / col("avgdl"))) * 1e6 + 0.5))
-      val perDoc = scored.groupBy(col("doc_id"))
-        .agg((sum(col("ts_micro")) / lit(1e6)).as("score"),
-          count(lit(1)).as("n_terms_hit"))
-      // Top-10 FIRST (TakeOrderedAndProject — per-partition heaps, no
-      // global sort), THEN the rank window runs over just 10 rows.
-      val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-      perDoc.orderBy(col("score").desc, col("doc_id").asc).limit(10)
-        .withColumn("rank", row_number().over(w).cast("long"))
+    // stack runs both and fuses; q_hybrid_rrf is that fusion). The term
+    // filter lands BEFORE the tf aggregation, so the shuffle carries only
+    // query-term postings (O(docs × |q|), not the full token stream); df
+    // and the corpus length stats are tiny aggs broadcast back. avgdl is
+    // one exact long-by-long IEEE division, identical across engines.
+    // Top-10 FIRST (TakeOrderedAndProject — per-partition heaps, no
+    // global sort), THEN the rank window runs over just 10 rows.
+    "q_bm25_topk" -> ((s, dir) =>
+      rankTop(bm25Scores(s, dir), "score", 10)),
+
+    // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    // the lexical arm (BM25 top-20) and the dense arm (cosine top-20 to
+    // the query doc's embedding, vec_id=doc_id fixture contract) fused by
+    // rrf = Σ_arms 1/(60 + rank). Each arm ranks AFTER its own top-k
+    // limit; the fusion joins two ≤20-row sets, so everything after the
+    // arms is driver-trivial. The fused score is summed in exact
+    // nano-units (1e9/(60+r) per arm, floored to a long) — an
+    // order-independent integer sum, same engine-divergence-proofing as
+    // the BM25 score itself.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val lex = rankTop(bm25Scores(s, dir), "score", 20)
+        .select(col("doc_id"), col("rank").as("lex_rank"))
+      val c = Similarity.withNorm(t(s, dir, "embeddings"), "vec_id",
+        "embedding")
+      val q0 = c.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      val denseScores = c.crossJoin(broadcast(q0))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          round(Similarity.dot(col("v"), col("qv")) /
+            (col("nrm") * col("qn")), 6).as("score"))
+      val dense = rankTop(denseScores, "score", 20)
+        .select(col("doc_id"), col("rank").as("dense_rank"))
+      def arm(rank: Column): Column =
+        coalesce(floor(lit(1e9) / (rank + 60)), lit(0L))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_nano", arm(col("lex_rank")) + arm(col("dense_rank")))
+        .orderBy(col("rrf_nano").desc, col("doc_id")).limit(10)
+        .select("doc_id", "rrf_nano", "lex_rank", "dense_rank")
     }),
 
     // Deterministic pseudo-random sample: top-k by content-independent hash
@@ -1203,6 +1203,51 @@ object Docs {
       |    ELSE [md5(array_to_string(t, ' '))] END AS hs
       |  FROM toks)""".stripMargin
 
+  /** BM25 per-doc scores (doc_id, score, n_terms_hit) for the fixed query
+    * (spark, hash, merge) — shared by q_bm25_topk and the q_hybrid_rrf
+    * lexical arm. Per-term scores land in exact micro-units (explicit
+    * half-up floor, the q_sim_quant rounding idiom): the per-doc score is
+    * then an ORDER-INDEPENDENT integer sum — a float sum of rounded terms
+    * can land on a .xxxx5 midpoint and round differently per engine.
+    */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "hash", "merge")
+    val docs = t(s, dir, "documents")
+    val dl = docs.select(col("doc_id"), Text.nTokens(col("text")).as("dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_corpus"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_corpus") - col("df") + 0.5) /
+          (col("df") + 0.5)))
+      .withColumn("ts_micro", floor(col("idf") * col("tf") * 2.2 /
+        (col("tf") + lit(1.2) * (lit(0.25) +
+          lit(0.75) * col("dl") / col("avgdl"))) * 1e6 + 0.5))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("ts_micro")) / lit(1e6)).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** Top-k of `scored` by (scoreCol desc, doc_id) with a `rank` column —
+    * limit FIRST (TakeOrderedAndProject, per-partition heaps), THEN the
+    * rank window runs over just k rows, so the global window never sees
+    * the corpus.
+    */
+  private def rankTop(scored: DataFrame, scoreCol: String,
+      k: Int): DataFrame = {
+    val w = Window.orderBy(col(scoreCol).desc, col("doc_id").asc)
+    scored.orderBy(col(scoreCol).desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** DSIR importance weights for every raw-pool doc (see q_dsir_weights):
     * (doc_id, n_bigrams, dsir_w). One bigram→bucket stream feeds the two
     * class histograms and the scoring join → localCheckpoint (persist on a
@@ -1275,6 +1320,35 @@ object Docs {
       |  WHERE source != 'src18'
       |  GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB CTE chain ending in `p(doc_id, score, n_terms_hit)` — mirrors
+    * [[bm25Scores]] (term-filtered postings, micro-unit integer score
+    * sum); ONE definition for the BM25 and RRF-fusion oracles.
+    */
+  private val bm25Ctes =
+    """dl AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  WHERE token IN ('spark', 'hash', 'merge')
+      |  GROUP BY 1, 2),
+      |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_corpus,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    CAST(floor(ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5))
+      |      * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |      * 1000000 + 0.5) AS BIGINT) AS ts_micro
+      |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token)
+      |  CROSS JOIN st),
+      |p AS (SELECT doc_id,
+      |    CAST(sum(ts_micro) AS BIGINT) / 1000000.0 AS score,
+      |    count(*) AS n_terms_hit
+      |  FROM sc GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dsir_weights" ->
       s"""WITH $dsirCtes
@@ -1286,33 +1360,44 @@ object Docs {
         |ORDER BY dsir_w DESC, doc_id LIMIT 50""".stripMargin,
 
     "q_bm25_topk" ->
-      """WITH dl AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, token, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |    FROM documents)
-        |  WHERE token IN ('spark', 'hash', 'merge')
-        |  GROUP BY 1, 2),
-        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        |st AS (SELECT count(*) AS n_corpus,
-        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-        |sc AS (
-        |  SELECT tf.doc_id,
-        |    CAST(floor(ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5))
-        |      * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-        |      * 1000000 + 0.5) AS BIGINT) AS ts_micro
-        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token)
-        |  CROSS JOIN st),
-        |p AS (SELECT doc_id,
-        |    CAST(sum(ts_micro) AS BIGINT) / 1000000.0 AS score,
-        |    count(*) AS n_terms_hit
-        |  FROM sc GROUP BY 1)
+      s"""WITH $bm25Ctes
         |SELECT doc_id, score, n_terms_hit,
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
         |    AS rank
         |FROM p ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+        |lexr AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+        |  FROM p ORDER BY score DESC, doc_id LIMIT 20),
+        |e2 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c2 AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+        |      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+        |  FROM e2),
+        |dsc AS (
+        |  SELECT n.vec_id AS doc_id,
+        |    round(list_reduce(list_transform(range(1, len(n.v) + 1),
+        |        i -> n.v[i] * q.v[i]), (x, y) -> x + y)
+        |      / (n.nrm * q.nrm), 6) AS score
+        |  FROM c2 n, c2 q WHERE q.vec_id = 0 AND n.vec_id != 0),
+        |denser AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS dense_rank
+        |  FROM dsc ORDER BY score DESC, doc_id LIMIT 20),
+        |fused AS (
+        |  SELECT doc_id, lex_rank, dense_rank,
+        |    COALESCE(CAST(floor(1000000000.0 / (lex_rank + 60)) AS BIGINT), 0)
+        |    + COALESCE(CAST(floor(1000000000.0 / (dense_rank + 60)) AS BIGINT),
+        |        0) AS rrf_nano
+        |  FROM lexr FULL OUTER JOIN denser USING (doc_id))
+        |SELECT doc_id, rrf_nano, lex_rank, dense_rank
+        |FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_dedup_substring" ->
       """WITH lt AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),

@@ -86,6 +86,27 @@ class SelectionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_hybrid_rrf: rrf_nano is exactly the sum of the per-arm " +
+      "1e9/(60+rank) contributions, ranks in 1..20, output sorted") {
+    val rows = Docs.queries("q_hybrid_rrf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(rows.nonEmpty && rows.length <= 10)
+    def arm(r: Option[Long]): Long =
+      r.map(x => math.floor(1e9 / (x + 60)).toLong).getOrElse(0L)
+    rows.foreach { case (_, nano, lex, dense) =>
+      assert(lex.nonEmpty || dense.nonEmpty)
+      (lex ++ dense).foreach(r => assert(r >= 1 && r <= 20))
+      assert(nano == arm(lex) + arm(dense))
+    }
+    // limit(10) keeps the TOP of the fused ordering
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      case _ =>
+    }
+  }
+
   test("q_hard_negatives: 5 per query, neighbor label always differs " +
       "from the query's, sims non-increasing in rank") {
     val labels = t(spark, dir, "embeddings")
