@@ -171,6 +171,28 @@ object Incremental {
       base
     }
 
+  /** Fixed-width histogram journal for q_psi_journal: DETERMINISTIC grid
+    * (50K price steps — reproducible by the DuckDB twin, unlike the
+    * equi-depth grid above whose boundaries come from approxQuantile),
+    * two batches split by key parity. The drift monitor reads ONLY this
+    * journal.
+    */
+  private[queries] val psiBounds: Array[Double] =
+    (1 to 9).map(_ * 50000.0).toArray
+
+  private def psiJournalDir(s: SparkSession, dir: String): String =
+    Scratch.cached(s"psi-hist:$dir") { base =>
+      val os = t(s, dir, "orders")
+      val j = s"$base/journal"
+      graft.engine.Rollup.journalHistogram(
+        os.filter(col("o_orderkey") % 2 === 0), j,
+        Seq("o_orderstatus"), "o_totalprice", psiBounds, "b1")
+      graft.engine.Rollup.journalHistogram(
+        os.filter(col("o_orderkey") % 2 === 1), j,
+        Seq("o_orderstatus"), "o_totalprice", psiBounds, "b2")
+      base
+    }
+
   /** Pre-build every cached table for this fixture — called by Bench and
     * BenchOne outside their timers so what q_incremental_* measures never
     * depends on suite order or warmup-fixture presence.
@@ -183,6 +205,7 @@ object Incremental {
     rollupJournalDir(s, dir)
     rollupCompactedDir(s, dir)
     histJournalDir(s, dir)
+    psiJournalDir(s, dir)
   }
 
   private def latestView(s: SparkSession, dir: String,
@@ -281,6 +304,39 @@ object Incremental {
         .select(col("o_orderstatus"), col("p"), col("n"),
           (col("le") / col("n"))
             .between(col("p") - 0.05, col("p") + 0.05).as("rank_ok"))
+    }),
+
+    // Standing drift monitor from the IVM journal: PSI of the price
+    // distribution per order status, batch b1 (reference) vs b2
+    // (current), computed from the histogram journal ALONE — the raw
+    // table is never rescanned to answer "did the distribution move?".
+    // Same smoothed-PSI fold as q_psi_drift (add-one over the observed
+    // bin union); the replay-dedup guard mirrors quantileEstimate's.
+    // The oracle recomputes from raw orders with the identical
+    // fixed-grid bucket function, so a green row proves the journal is a
+    // lossless sufficient statistic for drift.
+    "q_psi_journal" -> ((s, dir) => {
+      val j = s.read.parquet(s"${psiJournalDir(s, dir)}/journal")
+        .dropDuplicates(Seq("o_orderstatus", "h_bucket", "batch"))
+      val g = j.groupBy(col("o_orderstatus"), col("h_bucket"))
+        .agg(sum(when(col("batch") === "b1", col("h_cnt"))
+            .otherwise(0L)).as("n_ref"),
+          sum(when(col("batch") === "b2", col("h_cnt"))
+            .otherwise(0L)).as("n_cur"))
+      val tot = g.groupBy(col("o_orderstatus"))
+        .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"),
+          count(lit(1)).as("n_bins"))
+      g.join(broadcast(tot), "o_orderstatus")
+        .withColumn("p_ref", (col("n_ref") + lit(1)).cast("double") /
+          (col("t_ref") + col("n_bins")))
+        .withColumn("p_cur", (col("n_cur") + lit(1)).cast("double") /
+          (col("t_cur") + col("n_bins")))
+        .groupBy(col("o_orderstatus"))
+        .agg(round(sum((col("p_cur") - col("p_ref")) *
+            log(col("p_cur") / col("p_ref"))), 6).as("psi"),
+          max(col("n_bins")).as("n_bins"),
+          sum(col("n_ref")).as("n_rows_ref"),
+          sum(col("n_cur")).as("n_rows_cur"))
     }))
 
   private def rollupSelect(report: DataFrame): DataFrame =
@@ -394,5 +450,41 @@ object Incremental {
       """SELECT o_orderstatus, p, count(*) AS n,
         |  CAST(1 AS BOOLEAN) AS rank_ok
         |FROM orders CROSS JOIN (VALUES (0.5), (0.95)) v(p)
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Recomputes q_psi_journal from RAW orders with the identical
+    // fixed-grid bucket rule (bucket = #boundaries <= value, matching
+    // QuantileBucket's binarySearch contract) and key-parity batch split
+    // — equality proves the journal is a lossless drift statistic.
+    "q_psi_journal" ->
+      """WITH b AS (
+        |  SELECT o_orderstatus,
+        |    CAST(len(list_filter(
+        |      [50000.0, 100000.0, 150000.0, 200000.0, 250000.0,
+        |       300000.0, 350000.0, 400000.0, 450000.0],
+        |      x -> x <= o_totalprice)) AS BIGINT) AS h_bucket,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'b1' ELSE 'b2' END AS batch
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |g AS (
+        |  SELECT o_orderstatus, h_bucket,
+        |    CAST(sum(CASE WHEN batch = 'b1' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(sum(CASE WHEN batch = 'b2' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT o_orderstatus, CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        |    CAST(sum(n_cur) AS BIGINT) AS t_cur, count(*) AS n_bins
+        |  FROM g GROUP BY 1),
+        |p AS (
+        |  SELECT g.o_orderstatus, n_ref, n_cur, n_bins,
+        |    (n_ref + 1.0) / (t_ref + n_bins) AS p_ref,
+        |    (n_cur + 1.0) / (t_cur + n_bins) AS p_cur
+        |  FROM g JOIN tot USING (o_orderstatus))
+        |SELECT o_orderstatus,
+        |  round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+        |  max(n_bins) AS n_bins,
+        |  CAST(sum(n_ref) AS BIGINT) AS n_rows_ref,
+        |  CAST(sum(n_cur) AS BIGINT) AS n_rows_cur
+        |FROM p GROUP BY 1""".stripMargin)
 }

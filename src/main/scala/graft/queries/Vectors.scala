@@ -225,6 +225,39 @@ object Vectors {
             .as("recall_at_5"))
     }),
 
+    // Ranking-quality evaluation beside recall@5: nDCG@5 of the IVF
+    // ranking against brute-force graded relevance (brute rank r ⇒
+    // rel = 6−r, non-top-5 ⇒ 0). The log2 position discounts are embedded
+    // as PRECOMPUTED nano-unit literal constants (floor(1e9/log2(r+1)))
+    // in both engines — DCG becomes an order-independent integer sum with
+    // zero transcendental drift, and nDCG is one shared division by the
+    // constant ideal (IDCG@5 = Σ (6−i)·disc(i) = 10_271_924_935). Same
+    // one-materialized-corpus shape as q_sim_recall.
+    "q_sim_ndcg" -> ((s, dir) => {
+      val corpus = Similarity.withNorm(t(s, dir, "embeddings"), "vec_id",
+        "embedding").localCheckpoint()
+      val brute = Similarity.bruteForceTopKFrom(corpus, "vec_id",
+        col("vec_id") % 25 === 0, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          (lit(6L) - col("rank")).as("rel"))
+      val ivf = Similarity.ivfTopKFrom(
+        Similarity.assignClustersFrom(corpus, "vec_id", col("vec_id") < 10),
+        "vec_id", col("vec_id") % 25 === 0, k = 5)
+      val disc = when(col("rank") === 1, 1000000000L)
+        .when(col("rank") === 2, 630929753L)
+        .when(col("rank") === 3, 500000000L)
+        .when(col("rank") === 4, 430676558L)
+        .otherwise(386852807L)
+      ivf.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("contrib", coalesce(col("rel"), lit(0L)) * disc)
+        .groupBy(col("query_id"))
+        .agg(sum(col("contrib")).as("dcg_nano"),
+          count(when(col("rel").isNotNull, lit(1))).as("n_rel_hits"))
+        .withColumn("ndcg_at_5",
+          round(col("dcg_nano") / lit(10271924935.0), 6))
+    }),
+
     // Hard-negative mining for contrastive/embedding training: for every
     // query vector, the top-5 most-similar CORPUS vectors with a DIFFERENT
     // label — near neighbors that are semantically wrong, the negatives a
@@ -629,6 +662,46 @@ object Vectors {
         |FROM brute b LEFT JOIN ivf i
         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
         |GROUP BY b.query_id""".stripMargin,
+
+    "q_sim_ndcg" ->
+      s"""WITH $withNorm,
+        |brute AS (
+        |  SELECT query_id, neighbor_id, 6 - rank AS rel FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cos("n", "q")} DESC, n.vec_id ASC) AS BIGINT)
+        |        AS rank
+        |    FROM c n, c q
+        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |  WHERE rank <= 5),
+        |$centAsgn,
+        |ivf AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cos("n", "q")} DESC, n.vec_id ASC) AS BIGINT)
+        |        AS rank
+        |    FROM c q
+        |    JOIN asgn qa ON qa.vec_id = q.vec_id
+        |    JOIN asgn na ON na.cluster_id = qa.cluster_id
+        |    JOIN c n ON n.vec_id = na.vec_id
+        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |  WHERE rank <= 5),
+        |scored AS (
+        |  SELECT i.query_id,
+        |    COALESCE(b.rel, 0) * CASE i.rank
+        |      WHEN 1 THEN 1000000000 WHEN 2 THEN 630929753
+        |      WHEN 3 THEN 500000000 WHEN 4 THEN 430676558
+        |      ELSE 386852807 END AS contrib,
+        |    b.rel
+        |  FROM ivf i LEFT JOIN brute b
+        |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id)
+        |SELECT query_id, CAST(sum(contrib) AS BIGINT) AS dcg_nano,
+        |  CAST(sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rel_hits,
+        |  round(CAST(sum(contrib) AS BIGINT) / 10271924935.0, 6)
+        |    AS ndcg_at_5
+        |FROM scored GROUP BY query_id""".stripMargin,
 
     "q_sim_ivf_probe2" ->
       s"""WITH $withNorm,

@@ -107,6 +107,38 @@ class SelectionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sim_ndcg: ndcg in [0,1] and exactly dcg_nano/IDCG, hit count " +
+      "bounded by 5, one row per query") {
+    val rows = Vectors.queries("q_sim_ndcg")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val qs = t(spark, dir, "embeddings").select("vec_id").collect()
+      .map(_.getLong(0)).filter(_ % 25 == 0).toSet
+    assert(rows.map(_._1).toSet == qs)
+    rows.foreach { case (_, dcg, hits, ndcg) =>
+      assert(hits >= 0 && hits <= 5)
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      assert(ndcg == math.rint(dcg / 10271924935.0 * 1e6) / 1e6)
+    }
+  }
+
+  test("q_psi_journal: PSI non-negative, journal row totals reconcile " +
+      "with the raw parity split per status") {
+    val raw = t(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(sum(when(col("o_orderkey") % 2 === 0, 1L).otherwise(0L))
+          .as("even"),
+        sum(when(col("o_orderkey") % 2 === 1, 1L).otherwise(0L)).as("odd"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val out = Incremental.queries("q_psi_journal")(spark, dir).collect()
+    assert(out.map(_.getString(0)).toSet == raw.keySet)
+    out.foreach { r =>
+      val (tpe, psi) = (r.getString(0), r.getDouble(1))
+      assert(psi >= 0)
+      assert(r.getLong(3) == raw(tpe)._1 && r.getLong(4) == raw(tpe)._2)
+    }
+  }
+
   test("q_hard_negatives: 5 per query, neighbor label always differs " +
       "from the query's, sims non-increasing in rank") {
     val labels = t(spark, dir, "embeddings")
