@@ -452,6 +452,56 @@ class PlanSpec extends AnyFunSuite {
       s"global single-partition window would serialize the stream:\n$p")
   }
 
+  test("q_dsir_weights broadcasts the bucket-ratio table; " +
+      "q_dsir_selected takes its top-k via per-partition heaps") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=64-row ratio table must broadcast onto the bigram stream:\n$p")
+    assert(!p.contains("rangepartitioning"), p)
+    val sel = plan("q_dsir_selected")
+    assert(sel.contains("TakeOrderedAndProject"),
+      s"selection must not globally sort the pool:\n$sel")
+  }
+
+  test("q_bm25_topk and q_hybrid_rrf rank only after per-partition " +
+      "top-k limits, with no cartesian product") {
+    for (q <- Seq("q_bm25_topk", "q_hybrid_rrf")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q must limit via per-partition heaps before ranking:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("rangepartitioning"), p)
+    }
+  }
+
+  test("q_psi_drift and q_psi_journal: one conditional-sum pass, totals " +
+      "broadcast back, no window over the stream") {
+    for (q <- Seq("q_psi_drift", "q_psi_journal")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: per-type totals must broadcast onto the bin table:\n$p")
+      assert(!p.contains("Window"), s"$q: unexpected window:\n$p")
+      assert(!p.contains("rangepartitioning"), p)
+    }
+  }
+
+  test("q_hard_negatives broadcasts the query set and ranks under a " +
+      "query-keyed window") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast; the corpus streams:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(query_id"),
+      s"rank window must partition by query_id:\n$p")
+  }
+
+  test("q_sim_ndcg joins the two rankings without a cartesian or a " +
+      "global sort") {
+    val p = plan("q_sim_ndcg")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("chunkcsv queries push their predicate into the DSv2 scan") {
     // fully pushed → the scan reports it and no Spark-side Filter remains
     // to re-evaluate it (the connector's row eval is the enforcement)
