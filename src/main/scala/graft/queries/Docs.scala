@@ -647,6 +647,50 @@ object Docs {
         .agg(count(lit(1)).as("n_kept"), sum(col("nt")).as("toks_kept"))
     }),
 
+    // UniMax mixture allocation (Chung et al. 2023): distribute a token
+    // budget UNIFORMLY across sources, capped at each source's available
+    // tokens (1 epoch — the paper's anti-repetition principle; the epoch
+    // cap is the dial). Exact integer water-filling in closed form:
+    // sources sorted by availability, everything below the water level is
+    // taken whole, the first BINDING source fixes the level
+    // θ = (budget − cum_prev) DIV (remaining sources), everyone at or
+    // above gets θ. All longs — no float aggregation anywhere, so both
+    // engines produce identical allocations. Windows run over |sources|
+    // rows (the marginals table, never the corpus); budget = half the
+    // corpus tokens, derived by exact integer division.
+    "q_mixture_unimax" -> ((s, dir) => {
+      val bySource = t(s, dir, "documents")
+        .select(col("source"), Text.nTokens(col("text")).as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("avail"))
+      val tot = bySource.agg(sum(col("avail")).as("total"),
+        count(lit(1)).as("l"))
+      val w = Window.orderBy(col("avail").asc, col("source").asc)
+      val ranked = bySource.crossJoin(broadcast(tot))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("cum_prev", coalesce(sum(col("avail")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("budget", expr("total DIV 2"))
+        .withColumn("bind", col("avail") * (col("l") - col("r") + 1) >
+          (col("budget") - col("cum_prev")))
+      // min(struct) picks the lowest-rank binding row; on an over-large
+      // budget (nothing binds) the aggregate yields one NULL row and the
+      // fallback arm allocates every source whole — never an empty join.
+      val theta = ranked.filter(col("bind"))
+        .agg(min(struct(col("r").as("r"),
+          expr("(budget - cum_prev) DIV (l - r + 1)").as("theta")))
+          .as("k"))
+        .select(col("k.r").as("bind_r"), col("k.theta").as("theta"))
+      ranked.crossJoin(broadcast(theta))
+        .select(col("source"), col("avail").as("n_toks"),
+          when(col("bind_r").isNull || col("r") < col("bind_r"),
+            col("avail"))
+            .otherwise(least(col("avail"), col("theta")))
+            .as("alloc_toks"))
+        .withColumn("rate",
+          round(col("alloc_toks").cast("double") / col("n_toks"), 4))
+        .withColumn("capped", col("alloc_toks") < col("n_toks"))
+    }),
+
     // Quality-filter funnel (Gopher-style doc thresholds) with
     // OBSERVABILITY: every document gets its first failing rule as a
     // reject reason, aggregated per (lang, reason) — the report a corpus
@@ -1358,6 +1402,39 @@ object Docs {
       s"""WITH $dsirCtes
         |SELECT doc_id, dsir_w FROM w
         |ORDER BY dsir_w DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_mixture_unimax" ->
+      """WITH bys AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(avail) AS BIGINT) AS total, count(*) AS l
+        |  FROM bys),
+        |ranked AS (
+        |  SELECT source, avail, total, l,
+        |    CAST(row_number() OVER (ORDER BY avail ASC, source ASC)
+        |      AS BIGINT) AS r,
+        |    COALESCE(CAST(sum(avail) OVER (ORDER BY avail ASC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS cum_prev,
+        |    total // 2 AS budget
+        |  FROM bys CROSS JOIN tot),
+        |b AS (SELECT *,
+        |    avail * (l - r + 1) > (budget - cum_prev) AS bind
+        |  FROM ranked),
+        |k AS (SELECT min(r) AS bind_r FROM b WHERE bind),
+        |th AS (
+        |  SELECT b.r AS bind_r, (budget - cum_prev) // (l - r + 1) AS theta
+        |  FROM b JOIN k ON b.r = k.bind_r),
+        |alloc AS (
+        |  SELECT source, avail,
+        |    CASE WHEN th.bind_r IS NULL OR b.r < th.bind_r THEN avail
+        |         ELSE least(avail, th.theta) END AS alloc_toks
+        |  FROM b LEFT JOIN th ON true)
+        |SELECT source, avail AS n_toks, alloc_toks,
+        |  round(CAST(alloc_toks AS DOUBLE) / avail, 4) AS rate,
+        |  alloc_toks < avail AS capped
+        |FROM alloc""".stripMargin,
 
     "q_bm25_topk" ->
       s"""WITH $bm25Ctes

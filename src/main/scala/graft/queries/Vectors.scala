@@ -225,6 +225,35 @@ object Vectors {
             .as("recall_at_5"))
     }),
 
+    // Two-stage retrieval (the production PQ pattern, Jégou et al. 2011
+    // §VII): ADC over reconstructions proposes top-20 CANDIDATES, then the
+    // true vectors re-score just those and keep the exact top-5 — PQ's
+    // memory economics for the scan, full precision for the answer. The
+    // refine join touches |queries|×20 rows (the whole point); queries
+    // broadcast, the candidate set joins back to the corpus by id.
+    "q_sim_pq_refined" -> ((s, dir) => {
+      val corpus = Similarity.withNorm(t(s, dir, "embeddings"), "vec_id",
+        "embedding").localCheckpoint()
+      val cand = Similarity.pqTopK(corpus, "vec_id", m = 4, ds = 16,
+        col("vec_id") < 16, col("vec_id") % 25 === 0, k = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val queries = corpus.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      cand
+        .join(corpus.select(col("vec_id").as("neighbor_id"), col("v"),
+          col("nrm")), Seq("neighbor_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(Similarity.dot(col("v"), col("qv")) /
+            (col("nrm") * col("qn")), 6).as("sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+    }),
+
     // Ranking-quality evaluation beside recall@5: nDCG@5 of the IVF
     // ranking against brute-force graded relevance (brute rank r ⇒
     // rel = 6−r, non-top-5 ⇒ 0). The log2 position discounts are embedded
@@ -458,6 +487,29 @@ object Vectors {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
         |  FROM sims)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_sim_pq_refined" ->
+      s"""WITH $withNorm,
+        |$pqCtes,
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cos("n", "q")} DESC, n.vec_id ASC) AS BIGINT)
+        |        AS rank
+        |    FROM pqr n, c q
+        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |  WHERE rank <= 20),
+        |refined AS (
+        |  SELECT cand.query_id, cand.neighbor_id, ${cos("n", "q")} AS sim
+        |  FROM cand
+        |  JOIN c n ON n.vec_id = cand.neighbor_id
+        |  JOIN c q ON q.vec_id = cand.query_id)
+        |SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM refined)
         |WHERE rank <= 5""".stripMargin,
 
     "q_sim_pq_recall" ->

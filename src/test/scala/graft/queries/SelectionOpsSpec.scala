@@ -107,6 +107,47 @@ class SelectionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mixture_unimax: exact water-filling — uncapped sources taken " +
+      "whole, capped share one level >= every uncapped availability, " +
+      "total allocation within integer-remainder of the budget") {
+    val rows = Docs.queries("q_mixture_unimax")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    val budget = total / 2
+    rows.foreach { case (_, avail, alloc, capped) =>
+      assert(alloc <= avail)
+      assert(capped == (alloc < avail))
+    }
+    val allocSum = rows.map(_._3).sum
+    assert(allocSum <= budget)
+    assert(budget - allocSum < rows.length) // DIV remainder only
+    val capped = rows.filter(_._4)
+    val uncapped = rows.filterNot(_._4)
+    if (capped.nonEmpty) {
+      assert(capped.map(_._3).distinct.length == 1) // one water level
+      if (uncapped.nonEmpty)
+        assert(capped.head._3 >= uncapped.map(_._2).max)
+    }
+  }
+
+  test("q_sim_pq_refined: exact re-ranking of the ADC candidates never " +
+      "loses recall vs the pure PQ top-5") {
+    import graft.ext.Similarity
+    val emb = t(spark, dir, "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 25 === 0, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Vectors.queries("q_sim_pq_refined")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pq = Similarity.pqTopK(
+      Similarity.withNorm(emb, "vec_id", "embedding"), "vec_id",
+      m = 4, ds = 16, col("vec_id") < 16, col("vec_id") % 25 === 0, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    refined.groupBy(_._1).foreach { case (_, g) => assert(g.length == 5) }
+    assert(refined.count(brute.contains) >= pq.count(brute.contains))
+  }
+
   test("q_sim_ndcg: ndcg in [0,1] and exactly dcg_nano/IDCG, hit count " +
       "bounded by 5, one row per query") {
     val rows = Vectors.queries("q_sim_ndcg")(spark, dir).collect()
