@@ -412,4 +412,28 @@ object Dedup {
       .filter(col("n") >= 2)
       .select(col(idCol), col("pos"))
   }
+
+  /** Cross-set twin of [[substringDupPositions]]: positions in `docs`
+    * whose l-gram occurs anywhere in `ref` — decontamination at SPAN
+    * granularity (ref = the eval split). The ref digest set is
+    * distinct'd once and the probe is a LEFT SEMI join on the 32-byte
+    * gram digest (never the gram text) — one hash shuffle, no
+    * row-multiplication however often a gram repeats in ref.
+    *
+    * Returns (doc_id, pos) like the within-corpus variant, so the same
+    * gaps-and-islands span merge and running-max coverage rewrite
+    * compose on top.
+    */
+  def substringMatchPositions(docs: DataFrame, ref: DataFrame,
+      idCol: String, textCol: String, l: Int): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .filter(size(split(col(textCol), " ")) >= l)
+      .select(col(idCol),
+        posexplode(shingles(col(textCol), l)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        md5(col("gram").cast("binary")).as("h"))
+    grams(docs)
+      .join(grams(ref).select(col("h")).distinct(), Seq("h"), "left_semi")
+      .select(col(idCol), col("pos"))
+  }
 }

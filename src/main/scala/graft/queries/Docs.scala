@@ -115,6 +115,61 @@ object Docs {
           count(when(!col("kept"), lit(1))).as("n_dropped"))
     }),
 
+    // Span-level decontamination: the flag→trim completion of the
+    // decontamination family. Same 5-gram rule as q_decontam_ngram, but
+    // instead of flagging whole train docs it localizes the MAXIMAL
+    // contaminated spans (every train position whose 5-gram occurs
+    // anywhere in val/test; cross-set LEFT SEMI on the gram digest →
+    // gaps-and-islands merge) — the surgical removal that keeps a long
+    // doc whose one quoted benchmark answer would otherwise discard it.
+    "q_decontam_spans" -> ((s, dir) => {
+      val l = 5
+      val docs = t(s, dir, "documents")
+      val flagged = Dedup.substringMatchPositions(
+        docs.filter(splitCol(col("doc_id")) === "train"),
+        docs.filter(splitCol(col("doc_id")) =!= "train"),
+        "doc_id", "text", l)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      flagged
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + lit(l - 1)).as("span_end"),
+          (max(col("pos")) - min(col("pos")) + lit(l)).as("n_span_tokens"))
+        .select("doc_id", "span_start", "span_end", "n_span_tokens")
+    }),
+
+    // The trim phase: every train token covered by a contaminated span is
+    // dropped and the survivor text reassembled — q_dedup_substring_kept's
+    // running-max coverage rewrite pointed at the cross-split flags.
+    "q_decontam_spans_kept" -> ((s, dir) => {
+      val l = 5
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(splitCol(col("doc_id")) === "train")
+      val flagged = Dedup.substringMatchPositions(train,
+        docs.filter(splitCol(col("doc_id")) =!= "train"),
+        "doc_id", "text", l)
+        .withColumn("fpos", col("pos"))
+      val toks = train.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .withColumn("pos", col("pos").cast("long"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val covered = toks
+        .join(flagged, Seq("doc_id", "pos"), "left")
+        .withColumn("cov_end",
+          max(when(col("fpos").isNotNull, col("fpos") + lit(l - 1))).over(w))
+        .withColumn("kept", col("cov_end").isNull || col("cov_end") < col("pos"))
+      covered.groupBy(col("doc_id"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("pos"), col("token"))))),
+            x => x("token")), " ").as("text_kept"),
+          count(when(col("kept"), lit(1))).as("n_kept"),
+          count(when(!col("kept"), lit(1))).as("n_dropped"))
+    }),
+
     // Near-dup provenance matrix: verified pairs annotated with BOTH sides'
     // source, rolled up per unordered source pair — the syndication
     // diagnostic (which feeds re-publish which) a curation run reads before
@@ -1402,6 +1457,64 @@ object Docs {
       s"""WITH $dsirCtes
         |SELECT doc_id, dsir_w FROM w
         |ORDER BY dsir_w DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_decontam_spans" ->
+      s"""WITH $splitsCte,
+        |lt AS (SELECT d.doc_id, string_split(text, ' ') AS l, s.split
+        |  FROM documents d JOIN splits s USING (doc_id)),
+        |grams AS (
+        |  SELECT doc_id, t.pos,
+        |    md5(array_to_string(l[t.pos+1:t.pos+5], ' ')) AS h
+        |  FROM lt, LATERAL (SELECT unnest(range(len(l) - 4)) AS pos) t
+        |  WHERE len(l) >= 5 AND split = 'train'),
+        |eg AS (
+        |  SELECT DISTINCT md5(array_to_string(l[t.pos+1:t.pos+5], ' ')) AS h
+        |  FROM lt, LATERAL (SELECT unnest(range(len(l) - 4)) AS pos) t
+        |  WHERE len(l) >= 5 AND split != 'train'),
+        |flagged AS (
+        |  SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM eg)),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM flagged)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+        |  max(pos) - min(pos) + 5 AS n_span_tokens
+        |FROM runs GROUP BY doc_id, grp""".stripMargin,
+
+    "q_decontam_spans_kept" ->
+      s"""WITH $splitsCte,
+        |lt AS (SELECT d.doc_id, string_split(text, ' ') AS l, s.split
+        |  FROM documents d JOIN splits s USING (doc_id)),
+        |grams AS (
+        |  SELECT doc_id, t.pos,
+        |    md5(array_to_string(l[t.pos+1:t.pos+5], ' ')) AS h
+        |  FROM lt, LATERAL (SELECT unnest(range(len(l) - 4)) AS pos) t
+        |  WHERE len(l) >= 5 AND split = 'train'),
+        |eg AS (
+        |  SELECT DISTINCT md5(array_to_string(l[t.pos+1:t.pos+5], ' ')) AS h
+        |  FROM lt, LATERAL (SELECT unnest(range(len(l) - 4)) AS pos) t
+        |  WHERE len(l) >= 5 AND split != 'train'),
+        |flagged AS (
+        |  SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM eg)),
+        |toks AS (
+        |  SELECT doc_id, unnest(l) AS token, unnest(range(len(l))) AS pos
+        |  FROM lt WHERE split = 'train'),
+        |cover AS (
+        |  SELECT t.doc_id, t.pos, t.token,
+        |    max(CASE WHEN f.pos IS NOT NULL THEN f.pos + 4 END)
+        |      OVER (PARTITION BY t.doc_id ORDER BY t.pos
+        |            ROWS UNBOUNDED PRECEDING) AS cov_end
+        |  FROM toks t LEFT JOIN flagged f
+        |    ON t.doc_id = f.doc_id AND t.pos = f.pos)
+        |SELECT doc_id,
+        |  coalesce(string_agg(
+        |    CASE WHEN cov_end IS NULL OR cov_end < pos THEN token END,
+        |    ' ' ORDER BY pos), '') AS text_kept,
+        |  count(*) FILTER (WHERE cov_end IS NULL OR cov_end < pos)
+        |    AS n_kept,
+        |  count(*) FILTER (WHERE cov_end IS NOT NULL AND cov_end >= pos)
+        |    AS n_dropped
+        |FROM cover GROUP BY doc_id""".stripMargin,
 
     "q_mixture_unimax" ->
       """WITH bys AS (

@@ -225,6 +225,34 @@ object Vectors {
             .as("recall_at_5"))
     }),
 
+    // Embedding-space anomaly detection: vectors far from their assigned
+    // centroid (bottom decile of within-cluster cosine) — the
+    // mislabeled/noise/garbage sweep a curation run performs on the
+    // embedding table before ANN indexing or SemDeDup. Same broadcast
+    // argmax assignment as IVF; the per-cluster threshold is a grouped
+    // EXACT percentile over the scored table (broadcast back, the
+    // q_mad_outliers pattern); scored feeds the threshold agg AND the
+    // flag filter → one materialization.
+    "q_embedding_outliers" -> ((s, dir) => {
+      val corpus = Similarity.withNorm(t(s, dir, "embeddings"), "vec_id",
+        "embedding").localCheckpoint()
+      val asgn = Similarity.assignClustersFrom(corpus, "vec_id",
+        col("vec_id") < 10)
+      val cents = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("cluster_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val scored = asgn.join(broadcast(cents), Seq("cluster_id"))
+        .select(col("vec_id"), col("cluster_id"),
+          round(Similarity.dot(col("v"), col("cv")) /
+            (col("nrm") * col("cn")), 6).as("csim"))
+        .localCheckpoint()
+      val thr = scored.groupBy(col("cluster_id"))
+        .agg(round(expr("percentile(csim, 0.1)"), 6).as("p10"))
+      scored.join(broadcast(thr), Seq("cluster_id"))
+        .filter(col("csim") < col("p10"))
+        .select("vec_id", "cluster_id", "csim", "p10")
+    }),
+
     // Two-stage retrieval (the production PQ pattern, Jégou et al. 2011
     // §VII): ADC over reconstructions proposes top-20 CANDIDATES, then the
     // true vectors re-score just those and keep the exact top-5 — PQ's
@@ -488,6 +516,21 @@ object Vectors {
         |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
         |  FROM sims)
         |WHERE rank <= 5""".stripMargin,
+
+    "q_embedding_outliers" ->
+      s"""WITH $withNorm,
+        |$centAsgn,
+        |scored AS (
+        |  SELECT x.vec_id, a.cluster_id, ${cos("x", "ct")} AS csim
+        |  FROM asgn a
+        |  JOIN c x ON x.vec_id = a.vec_id
+        |  JOIN cent ct ON ct.cent_id = a.cluster_id),
+        |thr AS (
+        |  SELECT cluster_id, round(quantile_cont(csim, 0.1), 6) AS p10
+        |  FROM scored GROUP BY 1)
+        |SELECT s.vec_id, s.cluster_id, s.csim, t.p10
+        |FROM scored s JOIN thr t USING (cluster_id)
+        |WHERE s.csim < t.p10""".stripMargin,
 
     "q_sim_pq_refined" ->
       s"""WITH $withNorm,

@@ -131,6 +131,50 @@ class SelectionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_decontam_spans/kept: spans live on train docs, are disjoint " +
+      "and >= 5 tokens, and the rewrite drops exactly the covered " +
+      "positions of every train doc") {
+    val spans = Docs.queries("q_decontam_spans")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty)
+    val train = t(spark, dir, "documents")
+      .filter(conv(substring(md5(concat(lit("split:"),
+          col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 100 < 90)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    spans.foreach { case (id, s0, s1, n) =>
+      assert(train.contains(id))
+      assert(n == s1 - s0 + 1 && n >= 5)
+    }
+    spans.groupBy(_._1).foreach { case (_, g) =>
+      g.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a._3 < b._2) // maximal → disjoint
+        case _ =>
+      }
+    }
+    val dropped = spans.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    val kept = Docs.queries("q_decontam_spans_kept")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(kept.keySet == train)
+    kept.foreach { case (id, nDropped) =>
+      assert(nDropped == dropped.getOrElse(id, 0L))
+    }
+  }
+
+  test("q_embedding_outliers: every flagged vector sits strictly below " +
+      "its cluster's decile threshold, and no cluster flags more than " +
+      "a decile's worth (+1 for interpolation)") {
+    val rows = Vectors.queries("q_embedding_outliers")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, csim, p10) => assert(csim < p10) }
+    val perCluster = rows.groupBy(_._2).view.mapValues(_.length)
+    val nTotal = t(spark, dir, "embeddings").count()
+    perCluster.foreach { case (_, n) =>
+      assert(n <= nTotal / 10 + 1)
+    }
+  }
+
   test("q_sim_pq_refined: exact re-ranking of the ADC candidates never " +
       "loses recall vs the pure PQ top-5") {
     import graft.ext.Similarity
