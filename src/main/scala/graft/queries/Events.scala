@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.Sessionize
@@ -36,6 +37,36 @@ object Events {
         .groupBy(col("event_type"))
         .agg(round(chk.metric, 6).as("age_hours"))
         .withColumn("passed", col("age_hours") <= 0.5)
+    }),
+
+    // Changepoint localization (CUSUM, Page 1954): WHERE in time the
+    // level of a series shifted — the companion to q_psi_drift's "did the
+    // distribution move". Hourly value sums per type (integer cents), then
+    // the classic cumulative-deviation statistic computed SCALE-FREE in
+    // exact longs: cusum_t·n = n·Σ_{i≤t}x_i − t·Σx_i (multiplying through
+    // by n avoids a float mean inside the cumsum — engine-exact), argmax
+    // |cusum| with earliest-hour tiebreak. Windows run over the hourly
+    // aggregate (≤ hours×types rows), never raw events.
+    "q_cusum_changepoint" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(floor(round(sum(col("value")), 2) * 100 + 0.5).as("cents"))
+      val tot = hourly.groupBy(col("event_type"))
+        .agg(sum(col("cents")).as("tot"), count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val cus = hourly.join(broadcast(tot), "event_type")
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("cents")).over(w))
+        .withColumn("cusum_scaled",
+          col("n") * col("cum") - col("t") * col("tot"))
+      val w2 = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("cusum_scaled")).desc, col("h").asc)
+      cus.withColumn("rn", row_number().over(w2))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("h").as("change_hour"),
+          round(abs(col("cusum_scaled")) / (col("n") * lit(100.0)), 2)
+            .as("max_cusum"),
+          col("n").as("n_hours"))
     }),
 
     // Distribution-drift monitor: Population Stability Index of the value
@@ -324,6 +355,31 @@ object Events {
         |  round((floor(epoch(TIMESTAMP '2024-01-31 00:00:00'))
         |    - floor(epoch(max(ts)))) / 3600.0, 6) <= 0.5 AS passed
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_cusum_changepoint" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(floor(round(sum(value), 2) * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS tot,
+        |    count(*) AS n
+        |  FROM hourly GROUP BY 1),
+        |cus AS (
+        |  SELECT hh.event_type, hh.h, t.n, t.tot,
+        |    CAST(row_number() OVER (PARTITION BY hh.event_type
+        |      ORDER BY hh.h) AS BIGINT) AS t2,
+        |    CAST(sum(cents) OVER (PARTITION BY hh.event_type ORDER BY hh.h
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM hourly hh JOIN tot t USING (event_type)),
+        |r AS (
+        |  SELECT *, n * cum - t2 * tot AS cusum_scaled,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * cum - t2 * tot) DESC, h ASC) AS rn
+        |  FROM cus)
+        |SELECT event_type, h AS change_hour,
+        |  round(abs(cusum_scaled) / (n * 100.0), 2) AS max_cusum,
+        |  n AS n_hours
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "q_psi_drift" ->
       """WITH g AS (

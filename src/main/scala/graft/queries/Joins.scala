@@ -235,6 +235,43 @@ object Joins {
         .filter(col("dist") === 1)
     }),
 
+    // Probabilistic record linkage (Fellegi-Sunter 1969): within-nation
+    // customer pairs scored by per-field agreement log-likelihood ratios
+    // ln(m/u) / ln((1-m)/(1-u)) with documented (m, u) parameters —
+    // name within 1 edit (m=.9, u=.001), balance within 100 (m=.8,
+    // u=.05), same segment (m=.95, u=.2). The weights are PRECOMPUTED
+    // nano-unit literals (same trick as q_sim_ndcg's discounts), so the
+    // pair score is an exact integer sum — no ln at query time, no
+    // engine drift. Blocking on nationkey bounds candidates at
+    // Σ per-nation n² (the dial gets finer at scale: nation × segment ×
+    // balance band); only likely matches (weight > 0) are emitted.
+    "q_entity_resolution" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.select(col("c_custkey").as("cust_a"),
+        col("c_name").as("name_a"), col("c_nationkey").as("nk"),
+        col("c_acctbal").as("bal_a"), col("c_mktsegment").as("seg_a"))
+      val b = c.select(col("c_custkey").as("cust_b"),
+        col("c_name").as("name_b"), col("c_nationkey").as("nk"),
+        col("c_acctbal").as("bal_b"), col("c_mktsegment").as("seg_b"))
+      a.join(b, Seq("nk")).filter(col("cust_a") < col("cust_b"))
+        .withColumn("w_name",
+          when(levenshtein(col("name_a"), col("name_b")) <= 1,
+            6802394763L).otherwise(-2301584593L))
+        .withColumn("w_bal",
+          when(abs(col("bal_a") - col("bal_b")) <= 100.0,
+            2772588722L).otherwise(-1558144619L))
+        .withColumn("w_seg",
+          when(col("seg_a") === col("seg_b"), 1558144618L)
+            .otherwise(-2772588723L))
+        .withColumn("weight_nano",
+          col("w_name") + col("w_bal") + col("w_seg"))
+        .filter(col("weight_nano") > 0)
+        .select(col("cust_a"), col("cust_b"),
+          (col("w_name") > 0).as("name_agree"),
+          (col("w_bal") > 0).as("bal_agree"),
+          (col("w_seg") > 0).as("seg_agree"), col("weight_nano"))
+    }),
+
     // Skew-salted join over a deliberately hot-keyed slice: l_orderkey % 5
     // gives five keys carrying 20% of lineitem EACH — the shape that
     // serializes onto five tasks in a plain shuffle join. saltedJoin spreads
@@ -340,6 +377,22 @@ object Joins {
       """SELECT p_partkey, p_name, count(l_orderkey) AS n_lines
         |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
         |GROUP BY p_partkey, p_name""".stripMargin,
+
+    "q_entity_resolution" ->
+      """WITH pairs AS (
+        |  SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+        |    CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+        |      THEN 6802394763 ELSE -2301584593 END AS w_name,
+        |    CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0
+        |      THEN 2772588722 ELSE -1558144619 END AS w_bal,
+        |    CASE WHEN a.c_mktsegment = b.c_mktsegment
+        |      THEN 1558144618 ELSE -2772588723 END AS w_seg
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
+        |SELECT cust_a, cust_b, w_name > 0 AS name_agree,
+        |  w_bal > 0 AS bal_agree, w_seg > 0 AS seg_agree,
+        |  CAST(w_name + w_bal + w_seg AS BIGINT) AS weight_nano
+        |FROM pairs WHERE w_name + w_bal + w_seg > 0""".stripMargin,
 
     // Deliberately BLOCKING-FREE: the oracle runs exact levenshtein over
     // ALL word pairs (fine for DuckDB at vocabulary size), so a candidate

@@ -131,6 +131,43 @@ class SelectionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_entity_resolution: pairs are ordered, same-nation, and the " +
+      "weight is exactly the sum of the agreement-pattern literals") {
+    val nation = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Joins.queries("q_entity_resolution")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, nm, bal, seg, w) =>
+      assert(a < b)
+      assert(nation(a) == nation(b))
+      val expect = (if (nm) 6802394763L else -2301584593L) +
+        (if (bal) 2772588722L else -1558144619L) +
+        (if (seg) 1558144618L else -2772588723L)
+      assert(w == expect && w > 0)
+    }
+  }
+
+  test("q_cusum_changepoint: one row per event type, the statistic is " +
+      "non-negative, the located hour exists in that type's series") {
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val rows = Events.queries("q_cusum_changepoint")(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSet == ev.keys.toSet)
+    rows.foreach { r =>
+      val (tpe, hour, stat, n) = (r.getString(0), r.getTimestamp(1),
+        r.getDouble(2), r.getLong(3))
+      assert(stat >= 0)
+      assert(ev(tpe).contains(hour))
+      assert(n == ev(tpe).size)
+    }
+  }
+
   test("q_decontam_spans/kept: spans live on train docs, are disjoint " +
       "and >= 5 tokens, and the rewrite drops exactly the covered " +
       "positions of every train doc") {
