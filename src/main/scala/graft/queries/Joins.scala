@@ -235,6 +235,43 @@ object Joins {
         .filter(col("dist") === 1)
     }),
 
+    // Grid-blocked spatial radius join over the reference's Geolocation
+    // domain (WKT points, functions/Wkt.scala): customers within 0.9° of
+    // a supplier, planar degree-space distance. NOT a cross join: points
+    // land in 1° grid cells, the small side expands to its 3×3 neighbor
+    // cells (a ≤0.9 radius cannot escape them), and the join is an
+    // EQUI-join on the cell key — the same bin→verify shape as
+    // q_join_interval_binned, candidates Σ per-cell n_a×n_b. Coordinates
+    // are synthesized deterministically from the keys (the multimodal
+    // family's fixture-synthesis pattern: pure integer arithmetic + one
+    // double offset, identical in both engines); the oracle verifies
+    // blocking-free over all pairs, independently proving the grid
+    // lossless (the q_fuzzy_join oracle stance).
+    "q_spatial_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").as("cust"),
+        ((col("c_custkey") % 90) - 45 + 0.5).as("lat"),
+        (((col("c_custkey") * 7) % 180) - 90 + 0.5).as("lon"))
+      val supp = t(s, dir, "supplier").select(
+        col("s_suppkey").as("supp"),
+        ((col("s_suppkey") % 90) - 45 + 0.3).as("slat"),
+        (((col("s_suppkey") * 7) % 180) - 90 + 0.3).as("slon"))
+      val custCell = cust
+        .withColumn("cx", floor(col("lat")))
+        .withColumn("cy", floor(col("lon")))
+      val suppCells = supp
+        .withColumn("dx", explode(array((-1 to 1).map(lit(_)): _*)))
+        .withColumn("dy", explode(array((-1 to 1).map(lit(_)): _*)))
+        .withColumn("cx", floor(col("slat")) + col("dx"))
+        .withColumn("cy", floor(col("slon")) + col("dy"))
+      val d2 = (col("lat") - col("slat")) * (col("lat") - col("slat")) +
+        (col("lon") - col("slon")) * (col("lon") - col("slon"))
+      custCell.join(suppCells, Seq("cx", "cy"))
+        .withColumn("d2", d2)
+        .filter(col("d2") <= 0.81)
+        .select(col("cust"), col("supp"), round(col("d2"), 6).as("d2"))
+    }),
+
     // Probabilistic record linkage (Fellegi-Sunter 1969): within-nation
     // customer pairs scored by per-field agreement log-likelihood ratios
     // ln(m/u) / ln((1-m)/(1-u)) with documented (m, u) parameters —
@@ -377,6 +414,26 @@ object Joins {
       """SELECT p_partkey, p_name, count(l_orderkey) AS n_lines
         |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
         |GROUP BY p_partkey, p_name""".stripMargin,
+
+    // Blocking-free all-pairs verify (the q_fuzzy_join stance): a pair
+    // the Spark grid ever missed would surface as a row-count mismatch.
+    "q_spatial_join" ->
+      """WITH cust AS (
+        |  SELECT c_custkey AS cust,
+        |    (c_custkey % 90) - 45 + CAST(0.5 AS DOUBLE) AS lat,
+        |    ((c_custkey * 7) % 180) - 90 + CAST(0.5 AS DOUBLE) AS lon
+        |  FROM customer),
+        |supp AS (
+        |  SELECT s_suppkey AS supp,
+        |    (s_suppkey % 90) - 45 + CAST(0.3 AS DOUBLE) AS slat,
+        |    ((s_suppkey * 7) % 180) - 90 + CAST(0.3 AS DOUBLE) AS slon
+        |  FROM supplier)
+        |SELECT cust, supp,
+        |  round((lat - slat) * (lat - slat) +
+        |    (lon - slon) * (lon - slon), 6) AS d2
+        |FROM cust, supp
+        |WHERE (lat - slat) * (lat - slat) + (lon - slon) * (lon - slon)
+        |  <= CAST(0.81 AS DOUBLE)""".stripMargin,
 
     "q_entity_resolution" ->
       """WITH pairs AS (

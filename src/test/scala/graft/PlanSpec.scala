@@ -502,6 +502,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("q_spatial_join and q_entity_resolution block to equi-joins — " +
+      "no cartesian, no nested loop") {
+    for (q <- Seq("q_spatial_join", "q_entity_resolution")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q must join on its blocking key, not loop:\n$p")
+    }
+  }
+
   test("chunkcsv queries push their predicate into the DSv2 scan") {
     // fully pushed → the scan reports it and no Spark-side Filter remains
     // to re-evaluate it (the connector's row eval is the enforcement)

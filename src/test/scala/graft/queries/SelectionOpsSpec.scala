@@ -150,6 +150,29 @@ class SelectionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_spatial_join: pairs are unique, within the radius, and agree " +
+      "with a direct all-pairs recomputation") {
+    val rows = Joins.queries("q_spatial_join")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+    rows.foreach { case (_, _, d2) => assert(d2 <= 0.81) }
+    def coords(k: Long, off: Double) =
+      ((k % 90) - 45 + off, ((k * 7) % 180) - 90 + off)
+    val cs = t(spark, dir, "customer").select("c_custkey").collect()
+      .map(_.getLong(0))
+    val ss = t(spark, dir, "supplier").select("s_suppkey").collect()
+      .map(_.getLong(0))
+    val expect = (for {
+      c <- cs; s <- ss
+      (clat, clon) = coords(c, 0.5)
+      (slat, slon) = coords(s, 0.3)
+      d2 = (clat - slat) * (clat - slat) + (clon - slon) * (clon - slon)
+      if d2 <= 0.81
+    } yield (c, s)).toSet
+    assert(rows.map(t => (t._1, t._2)).toSet == expect)
+  }
+
   test("q_cusum_changepoint: one row per event type, the statistic is " +
       "non-negative, the located hour exists in that type's series") {
     val ev = t(spark, dir, "events")
