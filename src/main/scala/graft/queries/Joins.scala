@@ -282,6 +282,27 @@ object Joins {
     // engine drift. Blocking on nationkey bounds candidates at
     // Σ per-nation n² (the dial gets finer at scale: nation × segment ×
     // balance band); only likely matches (weight > 0) are emitted.
+    // Candidate generation is NOT the within-nation cross product (19.7×
+    // superlinear in the r12 scale ledger): a pair can clear weight > 0
+    // ONLY IF the names agree (name weight alone outweighs both
+    // disagreements) OR balance AND segment both agree (their sum
+    // outweighs the name disagreement) — every other pattern is negative.
+    // So candidates are the UNION of two lossless blocked arms, scored
+    // and thresholded afterwards:
+    //   1. name arm: DELETION-NEIGHBORHOOD blocking (FastSS): each side
+    //      emits {name} ∪ {name minus char i}; two strings within one
+    //      edit always share a variant (substitution: delete the edited
+    //      position from both; indel: the longer minus the inserted char
+    //      IS the shorter; equality: the undeleted variant). An equi-join
+    //      on (nation, variant md5) sizes blocks by TRUE neighbor counts
+    //      — a prefix/suffix split would degenerate here because the
+    //      constant 'Customer#0000…' prefix concentrates all entropy in
+    //      the last few chars;
+    //   2. balance∧segment arm: equi-join on (nation, segment, 100-wide
+    //      balance band) with ±1 band expansion on one side (a ≤100 gap
+    //      can't escape the neighbor band — the spatial-join move).
+    // The oracle stays the blocking-free all-pairs scorer, independently
+    // proving the decomposition lossless.
     "q_entity_resolution" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val a = c.select(col("c_custkey").as("cust_a"),
@@ -290,7 +311,36 @@ object Joins {
       val b = c.select(col("c_custkey").as("cust_b"),
         col("c_name").as("name_b"), col("c_nationkey").as("nk"),
         col("c_acctbal").as("bal_b"), col("c_mktsegment").as("seg_b"))
-      a.join(b, Seq("nk")).filter(col("cust_a") < col("cust_b"))
+      def variants(n: org.apache.spark.sql.Column) = array_union(
+        array(md5(n)),
+        transform(sequence(lit(1), length(n)), i =>
+          md5(concat(n.substr(lit(1), i - 1),
+            n.substr(i + 1, length(n))))))
+      def nameSide(df: DataFrame, nameCol: String, idCol: String) = df
+        .select(col(idCol), col("nk"),
+          explode(variants(col(nameCol))).as("k"))
+      val nameArm = nameSide(a, "name_a", "cust_a")
+        .join(nameSide(b, "name_b", "cust_b"), Seq("nk", "k"))
+        .filter(col("cust_a") < col("cust_b"))
+        .select("cust_a", "cust_b")
+      val balArm = a
+        .withColumn("seg", col("seg_a"))
+        .withColumn("band", floor(col("bal_a") / 100).cast("long"))
+        .select("cust_a", "bal_a", "nk", "seg", "band")
+        .join(b
+          .withColumn("seg", col("seg_b"))
+          .withColumn("e", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("band",
+            floor(col("bal_b") / 100).cast("long") + col("e"))
+          .select("cust_b", "bal_b", "nk", "seg", "band"),
+          Seq("nk", "seg", "band"))
+        .filter(col("cust_a") < col("cust_b") &&
+          abs(col("bal_a") - col("bal_b")) <= 100.0)
+        .select("cust_a", "cust_b")
+      val cand = nameArm.union(balArm).distinct()
+      cand
+        .join(a, Seq("cust_a"))
+        .join(b.drop("nk"), Seq("cust_b"))
         .withColumn("w_name",
           when(levenshtein(col("name_a"), col("name_b")) <= 1,
             6802394763L).otherwise(-2301584593L))
