@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Deletion-neighborhood blocking keys (FastSS): md5 digests of
+    * {s} ∪ {s minus char i}. Two strings within one Levenshtein edit
+    * ALWAYS share a variant — substitution at i: both minus i are equal;
+    * insertion/deletion: the longer minus the edited char IS the shorter;
+    * equality: the undeleted variant. (The converse is not claimed:
+    * sharing a variant admits some lev-2 pairs, which the exact verify
+    * rejects.) Used by q_entity_resolution; the completeness law is
+    * property-pinned in SelectionOpsSpec.
+    */
+  private[queries] def deletionVariants(n: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = array_union(
+    array(md5(n)),
+    transform(sequence(lit(1), length(n)), i =>
+      md5(concat(n.substr(lit(1), i - 1), n.substr(i + 1, length(n))))))
+
   /** Register bucketed external-table twins of orders/customer for this
     * fixture, both bucketed AND sorted on the join key with the same bucket
     * count — the write-time layout that lets a repeated join/aggregate on
@@ -311,14 +326,9 @@ object Joins {
       val b = c.select(col("c_custkey").as("cust_b"),
         col("c_name").as("name_b"), col("c_nationkey").as("nk"),
         col("c_acctbal").as("bal_b"), col("c_mktsegment").as("seg_b"))
-      def variants(n: org.apache.spark.sql.Column) = array_union(
-        array(md5(n)),
-        transform(sequence(lit(1), length(n)), i =>
-          md5(concat(n.substr(lit(1), i - 1),
-            n.substr(i + 1, length(n))))))
       def nameSide(df: DataFrame, nameCol: String, idCol: String) = df
         .select(col(idCol), col("nk"),
-          explode(variants(col(nameCol))).as("k"))
+          explode(deletionVariants(col(nameCol))).as("k"))
       val nameArm = nameSide(a, "name_a", "cust_a")
         .join(nameSide(b, "name_b", "cust_b"), Seq("nk", "k"))
         .filter(col("cust_a") < col("cust_b"))

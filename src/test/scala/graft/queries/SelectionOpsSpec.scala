@@ -131,6 +131,65 @@ class SelectionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("deletion-variant blocking is complete for lev<=1: every pair " +
+      "within one edit shares a variant (500 seeded random edit pairs)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc"
+    def randStr(len: Int) =
+      (0 until len).map(_ => alphabet(rnd.nextInt(3))).mkString
+    val pairs = (0 until 500).map { _ =>
+      val s = randStr(3 + rnd.nextInt(6))
+      val p = rnd.nextInt(s.length)
+      val edited = rnd.nextInt(4) match {
+        case 0 => s.updated(p, alphabet(rnd.nextInt(3))) // substitution
+        case 1 => s.take(p) + alphabet(rnd.nextInt(3)) + s.drop(p) // insert
+        case 2 => s.take(p) + s.drop(p + 1) // delete
+        case _ => s // equality
+      }
+      (s, edited)
+    }
+    import spark.implicits._
+    val checked = pairs.toDF("a", "b")
+      .withColumn("lev", levenshtein(col("a"), col("b")))
+      .withColumn("shared", arrays_overlap(
+        Joins.deletionVariants(col("a")), Joins.deletionVariants(col("b"))))
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      if (r.getAs[Int]("lev") <= 1) assert(r.getAs[Boolean]("shared"),
+        s"lev<=1 pair missed by blocking: ${r.getString(0)}/${r.getString(1)}")
+    }
+  }
+
+  test("q_mixture_unimax is scale-equivariant: uniformly tripling the " +
+      "corpus keeps the capped/uncapped partition and triples every " +
+      "allocation to within integer-division remainder") {
+    import spark.implicits._
+    val base = t(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-unimax-scale")
+    try {
+      (0 until 3).map(r => base.withColumn("doc_id",
+          col("doc_id") + lit(r * 1000000L)))
+        .reduce(_ union _)
+        .write.parquet(tmp.toString + "/documents.parquet")
+      val one = Docs.queries("q_mixture_unimax")(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+      val three = Docs.queries("q_mixture_unimax")(spark, tmp.toString)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+      assert(three.keySet == one.keySet)
+      one.foreach { case (src, (alloc, capped)) =>
+        assert(three(src)._2 == capped,
+          s"$src flipped capped state under uniform growth")
+        assert(math.abs(three(src)._1 - 3 * alloc) <= 3,
+          s"$src: 3x alloc ${three(src)._1} vs 3*${alloc}")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   test("q_entity_resolution: pairs are ordered, same-nation, and the " +
       "weight is exactly the sum of the agreement-pattern literals") {
     val nation = t(spark, dir, "customer")
