@@ -91,6 +91,14 @@ object ScaleFixture {
     */
   def replicateTable(spark: SparkSession, srcDir: String, table: String,
       factor: Int): DataFrame = {
+    // Beyond |SubstAlphabet| replicas the substitution key wraps (r % 10)
+    // and replicas 10 apart become byte-identical text — the F² duplicate
+    // artifact this fixture exists to avoid would silently return and the
+    // scale ledger would blame the engine for it. Fail loudly instead.
+    require(factor <= SubstAlphabet.length,
+      s"factor $factor > ${SubstAlphabet.length}: the per-replica " +
+        "substitution alphabet would wrap and reintroduce quadratic " +
+        "duplicate structure; extend SubstAlphabet to go bigger")
     val src = spark.read.parquet(s"$srcDir/$table.parquet")
     val cols = shiftCols.getOrElse(table,
       sys.error(s"no replication rule for table $table"))
@@ -101,8 +109,12 @@ object ScaleFixture {
       val maxExprs = cols.map(c => max(col(c)).as(c))
       val maxRow = src.agg(maxExprs.head, maxExprs.tail: _*).head()
       cols.zipWithIndex.foreach { case (c, i) =>
-        val m = maxRow.getLong(i)
-        require(m < Offset, s"$table.$c max $m >= offset $Offset")
+        // agg(max) on an EMPTY table yields one null row: an empty source
+        // trivially satisfies the collision guard (nothing to collide).
+        if (!maxRow.isNullAt(i)) {
+          val m = maxRow.getLong(i)
+          require(m < Offset, s"$table.$c max $m >= offset $Offset")
+        }
       }
       (0 until factor).map { r =>
         val shifted = cols.foldLeft(src)((d, c) =>

@@ -70,19 +70,9 @@ object Docs {
     // merge per doc (window + hash-agg, second shuffle). Overlapping
     // repeated spans coalesce into one maximal span, exactly like the
     // oracle's window twin.
-    "q_dedup_substring" -> ((s, dir) => {
-      val l = 20
-      val flagged = Dedup.substringDupPositions(
-        t(s, dir, "documents"), "doc_id", "text", l)
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      flagged
-        .withColumn("grp", col("pos") - row_number().over(w))
-        .groupBy(col("doc_id"), col("grp"))
-        .agg(min(col("pos")).as("span_start"),
-          (max(col("pos")) + lit(l - 1)).as("span_end"),
-          (max(col("pos")) - min(col("pos")) + lit(l)).as("n_span_tokens"))
-        .select("doc_id", "span_start", "span_end", "n_span_tokens")
-    }),
+    "q_dedup_substring" -> ((s, dir) =>
+      spanMerge(Dedup.substringDupPositions(
+        t(s, dir, "documents"), "doc_id", "text", 20), l = 20)),
 
     // The rewrite phase: every token covered by a duplicated >=20-token
     // span is dropped from every occurrence (the paper's ExactSubstr cut
@@ -91,28 +81,9 @@ object Docs {
     // stream — one window per doc, no token×span range join. Shuffles:
     // gram digest (flag), (doc,pos) equi-join, doc (window + rebuild agg).
     "q_dedup_substring_kept" -> ((s, dir) => {
-      val l = 20
       val docs = t(s, dir, "documents")
-      val flagged = Dedup.substringDupPositions(docs, "doc_id", "text", l)
-        .withColumn("fpos", col("pos"))
-      val toks = docs.select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
-        .withColumn("pos", col("pos").cast("long"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val covered = toks
-        .join(flagged, Seq("doc_id", "pos"), "left")
-        .withColumn("cov_end",
-          max(when(col("fpos").isNotNull, col("fpos") + lit(l - 1))).over(w))
-        .withColumn("kept", col("cov_end").isNull || col("cov_end") < col("pos"))
-      covered.groupBy(col("doc_id"))
-        .agg(
-          array_join(transform(
-            array_sort(collect_list(when(col("kept"),
-              struct(col("pos"), col("token"))))),
-            x => x("token")), " ").as("text_kept"),
-          count(when(col("kept"), lit(1))).as("n_kept"),
-          count(when(!col("kept"), lit(1))).as("n_dropped"))
+      coverageRewrite(docs,
+        Dedup.substringDupPositions(docs, "doc_id", "text", 20), l = 20)
     }),
 
     // Span-level decontamination: the flag→trim completion of the
@@ -123,51 +94,22 @@ object Docs {
     // gaps-and-islands merge) — the surgical removal that keeps a long
     // doc whose one quoted benchmark answer would otherwise discard it.
     "q_decontam_spans" -> ((s, dir) => {
-      val l = 5
       val docs = t(s, dir, "documents")
-      val flagged = Dedup.substringMatchPositions(
+      spanMerge(Dedup.substringMatchPositions(
         docs.filter(splitCol(col("doc_id")) === "train"),
         docs.filter(splitCol(col("doc_id")) =!= "train"),
-        "doc_id", "text", l)
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      flagged
-        .withColumn("grp", col("pos") - row_number().over(w))
-        .groupBy(col("doc_id"), col("grp"))
-        .agg(min(col("pos")).as("span_start"),
-          (max(col("pos")) + lit(l - 1)).as("span_end"),
-          (max(col("pos")) - min(col("pos")) + lit(l)).as("n_span_tokens"))
-        .select("doc_id", "span_start", "span_end", "n_span_tokens")
+        "doc_id", "text", 5), l = 5)
     }),
 
     // The trim phase: every train token covered by a contaminated span is
     // dropped and the survivor text reassembled — q_dedup_substring_kept's
     // running-max coverage rewrite pointed at the cross-split flags.
     "q_decontam_spans_kept" -> ((s, dir) => {
-      val l = 5
       val docs = t(s, dir, "documents")
       val train = docs.filter(splitCol(col("doc_id")) === "train")
-      val flagged = Dedup.substringMatchPositions(train,
+      coverageRewrite(train, Dedup.substringMatchPositions(train,
         docs.filter(splitCol(col("doc_id")) =!= "train"),
-        "doc_id", "text", l)
-        .withColumn("fpos", col("pos"))
-      val toks = train.select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
-        .withColumn("pos", col("pos").cast("long"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val covered = toks
-        .join(flagged, Seq("doc_id", "pos"), "left")
-        .withColumn("cov_end",
-          max(when(col("fpos").isNotNull, col("fpos") + lit(l - 1))).over(w))
-        .withColumn("kept", col("cov_end").isNull || col("cov_end") < col("pos"))
-      covered.groupBy(col("doc_id"))
-        .agg(
-          array_join(transform(
-            array_sort(collect_list(when(col("kept"),
-              struct(col("pos"), col("token"))))),
-            x => x("token")), " ").as("text_kept"),
-          count(when(col("kept"), lit(1))).as("n_kept"),
-          count(when(!col("kept"), lit(1))).as("n_dropped"))
+        "doc_id", "text", 5), l = 5)
     }),
 
     // Near-dup provenance matrix: verified pairs annotated with BOTH sides'
@@ -1347,6 +1289,57 @@ object Docs {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** Merge duplicated l-gram START positions (doc_id, pos) into MAXIMAL
+    * covered spans. An island breaks only where the next gram starts
+    * BEYOND the running covered end (equal-length intervals ⇒ the
+    * previous position's end is the running max), so overlapping flags
+    * coalesce: flags at pos {0, 2} with l=20 are ONE span [0, 21] — the
+    * naive pos−row_number gaps-and-islands split them into two spans
+    * double-counting 18 tokens. ONE definition for the within-corpus and
+    * cross-split span queries.
+    */
+  private def spanMerge(flagged: DataFrame, l: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + (l - 1), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(l - 1)).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + lit(l)).as("n_span_tokens"))
+      .select("doc_id", "span_start", "span_end", "n_span_tokens")
+  }
+
+  /** Drop every token of `docs` covered by a flagged l-gram span and
+    * reassemble the survivor text in token order — running-max coverage
+    * window, no token×span range join. ONE definition for the dedup and
+    * decontamination rewrites.
+    */
+  private def coverageRewrite(docs: DataFrame, flagged: DataFrame,
+      l: Int): DataFrame = {
+    val f = flagged.withColumn("fpos", col("pos"))
+    val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .withColumn("pos", col("pos").cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(f, Seq("doc_id", "pos"), "left")
+      .withColumn("cov_end",
+        max(when(col("fpos").isNotNull, col("fpos") + lit(l - 1))).over(w))
+      .withColumn("kept", col("cov_end").isNull || col("cov_end") < col("pos"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("pos"), col("token"))))),
+          x => x("token")), " ").as("text_kept"),
+        count(when(col("kept"), lit(1))).as("n_kept"),
+        count(when(!col("kept"), lit(1))).as("n_dropped"))
+  }
+
   /** DSIR importance weights for every raw-pool doc (see q_dsir_weights):
     * (doc_id, n_bigrams, dsir_w). One bigram→bucket stream feeds the two
     * class histograms and the scoring join → localCheckpoint (persist on a
@@ -1448,6 +1441,24 @@ object Docs {
       |    count(*) AS n_terms_hit
       |  FROM sc GROUP BY 1)""".stripMargin
 
+  /** DuckDB twin of [[spanMerge]]: expects a `flagged(doc_id, pos)` CTE
+    * in scope; islands break only past the running covered end, so
+    * overlapping flags coalesce exactly as in Spark.
+    */
+  private def spanMergeSql(l: Int): String =
+    s"""runs AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |      + ${l - 1} THEN 1 ELSE 0 END AS brk
+      |  FROM flagged),
+      |isl AS (
+      |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM runs)
+      |SELECT doc_id, min(pos) AS span_start, max(pos) + ${l - 1} AS span_end,
+      |  max(pos) - min(pos) + $l AS n_span_tokens
+      |FROM isl GROUP BY doc_id, island""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dsir_weights" ->
       s"""WITH $dsirCtes
@@ -1473,13 +1484,7 @@ object Docs {
         |  WHERE len(l) >= 5 AND split != 'train'),
         |flagged AS (
         |  SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM eg)),
-        |runs AS (
-        |  SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM flagged)
-        |SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
-        |  max(pos) - min(pos) + 5 AS n_span_tokens
-        |FROM runs GROUP BY doc_id, grp""".stripMargin,
+        |${spanMergeSql(5)}""".stripMargin,
 
     "q_decontam_spans_kept" ->
       s"""WITH $splitsCte,
@@ -1590,7 +1595,7 @@ object Docs {
         |FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_dedup_substring" ->
-      """WITH lt AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+      s"""WITH lt AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
         |grams AS (
         |  SELECT doc_id, t.pos, md5(array_to_string(l[t.pos+1:t.pos+20], ' ')) AS h
         |  FROM lt, LATERAL (SELECT unnest(range(len(l) - 19)) AS pos) t
@@ -1599,13 +1604,7 @@ object Docs {
         |  SELECT doc_id, pos
         |  FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS n FROM grams)
         |  WHERE n >= 2),
-        |runs AS (
-        |  SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM flagged)
-        |SELECT doc_id, min(pos) AS span_start, max(pos) + 19 AS span_end,
-        |  max(pos) - min(pos) + 20 AS n_span_tokens
-        |FROM runs GROUP BY doc_id, grp""".stripMargin,
+        |${spanMergeSql(20)}""".stripMargin,
 
     "q_dedup_substring_kept" ->
       """WITH lt AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),

@@ -33,10 +33,15 @@ object Events {
     "q_freshness" -> ((s, dir) => {
       val chk = graft.engine.Checks.freshnessAt("ts", 0.5,
         to_timestamp(lit("2024-01-31 00:00:00")))
+      // `passed` gates on the UNROUNDED metric — exactly what
+      // Checks.freshnessAt's predicate sees; deriving it from the
+      // 6-decimal display value would pass a 0.5000004 h age the real
+      // check fails. (Both engines: floor'd epoch longs / 3600.0 — one
+      // deterministic division — so the unrounded compare is engine-safe.)
       t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(round(chk.metric, 6).as("age_hours"))
-        .withColumn("passed", col("age_hours") <= 0.5)
+        .agg(round(chk.metric, 6).as("age_hours"),
+          (chk.metric <= 0.5).as("passed"))
     }),
 
     // Changepoint localization (CUSUM, Page 1954): WHERE in time the
@@ -86,20 +91,7 @@ object Events {
         .groupBy(col("event_type"), col("bin"))
         .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("n_ref"),
           sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n_cur"))
-      val tot = g.groupBy(col("event_type"))
-        .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"),
-          count(lit(1)).as("n_bins"))
-      g.join(broadcast(tot), "event_type")
-        .withColumn("p_ref",
-          (col("n_ref") + lit(1)).cast("double") / (col("t_ref") + col("n_bins")))
-        .withColumn("p_cur",
-          (col("n_cur") + lit(1)).cast("double") / (col("t_cur") + col("n_bins")))
-        .groupBy(col("event_type"))
-        .agg(round(sum((col("p_cur") - col("p_ref")) *
-            log(col("p_cur") / col("p_ref"))), 6).as("psi"),
-          max(col("n_bins")).as("n_bins"),
-          sum(col("n_ref")).as("n_events_ref"),
-          sum(col("n_cur")).as("n_events_cur"))
+      psiFold(g, "event_type", "n_events_ref", "n_events_cur")
         .withColumn("verdict", when(col("psi") < 0.1, "stable")
           .when(col("psi") < 0.25, "moderate").otherwise("shifted"))
     }),
@@ -352,8 +344,8 @@ object Events {
       """SELECT event_type,
         |  round((floor(epoch(TIMESTAMP '2024-01-31 00:00:00'))
         |    - floor(epoch(max(ts)))) / 3600.0, 6) AS age_hours,
-        |  round((floor(epoch(TIMESTAMP '2024-01-31 00:00:00'))
-        |    - floor(epoch(max(ts)))) / 3600.0, 6) <= 0.5 AS passed
+        |  (floor(epoch(TIMESTAMP '2024-01-31 00:00:00'))
+        |    - floor(epoch(max(ts)))) / 3600.0 <= 0.5 AS passed
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q_cusum_changepoint" ->

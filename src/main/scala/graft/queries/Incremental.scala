@@ -323,20 +323,7 @@ object Incremental {
             .otherwise(0L)).as("n_ref"),
           sum(when(col("batch") === "b2", col("h_cnt"))
             .otherwise(0L)).as("n_cur"))
-      val tot = g.groupBy(col("o_orderstatus"))
-        .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"),
-          count(lit(1)).as("n_bins"))
-      g.join(broadcast(tot), "o_orderstatus")
-        .withColumn("p_ref", (col("n_ref") + lit(1)).cast("double") /
-          (col("t_ref") + col("n_bins")))
-        .withColumn("p_cur", (col("n_cur") + lit(1)).cast("double") /
-          (col("t_cur") + col("n_bins")))
-        .groupBy(col("o_orderstatus"))
-        .agg(round(sum((col("p_cur") - col("p_ref")) *
-            log(col("p_cur") / col("p_ref"))), 6).as("psi"),
-          max(col("n_bins")).as("n_bins"),
-          sum(col("n_ref")).as("n_rows_ref"),
-          sum(col("n_cur")).as("n_rows_cur"))
+      psiFold(g, "o_orderstatus", "n_rows_ref", "n_rows_cur")
     }))
 
   private def rollupSelect(report: DataFrame): DataFrame =

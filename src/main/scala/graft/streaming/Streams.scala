@@ -305,8 +305,12 @@ object Streams {
       if (fs.exists(bandsRoot))
         fs.listStatus(bandsRoot).toSeq.map(_.getPath.getName)
           .filter { t =>
-            t.startsWith("b") && t.drop(1).forall(_.isDigit) &&
-              t.drop(1).toLong < batchId
+            // length guards: bare "b" passes a vacuous forall(isDigit)
+            // and then "".toLong throws; >18 digits overflows Long. A
+            // stray non-tag directory must be ignored, not crash every
+            // subsequent micro-batch.
+            t.length > 1 && t.length <= 19 && t.startsWith("b") &&
+              t.drop(1).forall(_.isDigit) && t.drop(1).toLong < batchId
           }
       else Seq.empty
     val oldBands =

@@ -70,8 +70,6 @@ class SelectionOpsSpec extends AnyFunSuite {
       "reconcile with the raw table, verdict follows the thresholds") {
     val raw = t(spark, dir, "events").groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rows = Docs.queries.size // force registry guard once
-    assert(rows > 0)
     val out = Events.queries("q_psi_drift")(spark, dir).collect()
     assert(out.map(_.getString(0)).toSet == raw.keySet)
     out.foreach { r =>

@@ -88,6 +88,42 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(kept(3L) == d3)
   }
 
+  test("overlapping duplicated grams coalesce into ONE maximal span — " +
+      "flags at {0, 2} with a gap at 1 must not double-count") {
+    // Doc A = t0..t21; B repeats A[0..19], C repeats A[2..21]. A's 20-gram
+    // at pos 0 and pos 2 are duplicated but the one at pos 1 is not, so a
+    // naive consecutive-run merge would emit two overlapping spans
+    // [0,19]+[2,21] (40 'span tokens' for 22 covered). The maximal-span
+    // contract demands ONE span [0,21].
+    val aToks = (0 until 22).map(i => s"ov$i")
+    val rows = Seq(
+      (1L, aToks.mkString(" ")),
+      (2L, aToks.take(20).mkString(" ")),
+      (3L, aToks.drop(2).mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-span-overlap")
+    try {
+      import spark.implicits._
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.parquet(tmp.toString + "/documents.parquet")
+      val spans = Docs.queries("q_dedup_substring")(spark, tmp.toString)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(spans.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 21L, 22L)),
+        s"doc 1 must carry exactly one merged span: ${spans.mkString(";")}")
+      assert(spans.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 19L, 20L)))
+      assert(spans.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 19L, 20L)))
+      // the rewrite's coverage agrees with the merged spans
+      val kept = Docs.queries("q_dedup_substring_kept")(spark, tmp.toString)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(kept == Map(1L -> 22L, 2L -> 20L, 3L -> 20L))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   test("fixture sanity: registered queries produce spans >= 20 tokens and " +
       "kept+dropped partitions every doc's tokens") {
     val dir = "/root/testdata/sf0.001"
