@@ -66,6 +66,51 @@ class SelectionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a STREAMED histogram journal is PSI-sufficient: the drift fold " +
+      "over the streamed journal equals the fold over directly bucketed " +
+      "batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-psi-stream")
+    try {
+      val journal = s"$root/journal"
+      val bounds = Array(10.0, 20.0, 30.0)
+      val b0 = Seq(("A", 5.0), ("A", 15.0), ("A", 15.0), ("B", 25.0))
+      val b1 = Seq(("A", 35.0), ("A", 15.0), ("B", 25.0), ("B", 5.0))
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Double)]
+      val q = graft.streaming.Streams.startHistogramJournal(
+        in.toDF().toDF("k", "v"), journal, s"$root/ckpt", Seq("k"), "v",
+        bounds)
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+      q.stop()
+      val j = spark.read.parquet(journal)
+        .groupBy(col("k"), col("h_bucket"))
+        .agg(sum(when(col("batch") === "b0", col("h_cnt")).otherwise(0L))
+            .as("n_ref"),
+          sum(when(col("batch") === "b1", col("h_cnt")).otherwise(0L))
+            .as("n_cur"))
+      val streamed = psiFold(j, "k", "nr", "nc").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toMap
+      def bucketed(rows: Seq[(String, Double)], name: String) =
+        rows.toDF("k", "v").select(col("k"),
+          graft.functions.BucketExprs.quantileBucket(col("v"), bounds)
+            .as("h_bucket"))
+          .groupBy("k", "h_bucket").agg(count(lit(1)).as(name))
+      val direct = bucketed(b0, "n_ref")
+        .join(bucketed(b1, "n_cur"), Seq("k", "h_bucket"), "full")
+        .na.fill(0L, Seq("n_ref", "n_cur"))
+      val expect = psiFold(direct, "k", "nr", "nc").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(streamed.keySet == Set("A", "B"))
+      assert(streamed == expect,
+        s"streamed journal PSI $streamed != direct $expect")
+      streamed.values.foreach(v => assert(v >= 0))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("q_psi_drift: PSI is non-negative (Gibbs), per-type event totals " +
       "reconcile with the raw table, verdict follows the thresholds") {
     val raw = t(spark, dir, "events").groupBy("event_type").count()
