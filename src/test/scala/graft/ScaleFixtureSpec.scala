@@ -81,4 +81,23 @@ class ScaleFixtureSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("offset"))
   }
+
+  test("a factor past the substitution alphabet fails loudly instead of " +
+      "wrapping into quadratic duplicate structure") {
+    val e = intercept[IllegalArgumentException] {
+      ScaleFixture.replicateTable(spark, dir, "documents", 11)
+    }
+    assert(e.getMessage.contains("wrap"))
+  }
+
+  test("an empty source table replicates to empty, no NPE from the " +
+      "null max-id guard") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("scalefix-empty")
+      .toString
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    assert(ScaleFixture.replicateTable(spark, tmp, "documents", 3)
+      .count() === 0)
+  }
 }

@@ -629,6 +629,18 @@ class StreamsSpec extends AnyFunSuite {
       Streams.dedupBatchIdempotent(b2.toDF("doc_id", "text"), state, 2L)
       assert(streamedPairs() == full,
         "replay across the crash seam must converge, not duplicate")
+
+      // a stray non-tag directory under bands/ (manual touch, external
+      // tooling) must be IGNORED by the prior-band listing, not crash the
+      // next batch — bare "b" once passed a vacuous isDigit check into
+      // "".toLong
+      fs.mkdirs(new org.apache.hadoop.fs.Path(state, "bands/b"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(state, "bands/junk"))
+      fs.delete(new org.apache.hadoop.fs.Path(state, "_graft_commits/2"),
+        false)
+      Streams.dedupBatchIdempotent(b2.toDF("doc_id", "text"), state, 2L)
+      assert(streamedPairs() == full,
+        "stray bands/ entries must not change the journal")
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
