@@ -67,6 +67,14 @@ object Sources {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Fixture dirs whose int64 ts already passed the nanos-magnitude probe
+    * — the probe is one extra Spark action, so it must run once per dir,
+    * not once per query invocation (it would otherwise land inside every
+    * timed bench run of every event-time query).
+    */
+  private val nanosProbed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Type-adaptive events reader. The fixture's `ts` physical encoding has
     * shipped two ways across testdata generations — parquet TIMESTAMP(NANOS)
     * (arriving as LongType under `spark.sql.legacy.parquet.nanosAsLong=true`,
@@ -81,14 +89,6 @@ object Sources {
     * fails loudly with the observed type rather than passing through
     * untouched.
     */
-  /** Fixture dirs whose int64 ts already passed the nanos-magnitude probe
-    * — the probe is one extra Spark action, so it must run once per dir,
-    * not once per query invocation (it would otherwise land inside every
-    * timed bench run of every event-time query).
-    */
-  private val nanosProbed =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._

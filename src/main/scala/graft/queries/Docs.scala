@@ -1291,18 +1291,20 @@ object Docs {
 
   /** Merge duplicated l-gram START positions (doc_id, pos) into MAXIMAL
     * covered spans. An island breaks only where the next gram starts
-    * BEYOND the running covered end (equal-length intervals ⇒ the
-    * previous position's end is the running max), so overlapping flags
-    * coalesce: flags at pos {0, 2} with l=20 are ONE span [0, 21] — the
-    * naive pos−row_number gaps-and-islands split them into two spans
-    * double-counting 18 tokens. ONE definition for the within-corpus and
-    * cross-split span queries.
+    * STRICTLY PAST the position just after the running covered end
+    * (equal-length intervals ⇒ the previous position's end is the running
+    * max), so overlapping AND touching flags coalesce: flags at pos
+    * {0, 2} with l=20 are ONE span [0, 21] — the naive pos−row_number
+    * gaps-and-islands split them into two spans double-counting 18
+    * tokens — and flags at {0, 20} (coverage touching, zero gap) are ONE
+    * span [0, 39]. ONE definition for the within-corpus and cross-split
+    * span queries.
     */
   private def spanMerge(flagged: DataFrame, l: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     flagged
       .withColumn("brk",
-        when(col("pos") > lag(col("pos"), 1).over(w) + (l - 1), 1)
+        when(col("pos") > lag(col("pos"), 1).over(w) + l, 1)
           .otherwise(0))
       .withColumn("island", sum(col("brk")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -1364,17 +1366,24 @@ object Docs {
         sum(when(col("source") =!= target, 1L).otherwise(0L)).as("nr"))
     // Every pool bucket exists in rCounts by construction, so LEFT JOIN
     // target counts (smoothed where absent) covers the full support.
+    // Each per-bucket log ratio is floored to NANO-UNIT LONGS in the ≤64-row
+    // ratio table, so the per-doc score is an order-independent integer sum
+    // (a double sum over hundreds of lr terms is fold-order-dependent and
+    // can land a weight on a .00005 rounding midpoint differently per
+    // engine — the hazard bm25Scores/RRF/nDCG already eliminate this way).
     val ratio = rCounts.join(tCounts, Seq("bucket"), "left")
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
-        (log((coalesce(col("n_t"), lit(0L)) + lit(1)).cast("double") /
+        floor((log((coalesce(col("n_t"), lit(0L)) + lit(1)).cast("double") /
             (col("nt") + b)) -
-          log((col("n_r") + lit(1)).cast("double") / (col("nr") + b)))
-          .as("lr"))
+          log((col("n_r") + lit(1)).cast("double") / (col("nr") + b))) *
+          lit(1e9) + lit(0.5)).cast("long")
+          .as("lr_nano"))
     pool.join(broadcast(ratio), "bucket")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("lr")) / count(lit(1)), 4).as("dsir_w"))
+        round(sum(col("lr_nano")).cast("double") / lit(1e9) / count(lit(1)),
+          4).as("dsir_w"))
   }
 
   /** DuckDB CTE chain ending in `w(doc_id, n_bigrams, dsir_w)` — mirrors
@@ -1402,12 +1411,14 @@ object Docs {
       |    sum(CASE WHEN source != 'src18' THEN 1 ELSE 0 END) AS nr FROM f),
       |ratio AS (
       |  SELECT rc.bucket,
-      |    ln((COALESCE(n_t, 0) + 1.0) / (nt + 64)) -
-      |    ln((n_r + 1.0) / (nr + 64)) AS lr
+      |    CAST(floor((ln((COALESCE(n_t, 0) + 1.0) / (nt + 64)) -
+      |      ln((n_r + 1.0) / (nr + 64))) * 1000000000 + 0.5) AS BIGINT)
+      |      AS lr_nano
       |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
       |w AS (
       |  SELECT doc_id, count(*) AS n_bigrams,
-      |    round(sum(lr) / count(*), 4) AS dsir_w
+      |    round(CAST(sum(lr_nano) AS BIGINT) / 1000000000.0 / count(*), 4)
+      |      AS dsir_w
       |  FROM f JOIN ratio USING (bucket)
       |  WHERE source != 'src18'
       |  GROUP BY doc_id)""".stripMargin
@@ -1442,14 +1453,15 @@ object Docs {
       |  FROM sc GROUP BY 1)""".stripMargin
 
   /** DuckDB twin of [[spanMerge]]: expects a `flagged(doc_id, pos)` CTE
-    * in scope; islands break only past the running covered end, so
-    * overlapping flags coalesce exactly as in Spark.
+    * in scope; islands break only strictly past the position after the
+    * running covered end, so overlapping AND touching flags coalesce
+    * exactly as in Spark.
     */
   private def spanMergeSql(l: Int): String =
     s"""runs AS (
       |  SELECT doc_id, pos,
       |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-      |      + ${l - 1} THEN 1 ELSE 0 END AS brk
+      |      + $l THEN 1 ELSE 0 END AS brk
       |  FROM flagged),
       |isl AS (
       |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos

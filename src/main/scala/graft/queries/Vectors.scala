@@ -229,10 +229,14 @@ object Vectors {
     // centroid (bottom decile of within-cluster cosine) — the
     // mislabeled/noise/garbage sweep a curation run performs on the
     // embedding table before ANN indexing or SemDeDup. Same broadcast
-    // argmax assignment as IVF; the per-cluster threshold is a grouped
-    // EXACT percentile over the scored table (broadcast back, the
-    // q_mad_outliers pattern); scored feeds the threshold agg AND the
-    // flag filter → one materialization.
+    // argmax assignment as IVF; the per-cluster threshold is the EXACT
+    // ORDER STATISTIC at 0-indexed rank floor(0.1*(n−1)) of the
+    // already-6dp-rounded csim (vec_id tiebreak) — no interpolation, so
+    // both engines pick the identical stored value and the strict
+    // `csim < p10` cut cannot flip on a 1-ulp interpolation difference
+    // (percentile() vs quantile_cont() order their float ops
+    // differently). scored feeds the threshold pick AND the flag filter
+    // → one materialization.
     "q_embedding_outliers" -> ((s, dir) => {
       val corpus = Similarity.withNorm(t(s, dir, "embeddings"), "vec_id",
         "embedding").localCheckpoint()
@@ -246,8 +250,17 @@ object Vectors {
           round(Similarity.dot(col("v"), col("cv")) /
             (col("nrm") * col("cn")), 6).as("csim"))
         .localCheckpoint()
-      val thr = scored.groupBy(col("cluster_id"))
-        .agg(round(expr("percentile(csim, 0.1)"), 6).as("p10"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("csim").asc, col("vec_id").asc)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+      val thr = scored
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") ===
+          floor(lit(0.1) * (col("n") - lit(1))).cast("long") + lit(1))
+        .select(col("cluster_id"), col("csim").as("p10"))
       scored.join(broadcast(thr), Seq("cluster_id"))
         .filter(col("csim") < col("p10"))
         .select("vec_id", "cluster_id", "csim", "p10")
@@ -526,8 +539,13 @@ object Vectors {
         |  JOIN c x ON x.vec_id = a.vec_id
         |  JOIN cent ct ON ct.cent_id = a.cluster_id),
         |thr AS (
-        |  SELECT cluster_id, round(quantile_cont(csim, 0.1), 6) AS p10
-        |  FROM scored GROUP BY 1)
+        |  SELECT cluster_id, csim AS p10 FROM (
+        |    SELECT cluster_id, csim,
+        |      row_number() OVER (PARTITION BY cluster_id
+        |        ORDER BY csim ASC, vec_id ASC) AS rn,
+        |      count(*) OVER (PARTITION BY cluster_id) AS n
+        |    FROM scored)
+        |  WHERE rn = CAST(floor(0.1 * (n - 1)) AS BIGINT) + 1)
         |SELECT s.vec_id, s.cluster_id, s.csim, t.p10
         |FROM scored s JOIN thr t USING (cluster_id)
         |WHERE s.csim < t.p10""".stripMargin,

@@ -324,8 +324,8 @@ class SelectionOpsSpec extends AnyFunSuite {
   }
 
   test("q_embedding_outliers: every flagged vector sits strictly below " +
-      "its cluster's decile threshold, and no cluster flags more than " +
-      "a decile's worth (+1 for interpolation)") {
+      "its cluster's exact decile order statistic, and no cluster flags " +
+      "more than a decile's worth") {
     val rows = Vectors.queries("q_embedding_outliers")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     assert(rows.nonEmpty)
