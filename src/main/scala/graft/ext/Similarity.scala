@@ -436,9 +436,9 @@ object Similarity {
     * broadcast-queries join against the reconstructed cluster members.
     * Classic IVFADC encodes RESIDUALS (v − centroid) per cluster; encoding
     * raw vectors keeps the oracle's code table identical to [[pqTopK]]'s
-    * (recall measured beside it), and the residual variant is the same
-    * relations with `v` shifted before [[pqCodes]]. Returns (query_id,
-    * neighbor_id, cluster_id, sim, rank).
+    * (recall measured beside it) — [[ivfPqResidualTopK]] is that classic
+    * variant, the same relations with `v` shifted before [[pqCodes]].
+    * Returns (query_id, neighbor_id, cluster_id, sim, rank).
     */
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
       centroidPred: Column, pqCentroidPred: Column, m: Int, ds: Int,
@@ -456,6 +456,66 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     recon.join(broadcast(queries),
+        col("cluster_id") === col("qc") && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("cluster_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVFADC with RESIDUAL encoding — the classic Jégou et al. 2011 §V
+    * variant: each vector is PQ-coded as v − centroid(v) rather than raw,
+    * so every subspace codebook models the (much tighter) within-cluster
+    * displacement distribution instead of the global spread — the
+    * published accuracy lever PQ gets for free at identical memory
+    * (same m codes per vector). Search reconstructs centroid + decoded
+    * residual and ranks with full-precision queries (ADC), confined to
+    * the query's cluster like [[ivfPqTopK]].
+    *
+    * `pqCentroidPred` seeds the residual codebooks and should be DISJOINT
+    * from `centroidPred`: a coarse centroid's own residual is the zero
+    * vector, and zero-vector seeds waste codebook entries.
+    *
+    * Scale shape: the residual projection is map-side (broadcast centroid
+    * join + element-wise zip_with, zero shuffle); codebooks broadcast;
+    * the decode→add-back join is id-keyed against the id-grouped
+    * reconstruction (the one shuffle PQ reconstruction already pays in
+    * [[ivfPqTopK]]). Returns (query_id, neighbor_id, cluster_id, sim,
+    * rank).
+    */
+  def ivfPqResidualTopK(emb: DataFrame, idCol: String, vecCol: String,
+      centroidPred: Column, pqCentroidPred: Column, m: Int, ds: Int,
+      queryPred: Column, k: Int): DataFrame = {
+    val corpus = withNorm(emb, idCol, vecCol)
+    val assigned = assignClustersFrom(corpus, idCol, centroidPred)
+    val cents = corpus.filter(centroidPred)
+      .select(col(idCol).as("cluster_id"), col("v").as("centv"))
+    // (id, cluster_id, centv, v=residual) — feeds BOTH the code table and
+    // the centroid add-back, so checkpoint once (persist on a cluster).
+    val resid = assigned.join(broadcast(cents), Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("centv"),
+        zip_with(col("v"), col("centv"), (a, b) => a - b).as("v"))
+      .localCheckpoint()
+    val codes = pqCodes(resid.select(col(idCol), col("v")), idCol, m, ds,
+      pqCentroidPred)
+    val recon = codes.groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("j"), col("rsv")))),
+        x => x.getField("rsv"))).as("rv"))
+    val full = recon
+      .join(resid.select(col(idCol), col("cluster_id"), col("centv")),
+        Seq(idCol))
+      .select(col(idCol), col("cluster_id"),
+        zip_with(col("rv"), col("centv"), (a, b) => a + b).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val queries = assigned.filter(queryPred)
+      .select(col(idCol).as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cluster_id").as("qc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    full.join(broadcast(queries),
         col("cluster_id") === col("qc") && col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         col("cluster_id"),

@@ -194,6 +194,41 @@ object Vectors {
         col("vec_id") < 10, col("vec_id") < 16, m = 4, ds = 16,
         col("vec_id") % 25 === 0, k = 5)),
 
+    // Classic IVFADC (Jégou et al. 2011 §V): PQ codes model the RESIDUAL
+    // v − centroid, so each subspace codebook covers the tight
+    // within-cluster displacement distribution instead of the global
+    // spread — the published accuracy lever at identical memory. Codebook
+    // seeds (vec_id 10..25) are DISJOINT from the coarse centroids (< 10),
+    // whose own residuals are zero vectors.
+    "q_sim_ivfpq_residual" -> ((s, dir) =>
+      Similarity.ivfPqResidualTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", col("vec_id") < 10,
+        col("vec_id") >= 10 && col("vec_id") < 26, m = 4, ds = 16,
+        col("vec_id") % 25 === 0, k = 5)),
+
+    // Recall@5 of residual IVFADC against brute-force ground truth — sits
+    // beside q_sim_pq_recall so the residual lever's gain over raw-vector
+    // coding is one committed row (the spec pins residual ≥ raw IVFPQ).
+    "q_sim_ivfpq_res_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = Similarity.withNorm(emb, "vec_id", "embedding")
+        .localCheckpoint()
+      val brute = Similarity.bruteForceTopKFrom(corpus, "vec_id",
+        col("vec_id") % 25 === 0, k = 5)
+      val res = Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, col("vec_id") >= 10 && col("vec_id") < 26,
+        m = 4, ds = 16, col("vec_id") % 25 === 0, k = 5)
+      brute.select(col("query_id"), col("neighbor_id"))
+        .join(res.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .select(col("query_id"), col("n_true"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_true"), 4)
+            .as("recall_at_5"))
+    }),
+
     // PQ ANN top-5 via asymmetric distance: full-precision queries against
     // PQ reconstructions — the published 16-32× memory lever beyond int8's
     // 4×, and it composes with IVF (the code table is just another
@@ -450,6 +485,52 @@ object Vectors {
        |  FROM (
        |    SELECT vec_id, flatten(list(cv ORDER BY j)) AS v
        |    FROM pqcode GROUP BY vec_id))""".stripMargin
+
+  /** Residual-PQ CTEs (expects `c`, `cent`, `asgn` in scope): residual =
+    * v − assigned centroid, coded with the same sequential-fold squared-L2
+    * argmin as [[pqCtes]] but codebooks seeded from vec_id 10..25 (coarse
+    * centroids' own residuals are zero vectors), and `pqfull` = centroid +
+    * decoded residual, shaped like `c` so [[cos]] applies unchanged.
+    */
+  private def pqResidCtes: String =
+    s"""rsd AS (
+       |  SELECT a.vec_id, a.cluster_id,
+       |    list_transform(range(1, len(x.v) + 1),
+       |      i -> x.v[i] - ct.v[i]) AS rv
+       |  FROM asgn a
+       |  JOIN c x ON x.vec_id = a.vec_id
+       |  JOIN cent ct ON ct.cent_id = a.cluster_id),
+       |rsub AS (
+       |  SELECT r.vec_id, t.j, r.rv[t.j*16+1 : t.j*16+16] AS sv
+       |  FROM rsd r, (SELECT unnest(range(4)) AS j) t),
+       |rcb AS (SELECT vec_id AS cent_id, j, sv AS cv
+       |  FROM rsub WHERE vec_id >= 10 AND vec_id < 26),
+       |rdist AS (
+       |  SELECT s.vec_id, s.j, cb.cent_id, cb.cv,
+       |    list_reduce(list_transform(range(1, 17),
+       |      i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])),
+       |      (x, y) -> x + y) AS d2
+       |  FROM rsub s JOIN rcb cb ON s.j = cb.j),
+       |rcode AS (
+       |  SELECT vec_id, j, cent_id AS code, cv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |      ORDER BY d2 ASC, cent_id ASC) AS rn
+       |    FROM rdist)
+       |  WHERE rn = 1),
+       |rrec AS (
+       |  SELECT vec_id, flatten(list(cv ORDER BY j)) AS rv
+       |  FROM rcode GROUP BY vec_id),
+       |pqfull AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+       |      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+       |  FROM (
+       |    SELECT rr.vec_id,
+       |      list_transform(range(1, len(rr.rv) + 1),
+       |        i -> rr.rv[i] + ct.v[i]) AS v
+       |    FROM rrec rr
+       |    JOIN asgn a ON a.vec_id = rr.vec_id
+       |    JOIN cent ct ON ct.cent_id = a.cluster_id))""".stripMargin
 
   /** DuckDB twin of [[graft.ext.Similarity.cosineLshPairs]] at a given
     * (planes, bands) dial — mirrors the Scala parameterization so both
@@ -726,6 +807,58 @@ object Vectors {
         |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
         |  FROM sims)
         |WHERE rank <= 5""".stripMargin,
+
+    // Residual IVFADC: the q_sim_ivfpq shape with the neighbor side
+    // swapped to `pqfull` (centroid + decoded residual).
+    "q_sim_ivfpq_residual" ->
+      s"""WITH $withNorm,
+        |$centAsgn,
+        |$pqResidCtes,
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    na.cluster_id, ${cos("n", "q")} AS sim
+        |  FROM pqfull n JOIN asgn na ON na.vec_id = n.vec_id
+        |  JOIN asgn qa ON na.cluster_id = qa.cluster_id
+        |  JOIN c q ON qa.vec_id = q.vec_id
+        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, cluster_id, sim, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM sims)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_sim_ivfpq_res_recall" ->
+      s"""WITH $withNorm,
+        |$centAsgn,
+        |$pqResidCtes,
+        |brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cos("n", "q")} DESC, n.vec_id ASC) AS BIGINT)
+        |        AS rank
+        |    FROM c n, c q
+        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |  WHERE rank <= 5),
+        |rtop AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cos("n", "q")} DESC, n.vec_id ASC) AS BIGINT)
+        |        AS rank
+        |    FROM pqfull n JOIN asgn na ON na.vec_id = n.vec_id
+        |    JOIN asgn qa ON na.cluster_id = qa.cluster_id
+        |    JOIN c q ON qa.vec_id = q.vec_id
+        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |  WHERE rank <= 5)
+        |SELECT b.query_id, count(*) AS n_true,
+        |  CAST(sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_found,
+        |  round(CAST(sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 4) AS recall_at_5
+        |FROM brute b LEFT JOIN rtop r
+        |  ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
+        |GROUP BY b.query_id""".stripMargin,
 
     "q_sim_ivf" ->
       s"""WITH $withNorm,

