@@ -561,4 +561,45 @@ object Pipeline {
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
+
+  /** Materialize the near-dup state ONCE so every downstream report reads
+    * it instead of re-running the minhash→verify→cluster chain per query —
+    * the production shape at 100 TB, where the chain is hours of work and
+    * the reports (kept, kept_best, savings, leakage-safe splits,
+    * cross-source) are minutes. Three parquet relations under `stateDir`:
+    *
+    *   - `bands/`    (doc_id, band_idx, band_hash) — the LSH index; the
+    *                 incremental journal appends to exactly this schema
+    *                 ([[graft.streaming.Streams]]' band journal), so batch
+    *                 state and streaming maintenance share one layout.
+    *   - `pairs/`    (doc_a, doc_b, jaccard) — exact-verified near-dups.
+    *   - `clusters/` (doc_id, cluster_id) — connected components over the
+    *                 pairs, derived FROM THE WRITTEN pairs table so the
+    *                 cluster artifact provably descends from the persisted
+    *                 state, not a parallel in-memory lineage.
+    *
+    * One corpus explode feeds bands AND the verify join
+    * ([[graft.ext.Dedup.minhashVerifiedPairsFrom]]); the label-propagation
+    * loop runs over the tiny pair set. `q_dedup_state_kept` pins
+    * state-read == recompute (hash-equal to `q_dedup_kept`).
+    */
+  def writeDedupState(spark: SparkSession, corpusDir: String,
+      stateDir: String, threshold: Double = 0.5, k: Int = 8,
+      rowsPerBand: Int = 2, shingleN: Int = 5): Unit = {
+    import graft.ext.Dedup
+    val docs = Sources.table(spark, corpusDir, "documents")
+    val sh = Dedup.docShingles(docs, "doc_id", "text", shingleN).distinct()
+      .localCheckpoint()
+    val prof = Dedup.minhashFromShingles(sh, "doc_id", k,
+      extraAggs = Seq(count(lit(1)).as("sz"))).localCheckpoint()
+    Dedup.lshBands(prof, "doc_id", k, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$stateDir/bands")
+    Dedup.minhashVerifiedPairsFrom(sh, prof, "doc_id", threshold, k,
+        rowsPerBand)
+      .write.mode("overwrite").parquet(s"$stateDir/pairs")
+    val pairs = spark.read.parquet(s"$stateDir/pairs")
+    Dedup.connectedComponents(pairs.select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+      .write.mode("overwrite").parquet(s"$stateDir/clusters")
+  }
 }

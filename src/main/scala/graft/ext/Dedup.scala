@@ -195,6 +195,18 @@ object Dedup {
     // One aggregation pass yields the signature AND the set size per doc.
     val prof = minhashFromShingles(sh, idCol, k,
       extraAggs = Seq(count(lit(1)).as("sz"))).localCheckpoint()
+    minhashVerifiedPairsFrom(sh, prof, idCol, threshold, k, rowsPerBand)
+  }
+
+  /** [[minhashVerifiedPairs]] over ALREADY-materialized intermediates: `sh`
+    * the distinct (id, shingle) view and `prof` the signature+size profile
+    * — so a caller materializing the full dedup state ([[graft.engine
+    * .Pipeline.writeDedupState]]) shares one corpus explode between the
+    * band table and the verify join instead of paying it per artifact.
+    */
+  def minhashVerifiedPairsFrom(sh: DataFrame, prof: DataFrame,
+      idCol: String, threshold: Double, k: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
     val cand = bandsToCandidatePairs(lshBands(prof, idCol, k, rowsPerBand),
       idCol)
     val a = sh.select(col(idCol).as("doc_a"), col("shingle"))

@@ -308,4 +308,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       required = Set("yearstart", "topic", "loaded_at"))
     assert(!r.ok && r.detail.contains("loaded_at"))
   }
+
+  test("writeDedupState materializes bands/pairs/clusters consistent with " +
+      "the in-memory chain, and the state-read kept report == recompute") {
+    import graft.ext.Dedup
+    val fixture = "/root/testdata/sf0.001"
+    val state = root.resolve("dedup-state").toString
+    Pipeline.writeDedupState(spark, fixture, state)
+    val docs = Sources.table(spark, fixture, "documents")
+    val pairs = spark.read.parquet(s"$state/pairs")
+    val clusters = spark.read.parquet(s"$state/clusters")
+    val bands = spark.read.parquet(s"$state/bands")
+    // bands: k/rowsPerBand rows per doc holding >=1 shingle
+    assert(bands.groupBy("doc_id").count()
+      .filter(col("count") =!= 4).count() == 0)
+    // pairs table == the in-memory verified chain
+    val mem = Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == mem)
+    // clusters cover exactly the ids appearing in pairs, labels are min ids
+    val memClu = Dedup.connectedComponents(
+      Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 0.5)
+        .select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == memClu)
+  }
 }
