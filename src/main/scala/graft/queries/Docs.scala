@@ -416,6 +416,52 @@ object Docs {
             count(lit(1)), 4).as("nll"))
     }),
 
+    // Interpolated BIGRAM-LM perplexity (Jelinek-Mercer, λ=0.75): the
+    // upgrade from the unigram stand-in toward CCNet's KenLM grade —
+    // nll_d = Σ −ln(λ·c(prev,w)/c(prev,·) + (1−λ)·c(w)/N) / n_bigrams.
+    // The unigram back-off is what actually separates boilerplate from
+    // prose at corpus scale: repeated sentences score near-zero under the
+    // bigram term while rare-word soup stays expensive under both.
+    // Engine-exactness: each DISTINCT bigram's score is floored to
+    // nano-unit longs in the model table, so the per-doc sum is an
+    // order-independent integer sum (the q_sim_ndcg / dsir idiom) — never
+    // a fold-order-dependent double sum over hundreds of positions.
+    // Shape: ONE bigram stream (checkpointed) feeds the bigram counts,
+    // the prefix counts, and the scoring join; the scoring join is
+    // (prev, w)-keyed and data-scaled (vocab² too big to broadcast at
+    // 100 TB); only the 1-row corpus total broadcasts.
+    "q_perplexity_bigram" -> ((s, dir) => {
+      val lt = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+      val pairs = transform(slice(col("l"), lit(1), size(col("l")) - 1),
+        (x, i) => struct(x.as("prev"),
+          element_at(col("l"), i + lit(2)).as("w")))
+      val bg = lt.select(col("doc_id"), explode(pairs).as("p"))
+        .select(col("doc_id"), col("p.prev").as("prev"), col("p.w").as("w"))
+        .localCheckpoint()
+      val nbg = bg.groupBy(col("prev"), col("w"))
+        .agg(count(lit(1)).as("nbg"))
+      val npv = bg.groupBy(col("prev")).agg(count(lit(1)).as("nprev"))
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .localCheckpoint()
+      val nwt = toks.groupBy(col("tok")).agg(count(lit(1)).as("nw"))
+      val total = toks.agg(count(lit(1)).as("nn"))
+      val model = nbg.join(npv, "prev")
+        .join(nwt, col("w") === col("tok"))
+        .crossJoin(broadcast(total))
+        .select(col("prev"), col("w"),
+          floor(-log(lit(0.75) * col("nbg").cast("double") / col("nprev") +
+              lit(0.25) * col("nw").cast("double") / col("nn")) *
+            lit(1e9) + lit(0.5)).cast("long").as("s_nano"))
+      bg.join(model, Seq("prev", "w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("s_nano")).cast("double") / lit(1e9) /
+            count(lit(1)), 4).as("nll_jm"))
+    }),
+
     // Pointwise mutual information between the two document facets
     // (lang × source): PMI = ln(n·N / (n_lang·n_source)) per cell — the
     // association scan that flags a source feeding one language its
@@ -1900,6 +1946,32 @@ object Docs {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(sum(ln(CAST(nn AS DOUBLE) / n_t)) / count(*), 4) AS nll
         |FROM tok JOIN m USING (tok) CROSS JOIN n
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_perplexity_bigram" ->
+      """WITH lt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |bg AS (
+        |  SELECT doc_id, l[t.i] AS prev, l[t.i + 1] AS w
+        |  FROM lt, LATERAL (SELECT unnest(range(1, len(l))) AS i) t
+        |  WHERE len(l) >= 2),
+        |tok AS (SELECT unnest(l) AS tok FROM lt),
+        |nbg AS (SELECT prev, w, count(*) AS nbg FROM bg GROUP BY 1, 2),
+        |npv AS (SELECT prev, count(*) AS nprev FROM bg GROUP BY 1),
+        |nwt AS (SELECT tok, count(*) AS nw FROM tok GROUP BY 1),
+        |nt AS (SELECT count(*) AS nn FROM tok),
+        |model AS (
+        |  SELECT b.prev, b.w,
+        |    CAST(floor(-ln(0.75 * CAST(nbg AS DOUBLE) / nprev +
+        |      0.25 * CAST(nw AS DOUBLE) / nn) * 1000000000 + 0.5)
+        |      AS BIGINT) AS s_nano
+        |  FROM nbg b JOIN npv USING (prev)
+        |  JOIN nwt ON nwt.tok = b.w
+        |  CROSS JOIN nt)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(s_nano) AS BIGINT) / 1000000000.0 / count(*), 4)
+        |    AS nll_jm
+        |FROM bg JOIN model USING (prev, w)
         |GROUP BY doc_id""".stripMargin,
 
     "q_mutual_info" ->

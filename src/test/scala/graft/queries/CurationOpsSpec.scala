@@ -139,6 +139,35 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_perplexity_bigram: JM bigram model scores deterministic " +
+      "boilerplate below high-branching prose; n_bigrams = tokens - 1") {
+    import spark.implicits._
+    // doc 1: alternating "a b" — every bigram is deterministic
+    // (c(prev,w) = c(prev,·)), so the bigram term is ~1 and nll is low.
+    // doc 2: prefix x fans out to 10 distinct successors — each bigram
+    // carries P(w|x) = 1/10, which only an order-2 model can see (both
+    // docs look similar to a unigram model: 20 tokens, low-frequency
+    // vocab). The assertion is the discriminative claim of the upgrade.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pplx-bigram")
+    try {
+      val d1 = Seq.fill(10)("a b").mkString(" ")
+      val d2 = "ppp qqq rrr sss ttt uuu vvv www yyy zzz"
+        .split(" ").map(w => s"x $w").mkString(" ")
+      Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+        .write.parquet(s"$tmp/documents.parquet")
+      val rows = Docs.queries("q_perplexity_bigram")(spark, tmp.toString)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+      assert(rows(1L)._1 == 19L && rows(2L)._1 == 19L)
+      assert(rows(1L)._2 < rows(2L)._2,
+        s"boilerplate ${rows(1L)._2} must score below prose ${rows(2L)._2}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("q_dedup_savings: dropped <= totals per source, rate is the exact " +
       "ratio, and the dropped volume complements q_dedup_kept") {
     val rows = Docs.queries("q_dedup_savings")(spark, dir).collect()
