@@ -147,6 +147,68 @@ object Rollup {
       .drop("qb")
   }
 
+  /** Smoothed-PSI fold: input is a per-(group, bin) frame with long
+    * counts `n_ref`/`n_cur`. Add-one smoothing over the OBSERVED bin
+    * union keeps empty cells finite; the per-group totals ride a
+    * broadcast; each term (p−q)·ln(p/q) ≥ 0, so the rounded sum is ≥ 0 by
+    * construction. ONE definition shared by the batch drift monitors
+    * (q_psi_drift, q_psi_journal) and the streaming
+    * [[graft.streaming.Streams.startDriftMonitor]], so the three cannot
+    * diverge in smoothing or rounding.
+    */
+  def psiReport(binned: DataFrame, groupCol: String,
+      refTotalName: String, curTotalName: String): DataFrame = {
+    val tot = binned.groupBy(col(groupCol))
+      .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"),
+        count(lit(1)).as("n_bins"))
+    binned.join(broadcast(tot), groupCol)
+      .withColumn("p_ref", (col("n_ref") + lit(1)).cast("double") /
+        (col("t_ref") + col("n_bins")))
+      .withColumn("p_cur", (col("n_cur") + lit(1)).cast("double") /
+        (col("t_cur") + col("n_bins")))
+      .groupBy(col(groupCol))
+      .agg(round(sum((col("p_cur") - col("p_ref")) *
+          log(col("p_cur") / col("p_ref"))), 6).as("psi"),
+        max(col("n_bins")).as("n_bins"),
+        sum(col("n_ref")).as(refTotalName),
+        sum(col("n_cur")).as(curTotalName))
+  }
+
+  /** Per-group PSI between two journaled batches, from the histogram
+    * journal ALONE — the composition q_psi_journal proves lossless:
+    * drift monitoring without rescanning raw data. Replayed (group,
+    * bucket, batch) duplicates collapse before folding (the
+    * [[quantileEstimate]] guard). Fails loudly when a tag has no journal
+    * rows — after [[compactJournal]] rewrites tags to `_compacted`, a
+    * silently-empty reference side would smooth against zeros and report
+    * spurious drift; keep the reference batch out of compaction windows.
+    */
+  def psiFromJournal(spark: SparkSession, journalDir: String,
+      groupCol: String, refTag: String, curTag: String,
+      refTotalName: String = "n_ref_rows",
+      curTotalName: String = "n_cur_rows"): DataFrame = {
+    val j = spark.read.parquet(journalDir)
+      .filter(col("batch").isin(refTag, curTag))
+      .dropDuplicates(Seq(groupCol, "h_bucket", "batch"))
+      .localCheckpoint() // feeds the presence guard AND the fold
+    val present = j.agg(
+        sum(when(col("batch") === refTag, 1L).otherwise(0L)).as("nr"),
+        sum(when(col("batch") === curTag, 1L).otherwise(0L)).as("nc"))
+      .head()
+    Seq((refTag, 0), (curTag, 1)).foreach { case (tag, i) =>
+      if (present.isNullAt(i) || present.getLong(i) == 0L)
+        throw new IllegalArgumentException(
+          s"psiFromJournal: no journal rows for batch tag '$tag' in " +
+            s"$journalDir — compacted away, or never journaled")
+    }
+    val g = j.groupBy(col(groupCol), col("h_bucket"))
+      .agg(sum(when(col("batch") === refTag, col("h_cnt"))
+          .otherwise(0L)).as("n_ref"),
+        sum(when(col("batch") === curTag, col("h_cnt"))
+          .otherwise(0L)).as("n_cur"))
+    psiReport(g, groupCol, refTotalName, curTotalName)
+  }
+
   /** Fold the whole journal into ONE partial row per group (tagged
     * `_compacted`), atomically replacing the journal directory — the
     * growth bound for a journal that appends one file-set per batch

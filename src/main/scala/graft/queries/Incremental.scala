@@ -315,16 +315,10 @@ object Incremental {
     // The oracle recomputes from raw orders with the identical
     // fixed-grid bucket function, so a green row proves the journal is a
     // lossless sufficient statistic for drift.
-    "q_psi_journal" -> ((s, dir) => {
-      val j = s.read.parquet(s"${psiJournalDir(s, dir)}/journal")
-        .dropDuplicates(Seq("o_orderstatus", "h_bucket", "batch"))
-      val g = j.groupBy(col("o_orderstatus"), col("h_bucket"))
-        .agg(sum(when(col("batch") === "b1", col("h_cnt"))
-            .otherwise(0L)).as("n_ref"),
-          sum(when(col("batch") === "b2", col("h_cnt"))
-            .otherwise(0L)).as("n_cur"))
-      psiFold(g, "o_orderstatus", "n_rows_ref", "n_rows_cur")
-    }))
+    "q_psi_journal" -> ((s, dir) =>
+      graft.engine.Rollup.psiFromJournal(s,
+        s"${psiJournalDir(s, dir)}/journal", "o_orderstatus", "b1", "b2",
+        "n_rows_ref", "n_rows_cur")))
 
   private def rollupSelect(report: DataFrame): DataFrame =
     report.select(col("o_orderpriority"), col("n"),

@@ -53,30 +53,14 @@ package object queries {
     bucket < pct
   }
 
-  /** Smoothed-PSI fold shared by q_psi_drift and q_psi_journal: input is
-    * a per-(group, bin) frame with long counts `n_ref`/`n_cur`. Add-one
-    * smoothing over the OBSERVED bin union keeps empty cells finite; the
-    * per-group totals ride a broadcast; each term (p−q)·ln(p/q) ≥ 0, so
-    * the rounded sum is ≥ 0 by construction. ONE definition so the two
-    * drift monitors cannot diverge in smoothing or rounding.
+  /** Smoothed-PSI fold shared by q_psi_drift and q_psi_journal — now ONE
+    * definition with the streaming monitor too: delegates to
+    * [[graft.engine.Rollup.psiReport]].
     */
   private[queries] def psiFold(binned: DataFrame, groupCol: String,
-      refTotalName: String, curTotalName: String): DataFrame = {
-    val tot = binned.groupBy(col(groupCol))
-      .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"),
-        count(lit(1)).as("n_bins"))
-    binned.join(broadcast(tot), groupCol)
-      .withColumn("p_ref", (col("n_ref") + lit(1)).cast("double") /
-        (col("t_ref") + col("n_bins")))
-      .withColumn("p_cur", (col("n_cur") + lit(1)).cast("double") /
-        (col("t_cur") + col("n_bins")))
-      .groupBy(col(groupCol))
-      .agg(round(sum((col("p_cur") - col("p_ref")) *
-          log(col("p_cur") / col("p_ref"))), 6).as("psi"),
-        max(col("n_bins")).as("n_bins"),
-        sum(col("n_ref")).as(refTotalName),
-        sum(col("n_cur")).as(curTotalName))
-  }
+      refTotalName: String, curTotalName: String): DataFrame =
+    graft.engine.Rollup.psiReport(binned, groupCol, refTotalName,
+      curTotalName)
 
   /** DuckDB twin of [[splitCol]] as a CTE named `splits(doc_id, split)`. */
   private[queries] val splitsCte: String =

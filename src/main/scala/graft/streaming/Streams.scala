@@ -245,6 +245,58 @@ object Streams {
     }
   }
 
+  /** Standing drift monitor — the composition `q_psi_journal` proves
+    * lossless, wired end-to-end: each micro-batch (1) appends its
+    * per-group histogram to the journal under the commit ledger (exactly
+    * [[startHistogramJournal]]'s step) and (2) emits a per-group PSI
+    * VERDICT — (group, psi, n_bins, totals, drifted) — comparing the
+    * batch's journaled histogram against the designated reference batch,
+    * computed FROM THE JOURNAL ALONE
+    * ([[graft.engine.Rollup.psiFromJournal]], the same code path the
+    * batch query runs). No raw data is rescanned, ever: the monitor's
+    * read set is O(groups × bins) per trigger regardless of stream
+    * volume.
+    *
+    * Idempotence: the histogram append is ledger-guarded; the verdict is
+    * a deterministic function of the journal and lands with
+    * mode=overwrite under `verdictDir/b<batchId>` — an at-least-once
+    * replay recomputes byte-identical output onto the same path.
+    *
+    * `drifted` applies the industry-standard PSI > threshold rule
+    * (default 0.2) to the 6dp-rounded psi — the rounded value IS the
+    * published metric (both engines reproduce it bit-for-bit), so the
+    * verdict is reproducible anywhere the journal is.
+    */
+  def startDriftMonitor(stream: DataFrame, journalDir: String,
+      verdictDir: String, checkpointDir: String, groupCol: String,
+      valueCol: String, boundaries: Array[Double], refBatchId: Long = 0L,
+      threshold: Double = 0.2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        driftBatchIdempotent(batch, journalDir, verdictDir, batchId,
+          groupCol, valueCol, boundaries, refBatchId, threshold)
+      }
+      .start()
+
+  /** The per-batch step of [[startDriftMonitor]]. The reference batch only
+    * journals (a distribution is not drift against itself).
+    */
+  private[graft] def driftBatchIdempotent(batch: DataFrame,
+      journalDir: String, verdictDir: String, batchId: Long,
+      groupCol: String, valueCol: String, boundaries: Array[Double],
+      refBatchId: Long, threshold: Double): Unit = {
+    histogramBatchIdempotent(batch, journalDir, batchId, Seq(groupCol),
+      valueCol, boundaries)
+    if (batchId != refBatchId)
+      graft.engine.Rollup.psiFromJournal(batch.sparkSession, journalDir,
+          groupCol, s"b$refBatchId", s"b$batchId")
+        .withColumn("drifted", col("psi") > threshold)
+        .write.mode("overwrite").parquet(s"$verdictDir/b$batchId")
+  }
+
   /** Streaming incremental near-dup maintenance — the continuous-ingest
     * twin of the batch band journal (`q_dedup_incremental`): each arriving
     * micro-batch of documents is banded (MinHash k=8, 4×2 LSH) and ONLY

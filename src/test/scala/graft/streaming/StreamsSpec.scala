@@ -398,6 +398,54 @@ class StreamsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
+  test("drift monitor: stream-computed PSI from the journal alone == " +
+      "q_psi_journal's batch answer, through an at-least-once replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-drift")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val journal = s"$root/journal"
+      val verdicts = s"$root/verdicts"
+      val grid = (1 to 9).map(_ * 50000.0).toArray // q_psi_journal's grid
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val b1 = orders.filter(_._1 % 2 == 0).map(r => (r._2, r._3)).toSeq
+      val b2 = orders.filter(_._1 % 2 == 1).map(r => (r._2, r._3)).toSeq
+      val in = MemoryStream[(String, Double)]
+      val q = Streams.startDriftMonitor(
+        in.toDF().toDF("o_orderstatus", "o_totalprice"), journal, verdicts,
+        s"$root/ckpt", "o_orderstatus", "o_totalprice", grid)
+      runBatches(q)(() => in.addData(b1: _*), () => in.addData(b2: _*))
+      def verdict() = spark.read.parquet(s"$verdicts/b1").collect()
+        .map(r => r.getString(0) ->
+          (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getBoolean(5))).toMap
+      val streamed = verdict()
+      val batchAnswer = graft.SparkEntry.queries("q_psi_journal")(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(streamed.keySet == batchAnswer.keySet)
+      streamed.foreach { case (k, (psi, bins, nr, nc, drifted)) =>
+        assert((psi, bins, nr, nc) == batchAnswer(k),
+          s"stream verdict for $k diverges from the batch answer")
+        assert(drifted == (psi > 0.2))
+      }
+      // at-least-once replay: re-running the committed batch changes
+      // neither the journal nor the verdict
+      val journalRows = spark.read.parquet(journal).count()
+      Streams.driftBatchIdempotent(
+        b2.toDF("o_orderstatus", "o_totalprice"), journal, verdicts, 1L,
+        "o_orderstatus", "o_totalprice", grid, 0L, 0.2)
+      assert(spark.read.parquet(journal).count() == journalRows,
+        "replayed batch must not double-journal its histogram")
+      assert(verdict() == streamed,
+        "replayed batch must recompute an identical verdict")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("composition: one CDC stream drives snapshot + rollup; report == snapshot agg through replay") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
