@@ -100,14 +100,25 @@ object Dedup {
   /** LSH banding: hash `rowsPerBand` adjacent signature values into each of
     * `k/rowsPerBand` bands and emit (doc, band_idx, band_hash). Docs
     * sharing ANY band are candidates.
+    *
+    * The band key is an 8-BYTE xxhash64 long, not an md5 hex string: the
+    * band table is the dedup family's dominant shuffle (every doc ships
+    * k/rowsPerBand keyed rows into the candidate self-join), and a 32-char
+    * hex key quadruples that exchange for no semantic gain. Band
+    * membership means "same signature slice", and ANY injective-in-
+    * practice hash of the slice preserves it — a 2⁻⁶⁴-rate xxhash64
+    * collision can only ADD a candidate pair, which the downstream exact
+    * verify discards, so verified pairs/clusters/kept are collision-robust
+    * by construction. The DuckDB twin keeps md5 band keys (no xxhash64
+    * there); the two engines' PAIR sets agree because both hashes are
+    * injective on the observed slices.
     */
   def lshBands(signatures: DataFrame, idCol: String, k: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
     require(k % rowsPerBand == 0,
       s"k ($k) must be divisible by rowsPerBand ($rowsPerBand)")
     val bandCols = (0 until k by rowsPerBand).map { j =>
-      md5(concat((j until j + rowsPerBand).map(i => col(s"h$i")): _*)
-        .cast("binary"))
+      xxhash64(concat((j until j + rowsPerBand).map(i => col(s"h$i")): _*))
     }
     signatures.select(col(idCol),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
@@ -209,9 +220,16 @@ object Dedup {
       rowsPerBand: Int = 2): DataFrame = {
     val cand = bandsToCandidatePairs(lshBands(prof, idCol, k, rowsPerBand),
       idCol)
-    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
-    val common = cand.join(a, Seq("doc_a")).join(b, Seq("doc_b", "shingle"))
+    // The intersection join ships 8-byte shingle hashes, not the 5-gram
+    // TEXT (~30+ bytes) — shingle-set intersection only needs equality,
+    // and an xxhash64 collision inflates one pair's `common` count at
+    // 2⁻⁶⁴ rate (the DuckDB twin intersects raw text; counts agree
+    // because the hash is injective on the observed shingles).
+    val a = sh.select(col(idCol).as("doc_a"),
+      xxhash64(col("shingle")).as("shash"))
+    val b = sh.select(col(idCol).as("doc_b"),
+      xxhash64(col("shingle")).as("shash"))
+    val common = cand.join(a, Seq("doc_a")).join(b, Seq("doc_b", "shash"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -233,10 +251,14 @@ object Dedup {
   def jaccardFromShingles(sh: DataFrame, idCol: String,
       threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("doc_b"), col("shingle").as("sh_b"))
+    // Same 8-byte-key discipline as [[minhashVerifiedPairsFrom]]: the
+    // inverted-index join keys on xxhash64(shingle), never the gram text.
+    val a = sh.select(col(idCol).as("doc_a"),
+      xxhash64(col("shingle")).as("shash"))
+    val b = sh.select(col(idCol).as("doc_b"),
+      xxhash64(col("shingle")).as("sh_b"))
     val common = a.join(b,
-        a("shingle") === b("sh_b") && a("doc_a") < b("doc_b"))
+        a("shash") === b("sh_b") && a("doc_a") < b("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
