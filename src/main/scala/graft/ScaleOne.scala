@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Targeted scale measurement: time only the NAMED queries at the base
+  * fixture and at an ALREADY-BUILT scaled fixture (e.g.
+  * `/tmp/graft-sf1/f10` left by [[ScaleSuite]]) — the fast loop for
+  * iterating on one query's growth factor without paying the full
+  * two-fixture registry sweep. Same methodology as ScaleSuite where it
+  * matters for a ratio: untimed warmup pass per query per fixture
+  * (JIT/codegen/Scratch builds), then one timed run each, same JVM.
+  *
+  * Usage: runMain graft.ScaleOne <baseDir> <scaledDir> q_name [q_name...]
+  */
+object ScaleOne {
+  def main(args: Array[String]): Unit = {
+    val base = args(0)
+    val scaled = args(1)
+    val names = args.drop(2)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Bench.defaultCpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(n: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      Bench.runToExhaustion(SparkEntry.queries(n)(spark, dir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    names.foreach { n =>
+      Seq(base, scaled).foreach(d => time(n, d)) // warmup, untimed
+      Bench.resetState(spark)
+      val b = time(n, base)
+      val s = time(n, scaled)
+      println(f"[scale-one] $n base=$b%.3fs scaled=$s%.3fs x=${s / b}%.2f")
+    }
+    spark.stop()
+  }
+}

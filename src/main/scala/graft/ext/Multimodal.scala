@@ -79,10 +79,40 @@ object Multimodal {
     * the payload or the header is corrupt. ByteArrayInputStream supports
     * mark/reset, which the provider probe requires.
     */
+  /** The JVM's registered audio file readers, resolved ONCE per JVM.
+    * `AudioSystem.getAudioFileFormat` re-enters a SYNCHRONIZED static
+    * provider lookup (JDK13Services.getProviders) on EVERY call — under a
+    * 32-thread per-row decode that lock serializes the whole stage, and
+    * the serialization only shows at scale (the 10× ledger measured
+    * q_multimodal_audio at 13.9× while the hand-parsed q_multimodal_video
+    * — identical map shape — scaled at 1.2×). Iterating the cached
+    * readers is exactly what AudioSystem does after the lookup, via the
+    * same public SPI.
+    */
+  private lazy val audioReaders
+      : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+  }
+
   def decodeAudio(bytes: Array[Byte]): Option[(Long, Long, Long)] =
     try {
-      val fileFmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-        new java.io.ByteArrayInputStream(bytes))
+      val fileFmt = audioReaders.iterator
+        .flatMap { r =>
+          // each reader either claims the stream or throws
+          // UnsupportedAudioFileException — same contract AudioSystem's
+          // own loop relies on
+          try Some(r.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          }
+        }
+        .nextOption()
+        .getOrElse(throw new javax.sound.sampled
+          .UnsupportedAudioFileException("no reader claimed the stream"))
       val fmt = fileFmt.getFormat
       // javax.sound reports unknowable values as NOT_SPECIFIED (-1) — e.g.
       // an AU stream with unknown data size has no frame length. Clamp to 0:
