@@ -28,17 +28,21 @@ object ScaleOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(n: String, dir: String): Double = {
+    val tally = new Bench.ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    def time(n: String, dir: String): (Double, Long) = {
+      val sh0 = tally.settled()
       val t0 = System.nanoTime()
       Bench.runToExhaustion(SparkEntry.queries(n)(spark, dir))
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, tally.settled() - sh0)
     }
     names.foreach { n =>
       Seq(base, scaled).foreach(d => time(n, d)) // warmup, untimed
       Bench.resetState(spark)
-      val b = time(n, base)
-      val s = time(n, scaled)
-      println(f"[scale-one] $n base=$b%.3fs scaled=$s%.3fs x=${s / b}%.2f")
+      val (b, _) = time(n, base)
+      val (s, sh) = time(n, scaled)
+      println(f"[scale-one] $n base=$b%.3fs scaled=$s%.3fs x=${s / b}%.2f " +
+        f"scaled_shuffle=${sh / 1024 / 1024}%dMB")
     }
     spark.stop()
   }

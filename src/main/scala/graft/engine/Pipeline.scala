@@ -588,13 +588,14 @@ object Pipeline {
       rowsPerBand: Int = 2, shingleN: Int = 5): Unit = {
     import graft.ext.Dedup
     val docs = Sources.table(spark, corpusDir, "documents")
-    val sh = Dedup.docShingles(docs, "doc_id", "text", shingleN).distinct()
-      .localCheckpoint()
-    val prof = Dedup.minhashFromShingles(sh, "doc_id", k,
-      extraAggs = Seq(count(lit(1)).as("sz"))).localCheckpoint()
+    val raw = Dedup.docShingles(docs, "doc_id", "text", shingleN)
+    val prof = Dedup.minhashFromShingles(raw, "doc_id", k).localCheckpoint()
+    val shh = raw
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
+      .distinct().localCheckpoint()
     Dedup.lshBands(prof, "doc_id", k, rowsPerBand)
       .write.mode("overwrite").parquet(s"$stateDir/bands")
-    Dedup.minhashVerifiedPairsFrom(sh, prof, "doc_id", threshold, k,
+    Dedup.minhashVerifiedPairsFrom(shh, prof, "doc_id", threshold, k,
         rowsPerBand)
       .write.mode("overwrite").parquet(s"$stateDir/pairs")
     val pairs = spark.read.parquet(s"$stateDir/pairs")

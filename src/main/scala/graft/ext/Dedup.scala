@@ -75,10 +75,11 @@ object Dedup {
 
   /** MinHash signatures from an exploded (id, shingle) view: k independent
     * hash functions simulated as md5("j:" ++ shingle), lexicographic min
-    * per doc. Min is duplicate-insensitive, so callers may pass a distinct
-    * shingle set — and SHOULD when they also use that set elsewhere in the
-    * same plan (identical subtrees let AQE reuse the exchange instead of
-    * recomputing the explode+distinct).
+    * per doc. Min is duplicate-insensitive, so the RAW (non-distinct)
+    * exploded stream is the preferred input: the aggregation's map-side
+    * combine collapses duplicates locally and the shuffle ships only
+    * per-doc partial mins — a distinct() first would shuffle the full
+    * shingle text stream for nothing.
     */
   def minhashFromShingles(shingled: DataFrame, idCol: String, k: Int = 8,
       extraAggs: Seq[Column] = Nil): DataFrame = {
@@ -192,49 +193,53 @@ object Dedup {
     * to true near-dups (plus LSH false positives), while the full
     * inverted-index join of [[jaccardPairs]] grows with every hot shingle.
     *
-    * The distinct shingle set feeds three consumers (the signature/size
-    * aggregation and both sides of the verify join) and the doc-level
-    * profile four, so both are materialized once via localCheckpoint —
-    * exchange reuse across self-join aliases proved unreliable, and
-    * recomputing the corpus explode per consumer is the dominant cost.
+    * Shuffle discipline (the family's dominant exchange, measured in the
+    * 10× ledger at ~377 MB before this shape): the 5-gram TEXT never
+    * shuffles. MinHash's min is duplicate-insensitive, so the signature
+    * aggregation runs on the RAW exploded stream (map-side combine ships
+    * only per-doc partial mins), and the distinct shingle-SET — which
+    * feeds the size aggregation and both verify-join sides — is keyed by
+    * xxhash64(shingle) 8-byte longs. Set size and intersection only need
+    * equality, and a 2⁻⁶⁴-rate collision perturbs one pair's jaccard
+    * (the DuckDB twin uses raw text; results agree because the hash is
+    * injective on the observed shingles). The corpus explode runs twice
+    * (once per aggregation) — a re-scan is map-side and cheap, where
+    * materializing the text stream to share it is exactly the exchange
+    * this shape deletes.
     */
   def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 8, rowsPerBand: Int = 2,
       shingleN: Int = 5): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, shingleN).distinct()
-      .localCheckpoint()
-    // One aggregation pass yields the signature AND the set size per doc.
-    val prof = minhashFromShingles(sh, idCol, k,
-      extraAggs = Seq(count(lit(1)).as("sz"))).localCheckpoint()
-    minhashVerifiedPairsFrom(sh, prof, idCol, threshold, k, rowsPerBand)
+    val raw = docShingles(docs, idCol, textCol, shingleN)
+    val prof = minhashFromShingles(raw, idCol, k).localCheckpoint()
+    val shh = raw.select(col(idCol), xxhash64(col("shingle")).as("shash"))
+      .distinct().localCheckpoint()
+    minhashVerifiedPairsFrom(shh, prof, idCol, threshold, k, rowsPerBand)
   }
 
-  /** [[minhashVerifiedPairs]] over ALREADY-materialized intermediates: `sh`
-    * the distinct (id, shingle) view and `prof` the signature+size profile
-    * — so a caller materializing the full dedup state ([[graft.engine
-    * .Pipeline.writeDedupState]]) shares one corpus explode between the
-    * band table and the verify join instead of paying it per artifact.
+  /** [[minhashVerifiedPairs]] over ALREADY-materialized intermediates:
+    * `shh` the distinct (id, shash) hashed-shingle view and `prof` the
+    * signature profile — so a caller materializing the full dedup state
+    * ([[graft.engine.Pipeline.writeDedupState]]) shares the aggregations
+    * between the band table and the verify join instead of paying them
+    * per artifact.
     */
-  def minhashVerifiedPairsFrom(sh: DataFrame, prof: DataFrame,
+  def minhashVerifiedPairsFrom(shh: DataFrame, prof: DataFrame,
       idCol: String, threshold: Double, k: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
     val cand = bandsToCandidatePairs(lshBands(prof, idCol, k, rowsPerBand),
       idCol)
-    // The intersection join ships 8-byte shingle hashes, not the 5-gram
-    // TEXT (~30+ bytes) — shingle-set intersection only needs equality,
-    // and an xxhash64 collision inflates one pair's `common` count at
-    // 2⁻⁶⁴ rate (the DuckDB twin intersects raw text; counts agree
-    // because the hash is injective on the observed shingles).
-    val a = sh.select(col(idCol).as("doc_a"),
-      xxhash64(col("shingle")).as("shash"))
-    val b = sh.select(col(idCol).as("doc_b"),
-      xxhash64(col("shingle")).as("shash"))
+    val sizes = shh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = shh.select(col(idCol).as("doc_a"), col("shash"))
+    val b = shh.select(col(idCol).as("doc_b"), col("shash"))
     val common = cand.join(a, Seq("doc_a")).join(b, Seq("doc_b", "shash"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
-      .join(prof.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(prof.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")),
+        "doc_b")
       .withColumn("jaccard", round(
         col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")), 4))
