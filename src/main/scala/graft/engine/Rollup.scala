@@ -187,7 +187,8 @@ object Rollup {
       groupCol: String, refTag: String, curTag: String,
       refTotalName: String = "n_ref_rows",
       curTotalName: String = "n_cur_rows"): DataFrame = {
-    val j = spark.read.parquet(journalDir)
+    val jAll = spark.read.parquet(journalDir)
+    val j = jAll
       .filter(col("batch").isin(refTag, curTag))
       .dropDuplicates(Seq(groupCol, "h_bucket", "batch"))
       .localCheckpoint() // feeds the presence guard AND the fold
@@ -195,11 +196,22 @@ object Rollup {
         sum(when(col("batch") === refTag, 1L).otherwise(0L)).as("nr"),
         sum(when(col("batch") === curTag, 1L).otherwise(0L)).as("nc"))
       .head()
-    Seq((refTag, 0), (curTag, 1)).foreach { case (tag, i) =>
-      if (present.isNullAt(i) || present.getLong(i) == 0L)
-        throw new IllegalArgumentException(
-          s"psiFromJournal: no journal rows for batch tag '$tag' in " +
-            s"$journalDir — compacted away, or never journaled")
+    val tagMissing = Seq(0, 1).exists(i =>
+      present.isNullAt(i) || present.getLong(i) == 0L)
+    // A fully EMPTY journal is a degenerate-but-lawful corpus (a day with
+    // no rows journals zero histogram rows) → empty monitor output. A tag
+    // missing from a NON-empty journal is the dangerous case — compacted
+    // away or never journaled — where a silently-empty reference side
+    // would smooth against zeros and report spurious drift.
+    if (tagMissing && jAll.limit(1).count() > 0) {
+      val missing = Seq((refTag, 0), (curTag, 1)).collect {
+        case (tag, i) if present.isNullAt(i) || present.getLong(i) == 0L =>
+          tag
+      }
+      throw new IllegalArgumentException(
+        s"psiFromJournal: no journal rows for batch tag(s) " +
+          s"${missing.mkString(", ")} in $journalDir — compacted away, " +
+          "or never journaled")
     }
     val g = j.groupBy(col(groupCol), col("h_bucket"))
       .agg(sum(when(col("batch") === refTag, col("h_cnt"))
