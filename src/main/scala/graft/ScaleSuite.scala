@@ -153,7 +153,11 @@ object ScaleSuite {
       s""""superlinear":${lst(superlinear)},""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${Bench.loadavg()}",""" +
       s""""cpu_probe_ms":${Bench.cpuProbeMs()},"queries":$perQuery}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SF1.json"),
+    // factor 10 over sf0.1 ≈ "sf1", 30 ≈ "sf3" — name the ledger by the
+    // effective scale so multiple decades can sit side by side in git.
+    val out = if (factor % 10 == 0) s"BENCH_SF${factor / 10}.json"
+      else s"BENCH_SFx$factor.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
     spark.stop()
