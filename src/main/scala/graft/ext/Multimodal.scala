@@ -97,9 +97,38 @@ object Multimodal {
       .iterator().asScala.toSeq
   }
 
+  /** The reader that claims RIFF/WAVE streams, discovered ONCE per JVM by
+    * probing the cached readers with a minimal synthetic WAV (public SPI
+    * only — no provider class names). Needed because ServiceLoader order
+    * puts the JDK's MIDI-as-audio bridge (Gervill) AHEAD of the WAV
+    * reader, and that bridge's probe re-enters a SYNCHRONIZED static
+    * provider lookup (JDK13Services.getProviders via MidiSystem) on EVERY
+    * call — measured at ~34 µs/row single-threaded and, worse, it
+    * serializes a 32-thread per-row decode stage to single-thread
+    * throughput (the 10× ledger's 14.4× growth on q_multimodal_audio; the
+    * hand-parsed q_multimodal_video scaled at 1.0×). Sniffing the 4-byte
+    * container magic and dispatching RIFF straight to this reader keeps
+    * the probe loop (and its lock) off the hot path entirely.
+    */
+  private lazy val riffReader
+      : Option[javax.sound.sampled.spi.AudioFileReader] = {
+    val probe = buildWav(8000, 1, 1)
+    audioReaders.find { r =>
+      try { r.getAudioFileFormat(new java.io.ByteArrayInputStream(probe))
+        true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+  }
+
+  private def isRiff(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F'
+
   def decodeAudio(bytes: Array[Byte]): Option[(Long, Long, Long)] =
     try {
-      val fileFmt = audioReaders.iterator
+      val readers =
+        if (isRiff(bytes)) riffReader.iterator else audioReaders.iterator
+      val fileFmt = readers
         .flatMap { r =>
           // each reader either claims the stream or throws
           // UnsupportedAudioFileException — same contract AudioSystem's
