@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   *     not an engine property (a real 10× crawl has ~10× the duplicate
   *     clusters, not 10×-bigger clusters). Replica r>0 therefore gets:
   *       - `documents.text` passed through a per-replica character
-  *         substitution (`translate` over the 10 most frequent English
-  *         letters, rotated by r). Length, token boundaries, and
-  *         within-replica duplicate/near-dup structure are preserved
-  *         exactly; cross-replica shingle overlap drops to ~0.
+  *         substitution (`translate` applying the r-th power of a fixed
+  *         26-cycle over the lowercase alphabet). Length, token
+  *         boundaries, and within-replica duplicate/near-dup structure
+  *         are preserved exactly; cross-replica shingle overlap drops
+  *         to ~0.
   *       - `embeddings.embedding` rotated by r positions. Norms and
   *         within-replica cosine geometry are preserved exactly;
   *         cross-replica alignment is broken.
@@ -59,12 +60,18 @@ object ScaleFixture {
     "nation" -> Seq.empty,
   )
 
-  /** The 10 most frequent English letters; replica r substitutes each for
-    * the letter r positions later (cyclically). Bijective on the alphabet
-    * subset, so document length and token structure are untouched while
-    * nearly every shingle hash changes.
+  /** All 26 lowercase letters in frequency order, treated as one 26-cycle:
+    * replica r substitutes each letter for the one r positions later
+    * (cyclically), i.e. applies the r-th power of the cycle. Powers of a
+    * full-length cycle are fixed-point-free for r ≢ 0 (mod 26), so EVERY
+    * letter changes between any two distinct replicas — bijective per
+    * replica (length and token structure untouched, within-replica
+    * duplicate/near-dup geometry preserved exactly) while cross-replica
+    * shingle overlap drops to ~0. The full alphabet (vs the r12 10-letter
+    * subset) raises the clean replication ceiling from 10× to 26×, which
+    * is what lets the scale ledger measure the second decade.
     */
-  private val SubstAlphabet = "etaoinsrhl"
+  private val SubstAlphabet = "etaoinshrdlcumwfgypbvkjxqz"
 
   private def perturb(table: String, df: DataFrame, r: Int): DataFrame =
     table match {
@@ -75,7 +82,9 @@ object ScaleFixture {
         df.withColumn("text", translate(col("text"), SubstAlphabet, to))
       case "embeddings" =>
         // Cyclic rotation by r: an over-long slice length returns "to the
-        // end", so size(e) keeps this dimension-agnostic. Never pass
+        // end", so size(e) keeps this dimension-agnostic (a rotation at
+        // r ≥ dim would alias back toward identity, but replicateTable
+        // guards factor ≤ dim before any perturb runs). Never pass
         // Int.MaxValue as the length — slice's start+length overflows and
         // downstream HOFs (aggregate) silently read a corrupted array
         // (observed on Spark 4.1.2: the fold returned last-element² only).
@@ -100,6 +109,18 @@ object ScaleFixture {
         "substitution alphabet would wrap and reintroduce quadratic " +
         "duplicate structure; extend SubstAlphabet to go bigger")
     val src = spark.read.parquet(s"$srcDir/$table.parquet")
+    // An embedding rotation at r >= dim aliases toward identity and would
+    // quietly reintroduce cross-replica duplicate vectors. One head probe
+    // at fixture-build time (never per row, never in a query path).
+    if (table == "embeddings" && factor > 1) {
+      val head = src.select(size(col("embedding")).as("d")).head(1)
+      head.headOption.foreach { row =>
+        val dim = row.getInt(0)
+        require(factor <= dim,
+          s"factor $factor > embedding dim $dim: replica rotation would " +
+            "wrap and reintroduce cross-replica duplicate vectors")
+      }
+    }
     val cols = shiftCols.getOrElse(table,
       sys.error(s"no replication rule for table $table"))
     if (cols.isEmpty || factor == 1) src

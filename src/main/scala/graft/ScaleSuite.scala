@@ -33,6 +33,26 @@ object ScaleSuite {
 
   private final case class Res(sec: Double, status: String, shuffle: Long)
 
+  /** Queries whose DECLARED cost model is quadratic in the data factor —
+    * exhaustive baselines kept under the oracle precisely so their
+    * scalable production twins (the map values) have ground truth to be
+    * measured against. They run and report like every other row, but are
+    * flagged against factor² (the growth their cost model predicts)
+    * instead of factor, and the ledger lists them under
+    * `quadratic_baselines` with the twin's growth beside them so the
+    * contrast is one committed line. Everything else in the registry is
+    * held to the linear flag.
+    */
+  private val quadraticBaselines: Map[String, String] = Map(
+    // all-pairs exact cosine: O(n²) by definition; the banded-LSH twin
+    // verifies against it
+    "q_sim_neardup" -> "q_sim_neardup_lsh",
+    // fixed 10-centroid SemDeDup: cell size grows with the corpus, so the
+    // within-cell pair join is ×factor²; the corpus-scaled centroid dial
+    // keeps cells constant-size
+    "q_semdedup" -> "q_semdedup_scaled",
+  )
+
   def main(args: Array[String]): Unit = {
     val loadStart = Bench.loadavg()
     val factor = if (args.nonEmpty) args(0).toInt else 10
@@ -125,13 +145,28 @@ object ScaleSuite {
         s""""scaled_shuffle":${s.shuffle}}"""
     }.mkString("{", ",", "}")
 
-    // Superlinear flag: materially above the data growth AND above the
-    // noise floor (sub-2 s absolute is planning overhead territory).
-    val superlinear = names.filter { n =>
+    // Superlinear flag: materially above the growth the query's declared
+    // cost model predicts (linear for the registry, factor² for the named
+    // quadratic baselines) AND above the noise floor (sub-2 s absolute is
+    // planning overhead territory).
+    def overBudget(n: String): Boolean = {
       val b = baseRes(n); val s = scaledRes(n)
+      val budget =
+        if (quadraticBaselines.contains(n)) factor.toDouble * factor else factor.toDouble
       b.status == "ok" && s.status == "ok" &&
-        s.sec > 2.0 && b.sec > 0 && s.sec / b.sec > factor * 1.5
+        s.sec > 2.0 && b.sec > 0 && s.sec / b.sec > budget * 1.5
     }
+    val superlinear =
+      names.filter(n => !quadraticBaselines.contains(n) && overBudget(n))
+    val quadJson = quadraticBaselines.toSeq.sorted.map { case (n, twin) =>
+      def xOf(q: String): String = {
+        val b = baseRes(q); val s = scaledRes(q)
+        if (b.status == "ok" && s.status == "ok" && b.sec > 0)
+          fmt(s.sec / b.sec) else "null"
+      }
+      s""""$n":{"twin":"$twin","x":${xOf(n)},"twin_x":${xOf(twin)},""" +
+        s""""over_budget":${overBudget(n)}}"""
+    }.mkString("{", ",", "}")
     def lst(ns: Seq[String]) = ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed = names.filter(n => scaledRes(n).status == "failed")
     val timedOut = names.filter(n => scaledRes(n).status == "timeout")
@@ -151,6 +186,7 @@ object ScaleSuite {
       s""""base_not_ok":${lst(baseBad)},"scaled_failed":${lst(failed)},""" +
       s""""scaled_timeout":${lst(timedOut)},""" +
       s""""superlinear":${lst(superlinear)},""" +
+      s""""quadratic_baselines":$quadJson,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${Bench.loadavg()}",""" +
       s""""cpu_probe_ms":${Bench.cpuProbeMs()},"queries":$perQuery}"""
     // factor 10 over sf0.1 ≈ "sf1", 30 ≈ "sf3" — name the ledger by the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.Similarity
@@ -21,12 +21,26 @@ import graft.ext.Similarity
   */
 object Vectors {
 
+  /** The benchmark query workload: every 25th BASE-fixture vector. The id
+    * cap pins the set to the base fixture's id range ([[graft.ScaleFixture]]
+    * shifts replica ids by +r·Offset), so in the scale ledger the corpus
+    * grows while the query workload stays fixed — the serving cost model
+    * (O(corpus × |queries|), |queries| bounded) instead of the fixture
+    * artifact where BOTH sides grow and every brute/ADC baseline turns
+    * quadratic in the replication factor (the r12 ledger's 10–12× sim
+    * rows). A no-op on every real sf dir (max vec_id 1999 < Offset), so
+    * oracle rows are unchanged at every verify scale; the SQL twins carry
+    * the same cap literally.
+    */
+  private val querySet: Column =
+    col("vec_id") % 25 === 0 && col("vec_id") < graft.ScaleFixture.Offset
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact brute-force cosine top-5 for every 25th vector as query.
     "q_sim_topk_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id",
-        "embedding", col("vec_id") % 25 === 0, k = 5)),
+        "embedding", querySet, k = 5)),
 
     // All-pairs cosine near-dups ≥ 0.35 (fixture max sim ≈ 0.51) —
     // quadratic verify-pass baseline.
@@ -38,14 +52,14 @@ object Vectors {
     // within the query's cluster only.
     "q_sim_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 10, col("vec_id") % 25 === 0, k = 5)),
+        col("vec_id") < 10, querySet, k = 5)),
 
     // Multi-probe IVF (nprobe=2): queries near a cluster boundary also
     // search their second-nearest cluster — higher recall, probe fan-out
     // bounded by |queries|×nprobe.
     "q_sim_ivf_probe2" -> ((s, dir) =>
       Similarity.ivfTopKProbe(t(s, dir, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 10, col("vec_id") % 25 === 0, k = 5, nprobe = 2)),
+        col("vec_id") < 10, querySet, k = 5, nprobe = 2)),
 
     // ANN quality evaluation: recall@5 of single-probe IVF against the
     // brute-force ground truth, per query — the metric that decides
@@ -60,10 +74,10 @@ object Vectors {
       val corpus = Similarity.withNorm(t(s, dir, "embeddings"), "vec_id",
         "embedding").localCheckpoint()
       val brute = Similarity.bruteForceTopKFrom(corpus, "vec_id",
-        col("vec_id") % 25 === 0, k = 5)
+        querySet, k = 5)
       val ivf = Similarity.ivfTopKFrom(
         Similarity.assignClustersFrom(corpus, "vec_id", col("vec_id") < 10),
-        "vec_id", col("vec_id") % 25 === 0, k = 5)
+        "vec_id", querySet, k = 5)
       brute.select(col("query_id"), col("neighbor_id"))
         .join(ivf.select(col("query_id"), col("neighbor_id"),
           lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
@@ -111,7 +125,7 @@ object Vectors {
       Similarity.bruteForceTopKFrom(
         Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id",
           "embedding"),
-        "vec_id", col("vec_id") % 25 === 0, k = 5)),
+        "vec_id", querySet, k = 5)),
 
     // SemDeDup (semantic dedup): cluster-confine the quadratic — nearest
     // broadcast centroid per vector, within-cluster cosine ≥ 0.3 pairs,
@@ -152,7 +166,12 @@ object Vectors {
         "embedding")
       val train = c.filter(splitCol(col("vec_id")) === "train")
         .select(col("vec_id").as("train_id"), col("v"), col("nrm"))
-      val eval = c.filter(splitCol(col("vec_id")) =!= "train")
+      // The eval suite is a FIXED artifact in production — the training
+      // corpus grows, the benchmark does not. Pin the eval side to the
+      // base-fixture id range (same rationale and no-op property as
+      // [[querySet]]); the train side scales freely.
+      val eval = c.filter(splitCol(col("vec_id")) =!= "train" &&
+          col("vec_id") < graft.ScaleFixture.Offset)
         .select(col("vec_id").as("eval_id"), col("v").as("ev"),
           col("nrm").as("en"))
       train.crossJoin(broadcast(eval))
@@ -192,7 +211,7 @@ object Vectors {
     "q_sim_ivfpq" -> ((s, dir) =>
       Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, col("vec_id") < 16, m = 4, ds = 16,
-        col("vec_id") % 25 === 0, k = 5)),
+        querySet, k = 5)),
 
     // Classic IVFADC (Jégou et al. 2011 §V): PQ codes model the RESIDUAL
     // v − centroid, so each subspace codebook covers the tight
@@ -204,7 +223,7 @@ object Vectors {
       Similarity.ivfPqResidualTopK(t(s, dir, "embeddings"), "vec_id",
         "embedding", col("vec_id") < 10,
         col("vec_id") >= 10 && col("vec_id") < 26, m = 4, ds = 16,
-        col("vec_id") % 25 === 0, k = 5)),
+        querySet, k = 5)),
 
     // Recall@5 of residual IVFADC against brute-force ground truth — sits
     // beside q_sim_pq_recall so the residual lever's gain over raw-vector
@@ -214,10 +233,10 @@ object Vectors {
       val corpus = Similarity.withNorm(emb, "vec_id", "embedding")
         .localCheckpoint()
       val brute = Similarity.bruteForceTopKFrom(corpus, "vec_id",
-        col("vec_id") % 25 === 0, k = 5)
+        querySet, k = 5)
       val res = Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding",
         col("vec_id") < 10, col("vec_id") >= 10 && col("vec_id") < 26,
-        m = 4, ds = 16, col("vec_id") % 25 === 0, k = 5)
+        m = 4, ds = 16, querySet, k = 5)
       brute.select(col("query_id"), col("neighbor_id"))
         .join(res.select(col("query_id"), col("neighbor_id"),
           lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
@@ -237,7 +256,7 @@ object Vectors {
       Similarity.pqTopK(
         Similarity.withNorm(t(s, dir, "embeddings"), "vec_id", "embedding"),
         "vec_id", m = 4, ds = 16, col("vec_id") < 16,
-        col("vec_id") % 25 === 0, k = 5)),
+        querySet, k = 5)),
 
     // PQ quality evaluation: recall@5 of the ADC top-k against the
     // brute-force ground truth — the recall row that sits beside
@@ -246,9 +265,9 @@ object Vectors {
       val corpus = Similarity.withNorm(t(s, dir, "embeddings"), "vec_id",
         "embedding").localCheckpoint()
       val brute = Similarity.bruteForceTopKFrom(corpus, "vec_id",
-        col("vec_id") % 25 === 0, k = 5)
+        querySet, k = 5)
       val pq = Similarity.pqTopK(corpus, "vec_id", m = 4, ds = 16,
-        col("vec_id") < 16, col("vec_id") % 25 === 0, k = 5)
+        col("vec_id") < 16, querySet, k = 5)
       brute.select(col("query_id"), col("neighbor_id"))
         .join(pq.select(col("query_id"), col("neighbor_id"),
           lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
@@ -311,9 +330,9 @@ object Vectors {
       val corpus = Similarity.withNorm(t(s, dir, "embeddings"), "vec_id",
         "embedding").localCheckpoint()
       val cand = Similarity.pqTopK(corpus, "vec_id", m = 4, ds = 16,
-        col("vec_id") < 16, col("vec_id") % 25 === 0, k = 20)
+        col("vec_id") < 16, querySet, k = 20)
         .select(col("query_id"), col("neighbor_id"))
-      val queries = corpus.filter(col("vec_id") % 25 === 0)
+      val queries = corpus.filter(querySet)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"))
       val w = org.apache.spark.sql.expressions.Window
@@ -342,12 +361,12 @@ object Vectors {
       val corpus = Similarity.withNorm(t(s, dir, "embeddings"), "vec_id",
         "embedding").localCheckpoint()
       val brute = Similarity.bruteForceTopKFrom(corpus, "vec_id",
-        col("vec_id") % 25 === 0, k = 5)
+        querySet, k = 5)
         .select(col("query_id"), col("neighbor_id"),
           (lit(6L) - col("rank")).as("rel"))
       val ivf = Similarity.ivfTopKFrom(
         Similarity.assignClustersFrom(corpus, "vec_id", col("vec_id") < 10),
-        "vec_id", col("vec_id") % 25 === 0, k = 5)
+        "vec_id", querySet, k = 5)
       val disc = when(col("rank") === 1, 1000000000L)
         .when(col("rank") === 2, 630929753L)
         .when(col("rank") === 3, 500000000L)
@@ -375,7 +394,7 @@ object Vectors {
         .select(col("vec_id"), col("label"),
           Similarity.asDouble(col("embedding")).as("v"))
         .withColumn("nrm", Similarity.l2norm(col("v")))
-      val qs = c.filter(col("vec_id") % 25 === 0)
+      val qs = c.filter(querySet)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("label").as("qlabel"))
       val sims = c.crossJoin(broadcast(qs))
@@ -585,7 +604,7 @@ object Vectors {
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label,
         |    ${cos("n", "q")} AS sim
         |  FROM cl n, cl q
-        |  WHERE q.vec_id % 25 = 0 AND n.label != q.label)
+        |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000 AND n.label != q.label)
         |SELECT query_id, neighbor_id, label, sim, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
@@ -604,7 +623,7 @@ object Vectors {
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
         |    ${cos("n", "q")} AS sim
         |  FROM pqr n, c q
-        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000 AND n.vec_id != q.vec_id)
         |SELECT query_id, neighbor_id, sim, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
@@ -641,7 +660,7 @@ object Vectors {
         |        ORDER BY ${cos("n", "q")} DESC, n.vec_id ASC) AS BIGINT)
         |        AS rank
         |    FROM pqr n, c q
-        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |    WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000 AND n.vec_id != q.vec_id)
         |  WHERE rank <= 20),
         |refined AS (
         |  SELECT cand.query_id, cand.neighbor_id, ${cos("n", "q")} AS sim
@@ -664,7 +683,7 @@ object Vectors {
         |        ORDER BY ${cos("n", "q")} DESC, n.vec_id ASC) AS BIGINT)
         |        AS rank
         |    FROM c n, c q
-        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |    WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000 AND n.vec_id != q.vec_id)
         |  WHERE rank <= 5),
         |pq AS (
         |  SELECT query_id, neighbor_id FROM (
@@ -673,7 +692,7 @@ object Vectors {
         |        ORDER BY ${cos("n", "q")} DESC, n.vec_id ASC) AS BIGINT)
         |        AS rank
         |    FROM pqr n, c q
-        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |    WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000 AND n.vec_id != q.vec_id)
         |  WHERE rank <= 5)
         |SELECT b.query_id, count(*) AS n_true,
         |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -690,7 +709,7 @@ object Vectors {
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
         |    ${cos("n", "q")} AS sim
         |  FROM c n, c q
-        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000 AND n.vec_id != q.vec_id)
         |SELECT query_id, neighbor_id, sim, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
@@ -714,7 +733,7 @@ object Vectors {
         |x AS (SELECT c.vec_id, v, nrm FROM c JOIN b USING (vec_id)
         |  WHERE bucket < 90),
         |y AS (SELECT c.vec_id, v, nrm FROM c JOIN b USING (vec_id)
-        |  WHERE bucket >= 90),
+        |  WHERE bucket >= 90 AND c.vec_id < 1000000),
         |sims AS (
         |  SELECT x.vec_id AS train_id, y.vec_id AS eval_id,
         |    ${cos("x", "y")} AS sim
@@ -773,7 +792,7 @@ object Vectors {
         |        i -> n.v[i] * q.v[i]), (x, y) -> x + y)
         |      / (n.nrm * q.nrm), 6) AS sim
         |  FROM cn n, cn q
-        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000 AND n.vec_id != q.vec_id)
         |SELECT query_id, neighbor_id, sim, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
@@ -801,7 +820,7 @@ object Vectors {
         |  FROM pqr n JOIN asgn na ON na.vec_id = n.vec_id
         |  JOIN asgn qa ON na.cluster_id = qa.cluster_id
         |  JOIN c q ON qa.vec_id = q.vec_id
-        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000 AND n.vec_id != q.vec_id)
         |SELECT query_id, neighbor_id, cluster_id, sim, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
@@ -820,7 +839,7 @@ object Vectors {
         |  FROM pqfull n JOIN asgn na ON na.vec_id = n.vec_id
         |  JOIN asgn qa ON na.cluster_id = qa.cluster_id
         |  JOIN c q ON qa.vec_id = q.vec_id
-        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000 AND n.vec_id != q.vec_id)
         |SELECT query_id, neighbor_id, cluster_id, sim, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
@@ -838,7 +857,7 @@ object Vectors {
         |        ORDER BY ${cos("n", "q")} DESC, n.vec_id ASC) AS BIGINT)
         |        AS rank
         |    FROM c n, c q
-        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |    WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000 AND n.vec_id != q.vec_id)
         |  WHERE rank <= 5),
         |rtop AS (
         |  SELECT query_id, neighbor_id FROM (
@@ -849,7 +868,7 @@ object Vectors {
         |    FROM pqfull n JOIN asgn na ON na.vec_id = n.vec_id
         |    JOIN asgn qa ON na.cluster_id = qa.cluster_id
         |    JOIN c q ON qa.vec_id = q.vec_id
-        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |    WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000 AND n.vec_id != q.vec_id)
         |  WHERE rank <= 5)
         |SELECT b.query_id, count(*) AS n_true,
         |  CAST(sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -869,7 +888,7 @@ object Vectors {
         |  FROM c q JOIN asgn qa ON qa.vec_id = q.vec_id
         |  JOIN asgn na ON na.cluster_id = qa.cluster_id
         |  JOIN c n ON n.vec_id = na.vec_id
-        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000 AND n.vec_id != q.vec_id)
         |SELECT query_id, neighbor_id, cluster_id, sim, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
@@ -885,7 +904,7 @@ object Vectors {
         |        ORDER BY ${cos("n", "q")} DESC, n.vec_id ASC) AS BIGINT)
         |        AS rank
         |    FROM c n, c q
-        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |    WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000 AND n.vec_id != q.vec_id)
         |  WHERE rank <= 5),
         |$centAsgn,
         |ivf AS (
@@ -898,7 +917,7 @@ object Vectors {
         |    JOIN asgn qa ON qa.vec_id = q.vec_id
         |    JOIN asgn na ON na.cluster_id = qa.cluster_id
         |    JOIN c n ON n.vec_id = na.vec_id
-        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |    WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000 AND n.vec_id != q.vec_id)
         |  WHERE rank <= 5)
         |SELECT b.query_id, count(*) AS n_true,
         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -918,7 +937,7 @@ object Vectors {
         |        ORDER BY ${cos("n", "q")} DESC, n.vec_id ASC) AS BIGINT)
         |        AS rank
         |    FROM c n, c q
-        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |    WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000 AND n.vec_id != q.vec_id)
         |  WHERE rank <= 5),
         |$centAsgn,
         |ivf AS (
@@ -931,7 +950,7 @@ object Vectors {
         |    JOIN asgn qa ON qa.vec_id = q.vec_id
         |    JOIN asgn na ON na.cluster_id = qa.cluster_id
         |    JOIN c n ON n.vec_id = na.vec_id
-        |    WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id)
+        |    WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000 AND n.vec_id != q.vec_id)
         |  WHERE rank <= 5),
         |scored AS (
         |  SELECT i.query_id,
@@ -957,7 +976,7 @@ object Vectors {
         |    SELECT q.vec_id, cent.cent_id,
         |      row_number() OVER (PARTITION BY q.vec_id
         |        ORDER BY ${cos("q", "cent")} DESC, cent.cent_id ASC) AS rn
-        |    FROM c q, cent WHERE q.vec_id % 25 = 0)
+        |    FROM c q, cent WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000)
         |  WHERE rn <= 2),
         |sims AS (
         |  SELECT p.query_id, n.vec_id AS neighbor_id, na.cluster_id,

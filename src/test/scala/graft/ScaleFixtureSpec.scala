@@ -85,9 +85,38 @@ class ScaleFixtureSpec extends AnyFunSuite {
   test("a factor past the substitution alphabet fails loudly instead of " +
       "wrapping into quadratic duplicate structure") {
     val e = intercept[IllegalArgumentException] {
-      ScaleFixture.replicateTable(spark, dir, "documents", 11)
+      ScaleFixture.replicateTable(spark, dir, "documents", 27)
     }
     assert(e.getMessage.contains("wrap"))
+  }
+
+  test("second-decade factors keep every replica pair textually disjoint " +
+      "(26-cycle powers are fixed-point-free)") {
+    // factor 12 exercises powers past the r12 10-letter alphabet's wrap
+    // point: under the old scheme replicas 1 and 11 would be
+    // byte-identical; under the 26-cycle every pair must differ.
+    val docs = ScaleFixture.replicateTable(spark, dir, "documents", 12)
+      .select((col("doc_id") / ScaleFixture.Offset).cast("int").as("r"),
+        (col("doc_id") % ScaleFixture.Offset).as("base_id"), col("text"))
+    val collisions = docs.as("a").join(docs.as("b"),
+        col("a.base_id") === col("b.base_id") &&
+          col("a.r") < col("b.r") && col("a.text") === col("b.text"))
+      .count()
+    assert(collisions === 0)
+  }
+
+  test("a factor past the embedding dimension fails loudly instead of " +
+      "aliasing replica rotations") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("scalefix-dim")
+      .toString
+    Seq((0L, Array(1.0f, 2.0f, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      ScaleFixture.replicateTable(spark, tmp, "embeddings", 4)
+    }
+    assert(e.getMessage.contains("dim"))
   }
 
   test("an empty source table replicates to empty, no NPE from the " +
