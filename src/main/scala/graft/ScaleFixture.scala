@@ -80,6 +80,20 @@ object ScaleFixture {
         val k = r % SubstAlphabet.length
         val to = SubstAlphabet.drop(k) + SubstAlphabet.take(k)
         df.withColumn("text", translate(col("text"), SubstAlphabet, to))
+      case "customer" =>
+        // Pairwise-similarity queries (Fellegi-Sunter ER) block on name
+        // variants and balance bands: verbatim replicas put F copies of
+        // every name and balance in each block, growing candidate sets
+        // ×F² BY CONSTRUCTION — a real F× customer base has F× the
+        // distinct names, not F-fold name multiplicity. Regenerate the
+        // name from the already-shifted key (the key↔name invariant the
+        // base rows carry: "Customer#%09d") and lift each replica's
+        // balances far past every pairwise tolerance (±100), so
+        // within-replica match structure is preserved exactly and
+        // cross-replica candidates vanish.
+        df.withColumn("c_name", concat(lit("Customer#"),
+            lpad(col("c_custkey").cast("string"), 9, "0")))
+          .withColumn("c_acctbal", col("c_acctbal") + lit(r * 100000.0))
       case "embeddings" =>
         // Cyclic rotation by r: an over-long slice length returns "to the
         // end", so size(e) keeps this dimension-agnostic (a rotation at

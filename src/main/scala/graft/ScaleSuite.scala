@@ -51,6 +51,12 @@ object ScaleSuite {
     // within-cell pair join is ×factor²; the corpus-scaled centroid dial
     // keeps cells constant-size
     "q_semdedup" -> "q_semdedup_scaled",
+    // fixed 16-plane LSH: candidate volume is true-pairs + n²/2^bits of
+    // random band collisions — quadratic once the collision floor
+    // dominates (the published reason band width must grow ~log n). The
+    // 32-plane dial is the production re-dial (measured 50× vs 8× at
+    // factor 26)
+    "q_sim_neardup_lsh" -> "q_sim_neardup_lsh32",
   )
 
   def main(args: Array[String]): Unit = {

@@ -462,6 +462,50 @@ object Docs {
             count(lit(1)), 4).as("nll_jm"))
     }),
 
+    // Kneser-Ney smoothed bigram NLL (Kneser & Ney 1995; absolute
+    // discounting D=0.75 with a CONTINUATION-count unigram back-off — the
+    // smoothing family KenLM implements, i.e. the CCNet filter grade):
+    // P(w|v) = (c(v,w)−D)/c(v·) + (D·N1+(v·)/c(v·))·(N1+(·w)/T), where
+    // N1+ are distinct-context counts and T the bigram type total. Only
+    // observed bigrams are scored (c ≥ 1 > D, so the max(·,0) clamp is
+    // vacuous), mirroring q_perplexity_bigram's JM scoring exactly — the
+    // two rows differ ONLY in the smoother, so the effect of the method
+    // is one ledger diff. All model terms are per-TYPE nano-unit longs
+    // (one float ln per bigram TYPE, integer sums per doc) — the
+    // JM/BM25/nDCG fold-order discipline. The continuation counts are
+    // aggregates OF the nbg type table, not a second corpus scan.
+    "q_perplexity_kn" -> ((s, dir) => {
+      val lt = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+      val pairs = transform(slice(col("l"), lit(1), size(col("l")) - 1),
+        (x, i) => struct(x.as("prev"),
+          element_at(col("l"), i + lit(2)).as("w")))
+      val bg = lt.select(col("doc_id"), explode(pairs).as("p"))
+        .select(col("doc_id"), col("p.prev").as("prev"), col("p.w").as("w"))
+        .localCheckpoint()
+      val nbg = bg.groupBy(col("prev"), col("w"))
+        .agg(count(lit(1)).as("nbg")).localCheckpoint()
+      val npv = bg.groupBy(col("prev")).agg(count(lit(1)).as("nprev"))
+      val ncont = nbg.groupBy(col("prev")).agg(count(lit(1)).as("ncont"))
+      val nleft = nbg.groupBy(col("w")).agg(count(lit(1)).as("nleft"))
+      val tt = nbg.agg(count(lit(1)).as("tt"))
+      val model = nbg.join(npv, "prev").join(ncont, "prev")
+        .join(nleft, "w")
+        .crossJoin(broadcast(tt))
+        .select(col("prev"), col("w"),
+          floor(-log(
+              (col("nbg").cast("double") - lit(0.75)) / col("nprev") +
+                (lit(0.75) * col("ncont") / col("nprev")) *
+                (col("nleft").cast("double") / col("tt"))) *
+            lit(1e9) + lit(0.5)).cast("long").as("s_nano"))
+      bg.join(model, Seq("prev", "w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("s_nano")).cast("double") / lit(1e9) /
+            count(lit(1)), 4).as("nll_kn"))
+    }),
+
     // Pointwise mutual information between the two document facets
     // (lang × source): PMI = ln(n·N / (n_lang·n_source)) per cell — the
     // association scan that flags a source feeding one language its
@@ -755,6 +799,47 @@ object Docs {
         .select(col("lang"), reason.as("reason"))
         .groupBy(col("lang"), col("reason"))
         .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // The Gopher quality rules (Rae et al. 2021, Appendix A), word-level
+    // subset — the fixture's documents are single-line, so the line-shape
+    // rules (bullet/ellipsis line ratios) are vacuously true and omitted
+    // rather than faked: word count in [50, 100000], mean word length in
+    // [3, 10], ≥80% of words containing an alphabetic character,
+    // symbol-to-word ratio (# and …) ≤ 0.1 each, and ≥2 distinct members
+    // of the Gopher stop-word set {the, be, to, of, and, that, have,
+    // with}. One projection pass, no explode (the stop-word test is an
+    // array_intersect over the distinct token set); every rule is a
+    // single IEEE division or integer compare, so both engines decide
+    // each boolean identically — no rounding in the gate itself.
+    "q_quality_gopher" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nW = size(toks).cast("long")
+      val meanLen = length(regexp_replace(col("text"), " ", ""))
+        .cast("double") / nW
+      val nAlpha = size(filter(toks,
+        tk => tk.rlike("[a-zA-Z]"))).cast("long")
+      val nHash = (length(col("text")) -
+        length(regexp_replace(col("text"), "#", ""))).cast("long")
+      val nEll = ((length(col("text")) -
+        length(replace(col("text"), lit("..."), lit("")))) / lit(3))
+        .cast("long")
+      val stopSet = array(Seq("the", "be", "to", "of", "and", "that",
+        "have", "with").map(lit): _*)
+      val nStop = size(array_intersect(array_distinct(toks), stopSet))
+        .cast("long")
+      val rWc = nW >= 50L && nW <= 100000L
+      val rMean = meanLen >= 3.0 && meanLen <= 10.0
+      val rAlpha = nAlpha.cast("double") / nW >= 0.8
+      val rSym = nHash.cast("double") / nW <= 0.1 &&
+        nEll.cast("double") / nW <= 0.1
+      val rStop = nStop >= 2L
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), nW.as("n_words"),
+        round(meanLen, 4).as("mean_word_len"), nStop.as("n_stop"),
+        rWc.as("r_word_count"), rMean.as("r_mean_len"),
+        rAlpha.as("r_alpha"), rSym.as("r_symbol"), rStop.as("r_stop"),
+        (rWc && rMean && rAlpha && rSym && rStop).as("keep"))
     }),
 
     // The production composition: MinHash-LSH candidates verified by exact
@@ -1786,6 +1871,41 @@ object Docs {
         |SELECT lang, reason, count(*) AS n_docs
         |FROM r GROUP BY 1, 2""".stripMargin,
 
+    "q_quality_gopher" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS l
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(l) AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(l)
+        |      AS mean_raw,
+        |    CAST(len(list_filter(l,
+        |      tk -> regexp_matches(tk, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) / 3
+        |      AS BIGINT) AS n_ell,
+        |    CAST(len(list_intersect(list_distinct(l),
+        |      ['the','be','to','of','and','that','have','with']))
+        |      AS BIGINT) AS n_stop
+        |  FROM d)
+        |SELECT doc_id, lang, n_words,
+        |  round(mean_raw, 4) AS mean_word_len, n_stop,
+        |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+        |  mean_raw >= 3 AND mean_raw <= 10 AS r_mean_len,
+        |  CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS r_alpha,
+        |  CAST(n_hash AS DOUBLE) / n_words <= 0.1 AND
+        |    CAST(n_ell AS DOUBLE) / n_words <= 0.1 AS r_symbol,
+        |  n_stop >= 2 AS r_stop,
+        |  (n_words >= 50 AND n_words <= 100000) AND
+        |    (mean_raw >= 3 AND mean_raw <= 10) AND
+        |    (CAST(n_alpha AS DOUBLE) / n_words >= 0.8) AND
+        |    (CAST(n_hash AS DOUBLE) / n_words <= 0.1 AND
+        |     CAST(n_ell AS DOUBLE) / n_words <= 0.1) AND
+        |    n_stop >= 2 AS keep
+        |FROM m""".stripMargin,
+
     "q_split_assign" ->
       """WITH b AS (
         |  SELECT doc_id,
@@ -1971,6 +2091,35 @@ object Docs {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(s_nano) AS BIGINT) / 1000000000.0 / count(*), 4)
         |    AS nll_jm
+        |FROM bg JOIN model USING (prev, w)
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_perplexity_kn" ->
+      """WITH lt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |bg AS (
+        |  SELECT doc_id, l[t.i] AS prev, l[t.i + 1] AS w
+        |  FROM lt, LATERAL (SELECT unnest(range(1, len(l))) AS i) t
+        |  WHERE len(l) >= 2),
+        |nbg AS (SELECT prev, w, count(*) AS nbg FROM bg GROUP BY 1, 2),
+        |npv AS (SELECT prev, count(*) AS nprev FROM bg GROUP BY 1),
+        |ncont AS (SELECT prev, count(*) AS ncont FROM nbg GROUP BY 1),
+        |nleft AS (SELECT w, count(*) AS nleft FROM nbg GROUP BY 1),
+        |nt AS (SELECT count(*) AS tt FROM nbg),
+        |model AS (
+        |  SELECT b.prev, b.w,
+        |    CAST(floor(-ln(
+        |      (CAST(b.nbg AS DOUBLE) - 0.75) / nprev +
+        |        ((0.75 * ncont) / nprev) *
+        |        (CAST(nleft AS DOUBLE) / tt)) * 1000000000 + 0.5)
+        |      AS BIGINT) AS s_nano
+        |  FROM nbg b JOIN npv USING (prev)
+        |  JOIN ncont USING (prev)
+        |  JOIN nleft ON nleft.w = b.w
+        |  CROSS JOIN nt)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(s_nano) AS BIGINT) / 1000000000.0 / count(*), 4)
+        |    AS nll_kn
         |FROM bg JOIN model USING (prev, w)
         |GROUP BY doc_id""".stripMargin,
 

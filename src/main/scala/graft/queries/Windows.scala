@@ -71,13 +71,23 @@ object Windows {
     // window serializes into ONE task — fine for a report-sized input
     // (this is post-aggregation shape), but a 100 TB global quantile wants
     // approx_percentile or a per-segment partition instead.
+    // Global NTILE / percent_rank / cume_dist WITHOUT the single-partition
+    // window: a bare Window.orderBy(...) funnels the whole table through
+    // one task (the r13 26× ledger measured that shape at 19.9× growth).
+    // GlobalRank range-repartitions on the (unique) sort key, ranks
+    // partitions in parallel, and derives all three measures from the
+    // exact global row number — same rows as the single-partition plan,
+    // pinned by the unchanged oracle.
     "q_window_ntile" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, dir, "orders")
-        .select(col("o_orderkey"),
-          ntile(4).over(w).cast("long").as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+      val (ranked, n) = graft.ext.GlobalRank.withGlobalRowNumber(
+        t(s, dir, "orders"), "rn",
+        col("o_totalprice").desc, col("o_orderkey").asc)
+      ranked.select(col("o_orderkey"),
+        graft.ext.GlobalRank.ntileFromRowNumber(col("rn"), n, 4)
+          .as("quartile"),
+        round(if (n > 1) (col("rn") - 1) / lit((n - 1).toDouble)
+          else lit(0.0), 6).as("pct_rank"),
+        round(col("rn") / lit(n.toDouble), 6).as("cume"))
     }),
 
     // The scale-safe distribution-rank shape the q_window_ntile comment

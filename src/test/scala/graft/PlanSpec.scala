@@ -79,14 +79,27 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_window_ntile_seg partitions its window by the segment key") {
-    // the scale-safe twin of the global-window q_window_ntile demo: the
-    // distribution ranks must compute per o_orderstatus segment, never on
-    // a single task
+    // the distribution ranks must compute per o_orderstatus segment,
+    // never on a single task
     val p = plan("q_window_ntile_seg")
     assert(!p.contains("Exchange SinglePartition"),
       s"segmented ntile plans a global window:\n$p")
     assert(p.contains("windowspecdefinition(o_orderstatus"),
       s"window must partition by the segment key:\n$p")
+  }
+
+  test("q_window_ntile computes GLOBAL distribution ranks without a " +
+      "single-partition window") {
+    // r13: the bare Window.orderBy shape funneled the whole table through
+    // one task (19.9× at factor 26). GlobalRank range-repartitions
+    // (inside the checkpoint stage — invisible to this executedPlan) and
+    // ranks per partition; the visible plan must window BY the partition
+    // id and carry no SinglePartition exchange anywhere.
+    val p = plan("q_window_ntile")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global ntile still plans a single-partition window:\n$p")
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"expected the rank window partitioned by _pid:\n$p")
   }
 
   test("q_fuzzy_join verifies candidates from equi-blocking, no nested loop") {

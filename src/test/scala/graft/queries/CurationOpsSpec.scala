@@ -168,6 +168,75 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_perplexity_kn: Kneser-Ney separates deterministic boilerplate " +
+      "from fan-out prose, and its smoother actually differs from JM") {
+    import spark.implicits._
+    // Same discriminative fixture as the JM pin: doc 1's bigrams are
+    // deterministic, doc 2's prefix fans out 10 ways — an order-2 model
+    // must score 1 below 2. The second assertion pins that the
+    // continuation-count back-off is not silently identical to JM's
+    // frequency back-off (the two smoothers must disagree somewhere on
+    // this fixture, else the "new method" is a rename).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pplx-kn")
+    try {
+      val d1 = Seq.fill(10)("a b").mkString(" ")
+      val d2 = "ppp qqq rrr sss ttt uuu vvv www yyy zzz"
+        .split(" ").map(w => s"x $w").mkString(" ")
+      Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+        .write.parquet(s"$tmp/documents.parquet")
+      val kn = Docs.queries("q_perplexity_kn")(spark, tmp.toString)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+      assert(kn(1L)._1 == 19L && kn(2L)._1 == 19L)
+      assert(kn(1L)._2 < kn(2L)._2,
+        s"boilerplate ${kn(1L)._2} must score below prose ${kn(2L)._2}")
+      val jm = Docs.queries("q_perplexity_bigram")(spark, tmp.toString)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(jm.exists { case (id, s) => s != kn(id)._2 },
+        "KN and JM must disagree on at least one doc")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("q_quality_gopher: keep is the conjunction of the five rules and " +
+      "each rule trips on its designed violator") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gopher")
+    try {
+      val good = Seq.fill(12)("the data with table merge").mkString(" ")
+      val short_ = "the with data"
+      val noStop = Seq.fill(12)("big data from table merge").mkString(" ")
+      val hashes = Seq.fill(60)("#").mkString(" ")
+      Seq((1L, "en", good), (2L, "en", short_), (3L, "en", noStop),
+        (4L, "en", hashes)).toDF("doc_id", "lang", "text")
+        .write.parquet(s"$tmp/documents.parquet")
+      val rows = Docs.queries("q_quality_gopher")(spark, tmp.toString)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      def flags(id: Long): Seq[Boolean] =
+        (5 to 9).map(i => rows(id).getBoolean(i))
+      def keep(id: Long): Boolean = rows(id).getBoolean(10)
+      assert(flags(1L).forall(identity) && keep(1L))
+      assert(!rows(2L).getBoolean(5) && // r_word_count
+        flags(2L).drop(1).forall(identity) && !keep(2L))
+      assert(!rows(3L).getBoolean(9) && // r_stop
+        flags(3L).take(4).forall(identity) && !keep(3L))
+      // 60 '#' tokens: word count passes, mean length / alpha / symbol /
+      // stop all fail
+      assert(rows(4L).getBoolean(5) && !rows(4L).getBoolean(6) &&
+        !rows(4L).getBoolean(7) && !rows(4L).getBoolean(8) &&
+        !rows(4L).getBoolean(9) && !keep(4L))
+      // keep == conjunction, on every row
+      rows.keys.foreach(id => assert(keep(id) == flags(id).forall(identity)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("q_dedup_savings: dropped <= totals per source, rate is the exact " +
       "ratio, and the dropped volume complements q_dedup_kept") {
     val rows = Docs.queries("q_dedup_savings")(spark, dir).collect()
