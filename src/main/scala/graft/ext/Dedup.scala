@@ -74,21 +74,32 @@ object Dedup {
   }
 
   /** MinHash signatures from an exploded (id, shingle) view: k independent
-    * hash functions simulated as md5("j:" ++ shingle), lexicographic min
-    * per doc. Min is duplicate-insensitive, so the RAW (non-distinct)
-    * exploded stream is the preferred input: the aggregation's map-side
-    * combine collapses duplicates locally and the shuffle ships only
-    * per-doc partial mins — a distinct() first would shuffle the full
-    * shingle text stream for nothing.
+    * hash functions via Kirsch-Mitzenmacher double hashing — ONE md5 per
+    * shingle, split into two integers s1 (60 bits) and s2 (56 bits), with
+    * h_j = s1 + j·s2 (j·s2 < 2⁶⁰ so the sum never overflows a signed long
+    * in either engine). The r12 shape salted k separate md5 calls per raw
+    * shingle occurrence; at the bench fixture that was the dedup family's
+    * dominant CPU (the raw stream is every token, ×k crypto hashes) —
+    * double hashing is the published k-hash simulation (Kirsch &
+    * Mitzenmacher 2006, proven for minwise estimates) at 1/k the hashing
+    * cost, and integer mins beat 32-char string mins in the agg buffer.
+    * Min is duplicate-insensitive, so the RAW (non-distinct) exploded
+    * stream is the preferred input: the aggregation's map-side combine
+    * collapses duplicates locally and the shuffle ships only per-doc
+    * partial mins — a distinct() first would shuffle the full shingle
+    * text stream for nothing.
     */
   def minhashFromShingles(shingled: DataFrame, idCol: String, k: Int = 8,
       extraAggs: Seq[Column] = Nil): DataFrame = {
-    // THE one definition of the "j:"-salted signature formula — the DuckDB
-    // twin (queries/package.scala minhashCandCte) must stay bit-identical,
-    // so no caller re-implements it. extraAggs lets a caller fuse more
+    // THE one definition of the signature formula — the DuckDB twin
+    // (queries/package.scala minhashCandCte) must stay bit-identical, so
+    // no caller re-implements it. extraAggs lets a caller fuse more
     // aggregates (e.g. the shingle-set size) into the same pass.
+    val hex = md5(col("shingle").cast("binary"))
+    val s1 = conv(substring(hex, 1, 15), 16, 10).cast("long")
+    val s2 = conv(substring(hex, 17, 14), 16, 10).cast("long")
     val mins = (0 until k).map(j =>
-      min(md5(concat(lit(s"$j:"), col("shingle")).cast("binary"))).as(s"h$j"))
+      min(s1 + lit(j.toLong) * s2).as(s"h$j"))
     val aggs = mins ++ extraAggs
     shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
@@ -119,7 +130,7 @@ object Dedup {
     require(k % rowsPerBand == 0,
       s"k ($k) must be divisible by rowsPerBand ($rowsPerBand)")
     val bandCols = (0 until k by rowsPerBand).map { j =>
-      xxhash64(concat((j until j + rowsPerBand).map(i => col(s"h$i")): _*))
+      xxhash64((j until j + rowsPerBand).map(i => col(s"h$i")): _*)
     }
     signatures.select(col(idCol),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))

@@ -24,6 +24,28 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
+  /** Rows below which the single-task window wins: the distributed plan
+    * pays a checkpoint, a counts job, and two exchanges — measured 1.5 s
+    * vs 0.7 s on the 150K-row bench fixture — while one task sorts a
+    * million rows in well under a second. Above it the single task is the
+    * bottleneck (19.9× growth at factor 26 before the rewrite).
+    */
+  val SmallThreshold = 1000000L
+
+  /** Adaptive entry point: count first (one cheap aggregate; columnar
+    * sources answer it from footer statistics), then pick the
+    * single-task window below [[SmallThreshold]] or the distributed rank
+    * above it. Same rows either way — the oracle pins that.
+    */
+  def withGlobalRowNumberAdaptive(df: DataFrame, rnCol: String,
+      keys: Column*): (DataFrame, Long) = {
+    val n = df.count()
+    if (n <= SmallThreshold) {
+      val w = Window.orderBy(keys: _*)
+      (df.withColumn(rnCol, row_number().over(w).cast("long")), n)
+    } else withGlobalRowNumber(df, rnCol, keys: _*)
+  }
+
   /** `df` plus a 1-based global row number `rnCol` under `keys`, and the
     * total row count (free — it is the sum of the partition counts).
     */

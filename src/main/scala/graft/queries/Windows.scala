@@ -79,7 +79,7 @@ object Windows {
     // exact global row number — same rows as the single-partition plan,
     // pinned by the unchanged oracle.
     "q_window_ntile" -> ((s, dir) => {
-      val (ranked, n) = graft.ext.GlobalRank.withGlobalRowNumber(
+      val (ranked, n) = graft.ext.GlobalRank.withGlobalRowNumberAdaptive(
         t(s, dir, "orders"), "rn",
         col("o_totalprice").desc, col("o_orderkey").asc)
       ranked.select(col("o_orderkey"),

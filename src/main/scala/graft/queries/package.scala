@@ -74,26 +74,38 @@ package object queries {
       |      % 100 AS bucket FROM documents))""".stripMargin
 
   /** DuckDB minhash candidate CTEs (`m`, `bands`, `cand(doc_a, doc_b)`) —
-    * mirrors graft.ext.Dedup.minhashPairs (k=8, 4 bands × 2 rows, "j:"
-    * salt); expects a shingle CTE named `sh` in scope. ONE definition for
-    * the three oracles that band the same way.
+    * mirrors graft.ext.Dedup.minhashPairs (k=8, 4 bands × 2 rows,
+    * Kirsch-Mitzenmacher double hashing: one md5 per shingle, h_j =
+    * s1 + j·s2 over the 60/56-bit md5 halves — the SIGNATURE formula must
+    * be bit-identical across engines; the band KEY may differ per engine
+    * since any injective function of the slice preserves band
+    * membership, so here the slice values join directly); expects a
+    * shingle CTE named `sh` in scope. ONE definition for the three
+    * oracles that band the same way.
     */
   private[queries] val minhashCandCte: String =
-    """m AS (
+    """hs AS (
       |  SELECT doc_id,
-      |    min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-      |    min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-      |    min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
-      |    min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
-      |  FROM sh GROUP BY doc_id),
+      |    CAST(CONCAT('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+      |      AS s1,
+      |    CAST(CONCAT('0x', substring(md5(shingle), 17, 14)) AS BIGINT)
+      |      AS s2
+      |  FROM sh),
+      |m AS (
+      |  SELECT doc_id,
+      |    min(s1 + 0 * s2) AS h0, min(s1 + 1 * s2) AS h1,
+      |    min(s1 + 2 * s2) AS h2, min(s1 + 3 * s2) AS h3,
+      |    min(s1 + 4 * s2) AS h4, min(s1 + 5 * s2) AS h5,
+      |    min(s1 + 6 * s2) AS h6, min(s1 + 7 * s2) AS h7
+      |  FROM hs GROUP BY doc_id),
       |bands AS (
-      |  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM m
-      |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM m
-      |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM m
-      |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM m),
+      |  SELECT doc_id, 0 AS band_idx, h0 AS k1, h1 AS k2 FROM m
+      |  UNION ALL SELECT doc_id, 1, h2, h3 FROM m
+      |  UNION ALL SELECT doc_id, 2, h4, h5 FROM m
+      |  UNION ALL SELECT doc_id, 3, h6, h7 FROM m),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
-      |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |    ON a.band_idx = b.band_idx AND a.k1 = b.k1 AND a.k2 = b.k2
       |    AND a.doc_id < b.doc_id)""".stripMargin
 }

@@ -88,18 +88,28 @@ class PlanSpec extends AnyFunSuite {
       s"window must partition by the segment key:\n$p")
   }
 
-  test("q_window_ntile computes GLOBAL distribution ranks without a " +
-      "single-partition window") {
+  test("GlobalRank's distributed path windows by partition id, never " +
+      "a single partition; the adaptive cutover picks it only at scale") {
     // r13: the bare Window.orderBy shape funneled the whole table through
-    // one task (19.9× at factor 26). GlobalRank range-repartitions
-    // (inside the checkpoint stage — invisible to this executedPlan) and
-    // ranks per partition; the visible plan must window BY the partition
-    // id and carry no SinglePartition exchange anywhere.
-    val p = plan("q_window_ntile")
+    // one task (19.9× at factor 26). The distributed path
+    // range-repartitions (inside the checkpoint stage — invisible to
+    // executedPlan) and ranks per partition; its visible plan must window
+    // BY the partition id with no SinglePartition exchange anywhere.
+    val (ranked, n) = graft.ext.GlobalRank.withGlobalRowNumber(
+      spark.read.parquet(s"$dir/orders.parquet"),
+      "rn", org.apache.spark.sql.functions.col("o_totalprice").desc,
+      org.apache.spark.sql.functions.col("o_orderkey").asc)
+    assert(n > 0)
+    val p = ranked.queryExecution.executedPlan.toString()
     assert(!p.contains("Exchange SinglePartition"),
-      s"global ntile still plans a single-partition window:\n$p")
+      s"distributed global rank plans a single-partition window:\n$p")
     assert(p.contains("windowspecdefinition(_pid"),
       s"expected the rank window partitioned by _pid:\n$p")
+    // Below SmallThreshold the adaptive query keeps the cheap classic
+    // plan — one window, no checkpoint jobs (this fixture is 1.5K rows).
+    val q = plan("q_window_ntile")
+    assert(!q.contains("windowspecdefinition(_pid"),
+      s"adaptive path must pick the classic window at fixture scale:\n$q")
   }
 
   test("q_fuzzy_join verifies candidates from equi-blocking, no nested loop") {
