@@ -506,6 +506,54 @@ object Docs {
             count(lit(1)), 4).as("nll_kn"))
     }),
 
+    // CCNet perplexity BANDING (Wenzek et al. 2020 §4.3): per-language
+    // head / middle / tail tertiles by LM score — the selection step the
+    // perplexity queries exist to feed (CCNet ships the head+middle bands
+    // and drops the tail). Convention here: head = lowest nll under the
+    // corpus LM. Engine-exactness: per-TYPE nano-unit token scores →
+    // order-independent integer sum per doc → ONE IEEE division for the
+    // mean, ranked after round(6) (absorbs the 1-ulp ln drift the family
+    // tolerates everywhere) with doc_id tiebreak; band edges are integer
+    // compares (3·rn vs n), so both engines cut identically. Scale shape:
+    // the token stream stays (doc_id, tok) — lang joins back at per-DOC
+    // granularity, never riding the explode; the per-lang ranking window
+    // is the oracle-exact form, with per-lang approx_percentile thresholds
+    // as the production dial (the q_mad_outliers pattern) once a language
+    // outgrows one task's sort.
+    "q_perplexity_band" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .localCheckpoint() // feeds the model agg AND the scoring join
+      val model = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
+      val total = tok.agg(count(lit(1)).as("nn"))
+      val scores = model.crossJoin(broadcast(total))
+        .select(col("tok"),
+          floor(log(col("nn").cast("double") / col("n_t")) * lit(1e9) +
+            lit(0.5)).cast("long").as("s_nano"))
+      val perDoc = tok.join(scores, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("s_nano")).as("sum_nano"))
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id")
+        .withColumn("mean6", round(
+          col("sum_nano").cast("double") / lit(1e9) / col("n_tokens"), 6))
+      val rankW = Window.partitionBy(col("lang"))
+        .orderBy(col("mean6"), col("doc_id"))
+      val langW = Window.partitionBy(col("lang"))
+      perDoc
+        .withColumn("rn", row_number().over(rankW))
+        .withColumn("n", count(lit(1)).over(langW))
+        .withColumn("band",
+          when(col("rn") * 3 <= col("n"), "head")
+            .when(col("rn") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(sum(col("sum_nano")).cast("double") / lit(1e9) /
+            sum(col("n_tokens")), 4).as("nll"))
+    }),
+
     // Pointwise mutual information between the two document facets
     // (lang × source): PMI = ln(n·N / (n_lang·n_source)) per cell — the
     // association scan that flags a source feeding one language its
@@ -925,6 +973,40 @@ object Docs {
             .as("chars_dropped"))
         .withColumn("drop_rate",
           round(col("n_dropped").cast("double") / col("n_docs"), 4))
+    }),
+
+    // SOFT dedup (the reweighting alternative to dropping — SlimPajama/
+    // "soft deduplication" lineage): every cluster member survives but
+    // carries training weight 1/|cluster|, so each distinct content unit
+    // contributes total weight exactly 1 regardless of how many copies
+    // syndication produced. The report a sampler consumes: per source,
+    // raw vs EFFECTIVE volumes (docs and chars) under the reweighting —
+    // the gap IS the duplication tax. Engine-exactness: weights are pure
+    // integer divisions (1e9 div k nano-units; chars·1e6 div k micro-
+    // units), so per-source sums are order-independent integer sums with
+    // one shared division at the end — no float 1/k accumulation. Same
+    // cluster derivation as q_dedup_kept; one size agg + LEFT join on top.
+    "q_dedup_soft" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 0.5)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+      val sizes = clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("k"))
+      val weights = clusters.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("k"))
+      docs.join(weights, Seq("doc_id"), "left")
+        .withColumn("k", coalesce(col("k"), lit(1L)))
+        .withColumn("w_nano", expr("1000000000 div k"))
+        .withColumn("cw_micro", expr("(n_chars * 1000000) div k"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("w_nano")).cast("double") / lit(1e9), 4)
+            .as("eff_docs"),
+          sum(col("n_chars")).as("chars_total"),
+          round(sum(col("cw_micro")).cast("double") / lit(1e6), 2)
+            .as("eff_chars"))
     }),
 
     // The curation-policy variant of q_dedup_kept: keep the BEST member of
@@ -2123,6 +2205,38 @@ object Docs {
         |FROM bg JOIN model USING (prev, w)
         |GROUP BY doc_id""".stripMargin,
 
+    // Same nano-unit token scores as q_perplexity's model, integer-summed
+    // per doc, banded per lang by (round-6 mean, doc_id) tertile rank.
+    "q_perplexity_band" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |m AS (SELECT tok, count(*) AS n_t FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM tok),
+        |sc AS (
+        |  SELECT tok, CAST(floor(ln(CAST(nn AS DOUBLE) / n_t) *
+        |    1000000000 + 0.5) AS BIGINT) AS s_nano
+        |  FROM m CROSS JOIN n),
+        |pd AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(s_nano) AS BIGINT) AS sum_nano
+        |  FROM tok JOIN sc USING (tok) GROUP BY 1),
+        |r AS (
+        |  SELECT pd.*, d.lang,
+        |    row_number() OVER (PARTITION BY d.lang ORDER BY
+        |      round(CAST(sum_nano AS DOUBLE) / 1000000000.0 / n_tokens, 6),
+        |      pd.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM pd JOIN documents d ON d.doc_id = pd.doc_id)
+        |SELECT lang,
+        |  CASE WHEN rn * 3 <= n THEN 'head'
+        |       WHEN rn * 3 <= n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS band,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(sum_nano) AS BIGINT) / 1000000000.0 /
+        |    sum(n_tokens), 4) AS nll
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
     "q_mutual_info" ->
       """WITH j AS (
         |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
@@ -2354,6 +2468,29 @@ object Docs {
         |FROM documents d
         |LEFT JOIN drops ON d.doc_id = drops.doc_id
         |GROUP BY source""".stripMargin,
+
+    // Cluster labels → sizes → integer-division weights (1e9 div k nano /
+    // chars·1e6 div k micro), per-source integer sums, shared divisions.
+    "q_dedup_soft" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$verifiedReachCte,
+        |clu AS (
+        |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach
+        |  GROUP BY src),
+        |sz AS (SELECT cluster_id, count(*) AS k FROM clu GROUP BY 1),
+        |w AS (
+        |  SELECT d.doc_id, d.source, d.n_chars,
+        |    coalesce(sz.k, 1) AS k
+        |  FROM documents d
+        |  LEFT JOIN clu ON clu.doc_id = d.doc_id
+        |  LEFT JOIN sz ON sz.cluster_id = clu.cluster_id)
+        |SELECT source, count(*) AS n_docs,
+        |  round(CAST(sum(1000000000 // k) AS BIGINT) / 1000000000.0, 4)
+        |    AS eff_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  round(CAST(sum((n_chars * 1000000) // k) AS BIGINT) / 1000000.0,
+        |    2) AS eff_chars
+        |FROM w GROUP BY source""".stripMargin,
 
     "q_dedup_kept_best" ->
       s"""WITH RECURSIVE $shingleCte,

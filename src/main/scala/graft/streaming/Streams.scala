@@ -379,6 +379,69 @@ object Streams {
     }
   }
 
+  /** Materialize the distinct eval-side 5-gram set as 8-byte xxhash64 keys
+    * — the static reference relation [[startDecontamMonitor]] probes. The
+    * gram TEXT never lands: band membership/equality only needs an
+    * injective-in-practice key (the dedup family's r13 shuffle-payload
+    * discipline), and a collision can only ADD a flag candidate. Rewrite
+    * this whenever the eval suite changes — that starts a new monitoring
+    * epoch (flags are defined relative to one eval set).
+    */
+  def writeEvalGrams(evalDocs: DataFrame, outDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    graft.ext.Dedup.docShingles(evalDocs, idCol, textCol)
+      .select(xxhash64(col("shingle")).as("gh")).distinct()
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Streaming decontamination — the continuous-ingest twin of the batch
+    * n-gram sweep (`q_decontam_ngram`): each arriving micro-batch of TRAIN
+    * documents is shingled and probed against the static eval-gram set,
+    * emitting per-doc hit counts under `flagDir/b<batchId>`. Per-trigger
+    * work is O(batch grams), independent of corpus history — a quarantine
+    * consumer unions `flagDir/` and never rescans the corpus.
+    *
+    * Idempotence is BY PATH with no ledger, the [[startCdcMerge]]
+    * structural contrast: a batch's flags are a pure function of (batch
+    * content, eval set) — no cross-batch state at all, unlike the dedup
+    * journal's prior-bands read — so an at-least-once replay recomputes
+    * byte-identical output onto the batch's own overwritten path.
+    *
+    * At 100 TB the per-batch probe inherits the batch sweep's scale path:
+    * the eval set joins as its measured size dictates (broadcast when
+    * small), and the bloom prefilter (`q_decontam_bloom`) drops in ahead
+    * of the join unchanged when the eval suite outgrows it.
+    */
+  def startDecontamMonitor(docs: DataFrame, evalGramsDir: String,
+      flagDir: String, checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        decontamBatchIdempotent(batch, evalGramsDir, flagDir, batchId,
+          idCol, textCol)
+      }
+      .start()
+
+  /** The per-batch step of [[startDecontamMonitor]]. Hit counts are per
+    * distinct gram (the batch sweep's countDistinct semantics): the
+    * (doc, gram-hash) stream distincts BEFORE the probe join, so the join
+    * and the count see each doc's gram at most once.
+    */
+  private[graft] def decontamBatchIdempotent(batch: DataFrame,
+      evalGramsDir: String, flagDir: String, batchId: Long,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val evalGrams = batch.sparkSession.read.parquet(evalGramsDir)
+    graft.ext.Dedup.docShingles(batch, idCol, textCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("gh"))
+      .distinct()
+      .join(evalGrams, "gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_grams"))
+      .write.mode("overwrite").parquet(s"$flagDir/b$batchId")
+  }
+
   /** Streaming CDC apply: drive [[graft.engine.Pipeline.applyChanges]]
     * from a change stream — each micro-batch of (key, op, seq, payload)
     * records merges into the snapshot atomically. No commit ledger here,

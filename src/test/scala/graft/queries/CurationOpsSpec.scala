@@ -237,6 +237,76 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_perplexity_band: bands partition every language into tertiles " +
+      "(sizes within 1) and band NLLs are monotone head <= middle <= tail") {
+    val rows = Docs.queries("q_perplexity_band")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val langCounts = t(spark, dir, "documents")
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      assert(g.map(_._3).sum == langCounts(lang),
+        s"$lang: bands must partition the language's docs")
+      val sizes = g.map(_._3)
+      assert(sizes.max - sizes.min <= 1,
+        s"$lang: tertile sizes $sizes differ by > 1")
+      val byBand = g.map(x => x._2 -> x._5).toMap
+      // ordered per-doc means ⇒ ordered token-weighted band means; the
+      // 1e-5 slack covers a boundary pair separated only below the
+      // round-6 rank key's resolution
+      for (Seq(a, b) <- Seq("head", "middle", "tail").sliding(2)
+           if byBand.contains(a) && byBand.contains(b))
+        assert(byBand(a) <= byBand(b) + 1e-5,
+          s"$lang: $a nll ${byBand(a)} > $b nll ${byBand(b)}")
+    }
+    // every token accounted for exactly once
+    val totalTokens = t(spark, dir, "documents")
+      .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(rows.map(_._4).sum == totalTokens)
+  }
+
+  test("q_dedup_soft: each content unit carries total weight ~1, and a " +
+      "3-copy cluster weighs in at 2 effective docs beside a singleton") {
+    val rows = Docs.queries("q_dedup_soft")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, eff, ct, effc) =>
+      assert(eff > 0.0 && eff <= n)
+      assert(effc > 0.0 && effc <= ct)
+    }
+    // soft dedup's invariant: total effective docs == distinct content
+    // units (each cluster's k members contribute k·(1e9 div k)/1e9 ≈ 1,
+    // singletons exactly 1) — and units is exactly what hard dedup keeps
+    val units = Docs.queries("q_dedup_kept")(spark, dir)
+      .agg(sum(col("n_kept"))).head().getLong(0)
+    val totalEff = rows.map(_._3).sum
+    assert(math.abs(totalEff - units) < 0.01,
+      s"effective docs $totalEff != content units $units")
+    // hand fixture: 3 identical copies + 1 unique doc → 2.0 effective docs
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-soft-dedup")
+    try {
+      val dup = "alpha beta gamma delta epsilon zeta eta theta"
+      val uniq = "one two three four five six seven eight"
+      Seq((1L, dup), (2L, dup), (3L, dup), (4L, uniq))
+        .map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$tmp/documents.parquet")
+      val r = Docs.queries("q_dedup_soft")(spark, tmp.toString).collect()
+      assert(r.length == 1)
+      assert(r.head.getLong(1) == 4L)
+      assert(r.head.getDouble(2) == 2.0,
+        s"3-copy cluster + singleton must yield 2.0, got ${r.head.getDouble(2)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("q_dedup_savings: dropped <= totals per source, rate is the exact " +
       "ratio, and the dropped volume complements q_dedup_kept") {
     val rows = Docs.queries("q_dedup_savings")(spark, dir).collect()

@@ -692,6 +692,53 @@ class StreamsSpec extends AnyFunSuite {
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
+
+  test("decontam monitor: per-batch flag union == the one-shot n-gram " +
+      "sweep (text-keyed), and replay recomputes identical flags") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-decon")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val evalDocs = docs.filter(col("doc_id") % 7 === 0)
+      val train = docs.filter(col("doc_id") % 7 =!= 0)
+      Streams.writeEvalGrams(evalDocs, s"$root/eval")
+
+      val rows = train.collect().map(r => (r.getLong(0), r.getString(1)))
+      val b0 = rows.filter(_._1 % 2 == 0).toSeq
+      val b1 = rows.filter(_._1 % 2 == 1).toSeq
+      val in = MemoryStream[(Long, String)]
+      val q = Streams.startDecontamMonitor(in.toDF().toDF("doc_id", "text"),
+        s"$root/eval", s"$root/flags", s"$root/ckpt")
+      runBatches(q)(() => in.addData(b0: _*), () => in.addData(b1: _*))
+
+      def streamed() = spark.read.parquet(s"$root/flags/b0", s"$root/flags/b1")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // one-shot twin joins on the gram TEXT — equality also proves the
+      // monitor's 8-byte hash keys lossless on this corpus
+      val evalG = graft.ext.Dedup.docShingles(evalDocs, "doc_id", "text")
+        .select("shingle").distinct()
+      val oneShot = graft.ext.Dedup.docShingles(train, "doc_id", "text")
+        .join(evalG, "shingle")
+        .groupBy("doc_id").agg(countDistinct("shingle").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val flags = streamed()
+      assert(flags.nonEmpty, "fixture must actually produce contamination")
+      assert(flags == oneShot,
+        "flag union must equal the one-shot sweep over the same corpus")
+
+      // at-least-once replay: no ledger, no cross-batch state — the
+      // recomputed batch must land byte-equivalent on its own path
+      Streams.decontamBatchIdempotent(b1.toDF("doc_id", "text"),
+        s"$root/eval", s"$root/flags", 1L)
+      assert(streamed() == flags,
+        "replayed batch must recompute identical flags")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
 }
 
 /** Minimal GroupState stub for direct unit-testing of the session fold
