@@ -368,9 +368,11 @@ object Dedup {
     * tiny (2-3 rounds) regardless of corpus size. Labels are
     * localCheckpointed per round (persist/write on a cluster) — iterative
     * lineage otherwise grows the plan exponentially. The per-round
-    * convergence probe is a 1-row count, not a data collect. Giant-graph
-    * variants (large-star/small-star) only matter when components
-    * themselves are huge — not the dedup regime.
+    * convergence probe is a 1-row count, not a data collect. When the
+    * graph leaves that regime — long templated-document CHAINS make
+    * diameter O(n) — use [[connectedComponentsStar]], the published
+    * O(log²) alternating algorithm (label-equal by construction, oracle-
+    * and spec-pinned).
     *
     * Returns (doc_id, cluster_id): every node that appears in `pairs`,
     * labeled by its component's minimum id.
@@ -427,6 +429,92 @@ object Dedup {
           "with diameter beyond the dedup regime")
     (labels.select(col("id").as("doc_id"), col("label").as("cluster_id")),
       iter)
+  }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the giant-diameter scale path beside
+    * [[connectedComponents]]'s O(diameter) propagation. A chain of
+    * templated documents (A≈B≈C≈…, each adjacent pair a verified
+    * near-dup) gives the pair graph diameter O(n); propagation needs a
+    * round per hop, while the star rounds contract every component to a
+    * min-rooted star in O(log²) rounds regardless of diameter.
+    *
+    * Per round, exactly the paper's two operations on the undirected
+    * edge set E:
+    *   - large-star(u): emit (v, m(u)) for every STRICTLY LARGER
+    *     neighbor v > u, where m(u) = min(Γ(u) ∪ {u});
+    *   - small-star(u) on the resulting larger→smaller edges: with
+    *     m = min of u's smaller neighbors, re-parent those neighbors to
+    *     m and connect u itself to m.
+    * Both steps are one hash-agg (per-node min) + one equi-join — no
+    * per-node adjacency lists are ever collected, so a high-degree hub
+    * costs a wide group, not a wide row. Fixpoint = the edge set is a
+    * star forest (each component's members all pointing at its min id),
+    * detected by edge-set equality; edges are localCheckpointed per
+    * round like the propagation variant.
+    *
+    * Returns (doc_id, cluster_id) over every node appearing in `pairs` —
+    * the same contract as [[connectedComponents]], and label-equal to it
+    * (both label by component minimum; DedupSpec pins equality, and
+    * `q_dedup_clusters_star` shares `q_dedup_clusters`' oracle verbatim).
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val p0 = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val allNodes = p0.select(col("a").as("id"))
+      .unionAll(p0.select(col("b").as("id")))
+      .distinct().localCheckpoint()
+    if (allNodes.filter(col("id").isNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"connectedComponentsStar: ids in '$aCol'/'$bCol' are null after " +
+          "cast to long — pair ids must be non-null and numeric")
+    var e = p0.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val adj = e.select(col("u").as("x"), col("v").as("y"))
+        .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+      val mn = adj.groupBy(col("x"))
+        .agg(min(col("y")).as("nmin"))
+        .select(col("x"), least(col("x"), col("nmin")).as("m"))
+      // large-star: y > x >= m(x), so (y, m) is already larger→smaller
+      val eL = adj.join(mn, "x")
+        .filter(col("y") > col("x") && col("y") =!= col("m"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint()
+      // small-star over larger→smaller edges: per node u, min smaller
+      // neighbor m; re-parent the other smaller neighbors and u to m
+      val mnS = eL.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val eNew = eL.join(mnS, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionAll(mnS.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .distinct().localCheckpoint()
+      done = eNew.count() == e.count() &&
+        eNew.exceptAll(e).limit(1).count() == 0
+      e = eNew
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIter " +
+          "rounds — beyond the algorithm's O(log^2 n) bound, so the " +
+          "edge input is likely pathological (or maxIter was lowered)")
+    // Converged e is a star forest (member u → component-min v); roots
+    // and any isolated input nodes label themselves.
+    val members = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+    val roots = allNodes
+      .join(members, allNodes("id") === members("doc_id"), "left_anti")
+      .select(col("id").as("doc_id"), col("id").as("cluster_id"))
+    members.unionAll(roots)
   }
 
   /** Substring-level exact dedup, phase 1: gram positions that are part of

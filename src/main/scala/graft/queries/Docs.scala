@@ -905,6 +905,19 @@ object Docs {
           0.5).select(col("doc_a"), col("doc_b")),
         "doc_a", "doc_b")),
 
+    // The GIANT-DIAMETER twin of q_dedup_clusters: identical labels from
+    // the alternating large-star/small-star algorithm (Kiveris et al.
+    // 2014) — O(log²) rounds where min-label propagation pays a round per
+    // hop of component diameter. Shares q_dedup_clusters' oracle
+    // VERBATIM, so its green row is the algorithm-swap-exactness proof
+    // (the q_dedup_state_kept pattern); DedupSpec additionally pins the
+    // long-chain regime propagation cannot finish.
+    "q_dedup_clusters_star" -> ((s, dir) =>
+      Dedup.connectedComponentsStar(
+        Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          0.5).select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")),
+
     // The dedup ENDPOINT: the kept corpus after dropping every cluster
     // member except its min-id representative — clusters → LEFT ANTI join
     // against the non-representatives, summarized per language. This is
@@ -2420,6 +2433,15 @@ object Docs {
     // transitive closure (symmetric + reflexive edges, min reachable id) —
     // the declarative twin of the Spark side's min-label propagation loop.
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$verifiedReachCte
+        |SELECT src AS doc_id, min(dst) AS cluster_id
+        |FROM reach GROUP BY src""".stripMargin,
+
+    // IDENTICAL SQL to q_dedup_clusters by design: the Spark side runs
+    // the large-star/small-star algorithm instead of propagation, so
+    // hash-equality against the same oracle proves the swap exact.
+    "q_dedup_clusters_star" ->
       s"""WITH RECURSIVE $shingleCte,
         |$verifiedReachCte
         |SELECT src AS doc_id, min(dst) AS cluster_id

@@ -95,6 +95,50 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponentsStar: label-equal to propagation, and it " +
+      "finishes the long chain propagation's round budget cannot") {
+    import spark.implicits._
+    // same mixed-orientation fixture as the propagation pin
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (6L, 5L))
+      .toDF("doc_a", "doc_b")
+    val star = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L))
+    // empty input: no nodes, no crash
+    assert(Dedup.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
+      "doc_a", "doc_b").count() == 0)
+    // label equality with propagation on a branchy random-ish graph
+    val rng = new scala.util.Random(7)
+    val edges = (1 to 120).map(_ =>
+      (rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    val df = edges.toDF("doc_a", "doc_b")
+    val a = Dedup.connectedComponents(df, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponentsStar(df, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "star labels must equal propagation labels")
+    // the giant-diameter regime: a 60-hop chain. Propagation needs a
+    // round per hop (20-round default budget throws); the star rounds
+    // contract it inside their O(log²) budget.
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "doc_a", "doc_b").count()
+    }
+    val starChain = Dedup.connectedComponentsStar(chain, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(starChain.length == 61 && starChain.forall(_._2 == 0L),
+      "every chain node must label to the component minimum")
+    // null ids fail loudly, matching the propagation contract
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponentsStar(
+        Seq(("x", "2"), ("3", "4")).toDF("doc_a", "doc_b"),
+        "doc_a", "doc_b").count()
+    }
+  }
+
   test("incremental candidate pairs == full-corpus candidates, any split") {
     // Adversarial shapes the fixture oracle can't probe: duplicate groups
     // spanning the batch boundary in BOTH id directions (new id below and
