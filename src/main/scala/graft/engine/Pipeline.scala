@@ -543,9 +543,19 @@ object Pipeline {
     * 100 TB. `seq` (row_number by position within shard) is written so
     * consumers and audits can verify/seek the order without re-deriving
     * the hash — and so the manifest is oracle-checkable row by row.
+    *
+    * `curriculumCol` is the CURRICULUM dial: when set, each shard streams
+    * in ascending order of that score FIRST, with the position hash (then
+    * id) breaking ties — e.g. token count for the short-sequences-first
+    * schedule (Shortformer, Press et al. 2021) or a quality/perplexity
+    * score for easy-to-hard curricula (Bengio et al. 2009); pass a
+    * negated score for descending. Same ONE-shuffle execution — the
+    * score only changes the within-shard sort key, never the
+    * partitioning — and ties still break by independent hash, so docs
+    * with equal scores stay globally shuffled within their score level.
     */
   def writeTrainingOrder(docs: DataFrame, idCol: String, outDir: String,
-      nShards: Int = 8): Unit = {
+      nShards: Int = 8, curriculumCol: Option[String] = None): Unit = {
     import org.apache.spark.sql.expressions.Window
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val id = col(idCol).cast("string")
@@ -554,11 +564,12 @@ object Pipeline {
         conv(substring(md5(concat(lit("shard:"), id)), 1, 4), 16, 10)
           .cast("long") % nShards)
       .withColumn("pos", md5(concat(lit("order:"), id)))
+    val curriculum = curriculumCol.map(col).toSeq
     val w = Window.partitionBy(col("shard"))
-      .orderBy(col("pos"), col(idCol))
+      .orderBy(curriculum ++ Seq(col("pos"), col(idCol)): _*)
     keyed
       .withColumn("seq", row_number().over(w).cast("long"))
-      .sortWithinPartitions(col("shard"), col("pos"))
+      .sortWithinPartitions(col("shard") +: curriculum :+ col("pos"): _*)
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 

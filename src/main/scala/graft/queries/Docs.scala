@@ -1123,6 +1123,28 @@ object Docs {
         .select(col("shard"), col("seq"), col("doc_id"), col("pos"))
     }),
 
+    // The CURRICULUM manifest: q_shard_manifest's writer with the
+    // curriculum dial set — within each shard, docs stream in ascending
+    // TOKEN COUNT first (the short-sequences-first schedule, Shortformer /
+    // Press et al. 2021), position hash and id breaking ties so
+    // equal-length docs stay shuffled within their level. Same ONE-shuffle
+    // write; the oracle replays the full (score, pos, id) sort key per
+    // shard, so a wrong order moves every seq below the error.
+    "q_shard_curriculum" -> ((s, dir) => {
+      val docsDf = t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      val out = Scratch.cached(s"curriculum-order:$dir") { tmp =>
+        val o = tmp + "/corpus"
+        graft.engine.Pipeline.writeTrainingOrder(docsDf, "doc_id", o,
+          curriculumCol = Some("n_tokens"))
+        o
+      }
+      val written = docsDf.schema
+        .add("pos", "string").add("seq", "long").add("shard", "long")
+      s.read.schema(written).parquet(out)
+        .select(col("shard"), col("seq"), col("doc_id"), col("n_tokens"))
+    }),
+
     // Decontamination: near-dup pairs (MinHash-LSH candidates) that CROSS a
     // train/eval split boundary — the canonical "is my eval set leaking
     // into training data" sweep. The split is a pure hash of the id
@@ -2589,6 +2611,23 @@ object Docs {
         |  CAST(row_number() OVER (PARTITION BY shard
         |    ORDER BY pos, doc_id) AS BIGINT) AS seq,
         |  doc_id, pos
+        |FROM d""".stripMargin,
+
+    // The same shard/pos derivation with the token-count curriculum key
+    // prepended to the within-shard sort.
+    "q_shard_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CONCAT('0x', substring(
+        |      md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |      % 8 AS shard,
+        |    md5('order:' || CAST(doc_id AS VARCHAR)) AS pos,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY n_tokens, pos, doc_id) AS BIGINT) AS seq,
+        |  doc_id, n_tokens
         |FROM d""".stripMargin,
 
     "q_decontamination" ->

@@ -93,4 +93,40 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(total == 200L, "every doc lands in exactly one shard")
   }
+
+  test("writeTrainingOrder curriculum dial: physical order is score-major " +
+      "(short sequences first), hash-shuffled within a score level") {
+    import spark.implicits._
+    val dir = root.resolve("curriculum-order").toString
+    // token counts cycle 1..5, so every shard holds several score levels
+    val docs = (0L until 200L)
+      .map(i => (i, Seq.fill((i % 5).toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_tokens",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")).cast("long"))
+    Pipeline.writeTrainingOrder(docs, "doc_id", dir, nShards = 4,
+      curriculumCol = Some("n_tokens"))
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    var total = 0L
+    shardDirs.foreach { sd =>
+      val parts = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1)
+      val rows = spark.read.parquet(parts.head.toString)
+        .select("seq", "n_tokens", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      total += rows.length
+      assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq,
+        s"${sd.getName}: physical order must be exactly seq 1..n")
+      val key = rows.map(r => (r._2, r._3))
+      assert(key.toSeq == key.sortBy(identity).toSeq,
+        s"${sd.getName}: rows must be (score, pos)-sorted on disk")
+      assert(rows.map(_._2).distinct.length > 1,
+        s"${sd.getName}: fixture must exercise multiple score levels")
+    }
+    assert(total == 200L)
+  }
 }
