@@ -614,4 +614,62 @@ object Pipeline {
         "doc_a", "doc_b")
       .write.mode("overwrite").parquet(s"$stateDir/clusters")
   }
+
+  /** INCREMENTAL maintenance of [[writeDedupState]]'s layout: fold an
+    * arriving batch of documents into the persisted state without
+    * re-running the chain over the corpus. Per-update work is
+    * O(batch × bands) for candidates plus a verify join that touches only
+    * the batch's shingles and the shingles of the OLD docs its candidates
+    * involve (read back from the corpus store by semi-join — a
+    * candidate-adjacent sliver, never a corpus scan). The decomposition is
+    * exact by the same argument the streaming band journal pins: every
+    * full-corpus pair involving a new doc shares a band between the new
+    * bands and bands ∪ new, a doc's shingle set never changes as the
+    * corpus grows, and the verify stage is the IDENTICAL arithmetic
+    * ([[graft.ext.Dedup.verifyCandidates]]) — so bands/pairs after N
+    * updates equal the full recompute's, and clusters (re-derived over the
+    * tiny pair set, the only global artifact) follow.
+    * `q_dedup_state_incr` pins exactly that, sharing `q_dedup_kept`'s
+    * oracle; PipelineSpec compares all three relations against a
+    * from-scratch [[writeDedupState]].
+    *
+    * Contracts: batch ids must be NEW (the band journal's disjointness
+    * contract), and `corpusDir`'s documents table must contain the old
+    * docs. Replay/idempotence is the STREAMING layer's job — wire this
+    * behind a commit ledger or the by-path band journal for at-least-once
+    * sources; a blind re-run appends duplicate band/pair rows.
+    */
+  def updateDedupState(spark: SparkSession, corpusDir: String,
+      stateDir: String, newDocs: DataFrame, threshold: Double = 0.5,
+      k: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 5): Unit = {
+    import graft.ext.Dedup
+    val raw = Dedup.docShingles(newDocs, "doc_id", "text", shingleN)
+    val prof = Dedup.minhashFromShingles(raw, "doc_id", k).localCheckpoint()
+    val newBands = Dedup.lshBands(prof, "doc_id", k, rowsPerBand)
+      .localCheckpoint() // feeds the candidate join AND the state append
+    val oldBands = spark.read.parquet(s"$stateDir/bands")
+    val cand = Dedup
+      .incrementalCandidatePairs(oldBands, newBands, "doc_id")
+      .localCheckpoint() // feeds the old-id probe AND the verify join
+    val newShh = raw
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
+      .distinct()
+    val oldIds = cand.select(col("doc_a").as("doc_id"))
+      .unionAll(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .join(newDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val oldInvolved = Sources.table(spark, corpusDir, "documents")
+      .join(oldIds, Seq("doc_id"), "left_semi")
+    val oldShh = Dedup.docShingles(oldInvolved, "doc_id", "text", shingleN)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
+      .distinct()
+    Dedup.verifyCandidates(cand, newShh.unionAll(oldShh), "doc_id",
+        threshold)
+      .write.mode("append").parquet(s"$stateDir/pairs")
+    newBands.write.mode("append").parquet(s"$stateDir/bands")
+    val pairs = spark.read.parquet(s"$stateDir/pairs")
+    Dedup.connectedComponents(pairs.select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+      .write.mode("overwrite").parquet(s"$stateDir/clusters")
+  }
 }

@@ -237,9 +237,22 @@ object Dedup {
     */
   def minhashVerifiedPairsFrom(shh: DataFrame, prof: DataFrame,
       idCol: String, threshold: Double, k: Int = 8,
-      rowsPerBand: Int = 2): DataFrame = {
-    val cand = bandsToCandidatePairs(lshBands(prof, idCol, k, rowsPerBand),
-      idCol)
+      rowsPerBand: Int = 2): DataFrame =
+    verifyCandidates(
+      bandsToCandidatePairs(lshBands(prof, idCol, k, rowsPerBand), idCol),
+      shh, idCol, threshold)
+
+  /** The exact-Jaccard verify stage alone: score an ARBITRARY candidate
+    * pair set (doc_a, doc_b) against the distinct hashed-shingle view and
+    * keep pairs at/above the threshold. Factored from
+    * [[minhashVerifiedPairsFrom]] so the incremental state update
+    * ([[graft.engine.Pipeline.updateDedupState]]) verifies its
+    * batch-involving candidates with the IDENTICAL arithmetic the full
+    * chain uses — a jaccard that rounds differently between the two paths
+    * would silently diverge state from recompute.
+    */
+  def verifyCandidates(cand: DataFrame, shh: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
     val sizes = shh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = shh.select(col(idCol).as("doc_a"), col("shash"))
     val b = shh.select(col(idCol).as("doc_b"), col("shash"))

@@ -962,6 +962,35 @@ object Docs {
           sum(col("n_chars")).as("chars_kept"))
     }),
 
+    // The INCREMENTAL twin of q_dedup_state_kept: state built from HALF
+    // the corpus (even ids) then folded forward with the other half via
+    // Pipeline.updateDedupState — candidates O(batch × bands), verify
+    // touching only batch-adjacent shingles, no corpus rescan. The oracle
+    // is q_dedup_kept's VERBATIM (whole-corpus recompute), so a green row
+    // proves build-then-update == full recompute end to end.
+    "q_dedup_state_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val state = Scratch.cached(s"dedup-state-incr:$dir") { tmp =>
+        val o = tmp + "/state"
+        val firstHalf = tmp + "/first"
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.parquet(s"$firstHalf/documents.parquet")
+        graft.engine.Pipeline.writeDedupState(s, firstHalf, o)
+        graft.engine.Pipeline.updateDedupState(s, dir, o,
+          docs.filter(col("doc_id") % 2 =!= 0))
+        o
+      }
+      val clusterSchema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("cluster_id", "long")
+      val dropIds = s.read.schema(clusterSchema).parquet(s"$state/clusters")
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      docs.join(dropIds, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+    }),
+
     // Dedup ROI report: what the near-dup sweep actually SAVED, per
     // source — doc and char volumes dropped (non-representative cluster
     // members) beside the totals, with the drop rate. The number that
@@ -2470,6 +2499,22 @@ object Docs {
         |FROM reach GROUP BY src""".stripMargin,
 
     "q_dedup_kept" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$verifiedReachCte,
+        |drops AS (
+        |  SELECT src AS doc_id FROM reach
+        |  GROUP BY src HAVING src != min(dst))
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |GROUP BY lang""".stripMargin,
+
+    // IDENTICAL SQL to q_dedup_kept by design: the Spark side builds state
+    // from half the corpus and folds the other half in incrementally, so
+    // hash-equality against the whole-corpus oracle proves
+    // build-then-update == full recompute.
+    "q_dedup_state_incr" ->
       s"""WITH RECURSIVE $shingleCte,
         |$verifiedReachCte,
         |drops AS (

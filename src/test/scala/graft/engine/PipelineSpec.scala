@@ -335,4 +335,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       == memClu)
   }
+
+  test("updateDedupState: build-from-half then fold the rest == " +
+      "writeDedupState from scratch, relation by relation") {
+    val fixture = "/root/testdata/sf0.001"
+    val docs = Sources.table(spark, fixture, "documents")
+    // from-scratch reference over the whole corpus
+    val full = root.resolve("dedup-full").toString
+    Pipeline.writeDedupState(spark, fixture, full)
+    // half-build (even ids, materialized as its own corpus dir) + update
+    val incr = root.resolve("dedup-incr").toString
+    val firstHalf = root.resolve("dedup-first").toString
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.parquet(s"$firstHalf/documents.parquet")
+    Pipeline.writeDedupState(spark, firstHalf, incr)
+    Pipeline.updateDedupState(spark, fixture, incr,
+      docs.filter(col("doc_id") % 2 =!= 0))
+    def rel(dir: String, name: String, cols: Seq[String]) =
+      spark.read.parquet(s"$dir/$name").select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    for ((name, cols) <- Seq(
+        ("bands", Seq("doc_id", "band_idx", "band_hash")),
+        ("pairs", Seq("doc_a", "doc_b", "jaccard")),
+        ("clusters", Seq("doc_id", "cluster_id"))))
+      assert(rel(incr, name, cols) == rel(full, name, cols),
+        s"incremental $name diverged from the from-scratch state")
+    // non-vacuous: the update must actually contribute cross-half pairs
+    val crossHalf = spark.read.parquet(s"$incr/pairs")
+      .filter(col("doc_a") % 2 =!= col("doc_b") % 2).count()
+    assert(crossHalf > 0, "fixture must produce cross-half near-dup pairs")
+  }
 }
