@@ -647,7 +647,12 @@ object Pipeline {
     val prof = Dedup.minhashFromShingles(raw, "doc_id", k).localCheckpoint()
     val newBands = Dedup.lshBands(prof, "doc_id", k, rowsPerBand)
       .localCheckpoint() // feeds the candidate join AND the state append
-    val oldBands = spark.read.parquet(s"$stateDir/bands")
+    // Explicit schema: lawful even when the prior state is an empty write
+    // (zero part files to infer from) — the q_dedup_state_kept pattern.
+    val bandSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("band_idx", "integer")
+      .add("band_hash", "long")
+    val oldBands = spark.read.schema(bandSchema).parquet(s"$stateDir/bands")
     val cand = Dedup
       .incrementalCandidatePairs(oldBands, newBands, "doc_id")
       .localCheckpoint() // feeds the old-id probe AND the verify join
