@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, Text}
+import graft.ext.{Bpe, Dedup, Multimodal, Similarity, Text}
 
 /** LLM-training-data operators over the documents fixture (north star:
   * dedup, text analysis, multimodal columns) as driver-checkable
@@ -187,6 +187,28 @@ object Docs {
         .select(col("e.item").as("token"), col("e.count").as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(50)),
+
+    // BPE tokenizer induction (Sennrich et al. 2016): the 8 highest-count
+    // merge rules learned from the corpus word-frequency table. The corpus
+    // is scanned once (the vocab shuffle); each round runs over the
+    // Zipf-small vocab only, with one single-row driver collect (the
+    // argmax — kmeans-step precedent). Greedy-leftmost merge application
+    // is a literal replace over the bracketed symbol repr, identical
+    // semantics in both engines; ties break (count desc, pair asc).
+    "q_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val (rules, _) = Bpe.learnMerges(t(s, dir, "documents"), "text", 8)
+      rules.toDF().select(col("step"), col("symA").as("sym_a"),
+        col("symB").as("sym_b"), col("pairCount").as("pair_count"))
+    }),
+
+    // The trained tokenizer applied: every corpus word's segmentation
+    // after the 8 merges — the pieces-per-word table tokenizer
+    // fertility/compression audits read. Same learn chain as
+    // q_bpe_merges; the apply phase is a pure projection on the vocab.
+    "q_bpe_apply" -> ((s, dir) =>
+      Bpe.segmentation(
+        Bpe.learnMerges(t(s, dir, "documents"), "text", 8)._2)),
 
     // Boilerplate detector (the C4 "repeated verbatim span" signal): the
     // 5-token shingles that appear in the MOST DISTINCT documents, with
@@ -1534,6 +1556,42 @@ object Docs {
       |  UNION
       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst)""".stripMargin
 
+  /** DuckDB CTE chain v0, (p1, m1, v1) … (p_rounds, m_rounds, v_rounds)
+    * mirroring [[graft.ext.Bpe.learnMerges]]: v0 = char-split word-freq
+    * vocab; p_r = adjacent-pair counts of v_{r-1}; m_r = the (cnt DESC,
+    * a ASC, b ASC) argmax; v_r = v_{r-1} with that merge replaced in.
+    * ONE definition for both BPE oracles.
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val v0 =
+      """v0 AS (
+        |  SELECT word, regexp_replace(word, '(.)', '[\1]', 'g') AS repr,
+        |    freq
+        |  FROM (
+        |    SELECT w AS word, count(*) AS freq FROM (
+        |      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |      FROM documents)
+        |    GROUP BY 1))""".stripMargin
+    val perRound = (1 to rounds).map { r =>
+      s"""p$r AS (
+        |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT s[ui] AS a, s[ui + 1] AS b, freq FROM (
+        |      SELECT s, freq, unnest(range(1, len(s))) AS ui FROM (
+        |        SELECT str_split(trim(repr, '[]'), '][') AS s, freq
+        |        FROM v${r - 1})))
+        |  GROUP BY 1, 2),
+        |m$r AS (
+        |  SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+        |v$r AS (
+        |  SELECT word,
+        |    replace(repr, '[' || m.a || '][' || m.b || ']',
+        |      '[' || m.a || m.b || ']') AS repr,
+        |    freq
+        |  FROM v${r - 1}, m$r AS m)""".stripMargin
+    }
+    (v0 +: perRound).mkString(",\n")
+  }
+
   /** DuckDB CTEs `toks`/`g` building the 4-token gram md5 list `hs` per doc
     * — mirrors [[graft.ext.Dedup.winnowFingerprints]]'s gram/hash stage;
     * ONE definition for both winnow oracles.
@@ -2075,6 +2133,24 @@ object Docs {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+    // Unrolled-CTE twin of the Spark driver loop: v0 is the char-split
+    // word-frequency table; each round counts adjacent pairs (unnest over
+    // 1..len-1, the kmeans-step idiom), picks the (cnt DESC, a, b) argmax,
+    // and applies it with the same literal replace on the bracketed repr.
+    "q_bpe_merges" ->
+      (s"WITH ${bpeCtes(8)}\n" +
+        (1 to 8).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS step, a AS sym_a, b AS sym_b," +
+            s" cnt AS pair_count FROM m$r").mkString("\nUNION ALL\n")),
+
+    "q_bpe_apply" ->
+      (s"WITH ${bpeCtes(8)}\n" +
+        """SELECT word, CAST(freq AS BIGINT) AS freq,
+          |  CAST(len(str_split(trim(repr, '[]'), '][')) AS BIGINT)
+          |    AS n_pieces,
+          |  repr AS pieces
+          |FROM v8""".stripMargin),
 
     "q_entropy" ->
       """WITH c AS (

@@ -287,6 +287,25 @@ object Joins {
         .select(col("cust"), col("supp"), round(col("d2"), 6).as("d2"))
     }),
 
+    // PageRank over the part co-purchase graph (Page et al. 1999): parts
+    // are linked when they appear in the same order (the lineitem
+    // self-join on l_orderkey — the ONE corpus-scale operation; the graph
+    // it contracts to is |parts|-sized), then 5 synchronous rank rounds in
+    // exact nano-unit longs (graft.ext.Graph.pageRankNano: damping as the
+    // integer map (85·x) div 100, dangling mass dropped, one O(E) edge
+    // shuffle per round, ranks localCheckpointed). Deterministic: integer
+    // sums are order-free, so the twin is bit-identical by construction.
+    "q_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val other = li.select(col("l_orderkey"),
+        col("l_partkey").as("r_partkey"))
+      val edges = li.join(other, Seq("l_orderkey"))
+        .filter(col("l_partkey") =!= col("r_partkey"))
+        .select(col("l_partkey").as("src"), col("r_partkey").as("dst"))
+      graft.ext.Graph.pageRankNano(edges, "src", "dst", iters = 5)
+    }),
+
     // Probabilistic record linkage (Fellegi-Sunter 1969): within-nation
     // customer pairs scored by per-field agreement log-likelihood ratios
     // ln(m/u) / ln((1-m)/(1-u)) with documented (m, u) parameters —
@@ -494,6 +513,29 @@ object Joins {
         |FROM cust, supp
         |WHERE (lat - slat) * (lat - slat) + (lon - slon) * (lon - slon)
         |  <= CAST(0.81 AS DOUBLE)""".stripMargin,
+
+    // Unrolled 5-iteration twin of Graph.pageRankNano — same integer
+    // recurrence r_i(v) = 150000000 + (85 · Σ r_{i-1}(u) // od(u)) // 100,
+    // so equality is exact (long sums are order-free, // == div on
+    // positives).
+    "q_pagerank" ->
+      ("""WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey != b.l_partkey),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |o AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM n)""" +
+        (1 to 5).map(i => s""",
+        |c$i AS (
+        |  SELECT e.dst AS id, sum(r.r // o.od) AS c
+        |  FROM e JOIN r${i - 1} r ON r.id = e.src JOIN o ON o.src = e.src
+        |  GROUP BY 1),
+        |r$i AS (
+        |  SELECT n.id,
+        |    CAST(150000000 + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT) AS r
+        |  FROM n LEFT JOIN c$i c ON c.id = n.id)""").mkString + """
+        |SELECT id AS node_id, r AS rank_nano FROM r5""").stripMargin,
 
     "q_entity_resolution" ->
       """WITH pairs AS (

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Cleaning
@@ -105,6 +106,25 @@ object Parity {
         .agg(count(lit(1)).as("n"),
           min(col("o_totalprice")).as("lo"),
           max(col("o_totalprice")).as("hi"))),
+
+    // k-anonymity audit (Sweeney 2002) over the quasi-identifier pair
+    // (nation, market segment) with k = 10 and a generalization ladder:
+    // level 0 if the full QI group already has ≥ k members, level 1 if
+    // suppressing the segment (nation-only) reaches k, else 2 (suppress
+    // both). One hash-agg for the groups plus a nation-partitioned window
+    // sum for the generalized count — no second scan of the base table,
+    // no row-level output (the audit is group-sized, tiny at any scale).
+    "q_k_anonymity" -> ((s, dir) => {
+      val g = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("group_n"))
+      val natW = Window.partitionBy(col("c_nationkey"))
+      g.withColumn("nation_n", sum(col("group_n")).over(natW))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("group_n"),
+          when(col("group_n") >= 10, lit(0L))
+            .when(col("nation_n") >= 10, lit(1L))
+            .otherwise(lit(2L)).as("anon_level"))
+    }),
 
     // A4: exact dedup == SELECT DISTINCT (survivor identity immaterial).
     "q_dedup_exact" -> ((s, dir) =>
@@ -474,6 +494,16 @@ object Parity {
         |  count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS nulls_totalprice,
         |  count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS nulls_orderdate
         |FROM orders""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS group_n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, group_n,
+        |  CAST(CASE WHEN group_n >= 10 THEN 0
+        |    WHEN sum(group_n) OVER (PARTITION BY c_nationkey) >= 10 THEN 1
+        |    ELSE 2 END AS BIGINT) AS anon_level
+        |FROM g""".stripMargin,
 
     "q_stats_profile" ->
       """SELECT l_returnflag, count(*) AS n,

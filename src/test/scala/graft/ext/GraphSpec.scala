@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GraphSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toSeq.toDF("src", "dst")
+  }
+
+  private def ranksOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Reference recurrence on an in-memory adjacency map — the exact same
+    * integer arithmetic, independently coded.
+    */
+  private def reference(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = es.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> Graph.ScaleNano).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / outdeg(u) }.sum).toMap
+      r = nodes.map(n =>
+        n -> (Graph.BaseNano + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("two-node cycle: symmetric ranks, exact fixpoint value") {
+    // 1 <-> 2: r converges toward Scale; with integer damping each round
+    // is r' = 150000000 + (85*r) div 100.
+    val es = Seq((1L, 2L), (2L, 1L))
+    val got = ranksOf(Graph.pageRankNano(edges(es: _*), "src", "dst", 5))
+    assert(got(1L) === got(2L))
+    assert(got === reference(es, 5))
+  }
+
+  test("star graph matches the reference; in-linked nodes out-rank " +
+      "in-degree-zero spokes") {
+    // Spokes 2..5 all point at 1; 1 points back at 2, so the 1<->2 cycle
+    // oscillates with period 2 (bipartite core) — the stable claims are
+    // reference equality, the no-in-edge spokes pinned at the base
+    // fixpoint, and node 2 (which has an in-edge) above them.
+    val es = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (1L, 2L))
+    val got = ranksOf(Graph.pageRankNano(edges(es: _*), "src", "dst", 4))
+    assert(got === reference(es, 4))
+    assert(got(2L) > got(3L))
+    assert(got(3L) === Graph.BaseNano)
+    assert(got(3L) === got(4L) && got(4L) === got(5L))
+  }
+
+  test("dangling node receives rank but redistributes none; " +
+      "duplicate edges collapse") {
+    // 1 -> 2 (twice, must dedup), 1 -> 3; 2 and 3 dangle.
+    val es = Seq((1L, 2L), (1L, 2L), (1L, 3L))
+    val got = ranksOf(Graph.pageRankNano(edges(es: _*), "src", "dst", 3))
+    assert(got === reference(Seq((1L, 2L), (1L, 3L)), 3))
+    // Symmetric dangling receivers tie; the source decays to the base
+    // fixpoint (no in-edges).
+    assert(got(2L) === got(3L))
+    assert(got(1L) === Graph.BaseNano)
+  }
+
+  test("total mass never exceeds N*Scale (dangling mass only shrinks it)") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val got = ranksOf(Graph.pageRankNano(edges(es: _*), "src", "dst", 6))
+    assert(got.values.sum <= 4L * Graph.ScaleNano)
+    assert(got === reference(es, 6))
+  }
+
+  test("null endpoint fails loudly") {
+    import spark.implicits._
+    val df = Seq((Some(1L), Some(2L)), (None, Some(3L)))
+      .toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRankNano(df, "src", "dst", 2)
+    }
+    assert(e.getMessage.contains("null"))
+  }
+}
