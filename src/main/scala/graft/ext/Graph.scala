@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed link analysis over edge tables (Page et al. 1999; the
@@ -65,12 +65,7 @@ object Graph {
       .localCheckpoint()
     var ranks = nodes.select(col("id"), lit(ScaleNano).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = e
-        .join(ranks.select(col("id").as("src"), col("r")), Seq("src"))
-        .join(outdeg, Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(expr("r div od")).as("c"))
-      ranks = nodes.join(contrib, Seq("id"), "left")
+      ranks = nodes.join(contrib(e, ranks, outdeg), Seq("id"), "left")
         .select(col("id"),
           (lit(BaseNano) +
             expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("r"))
@@ -78,4 +73,56 @@ object Graph {
     }
     ranks.select(col("id").as("node_id"), col("r").as("rank_nano"))
   }
+
+  /** Personalized PageRank (Haveliwala 2002, "Topic-Sensitive
+    * PageRank"): the teleport term lands ONLY on the seed set, so rank
+    * mass concentrates around the seeds' neighborhoods —
+    * r_0(v) = Scale·1{v∈S};
+    * r_{i+1}(v) = Base·1{v∈S} + (85 · Σ_{u→v} r_i(u) div od(u)) div 100.
+    * `seed` is any deterministic boolean predicate over the node id
+    * column `id`. Same integer-exact arithmetic, same O(E)-per-round
+    * shape as [[pageRankNano]]; the two differ only in where teleport
+    * mass re-enters, so they share the contrib composition.
+    */
+  def personalizedPageRankNano(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int, seed: Column): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint()
+    if (e.filter(col("src").isNull || col("dst").isNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"personalizedPageRankNano: ids in '$srcCol'/'$dstCol' are null " +
+          "after cast to long — edge endpoints must be non-null and numeric")
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .withColumn("base",
+        when(seed, lit(BaseNano)).otherwise(lit(0L)))
+      .localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+      .localCheckpoint()
+    var ranks = nodes.select(col("id"),
+      when(col("base") > 0, lit(ScaleNano)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = nodes.join(contrib(e, ranks, outdeg), Seq("id"), "left")
+        .select(col("id"),
+          (col("base") +
+            expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id").as("node_id"), col("r").as("rank_nano"))
+  }
+
+  /** One round's in-contribution table (id, c) — equi-join of ranks and
+    * outdegree onto the edge list, hash-agg on dst with map-side partial
+    * sums. Factored out so PlanSpec can pin the round's physical shape
+    * (the loop's plans truncate at each localCheckpoint).
+    */
+  private[ext] def contrib(e: DataFrame, ranks: DataFrame,
+      outdeg: DataFrame): DataFrame =
+    e.join(ranks.select(col("id").as("src"), col("r")), Seq("src"))
+      .join(outdeg, Seq("src"))
+      .groupBy(col("dst").as("id"))
+      .agg(sum(expr("r div od")).as("c"))
 }

@@ -210,6 +210,27 @@ object Docs {
       Bpe.segmentation(
         Bpe.learnMerges(t(s, dir, "documents"), "text", 8)._2)),
 
+    // Tokenizer fertility per language: mean pieces per word OCCURRENCE
+    // under the trained tokenizer — the compression audit that decides
+    // whether a tokenizer underserves a language. Second corpus pass
+    // joins the exploded word stream to the Zipf-small segmentation
+    // table (broadcast-eligible), then one lang hash-agg with map-side
+    // combine; exact integer piece sums, one shared IEEE division.
+    "q_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seg = Bpe.segmentation(Bpe.learnMerges(docs, "text", 8)._2)
+        .select(col("word"), col("n_pieces"))
+      docs.select(col("lang"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+"), lit(0))).as("word"))
+        .join(seg, Seq("word"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          round(sum(col("n_pieces")).cast("double") / count(lit(1)), 4)
+            .as("fertility"))
+    }),
+
     // Boilerplate detector (the C4 "repeated verbatim span" signal): the
     // 5-token shingles that appear in the MOST DISTINCT documents, with
     // their total occurrence count — a shingle whose doc spread is high is
@@ -2151,6 +2172,23 @@ object Docs {
           |    AS n_pieces,
           |  repr AS pieces
           |FROM v8""".stripMargin),
+
+    "q_bpe_fertility" ->
+      (s"WITH ${bpeCtes(8)},\n" +
+        """wrds AS (
+          |  SELECT lang,
+          |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          |  FROM documents),
+          |seg AS (
+          |  SELECT word,
+          |    CAST(len(str_split(trim(repr, '[]'), '][')) AS BIGINT)
+          |      AS n_pieces
+          |  FROM v8)
+          |SELECT lang, count(*) AS n_words,
+          |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+          |  round(CAST(sum(n_pieces) AS DOUBLE) / count(*), 4) AS fertility
+          |FROM wrds JOIN seg USING (word)
+          |GROUP BY 1""".stripMargin),
 
     "q_entropy" ->
       """WITH c AS (

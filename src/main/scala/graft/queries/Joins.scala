@@ -306,6 +306,22 @@ object Joins {
       graft.ext.Graph.pageRankNano(edges, "src", "dst", iters = 5)
     }),
 
+    // Personalized PageRank (Haveliwala 2002): teleport mass re-enters
+    // only at the seed parts (every 50th partkey), so rank concentrates
+    // in the seeds' co-purchase neighborhoods — the "related items"
+    // primitive. Same graph, same integer recurrence, seed-gated base.
+    "q_pagerank_seeded" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val other = li.select(col("l_orderkey"),
+        col("l_partkey").as("r_partkey"))
+      val edges = li.join(other, Seq("l_orderkey"))
+        .filter(col("l_partkey") =!= col("r_partkey"))
+        .select(col("l_partkey").as("src"), col("r_partkey").as("dst"))
+      graft.ext.Graph.personalizedPageRankNano(edges, "src", "dst",
+        iters = 4, seed = col("id") % 50 === 0)
+    }),
+
     // Probabilistic record linkage (Fellegi-Sunter 1969): within-nation
     // customer pairs scored by per-field agreement log-likelihood ratios
     // ln(m/u) / ln((1-m)/(1-u)) with documented (m, u) parameters —
@@ -536,6 +552,32 @@ object Joins {
         |    CAST(150000000 + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT) AS r
         |  FROM n LEFT JOIN c$i c ON c.id = n.id)""").mkString + """
         |SELECT id AS node_id, r AS rank_nano FROM r5""").stripMargin,
+
+    "q_pagerank_seeded" ->
+      ("""WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey != b.l_partkey),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nb AS (
+        |  SELECT id, CAST(CASE WHEN id % 50 = 0 THEN 150000000 ELSE 0 END
+        |    AS BIGINT) AS base
+        |  FROM n),
+        |o AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+        |r0 AS (
+        |  SELECT id, CAST(CASE WHEN base > 0 THEN 1000000000 ELSE 0 END
+        |    AS BIGINT) AS r
+        |  FROM nb)""" +
+        (1 to 4).map(i => s""",
+        |c$i AS (
+        |  SELECT e.dst AS id, sum(r.r // o.od) AS c
+        |  FROM e JOIN r${i - 1} r ON r.id = e.src JOIN o ON o.src = e.src
+        |  GROUP BY 1),
+        |r$i AS (
+        |  SELECT nb.id,
+        |    CAST(nb.base + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT) AS r
+        |  FROM nb LEFT JOIN c$i c ON c.id = nb.id)""").mkString + """
+        |SELECT id AS node_id, r AS rank_nano FROM r4""").stripMargin,
 
     "q_entity_resolution" ->
       """WITH pairs AS (

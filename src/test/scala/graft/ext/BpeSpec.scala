@@ -64,6 +64,16 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.segmentation(v).count() === 3L)
   }
 
+  test("merge rounds never rescan the corpus: final vocab is one " +
+      "collapsed projection over the checkpointed word table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (_, v) = Bpe.learnMerges(docs, "text", 3)
+    val p = v.queryExecution.executedPlan.toString()
+    assert(!p.contains("FileScan"), p)
+    assert(p.contains("ExistingRDD"), p)
+    assert("\\bProject\\b".r.findAllIn(p).size === 1, p)
+  }
+
   test("rules step numbering is 1..n and counts are non-increasing " +
       "in a merge-free interaction corpus") {
     // With no multi-round composition possible (all words length 2,

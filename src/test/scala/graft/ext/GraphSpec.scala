@@ -19,16 +19,20 @@ class GraphSpec extends AnyFunSuite {
   /** Reference recurrence on an in-memory adjacency map — the exact same
     * integer arithmetic, independently coded.
     */
-  private def reference(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+  private def reference(es: Seq[(Long, Long)], iters: Int,
+      seeds: Option[Set[Long]] = None): Map[Long, Long] = {
     val e = es.distinct
     val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
     val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-    var r = nodes.map(_ -> Graph.ScaleNano).toMap
+    def base(n: Long) =
+      if (seeds.forall(_.contains(n))) Graph.BaseNano else 0L
+    var r = nodes.map(n =>
+      n -> (if (seeds.forall(_.contains(n))) Graph.ScaleNano else 0L)).toMap
     for (_ <- 1 to iters) {
       val in = e.groupBy(_._2).view.mapValues(
         _.map { case (u, _) => r(u) / outdeg(u) }.sum).toMap
       r = nodes.map(n =>
-        n -> (Graph.BaseNano + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+        n -> (base(n) + 85L * in.getOrElse(n, 0L) / 100L)).toMap
     }
     r
   }
@@ -73,6 +77,32 @@ class GraphSpec extends AnyFunSuite {
     val got = ranksOf(Graph.pageRankNano(edges(es: _*), "src", "dst", 6))
     assert(got.values.sum <= 4L * Graph.ScaleNano)
     assert(got === reference(es, 6))
+  }
+
+  test("personalized pagerank: teleport mass re-enters only at seeds") {
+    import org.apache.spark.sql.functions.col
+    // Directed 3-cycle, seed {1}: mass decays around the cycle from the
+    // seed; the exact integer trajectory matches the seeded reference.
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val got = ranksOf(Graph.personalizedPageRankNano(
+      edges(es: _*), "src", "dst", 3, col("id") === 1L))
+    assert(got === reference(es, 3, Some(Set(1L))))
+    // Seed keeps its base; downstream non-seeds hold only propagated mass.
+    assert(got(1L) >= Graph.BaseNano)
+    assert(got.values.sum < 3L * Graph.ScaleNano)
+  }
+
+  test("a rank round equi-joins and partially aggregates — no nested " +
+      "loop, map-side combine present") {
+    import spark.implicits._
+    val e = edges((1L, 2L), (2L, 3L), (3L, 1L))
+    val ranks = Seq((1L, Graph.ScaleNano), (2L, Graph.ScaleNano),
+      (3L, Graph.ScaleNano)).toDF("id", "r")
+    val outdeg = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("src", "od")
+    val p = Graph.contrib(e, ranks, outdeg)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert("HashAggregate".r.findAllIn(p).size === 2, p) // partial + final
   }
 
   test("null endpoint fails loudly") {
