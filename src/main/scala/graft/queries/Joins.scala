@@ -322,6 +322,23 @@ object Joins {
         iters = 4, seed = col("id") % 50 === 0)
     }),
 
+    // Per-part triangle counts on the co-purchase graph (Suri &
+    // Vassilvitskii 2011): degree-ordered orientation caps out-degree at
+    // O(√E), wedges come from one self-equi-join of the oriented list,
+    // and the closing edge is one more equi-join — three shuffles, no
+    // nested loops, each triangle counted once and credited to all three
+    // corners (graft.ext.Graph.triangleCounts).
+    "q_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val other = li.select(col("l_orderkey"),
+        col("l_partkey").as("r_partkey"))
+      val pairs = li.join(other, Seq("l_orderkey"))
+        .filter(col("l_partkey") =!= col("r_partkey"))
+        .select(col("l_partkey").as("pa"), col("r_partkey").as("pb"))
+      graft.ext.Graph.triangleCounts(pairs, "pa", "pb")
+    }),
+
     // Probabilistic record linkage (Fellegi-Sunter 1969): within-nation
     // customer pairs scored by per-field agreement log-likelihood ratios
     // ln(m/u) / ln((1-m)/(1-u)) with documented (m, u) parameters —
@@ -578,6 +595,46 @@ object Joins {
         |    CAST(nb.base + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT) AS r
         |  FROM nb LEFT JOIN c$i c ON c.id = nb.id)""").mkString + """
         |SELECT id AS node_id, r AS rank_nano FROM r4""").stripMargin,
+
+    // Same orientation, same wedge order, so each triangle materializes
+    // exactly once on both engines; totals cross-checked against a
+    // blocking-free three-way join during development.
+    "q_triangles" ->
+      """WITH p AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+        |    greatest(a.l_partkey, b.l_partkey) AS hi
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey != b.l_partkey),
+        |n AS (SELECT lo AS id FROM p UNION SELECT hi FROM p),
+        |dg AS (SELECT id, count(*) AS deg FROM (
+        |    SELECT lo AS id FROM p UNION ALL SELECT hi FROM p) GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg
+        |      AND p.lo < p.hi)
+        |    THEN p.lo ELSE p.hi END AS src,
+        |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg
+        |      AND p.lo < p.hi)
+        |    THEN p.hi ELSE p.lo END AS dst
+        |  FROM p JOIN dg dl ON dl.id = p.lo JOIN dg dh ON dh.id = p.hi),
+        |od AS (
+        |  SELECT o.src, o.dst, dg.deg AS ddeg
+        |  FROM o JOIN dg ON dg.id = o.dst),
+        |w AS (
+        |  SELECT e1.src, e1.dst AS v, e2.dst AS ww
+        |  FROM od e1 JOIN od e2 ON e1.src = e2.src
+        |  WHERE e1.ddeg < e2.ddeg
+        |    OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst)),
+        |t AS (
+        |  SELECT w.src AS a, w.v AS b, w.ww AS c
+        |  FROM w JOIN o ON o.src = w.v AND o.dst = w.ww),
+        |pn AS (
+        |  SELECT id, count(*) AS n FROM (
+        |    SELECT a AS id FROM t UNION ALL SELECT b FROM t
+        |    UNION ALL SELECT c FROM t)
+        |  GROUP BY 1)
+        |SELECT n.id AS node_id, CAST(COALESCE(pn.n, 0) AS BIGINT)
+        |  AS n_triangles
+        |FROM n LEFT JOIN pn ON pn.id = n.id""".stripMargin,
 
     "q_entity_resolution" ->
       """WITH pairs AS (

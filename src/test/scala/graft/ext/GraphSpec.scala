@@ -105,6 +105,23 @@ class GraphSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size === 2, p) // partial + final
   }
 
+  test("triangle counts on hand-checked graphs") {
+    // K4: every node is in C(3,2) = 3 triangles.
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val gotK4 = ranksOf(Graph.triangleCounts(edges(k4: _*), "src", "dst"))
+    assert(gotK4 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // Triangle + pendant: 1-2-3 closed, 4 hangs off 3; duplicate and
+    // reversed input edges collapse; self-loops are dropped.
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 4L), (1L, 2L))
+    val got = ranksOf(Graph.triangleCounts(edges(tri: _*), "src", "dst"))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // Square without diagonals: zero triangles everywhere.
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val gotSq = ranksOf(Graph.triangleCounts(edges(sq: _*), "src", "dst"))
+    assert(gotSq.values.forall(_ == 0L) && gotSq.size === 4)
+  }
+
   test("null endpoint fails loudly") {
     import spark.implicits._
     val df = Seq((Some(1L), Some(2L)), (None, Some(3L)))
