@@ -114,6 +114,66 @@ object Graph {
     ranks.select(col("id").as("node_id"), col("r").as("rank_nano"))
   }
 
+  /** HITS hub scale: micro-units, not nano — a raw hub/authority sum is
+    * bounded by max-degree × scale, and the subsequent ×scale
+    * renormalization must stay inside a signed long on the Spark side
+    * (DuckDB's HUGEINT would mask the overflow, silently diverging the
+    * engines). 10^6 keeps exactness to max-degree ≈ 9×10^6.
+    */
+  val HitsScaleMicro = 1000000L
+
+  /** HITS hubs and authorities (Kleinberg 1999) in exact micro-unit
+    * integer arithmetic: per round, authority(v) = Σ_{u→v} hub(u) then
+    * hub(u) = Σ_{u→v} authority(v), each renormalized to max = Scale by
+    * the integer map x -> (x·Scale) div max(x) — max-normalization
+    * instead of the usual L2 norm, which would need a square root and
+    * reintroduce engine drift. The max rides in as a one-row broadcast
+    * cross join (scalar-subquery shape), never a driver collect.
+    * Each round is two edge-table equi-joins + two dst/src hash-aggs —
+    * O(E) per round like [[pageRankNano]]; scores localCheckpointed per
+    * round. Returns (node_id, hub_micro, auth_micro).
+    */
+  def hitsMicro(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint()
+    if (e.filter(col("src").isNull || col("dst").isNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"hitsMicro: ids in '$srcCol'/'$dstCol' are null after cast to " +
+          "long — edge endpoints must be non-null and numeric")
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    // Renormalize (id, s) to max = Scale; nodes absent from raw get 0.
+    // A positive max is guaranteed whenever raw is non-empty (sums of
+    // positive scores); on an empty raw the coalesce keeps zeros.
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      val mx = raw.agg(max(col("s")).as("mx"))
+      nodes.join(raw, Seq("id"), "left").crossJoin(broadcast(mx))
+        .select(col("id"),
+          coalesce(
+            expr(s"(s * $HitsScaleMicro) div mx"), lit(0L)).as(out))
+    }
+    var hubs = nodes.select(col("id"), lit(HitsScaleMicro).as("hub"))
+    var auths = nodes.select(col("id"), lit(0L).as("auth"))
+    for (_ <- 1 to iters) {
+      auths = normalized(
+        e.join(hubs.select(col("id").as("src"), col("hub")), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("s")),
+        "auth").localCheckpoint()
+      hubs = normalized(
+        e.join(auths.select(col("id").as("dst"), col("auth")), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(sum(col("auth")).as("s")),
+        "hub").localCheckpoint()
+    }
+    nodes
+      .join(hubs, Seq("id")).join(auths, Seq("id"))
+      .select(col("id").as("node_id"), col("hub").as("hub_micro"),
+        col("auth").as("auth_micro"))
+  }
+
   /** Per-node triangle counts by degree-ordered edge orientation (the
     * MapReduce triangle-counting layout of Suri & Vassilvitskii 2011 /
     * Cohen 2009): orient every undirected edge from the (degree, id)-
@@ -129,19 +189,32 @@ object Graph {
     * including zero rows — each triangle credits all three corners.
     */
   def triangleCounts(pairs: DataFrame, aCol: String, bCol: String)
-      : DataFrame = {
-    // Canonical undirected edges (lo < hi), self-loops dropped.
+      : DataFrame =
+    triangleCountsFrom(canonicalEdges(pairs, aCol, bCol))
+
+  /** Canonical undirected edge set (lo < hi), self-loops dropped,
+    * checkpointed — the shared base of the triangle/coefficient family.
+    */
+  private[ext] def canonicalEdges(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
     val p = pairs.select(col(aCol).cast("long").as("x"),
       col(bCol).cast("long").as("y"))
-    val und = p.filter(col("x") =!= col("y"))
+    p.filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("lo"),
         greatest(col("x"), col("y")).as("hi"))
       .distinct().localCheckpoint()
-    val nodes = und.select(col("lo").as("id"))
-      .union(und.select(col("hi").as("id"))).distinct()
-    val deg = und.select(col("lo").as("id"))
+  }
+
+  /** Undirected degree per node of a canonical edge set. */
+  private[ext] def degrees(und: DataFrame): DataFrame =
+    und.select(col("lo").as("id"))
       .unionAll(und.select(col("hi").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+
+  private def triangleCountsFrom(und: DataFrame): DataFrame = {
+    val nodes = und.select(col("lo").as("id"))
+      .union(und.select(col("hi").as("id"))).distinct()
+    val deg = degrees(und)
     // Orient by (deg, id): src strictly smaller in that total order.
     val ori = und
       .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), Seq("lo"))
@@ -174,6 +247,26 @@ object Graph {
     nodes.join(perNode, Seq("id"), "left")
       .select(col("id").as("node_id"),
         coalesce(col("n"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Local clustering coefficient (Watts & Strogatz 1998):
+    * c(v) = 2·T(v) / (deg(v)·(deg(v)−1)), 0 for degree < 2. Composes the
+    * triangle counts with the degree table (both over ONE shared
+    * canonical edge set); exact integers into a single IEEE division,
+    * rounded to 6 — the engine's established drift-free shape.
+    * Returns (node_id, degree, n_triangles, coeff).
+    */
+  def clusteringCoefficients(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val und = canonicalEdges(pairs, aCol, bCol)
+    triangleCountsFrom(und)
+      .join(degrees(und).select(col("id").as("node_id"),
+        col("deg").as("degree")), Seq("node_id"))
+      .select(col("node_id"), col("degree"), col("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * col("n_triangles") /
+            (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)).as("coeff"))
   }
 
   /** One round's in-contribution table (id, c) — equi-join of ranks and

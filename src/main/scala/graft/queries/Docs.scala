@@ -231,6 +231,30 @@ object Docs {
             .as("fertility"))
     }),
 
+    // Length-bucketed batching: group docs into 32-token length buckets,
+    // fill 2048-token batches inside each bucket in (n_tokens, doc_id)
+    // order, and report per-batch padding waste (1 − tokens/(max·n)) —
+    // the dynamic-batching audit that decides how much compute padding
+    // burns. One window (running sum, exact longs) + one hash-agg; the
+    // window partitions by bucket, a data-scaled key, never globally.
+    "q_length_batches" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+          Text.nTokens(col("text")).as("n_tokens"))
+        .withColumn("bucket", expr("n_tokens div 32"))
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("n_tokens"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks
+        .withColumn("bfr", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("batch_id", expr("bfr div 2048"))
+        .groupBy(col("bucket"), col("batch_id"))
+        .agg(count(lit(1)).as("n_seqs"),
+          max(col("n_tokens")).as("max_len"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          round(lit(1.0) - sum(col("n_tokens")).cast("double") /
+            (max(col("n_tokens")) * count(lit(1))), 4).as("padding_frac"))
+    }),
+
     // Boilerplate detector (the C4 "repeated verbatim span" signal): the
     // 5-token shingles that appear in the MOST DISTINCT documents, with
     // their total occurrence count — a shingle whose doc spread is high is
@@ -2189,6 +2213,26 @@ object Docs {
           |  round(CAST(sum(n_pieces) AS DOUBLE) / count(*), 4) AS fertility
           |FROM wrds JOIN seg USING (word)
           |GROUP BY 1""".stripMargin),
+
+    "q_length_batches" ->
+      """WITH tk AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens, n_tokens // 32 AS bucket FROM tk),
+        |c AS (
+        |  SELECT bucket, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (PARTITION BY bucket
+        |      ORDER BY n_tokens, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bfr
+        |  FROM b)
+        |SELECT bucket, CAST(bfr // 2048 AS BIGINT) AS batch_id,
+        |  count(*) AS n_seqs, max(n_tokens) AS max_len,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  round(CAST(1 AS DOUBLE) - CAST(sum(n_tokens) AS DOUBLE)
+        |    / (max(n_tokens) * count(*)), 4) AS padding_frac
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     "q_entropy" ->
       """WITH c AS (

@@ -435,7 +435,73 @@ object Joins {
         .agg(round(sum(col("o_totalprice")), 2).as("bucket_rev"))
       graft.ext.Skew.saltedJoin(l, r, "hot_key", factor = 8)
     }),
+
+    // Local clustering coefficient (Watts-Strogatz 1998) over the same
+    // co-purchase graph: triangles and degrees off ONE shared canonical
+    // edge set, exact integers into a single rounded IEEE division.
+    "q_clustering_coeff" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val other = li.select(col("l_orderkey"),
+        col("l_partkey").as("r_partkey"))
+      val pairs = li.join(other, Seq("l_orderkey"))
+        .filter(col("l_partkey") =!= col("r_partkey"))
+        .select(col("l_partkey").as("pa"), col("r_partkey").as("pb"))
+      graft.ext.Graph.clusteringCoefficients(pairs, "pa", "pb")
+    }),
+
+    // HITS hubs/authorities (Kleinberg 1999) on the DIRECTED
+    // supplier→part supply graph — suppliers are pure hubs, parts pure
+    // authorities, the canonical bipartite HITS setting. 3 rounds of
+    // exact micro-unit integer arithmetic with max-normalization
+    // (graft.ext.Graph.hitsMicro); the max rides as a one-row broadcast,
+    // never a driver collect.
+    "q_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select((col("l_suppkey") + 1000000L).as("src"),
+          col("l_partkey").as("dst"))
+      graft.ext.Graph.hitsMicro(edges, "src", "dst", iters = 3)
+    }),
   )
+
+  /** Shared DuckDB CTE chain for the triangle family — canonical
+    * undirected part co-purchase edges `p`, nodes `n`, degrees `dg`,
+    * (deg, id)-oriented edges `o`/`od`, wedges `w`, triangles `t`,
+    * per-node counts `pn`. Mirrors graft.ext.Graph.triangleCounts.
+    */
+  private val triangleCtes: String =
+    """p AS (
+      |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+      |    greatest(a.l_partkey, b.l_partkey) AS hi
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey != b.l_partkey),
+      |n AS (SELECT lo AS id FROM p UNION SELECT hi FROM p),
+      |dg AS (SELECT id, count(*) AS deg FROM (
+      |    SELECT lo AS id FROM p UNION ALL SELECT hi FROM p) GROUP BY 1),
+      |o AS (
+      |  SELECT CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg
+      |      AND p.lo < p.hi)
+      |    THEN p.lo ELSE p.hi END AS src,
+      |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg
+      |      AND p.lo < p.hi)
+      |    THEN p.hi ELSE p.lo END AS dst
+      |  FROM p JOIN dg dl ON dl.id = p.lo JOIN dg dh ON dh.id = p.hi),
+      |od AS (
+      |  SELECT o.src, o.dst, dg.deg AS ddeg
+      |  FROM o JOIN dg ON dg.id = o.dst),
+      |w AS (
+      |  SELECT e1.src, e1.dst AS v, e2.dst AS ww
+      |  FROM od e1 JOIN od e2 ON e1.src = e2.src
+      |  WHERE e1.ddeg < e2.ddeg
+      |    OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst)),
+      |t AS (
+      |  SELECT w.src AS a, w.v AS b, w.ww AS c
+      |  FROM w JOIN o ON o.src = w.v AND o.dst = w.ww),
+      |pn AS (
+      |  SELECT id, count(*) AS n FROM (
+      |    SELECT a AS id FROM t UNION ALL SELECT b FROM t
+      |    UNION ALL SELECT c FROM t)
+      |  GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // The twin ignores layout entirely: bucketing must be result-invisible.
@@ -600,41 +666,52 @@ object Joins {
     // exactly once on both engines; totals cross-checked against a
     // blocking-free three-way join during development.
     "q_triangles" ->
-      """WITH p AS (
-        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
-        |    greatest(a.l_partkey, b.l_partkey) AS hi
-        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        |    AND a.l_partkey != b.l_partkey),
-        |n AS (SELECT lo AS id FROM p UNION SELECT hi FROM p),
-        |dg AS (SELECT id, count(*) AS deg FROM (
-        |    SELECT lo AS id FROM p UNION ALL SELECT hi FROM p) GROUP BY 1),
-        |o AS (
-        |  SELECT CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg
-        |      AND p.lo < p.hi)
-        |    THEN p.lo ELSE p.hi END AS src,
-        |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg
-        |      AND p.lo < p.hi)
-        |    THEN p.hi ELSE p.lo END AS dst
-        |  FROM p JOIN dg dl ON dl.id = p.lo JOIN dg dh ON dh.id = p.hi),
-        |od AS (
-        |  SELECT o.src, o.dst, dg.deg AS ddeg
-        |  FROM o JOIN dg ON dg.id = o.dst),
-        |w AS (
-        |  SELECT e1.src, e1.dst AS v, e2.dst AS ww
-        |  FROM od e1 JOIN od e2 ON e1.src = e2.src
-        |  WHERE e1.ddeg < e2.ddeg
-        |    OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst)),
-        |t AS (
-        |  SELECT w.src AS a, w.v AS b, w.ww AS c
-        |  FROM w JOIN o ON o.src = w.v AND o.dst = w.ww),
-        |pn AS (
-        |  SELECT id, count(*) AS n FROM (
-        |    SELECT a AS id FROM t UNION ALL SELECT b FROM t
-        |    UNION ALL SELECT c FROM t)
-        |  GROUP BY 1)
+      s"""WITH $triangleCtes
         |SELECT n.id AS node_id, CAST(COALESCE(pn.n, 0) AS BIGINT)
         |  AS n_triangles
         |FROM n LEFT JOIN pn ON pn.id = n.id""".stripMargin,
+
+    // Exact integers into one IEEE division (CAST(2 AS DOUBLE), never a
+    // DECIMAL literal), rounded to 6.
+    "q_clustering_coeff" ->
+      s"""WITH $triangleCtes
+        |SELECT n.id AS node_id, dg.deg AS degree,
+        |  CAST(COALESCE(pn.n, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN dg.deg >= 2
+        |    THEN round(CAST(2 AS DOUBLE) * COALESCE(pn.n, 0)
+        |      / (dg.deg * (dg.deg - 1)), 6)
+        |    ELSE CAST(0 AS DOUBLE) END AS coeff
+        |FROM n JOIN dg ON dg.id = n.id
+        |LEFT JOIN pn ON pn.id = n.id""".stripMargin,
+
+    // Unrolled 3-round HITS twin: same micro-unit integer
+    // max-normalization (x·10^6 // max), scalar-subquery max.
+    "q_hits" ->
+      ("""WITH e AS (
+        |  SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst
+        |  FROM lineitem),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM n)""" +
+        (1 to 3).map(i => s""",
+        |ar$i AS (
+        |  SELECT e.dst AS id, sum(h.hub) AS s
+        |  FROM e JOIN h${i - 1} h ON h.id = e.src GROUP BY 1),
+        |a$i AS (
+        |  SELECT n.id, CAST(COALESCE(
+        |      (ar.s * 1000000) // (SELECT max(s) FROM ar$i), 0) AS BIGINT)
+        |    AS auth
+        |  FROM n LEFT JOIN ar$i ar ON ar.id = n.id),
+        |hr$i AS (
+        |  SELECT e.src AS id, sum(a.auth) AS s
+        |  FROM e JOIN a$i a ON a.id = e.dst GROUP BY 1),
+        |h$i AS (
+        |  SELECT n.id, CAST(COALESCE(
+        |      (hr.s * 1000000) // (SELECT max(s) FROM hr$i), 0) AS BIGINT)
+        |    AS hub
+        |  FROM n LEFT JOIN hr$i hr ON hr.id = n.id)""").mkString + """
+        |SELECT n.id AS node_id, h3.hub AS hub_micro, a3.auth AS auth_micro
+        |FROM n JOIN h3 ON h3.id = n.id JOIN a3 ON a3.id = n.id""")
+        .stripMargin,
 
     "q_entity_resolution" ->
       """WITH pairs AS (

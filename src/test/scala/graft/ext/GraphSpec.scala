@@ -122,6 +122,30 @@ class GraphSpec extends AnyFunSuite {
     assert(gotSq.values.forall(_ == 0L) && gotSq.size === 4)
   }
 
+  test("hits: hand-checked bipartite round, exact integer normalization") {
+    // Hubs {1,2}, authorities {10,11}: 1->10, 1->11, 2->10.
+    // Round 1 raw auths: 10 gets 2M, 11 gets 1M; max-normalize ->
+    // auth(10)=1e6, auth(11)=5e5. Raw hubs: 1 gets 1.5M, 2 gets 1M;
+    // normalize -> hub(1)=1e6, hub(2)=(1M*1e6)//1.5M=666666.
+    val es = Seq((1L, 10L), (1L, 11L), (2L, 10L))
+    val got = Graph.hitsMicro(edges(es: _*), "src", "dst", 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(10L) === ((0L, 1000000L)))
+    assert(got(11L) === ((0L, 500000L)))
+    assert(got(1L) === ((1000000L, 0L)))
+    assert(got(2L) === ((666666L, 0L)))
+    // After more rounds scores stay normalized to [0, Scale] with the
+    // max pinned at Scale on each side.
+    val g3 = Graph.hitsMicro(edges(es: _*), "src", "dst", 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(g3.map(_._1).max === Graph.HitsScaleMicro)
+    assert(g3.map(_._2).max === Graph.HitsScaleMicro)
+    assert(g3.forall { case (h, a) =>
+      h >= 0 && a >= 0 && h <= Graph.HitsScaleMicro &&
+        a <= Graph.HitsScaleMicro })
+  }
+
   test("null endpoint fails loudly") {
     import spark.implicits._
     val df = Seq((Some(1L), Some(2L)), (None, Some(3L)))
