@@ -295,6 +295,104 @@ object Docs {
           round(avg(col("q")), 4).as("avg_quality"),
           sum(col("nt")).as("total_tokens"))),
 
+    // Language confusion matrix: declared label × n-gram-heuristic
+    // language ID, with the agreement flag — the mislabeled-language
+    // audit run before per-language curation decisions. One projection
+    // pass + one hash-agg.
+    "q_lang_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), Text.langId(col("text")).as("lang_id"))
+        .groupBy(col("lang"), col("lang_id"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("agree", col("lang") === col("lang_id"))),
+
+    // Inter-filter agreement (Cohen's kappa) between the heuristic
+    // quality filter and the Gopher SHAPE rules (word count, mean word
+    // length, alpha ratio, symbol ratios — the stop-word rule is
+    // excluded because the fixture's synthetic vocabulary makes it
+    // constant-false, which would vacuously zero the kappa; the r12
+    // no-vacuous-gates lesson): the 2×2 confusion counts in one
+    // aggregate pass, then kappa from exact longs via IEEE divisions
+    // written in the same order on both engines (products are cast to
+    // double BEFORE multiplying, so the pe numerator can't overflow a
+    // long at corpus scale).
+    "q_filter_agreement" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nt = size(toks).cast("double")
+      val ndist = size(array_distinct(toks)).cast("double")
+      val avgLen = length(regexp_replace(col("text"), " ", ""))
+        .cast("double") / nt
+      val keepQ = nt >= 30 && nt <= 400 && ndist / nt >= 0.2 &&
+        avgLen >= 2 && avgLen <= 12
+      val nW = size(toks).cast("long")
+      val meanLen = length(regexp_replace(col("text"), " ", ""))
+        .cast("double") / nW
+      val nAlpha = size(filter(toks, tk => tk.rlike("[a-zA-Z]")))
+        .cast("long")
+      val nHash = (length(col("text")) -
+        length(regexp_replace(col("text"), "#", ""))).cast("long")
+      val nEll = ((length(col("text")) -
+        length(replace(col("text"), lit("..."), lit("")))) / lit(3))
+        .cast("long")
+      val keepG = nW >= 50L && nW <= 100000L &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        nAlpha.cast("double") / nW >= 0.8 &&
+        nHash.cast("double") / nW <= 0.1 &&
+        nEll.cast("double") / nW <= 0.1
+      val cells = t(s, dir, "documents")
+        .select(keepQ.as("kq"), keepG.as("kg"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kq") && col("kg"), 1L).otherwise(0L)).as("bk"),
+          sum(when(col("kq") && !col("kg"), 1L).otherwise(0L)).as("qo"),
+          sum(when(!col("kq") && col("kg"), 1L).otherwise(0L)).as("go"),
+          sum(when(!col("kq") && !col("kg"), 1L).otherwise(0L)).as("bd"))
+      cells.select(
+        col("n").as("n_docs"), col("bk").as("n_both_keep"),
+        col("qo").as("n_q_only"), col("go").as("n_g_only"),
+        col("bd").as("n_both_drop"),
+        round((col("bk") + col("bd")).cast("double") / col("n"), 4)
+          .as("po"),
+        round(((col("bk") + col("qo")).cast("double") *
+            (col("bk") + col("go")) +
+            (col("go") + col("bd")).cast("double") *
+            (col("qo") + col("bd"))) /
+          (col("n").cast("double") * col("n")), 4).as("pe"),
+        round(
+          ((col("bk") + col("bd")).cast("double") / col("n") -
+            ((col("bk") + col("qo")).cast("double") *
+              (col("bk") + col("go")) +
+              (col("go") + col("bd")).cast("double") *
+              (col("qo") + col("bd"))) /
+            (col("n").cast("double") * col("n"))) /
+          (lit(1.0) -
+            ((col("bk") + col("qo")).cast("double") *
+              (col("bk") + col("go")) +
+              (col("go") + col("bd")).cast("double") *
+              (col("qo") + col("bd"))) /
+            (col("n").cast("double") * col("n"))), 4).as("kappa"))
+    }),
+
+    // Zipf fit over the top-200 vocabulary: regression of ln(freq) on
+    // ln(rank) — slope ≈ −1 is the healthy-corpus signature; a flattened
+    // slope flags boilerplate floods. TakeOrderedAndProject bounds the
+    // vocabulary FIRST, so the rank window runs over ≤200 rows, never
+    // the corpus; round(4) absorbs libm/fold-order ulps (the
+    // q_stats_profile precedent).
+    "q_zipf_fit" -> ((s, dir) => {
+      val top = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(200)
+      top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("token").asc)))
+        .agg(count(lit(1)).as("n_types"),
+          round(expr("regr_slope(ln(n), ln(rank))"), 4).as("zipf_slope"),
+          round(expr("regr_intercept(ln(n), ln(rank))"), 4)
+            .as("zipf_intercept"),
+          round(expr("regr_r2(ln(n), ln(rank))"), 4).as("r2"))
+    }),
+
     // Per-language unigram Shannon entropy (nats), H = ln N − Σ n·ln n / N
     // — the corpus-diversity signal curation runs use to catch boilerplate
     // floods (a template-spammed language shows a collapsing H). Explode →
@@ -2531,6 +2629,99 @@ object Docs {
         |SELECT lang_id, count(*) AS n_docs, round(avg(q), 4) AS avg_quality,
         |  CAST(sum(nt) AS BIGINT) AS total_tokens
         |FROM z GROUP BY lang_id""".stripMargin,
+
+    "q_lang_confusion" ->
+      """WITH x AS (SELECT lang, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |y AS (SELECT lang,
+        |    len(list_filter(toks,
+        |      t -> list_contains(['the','a','of','and','to'], t))) AS s_en,
+        |    len(list_filter(toks,
+        |      t -> list_contains(['el','la','de','los','y'], t))) AS s_es,
+        |    len(list_filter(toks,
+        |      t -> list_contains(['der','die','das','und','ist'], t)))
+        |      AS s_de,
+        |    len(list_filter(toks,
+        |      t -> list_contains(['le','les','et','des','une'], t))) AS s_fr
+        |  FROM x),
+        |z AS (SELECT lang,
+        |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+        |      THEN 'en'
+        |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |         WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_id
+        |  FROM y)
+        |SELECT lang, lang_id, count(*) AS n_docs, lang = lang_id AS agree
+        |FROM z GROUP BY 1, 2""".stripMargin,
+
+    // kappa from the UNROUNDED po/pe (the display columns round
+    // separately) — boolean-gate-from-rounded-value is the r12 defect
+    // class this deliberately avoids.
+    "q_filter_agreement" ->
+      """WITH d AS (SELECT text, string_split(text, ' ') AS l
+        |  FROM documents),
+        |m AS (
+        |  SELECT
+        |    CAST(len(l) AS DOUBLE) AS nt,
+        |    CAST(len(list_distinct(l)) AS DOUBLE) AS ndist,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS cl,
+        |    CAST(len(l) AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(l)
+        |      AS mean_raw,
+        |    CAST(len(list_filter(l,
+        |      tk -> regexp_matches(tk, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) / 3
+        |      AS BIGINT) AS n_ell
+        |  FROM d),
+        |k AS (
+        |  SELECT
+        |    (nt >= 30 AND nt <= 400 AND ndist / nt >= 0.2
+        |      AND cl / nt >= 2 AND cl / nt <= 12) AS kq,
+        |    (n_words >= 50 AND n_words <= 100000
+        |      AND mean_raw >= 3 AND mean_raw <= 10
+        |      AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+        |      AND CAST(n_hash AS DOUBLE) / n_words <= 0.1
+        |      AND CAST(n_ell AS DOUBLE) / n_words <= 0.1) AS kg
+        |  FROM m),
+        |c AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN kq AND kg THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bk,
+        |    CAST(sum(CASE WHEN kq AND NOT kg THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS qo,
+        |    CAST(sum(CASE WHEN NOT kq AND kg THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS go,
+        |    CAST(sum(CASE WHEN NOT kq AND NOT kg THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bd
+        |  FROM k),
+        |p AS (
+        |  SELECT n, bk, qo, go, bd,
+        |    CAST(bk + bd AS DOUBLE) / n AS po_raw,
+        |    (CAST(bk + qo AS DOUBLE) * (bk + go)
+        |      + CAST(go + bd AS DOUBLE) * (qo + bd))
+        |      / (CAST(n AS DOUBLE) * n) AS pe_raw
+        |  FROM c)
+        |SELECT n AS n_docs, bk AS n_both_keep, qo AS n_q_only,
+        |  go AS n_g_only, bd AS n_both_drop,
+        |  round(po_raw, 4) AS po, round(pe_raw, 4) AS pe,
+        |  round((po_raw - pe_raw) / (1 - pe_raw), 4) AS kappa
+        |FROM p""".stripMargin,
+
+    "q_zipf_fit" ->
+      """WITH c0 AS (
+        |  SELECT token, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 200),
+        |r AS (
+        |  SELECT n, CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+        |    AS BIGINT) AS rank
+        |  FROM c0)
+        |SELECT count(*) AS n_types,
+        |  round(regr_slope(ln(n), ln(rank)), 4) AS zipf_slope,
+        |  round(regr_intercept(ln(n), ln(rank)), 4) AS zipf_intercept,
+        |  round(regr_r2(ln(n), ln(rank)), 4) AS r2
+        |FROM r""".stripMargin,
 
     "q_dedup_fingerprint" ->
       """SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint,

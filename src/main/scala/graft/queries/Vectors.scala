@@ -42,6 +42,32 @@ object Vectors {
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id",
         "embedding", querySet, k = 5)),
 
+    // Mean-reciprocal-rank inputs: each query's first same-label
+    // neighbor inside the brute top-20 (label = graded relevance, the
+    // q_hard_negatives convention); rank is exact, rr is one IEEE
+    // division. Queries with no relevant neighbor in the window report
+    // rank 0 / rr 0 — kept via the left join, never dropped.
+    "q_sim_mrr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        querySet, k = 20)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val hits = topk
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("q_label")), Seq("query_id"))
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), Seq("neighbor_id"))
+        .filter(col("q_label") === col("n_label"))
+        .groupBy(col("query_id"))
+        .agg(min(col("rank")).as("fh"))
+      topk.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("fh"), lit(0L)).as("first_hit_rank"),
+          round(when(col("fh").isNotNull, lit(1.0) / col("fh"))
+            .otherwise(lit(0.0)), 6).as("rr"))
+    }),
+
     // All-pairs cosine near-dups ≥ 0.35 (fixture max sim ≈ 0.51) —
     // quadratic verify-pass baseline.
     "q_sim_neardup" -> ((s, dir) =>
@@ -715,6 +741,35 @@ object Vectors {
         |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
         |  FROM sims)
         |WHERE rank <= 5""".stripMargin,
+
+    "q_sim_mrr" ->
+      s"""WITH $withNorm,
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    ${cos("n", "q")} AS sim
+        |  FROM c n, c q
+        |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000
+        |    AND n.vec_id != q.vec_id),
+        |tk AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |    FROM sims)
+        |  WHERE rank <= 20),
+        |lb AS (SELECT vec_id, label FROM embeddings),
+        |h AS (
+        |  SELECT t.query_id, min(t.rank) AS fh
+        |  FROM tk t JOIN lb ql ON ql.vec_id = t.query_id
+        |    JOIN lb nl ON nl.vec_id = t.neighbor_id
+        |  WHERE ql.label = nl.label
+        |  GROUP BY 1),
+        |qs AS (SELECT DISTINCT query_id FROM tk)
+        |SELECT qs.query_id,
+        |  CAST(COALESCE(h.fh, 0) AS BIGINT) AS first_hit_rank,
+        |  round(CASE WHEN h.fh IS NOT NULL
+        |    THEN CAST(1 AS DOUBLE) / h.fh
+        |    ELSE CAST(0 AS DOUBLE) END, 6) AS rr
+        |FROM qs LEFT JOIN h ON h.query_id = qs.query_id""".stripMargin,
 
     "q_sim_neardup" ->
       s"""WITH $withNorm
