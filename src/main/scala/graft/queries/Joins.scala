@@ -457,7 +457,10 @@ object Joins {
     // (graft.ext.Graph.hitsMicro); the max rides as a one-row broadcast,
     // never a driver collect.
     "q_hits" -> ((s, dir) => {
+      // A lineitem with a null supplier or part identifies no edge —
+      // drop it here rather than tripping hitsMicro's null guard.
       val edges = t(s, dir, "lineitem")
+        .filter(col("l_suppkey").isNotNull && col("l_partkey").isNotNull)
         .select((col("l_suppkey") + 1000000L).as("src"),
           col("l_partkey").as("dst"))
       graft.ext.Graph.hitsMicro(edges, "src", "dst", iters = 3)
@@ -689,7 +692,8 @@ object Joins {
     "q_hits" ->
       ("""WITH e AS (
         |  SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst
-        |  FROM lineitem),
+        |  FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
         |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
         |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM n)""" +
         (1 to 3).map(i => s""",
