@@ -546,4 +546,58 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-first
+    * traversal; Sener & Savarese 2018 as the training-data-selection
+    * framing): seed with the minimum id, then k−1 rounds of "add the
+    * point farthest from the selected set" under rounded cosine distance
+    * (round(1 − cos, 6), id tie-break — fully deterministic).
+    *
+    * Scale shape: every round is ONE corpus pass — the ≤k selected
+    * vectors broadcast to a crossJoin, per-candidate min over ≤k
+    * distances (codegen'd native dot), then a TakeOrderedAndProject
+    * argmax. Per round the driver holds exactly one row (the kmeans-step
+    * precedent); total work O(n·k) dot products, no pairwise n².
+    *
+    * Returns (sel_order, id, dist) — the coverage radius of the final
+    * set is max over the LAST round's candidates, i.e. the selection
+    * trace IS the radius curve.
+    */
+  def kCenterCoreset(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val corpus = withNorm(emb, idCol, vecCol).localCheckpoint()
+    val seedRow = corpus.agg(min(col(idCol))).collect() // bounded: 1 row
+    var selected = Vector.empty[(Long, Long, Double)]
+    if (!seedRow(0).isNullAt(0)) {
+      selected :+= ((1L, seedRow(0).getLong(0), 0.0))
+      var r = 2
+      var exhausted = false
+      while (r <= k && !exhausted) {
+        val selIds = selected.map(_._2)
+        val selDf = broadcast(corpus
+          .filter(col(idCol).isInCollection(selIds))
+          .select(col("v").as("sv"), col("nrm").as("snrm")))
+        // Bounded collect: TakeOrderedAndProject of exactly one row.
+        val top = corpus.filter(!col(idCol).isInCollection(selIds))
+          .crossJoin(selDf)
+          .select(col(idCol),
+            round(lit(1.0) - dot(col("v"), col("sv")) /
+              (col("nrm") * col("snrm")), 6).as("d"))
+          .groupBy(col(idCol)).agg(min(col("d")).as("dmin"))
+          .orderBy(col("dmin").desc, col(idCol).asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          selected :+= ((r.toLong, top(0).getLong(0), top(0).getDouble(1)))
+          r += 1
+        }
+      }
+    }
+    selected.toDF("sel_order", "id", "dist")
+      .select(col("sel_order"), col("id").as(idCol),
+        round(col("dist"), 6).as("dist"))
+  }
 }

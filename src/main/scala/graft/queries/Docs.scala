@@ -393,6 +393,44 @@ object Docs {
           round(expr("regr_r2(ln(n), ln(rank))"), 4).as("r2"))
     }),
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    // the word co-occurrence graph — adjacent-token pairs, symmetrized
+    // and deduplicated, words densified to ids by a lexicographic
+    // row_number (vocabulary-bounded window; at a ≥10^7-type vocabulary
+    // swap in ext/GlobalRank — the GRAPH is isomorphic under any
+    // bijective id assignment, so ranks per word are unchanged), then 5
+    // exact nano-unit rounds (graft.ext.Graph.pageRankNano) and the
+    // top-20 keywords by (rank, word). The corpus is scanned once for
+    // pairs; everything after runs on vocabulary-sized tables.
+    "q_textrank" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(Text.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) >= 2)
+      val pairs = toks.select(explode(expr(
+        "transform(sequence(0, size(tk) - 2)," +
+          " i -> struct(tk[i] AS wa, tk[i + 1] AS wb))")).as("p"))
+        .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+        .filter(col("wa") =!= col("wb"))
+      val und = pairs
+        .unionAll(pairs.select(col("wb").as("wa"), col("wa").as("wb")))
+        .distinct()
+      val ids = und.select(col("wa").as("word"))
+        .union(und.select(col("wb").as("word"))).distinct()
+        .withColumn("wid",
+          row_number().over(Window.orderBy(col("word"))).cast("long"))
+      val edges = und
+        .join(ids.select(col("word").as("wa"), col("wid").as("src")),
+          Seq("wa"))
+        .join(ids.select(col("word").as("wb"), col("wid").as("dst")),
+          Seq("wb"))
+        .select(col("src"), col("dst"))
+      graft.ext.Graph.pageRankNano(edges, "src", "dst", iters = 5)
+        .join(ids.select(col("wid").as("node_id"), col("word")),
+          Seq("node_id"))
+        .select(col("word"), col("rank_nano"))
+        .orderBy(col("rank_nano").desc, col("word").asc).limit(20)
+    }),
+
     // Per-language unigram Shannon entropy (nats), H = ln N − Σ n·ln n / N
     // — the corpus-diversity signal curation runs use to catch boilerplate
     // floods (a template-spammed language shows a collapsing H). Explode →
@@ -2629,6 +2667,42 @@ object Docs {
         |SELECT lang_id, count(*) AS n_docs, round(avg(q), 4) AS avg_quality,
         |  CAST(sum(nt) AS BIGINT) AS total_tokens
         |FROM z GROUP BY lang_id""".stripMargin,
+
+    // Word co-occurrence graph + the q_pagerank round template; ids from
+    // the same lexicographic row_number, so even the internal ids align.
+    "q_textrank" ->
+      ("""WITH tok AS (
+        |  SELECT string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bp AS (
+        |  SELECT tk[ui] AS wa, tk[ui + 1] AS wb FROM (
+        |    SELECT tk, unnest(range(1, len(tk))) AS ui FROM tok)
+        |  WHERE tk[ui] != tk[ui + 1]),
+        |up AS (SELECT DISTINCT wa, wb FROM (
+        |  SELECT wa, wb FROM bp UNION ALL SELECT wb AS wa, wa AS wb
+        |  FROM bp)),
+        |wd AS (
+        |  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT)
+        |    AS wid
+        |  FROM (SELECT wa AS word FROM up UNION SELECT wb FROM up)),
+        |e AS (
+        |  SELECT a.wid AS src, b.wid AS dst
+        |  FROM up JOIN wd a ON a.word = up.wa JOIN wd b ON b.word = up.wb),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |o AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM n)""" +
+        (1 to 5).map(i => s""",
+        |c$i AS (
+        |  SELECT e.dst AS id, sum(r.r // o.od) AS c
+        |  FROM e JOIN r${i - 1} r ON r.id = e.src JOIN o ON o.src = e.src
+        |  GROUP BY 1),
+        |r$i AS (
+        |  SELECT n.id,
+        |    CAST(150000000 + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT) AS r
+        |  FROM n LEFT JOIN c$i c ON c.id = n.id)""").mkString + """
+        |SELECT w.word AS word, r.r AS rank_nano
+        |FROM r5 r JOIN wd w ON w.wid = r.id
+        |ORDER BY rank_nano DESC, word ASC LIMIT 20""").stripMargin,
 
     "q_lang_confusion" ->
       """WITH x AS (SELECT lang, string_split(text, ' ') AS toks

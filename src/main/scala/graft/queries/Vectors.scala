@@ -42,6 +42,15 @@ object Vectors {
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id",
         "embedding", querySet, k = 5)),
 
+    // Greedy k-center coreset (Gonzalez 1985 farthest-first; Sener &
+    // Savarese 2018): 10 selections, each round ONE corpus pass against
+    // the ≤k broadcast selected vectors then a TakeOrdered argmax —
+    // O(n·k) total, no pairwise n². The selection trace doubles as the
+    // coverage-radius curve.
+    "q_coreset_kcenter" -> ((s, dir) =>
+      Similarity.kCenterCoreset(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 10)),
+
     // Mean-reciprocal-rank inputs: each query's first same-label
     // neighbor inside the brute top-20 (label = graded relevance, the
     // q_hard_negatives convention); rank is exact, rr is one IEEE
@@ -441,11 +450,17 @@ object Vectors {
     * products per index left-to-right, fold with + — bit-identical to
     * Spark's `aggregate(zip_with(...))`.
     */
+  /** Unrounded cosine — Spark's sequential left fold reproduced exactly
+    * (same multiply order and associativity).
+    */
+  private def cosRaw(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a.v) + 1),
+       |    i -> $a.v[i] * $b.v[i]), (x, y) -> x + y)
+       |  / ($a.nrm * $b.nrm)""".stripMargin
+
   private def cos(a: String, b: String): String =
     s"""round(
-       |  list_reduce(list_transform(range(1, len($a.v) + 1),
-       |    i -> $a.v[i] * $b.v[i]), (x, y) -> x + y)
-       |  / ($a.nrm * $b.nrm), 6)""".stripMargin
+       |  ${cosRaw(a, b)}, 6)""".stripMargin
 
   private val withNorm =
     """e AS (
@@ -741,6 +756,32 @@ object Vectors {
         |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
         |  FROM sims)
         |WHERE rank <= 5""".stripMargin,
+
+    // Unrolled farthest-first twin: s_r accumulates selected ids, d_r is
+    // the per-candidate min rounded distance to s_{r-1}, m_r its
+    // (dmin DESC, vec_id) argmax — identical arithmetic to
+    // Similarity.kCenterCoreset round for round. The round CTEs are
+    // MATERIALIZED: DuckDB inlines plain CTEs, and the s-chain's two
+    // references per round would expand the plan (and the parquet open
+    // count) exponentially.
+    "q_coreset_kcenter" ->
+      (s"""WITH $withNorm,
+        |s1 AS MATERIALIZED (SELECT (SELECT min(vec_id) FROM c) AS vid)""" +
+        (2 to 10).map(r => s""",
+        |d$r AS MATERIALIZED (
+        |  SELECT x.vec_id, min(round(1 - ${cosRaw("x", "s")}, 6)) AS dmin
+        |  FROM c x JOIN c s ON s.vec_id IN (SELECT vid FROM s${r - 1})
+        |  WHERE x.vec_id NOT IN (SELECT vid FROM s${r - 1})
+        |  GROUP BY 1),
+        |m$r AS MATERIALIZED (SELECT vec_id, dmin FROM d$r
+        |  ORDER BY dmin DESC, vec_id LIMIT 1),
+        |s$r AS MATERIALIZED (SELECT vid FROM s${r - 1}
+        |  UNION ALL SELECT vec_id FROM m$r)""").mkString + """
+        |SELECT CAST(1 AS BIGINT) AS sel_order,
+        |  (SELECT vid FROM s1) AS vec_id, CAST(0 AS DOUBLE) AS dist""" +
+        (2 to 10).map(r => s"""
+        |UNION ALL SELECT CAST($r AS BIGINT) AS sel_order, vec_id,
+        |  round(dmin, 6) AS dist FROM m$r""").mkString).stripMargin,
 
     "q_sim_mrr" ->
       s"""WITH $withNorm,
