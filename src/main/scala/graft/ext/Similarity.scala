@@ -227,8 +227,17 @@ object Similarity {
 
   /** [[assignClusters]] over an ALREADY-normalized corpus (idCol, v, nrm). */
   def assignClustersFrom(corpus: DataFrame, idCol: String,
-      centroidPred: Column): DataFrame = {
-    val centArr = corpus.filter(centroidPred)
+      centroidPred: Column): DataFrame =
+    assignClustersAgainst(corpus, idCol, corpus.filter(centroidPred))
+
+  /** [[assignClustersFrom]] with the centroid rows coming from a SEPARATE
+    * normalized table (idCol, v, nrm) — the streaming-ingest shape, where
+    * arriving micro-batches are assigned against a fixed trained codebook
+    * that is not part of the batch.
+    */
+  def assignClustersAgainst(corpus: DataFrame, idCol: String,
+      centroids: DataFrame): DataFrame = {
+    val centArr = centroids
       .agg(array_sort(collect_list(
         struct(col(idCol).as("cent_id"), col("v").as("cv"),
           col("nrm").as("cn")))).as("cents"))

@@ -39,4 +39,40 @@ object Skew {
     l.join(r, l("__salt") === r("__salt") && l(key) === r(key))
       .drop(l("__salt")).drop(r("__salt")).drop(r(key))
   }
+
+  /** [[saltedJoin]] with the hot keys MEASURED instead of assumed: one
+    * aggregate over the big side finds keys holding more than
+    * `hotThreshold` rows (the aggregate is itself skew-immune — partial
+    * per-partition counts combine map-side, so a hot key costs a long
+    * per partition, never a wide shuffle), the ≤#distinct-hot-keys set
+    * broadcasts back, and ONLY hot rows are salted: the small side
+    * replicates `factor`× for the hot keys alone, so mitigation cost is
+    * proportional to the skew actually present, not the whole table —
+    * the difference between "salt everything `factor`×" and a no-op on a
+    * uniform day. Cold rows join on salt 0 against the unreplicated
+    * branch; produces exactly the plain join's rows (row-parity pinned
+    * in SkewSpec and by the oracle twin).
+    */
+  def adaptiveSaltedJoin(left: DataFrame, right: DataFrame, key: String,
+      factor: Int, hotThreshold: Long): DataFrame = {
+    require(factor > 0, s"salt factor must be positive, got $factor")
+    require(hotThreshold > 0,
+      s"hot threshold must be positive, got $hotThreshold")
+    val hot = left.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(col(key).as("__hotkey"), lit(true).as("__hot"))
+    val l = left
+      .join(broadcast(hot), left(key) === col("__hotkey"), "left")
+      .withColumn("__salt",
+        when(col("__hot"), saltColumn(left, factor)).otherwise(lit(0)))
+      .drop("__hotkey", "__hot")
+    val r = right
+      .join(broadcast(hot), right(key) === col("__hotkey"), "left")
+      .withColumn("__salt", explode(
+        when(col("__hot"), array((0 until factor).map(lit): _*))
+          .otherwise(array(lit(0)))))
+      .drop("__hotkey", "__hot")
+    l.join(r, l("__salt") === r("__salt") && l(key) === r(key))
+      .drop(l("__salt")).drop(r("__salt")).drop(r(key))
+  }
 }

@@ -436,6 +436,27 @@ object Joins {
       graft.ext.Skew.saltedJoin(l, r, "hot_key", factor = 8)
     }),
 
+    // Adaptive twin: the hot keys are MEASURED (one skew-immune count
+    // agg, > 5000 rows ⇒ hot), broadcast back, and only hot rows salt —
+    // mitigation cost proportional to the skew present, a no-op on a
+    // uniform day. Key layout: half the fact rows pile on key 0 (hot),
+    // the rest spread over ~500 cold keys; oracle is the plain join
+    // (row-parity is the whole claim).
+    "q_skew_join_adaptive" -> ((s, dir) => {
+      val skewL = when(col("l_orderkey") % 10 < 5, lit(0L))
+        .otherwise(col("l_orderkey") % 1000)
+      val skewO = when(col("o_orderkey") % 10 < 5, lit(0L))
+        .otherwise(col("o_orderkey") % 1000)
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          skewL.as("skew_key"))
+      val r = t(s, dir, "orders")
+        .groupBy(skewO.as("skew_key"))
+        .agg(round(sum(col("o_totalprice")), 2).as("bucket_rev"))
+      graft.ext.Skew.adaptiveSaltedJoin(l, r, "skew_key", factor = 8,
+        hotThreshold = 5000L)
+    }),
+
     // Local clustering coefficient (Watts-Strogatz 1998) over the same
     // co-purchase graph: triangles and degrees off ONE shared canonical
     // edge set, exact integers into a single rounded IEEE division.
@@ -590,6 +611,19 @@ object Joins {
         |  FROM orders GROUP BY 1)
         |SELECT l.l_orderkey, l.l_linenumber, l.hot_key, r.bucket_rev
         |FROM l JOIN r USING (hot_key)""".stripMargin,
+
+    "q_skew_join_adaptive" ->
+      """WITH l AS (SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 10 < 5 THEN 0
+        |      ELSE l_orderkey % 1000 END AS skew_key
+        |  FROM lineitem),
+        |r AS (SELECT
+        |    CASE WHEN o_orderkey % 10 < 5 THEN 0
+        |      ELSE o_orderkey % 1000 END AS skew_key,
+        |    round(sum(o_totalprice), 2) AS bucket_rev
+        |  FROM orders GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.skew_key, r.bucket_rev
+        |FROM l JOIN r USING (skew_key)""".stripMargin,
 
     "q_join_right" ->
       """SELECT p_partkey, p_name, count(l_orderkey) AS n_lines

@@ -638,4 +638,55 @@ object Streams {
       }
     }
   }
+
+  /** Streaming IVF index maintenance — continuous vector ingest against a
+    * FIXED trained codebook: each arriving micro-batch is broadcast-argmax
+    * assigned (graft.ext.Similarity.assignClustersAgainst — the same
+    * assignment rule as the batch IVF family, so the assembled journal is
+    * directly comparable to a whole-corpus `assignClusters`) and its
+    * (id, cluster_id) rows land under `stateDir/asgn/b<batchId>`.
+    *
+    * Per-trigger work is O(batch × centroids) — no cross-batch state, so
+    * idempotence is BY PATH like the decontamination monitor: a replay
+    * recomputes byte-identical output onto the batch's own overwritten
+    * path, with the commit marker closing the crash-between-writes seam.
+    * An IVF query side unions `asgn/` as its assignment table; re-training
+    * the codebook starts a new stateDir epoch (assignments are defined
+    * relative to one codebook).
+    */
+  def startIvfJournal(vectors: DataFrame, centroidsDir: String,
+      stateDir: String, checkpointDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfBatchIdempotent(batch, centroidsDir, stateDir, batchId, idCol,
+          vecCol)
+      }
+      .start()
+
+  /** The per-batch step of [[startIvfJournal]]. */
+  private[graft] def ivfBatchIdempotent(batch: DataFrame,
+      centroidsDir: String, stateDir: String, batchId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.ext.Similarity
+    val spark = batch.sparkSession
+    val marker = new Path(stateDir, s"_graft_commits/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    val cents = Similarity.withNorm(
+      spark.read.parquet(centroidsDir), idCol, vecCol)
+    Similarity.assignClustersAgainst(
+        Similarity.withNorm(batch, idCol, vecCol), idCol, cents)
+      .select(col(idCol), col("cluster_id"))
+      .write.mode("overwrite").parquet(s"$stateDir/asgn/b$batchId")
+    try fs.create(marker, false).close() // exclusive: lost race = no-op
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    }
+  }
 }

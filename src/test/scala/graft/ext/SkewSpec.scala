@@ -24,6 +24,38 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.length == 1002) // 1000 hot + 2 cold; orphan/unmatched drop
   }
 
+  test("adaptiveSaltedJoin: row parity, and only measured-hot keys salt") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val left = ((1 to 1000).map(i => ("hot", i)) ++
+      (1 to 50).map(i => (s"cold$i", i)) ++ Seq(("orphan", 0))).toDF("k", "v")
+    val right = (Seq("hot", "unmatched") ++ (1 to 50).map(i => s"cold$i"))
+      .zipWithIndex.map { case (k, i) => (k, i * 1.5) }.toDF("k", "w")
+
+    val adaptive = Skew.adaptiveSaltedJoin(left, right, "k",
+      factor = 8, hotThreshold = 100L)
+      .select("k", "v", "w").collect().map(_.toSeq).sortBy(_.toString)
+    val plain = left.join(right, "k")
+      .select("k", "v", "w").collect().map(_.toSeq).sortBy(_.toString)
+    assert(adaptive.toSeq == plain.toSeq)
+    assert(adaptive.length == 1050)
+
+    // The hot key's rows spread over many salts; every cold row stays on
+    // salt 0 (mitigation cost proportional to the skew present).
+    val hotKeys = left.groupBy(col("k")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 100L)
+      .select(col("k").as("__hotkey"), lit(true).as("__hot"))
+    val salted = left
+      .join(broadcast(hotKeys), left("k") === col("__hotkey"), "left")
+      .withColumn("__salt",
+        when(col("__hot"), Skew.saltColumn(left, 8)).otherwise(lit(0)))
+    assert(salted.filter(col("k") === "hot")
+      .select("__salt").distinct().count() >= 6)
+    assert(salted.filter(col("k") =!= "hot")
+      .select("__salt").distinct().collect().map(_.getInt(0)).toSeq
+      === Seq(0))
+  }
+
   test("salt spreads a hot key over multiple sub-keys") {
     import spark.implicits._
     val left = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")

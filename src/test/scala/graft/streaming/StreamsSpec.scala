@@ -739,6 +739,53 @@ class StreamsSpec extends AnyFunSuite {
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
+
+  test("ivf journal: streamed assignments == whole-corpus assignClusters; " +
+      "marker makes replay a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-ivf")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      // Codebook: the batch IVF family's seed vectors, written once.
+      emb.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .write.parquet(s"$root/cents")
+      val rows = emb.filter(col("vec_id") >= 10).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val b0 = rows.filter(_._1 % 2 == 0).toSeq
+      val b1 = rows.filter(_._1 % 2 == 1).toSeq
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = Streams.startIvfJournal(
+        in.toDF().toDF("vec_id", "embedding"),
+        s"$root/cents", s"$root/state", s"$root/ckpt")
+      runBatches(q)(() => in.addData(b0: _*), () => in.addData(b1: _*))
+
+      def journal() = spark.read
+        .parquet(s"$root/state/asgn/b0", s"$root/state/asgn/b1")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val streamed = journal()
+      // Whole-corpus twin: the SAME assignment rule over the base table
+      // (centroids assign to themselves there; restrict to the streamed
+      // ids for the compare).
+      val batchTwin = graft.ext.Similarity.assignClusters(
+          emb, "vec_id", "embedding", col("vec_id") < 10)
+        .filter(col("vec_id") >= 10)
+        .select(col("vec_id"), col("cluster_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed.nonEmpty && streamed == batchTwin,
+        "journal union must equal the batch assignment")
+
+      // Committed marker: a replay of batch 1 is a no-op even with the
+      // batch's data mutated (the marker, not content, gates the write).
+      Streams.ivfBatchIdempotent(b1.take(1).toDF("vec_id", "embedding"),
+        s"$root/cents", s"$root/state", 1L)
+      assert(journal() == streamed, "committed batch must not rewrite")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
 }
 
 /** Minimal GroupState stub for direct unit-testing of the session fold
