@@ -393,6 +393,26 @@ object Docs {
           round(expr("regr_r2(ln(n), ln(rank))"), 4).as("r2"))
     }),
 
+    // Source-concentration Gini coefficient: how unevenly the corpus
+    // spreads over sources — G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over
+    // ascending per-source counts. Everything stays exact longs until ONE
+    // final division (the strongest parity shape); the rank window runs
+    // over the source-count table, never the corpus.
+    "q_source_gini" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("x"))
+      counts
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("x").asc, col("source").asc)).cast("long"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(col("x")).as("n_docs"),
+          sum(col("i") * col("x")).as("ix"))
+        .select(col("n_sources"), col("n_docs"),
+          round((lit(2L) * col("ix") -
+            (col("n_sources") + 1L) * col("n_docs")).cast("double") /
+            (col("n_sources") * col("n_docs")), 6).as("gini"))
+    }),
+
     // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     // the word co-occurrence graph — adjacent-token pairs, symmetrized
     // and deduplicated, words densified to ids by a lexicographic
@@ -2667,6 +2687,22 @@ object Docs {
         |SELECT lang_id, count(*) AS n_docs, round(avg(q), 4) AS avg_quality,
         |  CAST(sum(nt) AS BIGINT) AS total_tokens
         |FROM z GROUP BY lang_id""".stripMargin,
+
+    "q_source_gini" ->
+      """WITH x AS (
+        |  SELECT source, count(*) AS x FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x ASC, source ASC)
+        |    AS BIGINT) AS i
+        |  FROM x),
+        |a AS (
+        |  SELECT count(*) AS n_sources, CAST(sum(x) AS BIGINT) AS n_docs,
+        |    CAST(sum(i * x) AS BIGINT) AS ix
+        |  FROM r)
+        |SELECT n_sources, n_docs,
+        |  round(CAST(2 * ix - (n_sources + 1) * n_docs AS DOUBLE)
+        |    / (n_sources * n_docs), 6) AS gini
+        |FROM a""".stripMargin,
 
     // Word co-occurrence graph + the q_pagerank round template; ids from
     // the same lexicographic row_number, so even the internal ids align.

@@ -96,6 +96,36 @@ object Events {
           .when(col("psi") < 0.25, "moderate").otherwise("shifted"))
     }),
 
+    // Kolmogorov-Smirnov drift beside PSI: exact max |F_ref − F_cur| over
+    // the OBSERVED value support per event type — no binning dial at all,
+    // the sensitivity PSI's 10 bins can smooth away. One hash-agg to the
+    // distinct (type, value) grain, running-count windows partitioned by
+    // type, per-row rounded CDF gap, max. The verdict gates on the same
+    // rounded metric both engines compute — not a display rounding.
+    "q_ks_drift" -> ((s, dir) => {
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val g = t(s, dir, "events")
+        .groupBy(col("event_type"), col("value"))
+        .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("c_cur"))
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      g.withColumn("cum_ref", sum(col("c_ref")).over(wOrd))
+        .withColumn("cum_cur", sum(col("c_cur")).over(wOrd))
+        .withColumn("n_ref", sum(col("c_ref")).over(wAll))
+        .withColumn("n_cur", sum(col("c_cur")).over(wAll))
+        .withColumn("d", round(abs(
+          col("cum_ref").cast("double") / col("n_ref") -
+            col("cum_cur").cast("double") / col("n_cur")), 6))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+          max(col("d")).as("ks"))
+        .withColumn("verdict",
+          when(col("ks") > 0.1, "drifted").otherwise("stable"))
+    }),
+
     // Tumbling 1-hour window per event type (Spark's window() operator;
     // epoch-aligned buckets).
     "q_time_tumbling" -> ((s, dir) =>
@@ -372,6 +402,36 @@ object Events {
         |  round(abs(cusum_scaled) / (n * 100.0), 2) AS max_cusum,
         |  n AS n_hours
         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH g AS (
+        |  SELECT event_type, value,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type,
+        |    sum(c_ref) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ref,
+        |    sum(c_cur) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cur,
+        |    sum(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+        |    sum(c_cur) OVER (PARTITION BY event_type) AS n_cur
+        |  FROM g),
+        |d AS (
+        |  SELECT event_type, n_ref, n_cur,
+        |    round(abs(CAST(cum_ref AS DOUBLE) / n_ref
+        |      - CAST(cum_cur AS DOUBLE) / n_cur), 6) AS d
+        |  FROM c),
+        |a AS (
+        |  SELECT event_type, CAST(max(n_ref) AS BIGINT) AS n_ref,
+        |    CAST(max(n_cur) AS BIGINT) AS n_cur, max(d) AS ks
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n_ref, n_cur, ks,
+        |  CASE WHEN ks > 0.1 THEN 'drifted' ELSE 'stable' END AS verdict
+        |FROM a""".stripMargin,
 
     "q_psi_drift" ->
       """WITH g AS (
