@@ -210,6 +210,23 @@ object Docs {
       Bpe.segmentation(
         Bpe.learnMerges(t(s, dir, "documents"), "text", 8)._2)),
 
+    // Per-document token counts under the TRAINED tokenizer — the number
+    // packing and batching actually budget against (whitespace counts are
+    // the pre-tokenizer proxy). Same broadcast-join shape as fertility,
+    // grouped back to the document grain.
+    "q_bpe_doc_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seg = Bpe.segmentation(Bpe.learnMerges(docs, "text", 8)._2)
+        .select(col("word"), col("n_pieces"))
+      docs.select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+"), lit(0))).as("word"))
+        .join(seg, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_bpe_tokens"))
+    }),
+
     // Tokenizer fertility per language: mean pieces per word OCCURRENCE
     // under the trained tokenizer — the compression audit that decides
     // whether a tokenizer underserves a language. Second corpus pass
@@ -2367,6 +2384,22 @@ object Docs {
           |SELECT lang, count(*) AS n_words,
           |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
           |  round(CAST(sum(n_pieces) AS DOUBLE) / count(*), 4) AS fertility
+          |FROM wrds JOIN seg USING (word)
+          |GROUP BY 1""".stripMargin),
+
+    "q_bpe_doc_tokens" ->
+      (s"WITH ${bpeCtes(8)},\n" +
+        """wrds AS (
+          |  SELECT doc_id,
+          |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          |  FROM documents),
+          |seg AS (
+          |  SELECT word,
+          |    CAST(len(str_split(trim(repr, '[]'), '][')) AS BIGINT)
+          |      AS n_pieces
+          |  FROM v8)
+          |SELECT doc_id, count(*) AS n_words,
+          |  CAST(sum(n_pieces) AS BIGINT) AS n_bpe_tokens
           |FROM wrds JOIN seg USING (word)
           |GROUP BY 1""".stripMargin),
 
