@@ -116,6 +116,10 @@ object Events {
         .withColumn("cum_cur", sum(col("c_cur")).over(wOrd))
         .withColumn("n_ref", sum(col("c_ref")).over(wAll))
         .withColumn("n_cur", sum(col("c_cur")).over(wAll))
+        // KS is defined only for types observed on BOTH sides (an
+        // all-null ingest row yields an n=0 partition — drop it, don't
+        // divide by it).
+        .filter(col("n_ref") > 0 && col("n_cur") > 0)
         .withColumn("d", round(abs(
           col("cum_ref").cast("double") / col("n_ref") -
             col("cum_cur").cast("double") / col("n_cur")), 6))
@@ -424,7 +428,7 @@ object Events {
         |  SELECT event_type, n_ref, n_cur,
         |    round(abs(CAST(cum_ref AS DOUBLE) / n_ref
         |      - CAST(cum_cur AS DOUBLE) / n_cur), 6) AS d
-        |  FROM c),
+        |  FROM c WHERE n_ref > 0 AND n_cur > 0),
         |a AS (
         |  SELECT event_type, CAST(max(n_ref) AS BIGINT) AS n_ref,
         |    CAST(max(n_cur) AS BIGINT) AS n_cur, max(d) AS ks
