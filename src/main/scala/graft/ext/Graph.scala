@@ -269,6 +269,54 @@ object Graph {
           .otherwise(lit(0.0)).as("coeff"))
   }
 
+  /** Synchronous label propagation community detection (Raghavan,
+    * Albert & Kumara 2007) with DETERMINISTIC tie-breaks: l_0(v) = v;
+    * each round every node adopts the label most frequent among its
+    * neighbors, ties broken by the SMALLEST label — the original
+    * algorithm breaks ties randomly, which would diverge across
+    * engines/partitionings, so the min-label rule replaces it (the same
+    * determinism substitution the dedup clusters make for "arbitrary
+    * survivor"). A fixed round count (synchronous/Pregel formulation)
+    * rather than run-to-convergence: synchronous LPA can oscillate on
+    * bipartite structure, so a bounded audit pass is the honest contract.
+    *
+    * Scale shape: the undirected neighbor list (both directions of the
+    * canonical lo<hi edge set) is built once and localCheckpointed; each
+    * round is ONE equi-join of the node-sized label table onto the
+    * neighbor list + a (node, label) hash-agg with map-side combine +
+    * a per-node max(struct) argmax — O(E) per round, labels
+    * localCheckpointed so the plan never deepens. All arithmetic is
+    * integer (counts and long labels): bit-identical across engines.
+    *
+    * Returns (node_id, community) for every node of the graph.
+    */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val und = canonicalEdges(pairs, aCol, bCol)
+    val nbr = und.select(col("lo").as("id"), col("hi").as("nb"))
+      .unionAll(und.select(col("hi").as("id"), col("lo").as("nb")))
+      .localCheckpoint()
+    val nodes = und.select(col("lo").as("id"))
+      .union(und.select(col("hi").as("id"))).distinct().localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iters) {
+      // argmax by (count, -label): max struct comparison is
+      // lexicographic, so equal counts fall through to the LARGEST
+      // negated label = smallest label. Isolated nodes can't occur
+      // (every node has >=1 edge by construction).
+      labels = nbr
+        .join(labels.select(col("id").as("nb"), col("lbl")), Seq("nb"))
+        .groupBy(col("id"), col("lbl"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("id"))
+        .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("top"))
+        .select(col("id"), (-col("top.neg")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("id").as("node_id"), col("lbl").as("community"))
+  }
+
   /** One round's in-contribution table (id, c) — equi-join of ranks and
     * outdegree onto the edge list, hash-agg on dst with map-side partial
     * sums. Factored out so PlanSpec can pin the round's physical shape

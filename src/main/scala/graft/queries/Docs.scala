@@ -1130,6 +1130,62 @@ object Docs {
         (rWc && rMean && rAlpha && rSym && rStop).as("keep"))
     }),
 
+    // Classifier-based quality filtering (the GPT-3 Appendix-A /
+    // CCNet-lineage move: train a cheap linear classifier on weak labels,
+    // score the corpus): multinomial Naive Bayes with add-one smoothing
+    // over whitespace unigrams, trained DISTRIBUTEDLY on the
+    // deterministic hash-split's train docs with the heuristic rule
+    // verdict as the weak label, scored on held-out. Every per-type
+    // log-likelihood-ratio weight is floored to a nano-unit long in the
+    // vocabulary-sized model table (the per-TYPE discipline of
+    // q_perplexity's model), so a document's score is an exact integer
+    // sum — order-free across partitionings and engines. Scale shape:
+    // ONE corpus pass for token counts (map-side combine), model table
+    // vocab-sized and broadcast into the scoring join, scoring is one
+    // explode→left-join→hash-agg over the held-out split.
+    "q_nb_scores" -> ((s, dir) =>
+      nbScored(s, dir).select(col("doc_id"), col("n_tokens"),
+        col("n_oov"), col("score_nano"),
+        (col("score_nano") > 0).as("predicted"))),
+
+    // Held-out confusion against the weak labels: TP/FP/FN/TN cells in
+    // one pass, then accuracy / precision / recall / F1 each as a SINGLE
+    // IEEE division of exact integers (F1 via 2·tp/(2·tp+fp+fn) — one
+    // division, no composition of rounded intermediates), rounded to 4.
+    "q_nb_eval" -> ((s, dir) => {
+      val sc = nbScored(s, dir)
+        .select((col("score_nano") > 0).as("p"), col("actual_pos").as("a"))
+      def cell(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val agg = sc.agg(
+        cell(col("p") && col("a")).as("n_tp"),
+        cell(col("p") && !col("a")).as("n_fp"),
+        cell(!col("p") && col("a")).as("n_fn"),
+        cell(!col("p") && !col("a")).as("n_tn"))
+      def ratio(num: Column, den: Column) =
+        when(den > 0, round(num.cast("double") / den, 4)).otherwise(0.0)
+      agg.select(col("n_tp"), col("n_fp"), col("n_fn"), col("n_tn"),
+        ratio(col("n_tp") + col("n_tn"),
+          col("n_tp") + col("n_tn") + col("n_fp") + col("n_fn"))
+          .as("accuracy"),
+        ratio(col("n_tp"), col("n_tp") + col("n_fp")).as("prec"),
+        ratio(col("n_tp"), col("n_tp") + col("n_fn")).as("rec"),
+        ratio(col("n_tp") * 2, col("n_tp") * 2 + col("n_fp") +
+          col("n_fn")).as("f1"))
+    }),
+
+    // The model inspection surface: the 15 most positive- and most
+    // negative-indicative token types by nano-unit weight (tok breaks
+    // integer ties, so the LIMIT order is total on both engines).
+    "q_nb_top_features" -> ((s, dir) => {
+      val w = nbWeights(s, dir)._1
+        .select(col("tok"), col("cp"), col("cn"), col("w_nano"))
+      w.orderBy(col("w_nano").desc, col("tok")).limit(15)
+        .withColumn("side", lit("pos"))
+        .unionAll(
+          w.orderBy(col("w_nano").asc, col("tok")).limit(15)
+            .withColumn("side", lit("neg")))
+    }),
+
     // The production composition: MinHash-LSH candidates verified by exact
     // Jaccard on candidates only.
     "q_dedup_minhash_verified" -> ((s, dir) =>
@@ -1780,6 +1836,84 @@ object Docs {
     * a ASC, b ASC) argmax; v_r = v_{r-1} with that merge replaced in.
     * ONE definition for both BPE oracles.
     */
+  /** The heuristic keep rule as a boolean — q_quality_filter's reason
+    * cascade collapsed to its `keep` branch; the Naive Bayes family's
+    * weak label. Every term is an IEEE division or integer compare, so
+    * both engines decide it identically.
+    */
+  private def nbKeep: Column = {
+    val toks = split(col("text"), " ")
+    val nt = size(toks).cast("double")
+    val ndist = size(array_distinct(toks)).cast("double")
+    val avgLen = length(regexp_replace(col("text"), " ", ""))
+      .cast("double") / nt
+    !(nt < 30 || nt > 400 || ndist / nt < 0.2 || avgLen < 2 || avgLen > 12)
+  }
+
+  /** Naive Bayes model: (weight table (tok, cp, cn, w_nano), one-row
+    * constants (np, nn, v, dp, dn, w0, prior)). w_nano is the add-one-
+    * smoothed log-likelihood ratio ln((cp+1)/(Npos+V)) −
+    * ln((cn+1)/(Nneg+V)) floored to nano-units per TYPE; w0 is the same
+    * formula at cp = cn = 0 (the unseen-token weight), prior is
+    * ln(docs_pos/docs_neg) in nano-units. The train projection is
+    * localCheckpointed so token counts and doc priors read ONE corpus
+    * scan; the count table is vocabulary-sized (Zipf-small), constants
+    * are one row.
+    */
+  private def nbWeights(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val train = t(s, dir, "documents")
+      .filter(splitCol(col("doc_id")) === "train")
+      .select(nbKeep.as("pos"), col("text"))
+      .localCheckpoint()
+    val cnt = train
+      .select(col("pos"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("cn"))
+      .localCheckpoint()
+    val scal = cnt
+      .agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+        count(lit(1)).as("v"))
+      .crossJoin(train.agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("dp"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("dn")))
+      .select(col("np"), col("nn"), col("v"), col("dp"), col("dn"),
+        floor((log(lit(1.0) / (col("np") + col("v"))) -
+          log(lit(1.0) / (col("nn") + col("v")))) * 1e9 + 0.5)
+          .cast("long").as("w0"),
+        floor(log(col("dp").cast("double") / col("dn")) * 1e9 + 0.5)
+          .cast("long").as("prior"))
+    val wtab = cnt.crossJoin(broadcast(scal.select("np", "nn", "v")))
+      .select(col("tok"), col("cp"), col("cn"),
+        floor((log((col("cp") + 1.0) / (col("np") + col("v"))) -
+          log((col("cn") + 1.0) / (col("nn") + col("v")))) * 1e9 + 0.5)
+          .cast("long").as("w_nano"))
+    (wtab, scal)
+  }
+
+  /** Held-out docs scored by the Naive Bayes model: (doc_id, n_tokens,
+    * n_oov, score_nano, actual_pos). score = prior + Σ occurrences'
+    * weights, unseen types contributing w0 each — all integer sums.
+    */
+  private def nbScored(s: SparkSession, dir: String): DataFrame = {
+    val (wtab, scal) = nbWeights(s, dir)
+    t(s, dir, "documents")
+      .filter(splitCol(col("doc_id")) =!= "train")
+      .select(col("doc_id"), nbKeep.as("actual_pos"),
+        explode(split(col("text"), " ")).as("tok"))
+      .join(wtab.select(col("tok"), col("w_nano")), Seq("tok"), "left")
+      .groupBy(col("doc_id"), col("actual_pos"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("w_nano"), lit(0L))).as("sw"),
+        sum(when(col("w_nano").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .crossJoin(broadcast(scal.select(col("w0"), col("prior"))))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("prior") + col("sw") + col("n_oov") * col("w0"))
+          .as("score_nano"),
+        col("actual_pos"))
+  }
+
   private def bpeCtes(rounds: Int): String = {
     val v0 =
       """v0 AS (
@@ -1970,6 +2104,64 @@ object Docs {
     * [[dsirScores]] (B=64 md5 bigram buckets, +1/(N+B) Laplace smoothing,
     * mean per-bigram log ratio); ONE definition for both DSIR oracles.
     */
+  /** DuckDB twin of the Naive Bayes machinery: weak labels over the
+    * hash split, train token counts, nano-unit per-type weights, scored
+    * held-out docs. Mirrors nbKeep/nbWeights/nbScored formula-for-
+    * formula (same divisions into ln, same floor(x·1e9 + 0.5) quantize),
+    * so engine equality is per-TYPE on a vocabulary-sized table.
+    * Depends on the `splits` CTE (splitsCte).
+    */
+  private val nbCtes =
+    """nb_lab AS (
+      |  SELECT d.doc_id, s.split,
+      |    NOT (nt < 30 OR nt > 400 OR ndist / nt < 0.2
+      |      OR cl / nt < 2 OR cl / nt > 12) AS pos,
+      |    d.text
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+      |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        AS ndist,
+      |      CAST(length(replace(text, ' ', '')) AS DOUBLE) AS cl
+      |    FROM documents) d
+      |  JOIN splits s ON s.doc_id = d.doc_id),
+      |nb_cnt AS (
+      |  SELECT tok,
+      |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+      |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+      |  FROM (SELECT pos, unnest(string_split(text, ' ')) AS tok
+      |        FROM nb_lab WHERE split = 'train')
+      |  GROUP BY 1),
+      |nb_const AS (
+      |  SELECT np, nn, v, dp, dn,
+      |    CAST(floor((ln(1.0 / (np + v)) - ln(1.0 / (nn + v)))
+      |      * 1000000000 + 0.5) AS BIGINT) AS w0,
+      |    CAST(floor(ln(CAST(dp AS DOUBLE) / dn) * 1000000000 + 0.5)
+      |      AS BIGINT) AS prior
+      |  FROM (SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v
+      |        FROM nb_cnt),
+      |       (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS dp,
+      |               sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS dn
+      |        FROM nb_lab WHERE split = 'train')),
+      |nb_w AS (
+      |  SELECT tok, cp, cn,
+      |    CAST(floor((ln((cp + 1.0) / (np + v)) - ln((cn + 1.0)
+      |      / (nn + v))) * 1000000000 + 0.5) AS BIGINT) AS w_nano
+      |  FROM nb_cnt, nb_const),
+      |nb_scored AS (
+      |  SELECT s.doc_id, s.actual_pos,
+      |    CAST(s.n_tokens AS BIGINT) AS n_tokens,
+      |    CAST(s.n_oov AS BIGINT) AS n_oov,
+      |    CAST(c.prior + s.sw + s.n_oov * c.w0 AS BIGINT) AS score_nano
+      |  FROM (
+      |    SELECT h.doc_id, h.pos AS actual_pos, count(*) AS n_tokens,
+      |      sum(COALESCE(w.w_nano, 0)) AS sw,
+      |      sum(CASE WHEN w.w_nano IS NULL THEN 1 ELSE 0 END) AS n_oov
+      |    FROM (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS tok
+      |          FROM nb_lab WHERE split != 'train') h
+      |    LEFT JOIN nb_w w ON w.tok = h.tok
+      |    GROUP BY 1, 2) s, nb_const c)""".stripMargin
+
   private val dsirCtes =
     """toksd AS (SELECT doc_id, source, string_split(text, ' ') AS t
       |  FROM documents),
@@ -2327,6 +2519,56 @@ object Docs {
         |     CAST(n_ell AS DOUBLE) / n_words <= 0.1) AND
         |    n_stop >= 2 AS keep
         |FROM m""".stripMargin,
+
+    "q_nb_scores" ->
+      s"""WITH $splitsCte,
+        |$nbCtes
+        |SELECT doc_id, n_tokens, n_oov, score_nano,
+        |  score_nano > 0 AS predicted
+        |FROM nb_scored""".stripMargin,
+
+    // Cells as exact integers; each measure ONE IEEE division rounded to
+    // 4 (F1 = 2·tp/(2·tp+fp+fn), never a composition of rounded values).
+    "q_nb_eval" ->
+      s"""WITH $splitsCte,
+        |$nbCtes,
+        |cells AS (
+        |  SELECT
+        |    sum(CASE WHEN score_nano > 0 AND actual_pos
+        |        THEN 1 ELSE 0 END) AS tp,
+        |    sum(CASE WHEN score_nano > 0 AND NOT actual_pos
+        |        THEN 1 ELSE 0 END) AS fp,
+        |    sum(CASE WHEN score_nano <= 0 AND actual_pos
+        |        THEN 1 ELSE 0 END) AS fn,
+        |    sum(CASE WHEN score_nano <= 0 AND NOT actual_pos
+        |        THEN 1 ELSE 0 END) AS tn
+        |  FROM nb_scored)
+        |SELECT CAST(tp AS BIGINT) AS n_tp, CAST(fp AS BIGINT) AS n_fp,
+        |  CAST(fn AS BIGINT) AS n_fn, CAST(tn AS BIGINT) AS n_tn,
+        |  CASE WHEN tp + tn + fp + fn > 0 THEN
+        |    round(CAST(tp + tn AS DOUBLE) / (tp + tn + fp + fn), 4)
+        |    ELSE 0.0 END AS accuracy,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / (tp + fp), 4) ELSE 0.0 END AS prec,
+        |  CASE WHEN tp + fn > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / (tp + fn), 4) ELSE 0.0 END AS rec,
+        |  CASE WHEN tp * 2 + fp + fn > 0 THEN
+        |    round(CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn), 4)
+        |    ELSE 0.0 END AS f1
+        |FROM cells""".stripMargin,
+
+    "q_nb_top_features" ->
+      s"""WITH $splitsCte,
+        |$nbCtes
+        |SELECT * FROM (
+        |  SELECT tok, CAST(cp AS BIGINT) AS cp, CAST(cn AS BIGINT) AS cn,
+        |    w_nano, 'pos' AS side
+        |  FROM nb_w ORDER BY w_nano DESC, tok LIMIT 15)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT tok, CAST(cp AS BIGINT) AS cp, CAST(cn AS BIGINT) AS cn,
+        |    w_nano, 'neg' AS side
+        |  FROM nb_w ORDER BY w_nano ASC, tok LIMIT 15)""".stripMargin,
 
     "q_split_assign" ->
       """WITH b AS (

@@ -486,6 +486,25 @@ object Joins {
           col("l_partkey").as("dst"))
       graft.ext.Graph.hitsMicro(edges, "src", "dst", iters = 3)
     }),
+
+    // Label propagation community detection (Raghavan et al. 2007) over
+    // the part co-purchase graph — the near-linear community pass that
+    // groups co-occurring parts without a target cluster count. Four
+    // synchronous rounds; ties go to the SMALLEST label (the original's
+    // random tie-break would diverge across engines — same determinism
+    // substitution the dedup clusters make). All-integer arithmetic, one
+    // O(E) neighbor join + (node, label) hash-agg per round
+    // (graft.ext.Graph.labelPropagation).
+    "q_label_prop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val other = li.select(col("l_orderkey"),
+        col("l_partkey").as("r_partkey"))
+      val pairs = li.join(other, Seq("l_orderkey"))
+        .filter(col("l_partkey") =!= col("r_partkey"))
+        .select(col("l_partkey").as("pa"), col("r_partkey").as("pb"))
+      graft.ext.Graph.labelPropagation(pairs, "pa", "pb", iters = 4)
+    }),
   )
 
   /** Shared DuckDB CTE chain for the triangle family — canonical
@@ -766,6 +785,31 @@ object Joins {
         |  w_bal > 0 AS bal_agree, w_seg > 0 AS seg_agree,
         |  CAST(w_name + w_bal + w_seg AS BIGINT) AS weight_nano
         |FROM pairs WHERE w_name + w_bal + w_seg > 0""".stripMargin,
+
+    // Unrolled 4-round LPA twin: per round, neighbor-label counts then
+    // the (max count, min label) argmax via a window max + min(lbl) over
+    // the tied rows — integer-exact, so equality with the Spark side's
+    // max(struct(n, -lbl)) argmax is by construction.
+    "q_label_prop" ->
+      ("""WITH p AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+        |    greatest(a.l_partkey, b.l_partkey) AS hi
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey != b.l_partkey),
+        |nbr AS (SELECT lo AS id, hi AS nb FROM p
+        |        UNION ALL SELECT hi, lo FROM p),
+        |n AS (SELECT lo AS id FROM p UNION SELECT hi FROM p),
+        |l0 AS (SELECT id, id AS lbl FROM n)""" +
+        (1 to 4).map(i => s""",
+        |c$i AS (
+        |  SELECT nbr.id, l.lbl, count(*) AS cnt
+        |  FROM nbr JOIN l${i - 1} l ON l.id = nbr.nb GROUP BY 1, 2),
+        |l$i AS (
+        |  SELECT id, min(lbl) AS lbl FROM (
+        |    SELECT id, lbl, cnt, max(cnt) OVER (PARTITION BY id) AS mx
+        |    FROM c$i)
+        |  WHERE cnt = mx GROUP BY id)""").mkString + """
+        |SELECT id AS node_id, lbl AS community FROM l4""").stripMargin,
 
     // Deliberately BLOCKING-FREE: the oracle runs exact levenshtein over
     // ALL word pairs (fine for DuckDB at vocabulary size), so a candidate

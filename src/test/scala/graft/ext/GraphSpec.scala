@@ -146,6 +146,27 @@ class GraphSpec extends AnyFunSuite {
         a <= Graph.HitsScaleMicro })
   }
 
+  test("label propagation: two cliques with one bridge settle into two " +
+      "min-id communities") {
+    // Cliques {1,2,3} and {10,11,12}, bridged 3-10. Hand-simulated 4
+    // synchronous min-tie rounds: the left clique settles on label 1 by
+    // round 3; the right clique's labels funnel through the bridge
+    // endpoint's id (10's round-2 label is 3, which then wins the right
+    // clique's majority) — communities {1,2,3} -> 1 and {10,11,12} -> 3,
+    // and the bridge can't flip either side (one vote vs two).
+    val cl = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val got = Graph.labelPropagation(edges(cl: _*), "src", "dst", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+    // Tie-break pins: on a single edge both nodes adopt the neighbor's
+    // label each round; after an even round count each ends with its own.
+    val pair = Graph.labelPropagation(edges((5L, 6L)), "src", "dst", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pair === Map(5L -> 5L, 6L -> 6L))
+  }
+
   test("null endpoint fails loudly") {
     import spark.implicits._
     val df = Seq((Some(1L), Some(2L)), (None, Some(3L)))

@@ -383,6 +383,40 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(direct == reported, s"$ty: direct $direct vs $reported")
   }
 
+  test("q_nb: scores are consistent with the eval cells, the classifier " +
+      "beats the majority-class baseline on the weak labels, and the " +
+      "feature table is sign-consistent") {
+    val scores = Docs.queries("q_nb_scores")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    // predicted is exactly score > 0.
+    scores.values.foreach { case (_, _, sc, p) => assert(p == (sc > 0)) }
+    val ev = Docs.queries("q_nb_eval")(spark, dir).head()
+    val (tp, fp, fn, tn) = (ev.getLong(0), ev.getLong(1), ev.getLong(2),
+      ev.getLong(3))
+    assert(tp + fp + fn + tn == scores.size.toLong)
+    // The held-out weak labels recomputed directly; accuracy must beat
+    // always-predict-the-majority-class (the classifier learned
+    // SOMETHING from the unigram counts).
+    val majority = math.max(tp + fn, fp + tn).toDouble / scores.size
+    assert(ev.getDouble(4) >= majority - 1e-9,
+      s"accuracy ${ev.getDouble(4)} below majority baseline $majority")
+    // f1 from the cells, one division.
+    assert(ev.getDouble(7) ==
+      math.rint(2.0 * tp / (2 * tp + fp + fn) * 10000) / 10000)
+    val feats = Docs.queries("q_nb_top_features")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val pos = feats.filter(_._5 == "pos").map(_._4)
+    val neg = feats.filter(_._5 == "neg").map(_._4)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    // Every pos-side weight >= every neg-side weight (they are the two
+    // ends of one ranked table).
+    assert(pos.min >= neg.max ||
+      pos.toSet.intersect(neg.toSet).nonEmpty)
+  }
+
   test("q_dedup_cross_source: unordered pair key is normalized and pair " +
       "counts sum to the verified pair total") {
     val rows = Docs.queries("q_dedup_cross_source")(spark, dir)
