@@ -300,6 +300,35 @@ object Docs {
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(40)),
 
+    // Distinct-n diversity (Li et al. 2016): per-source ratio of
+    // distinct to total n-grams for n = 1, 2, 3 — the repetitiveness /
+    // mode-collapse audit a generation or curation pass reads (a source
+    // whose distinct-2 craters is templated or machine-looped). Shingle
+    // semantics shared with the whole dedup family (short docs emit one
+    // whole-doc gram); three explode→hash-aggs joined on the
+    // source-sized result, each a single corpus pass with map-side
+    // combine; each ratio ONE IEEE division of exact longs, rounded 4.
+    "q_diversity_distinct_n" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def grams(n: Int, tot: String, dis: String) =
+        Dedup.docShingles(docs, "source", "text", n)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as(tot), countDistinct(col("shingle")).as(dis))
+      grams(1, "n_unigrams", "d_unigrams")
+        .join(grams(2, "n_bigrams", "d_bigrams"), Seq("source"))
+        .join(grams(3, "n_trigrams", "d_trigrams"), Seq("source"))
+        .select(col("source"),
+          col("n_unigrams"), col("d_unigrams"),
+          round(col("d_unigrams").cast("double") / col("n_unigrams"), 4)
+            .as("distinct_1"),
+          col("n_bigrams"), col("d_bigrams"),
+          round(col("d_bigrams").cast("double") / col("n_bigrams"), 4)
+            .as("distinct_2"),
+          col("n_trigrams"), col("d_trigrams"),
+          round(col("d_trigrams").cast("double") / col("n_trigrams"), 4)
+            .as("distinct_3"))
+    }),
+
     // Language/quality distribution: the Text expressions composed in an
     // aggregate (per-language doc counts + mean quality + token volume).
     "q_lang_dist" -> ((s, dir) =>
@@ -2936,6 +2965,39 @@ object Docs {
         |  FROM toks2)
         |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 40""".stripMargin,
+
+    "q_diversity_distinct_n" ->
+      """WITH dd AS (SELECT source, string_split(text, ' ') AS t
+        |           FROM documents),
+        |u AS (
+        |  SELECT source, count(*) AS n1, count(DISTINCT g) AS d1
+        |  FROM (SELECT source, unnest(t) AS g FROM dd) GROUP BY 1),
+        |b AS (
+        |  SELECT source, count(*) AS n2, count(DISTINCT g) AS d2
+        |  FROM (SELECT source, unnest(CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(1, len(t)),
+        |           i -> array_to_string(t[i:i+1], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS g FROM dd)
+        |  GROUP BY 1),
+        |tr AS (
+        |  SELECT source, count(*) AS n3, count(DISTINCT g) AS d3
+        |  FROM (SELECT source, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1),
+        |           i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS g FROM dd)
+        |  GROUP BY 1)
+        |SELECT u.source,
+        |  CAST(n1 AS BIGINT) AS n_unigrams, CAST(d1 AS BIGINT)
+        |    AS d_unigrams,
+        |  round(CAST(d1 AS DOUBLE) / n1, 4) AS distinct_1,
+        |  CAST(n2 AS BIGINT) AS n_bigrams, CAST(d2 AS BIGINT)
+        |    AS d_bigrams,
+        |  round(CAST(d2 AS DOUBLE) / n2, 4) AS distinct_2,
+        |  CAST(n3 AS BIGINT) AS n_trigrams, CAST(d3 AS BIGINT)
+        |    AS d_trigrams,
+        |  round(CAST(d3 AS DOUBLE) / n3, 4) AS distinct_3
+        |FROM u JOIN b ON b.source = u.source
+        |JOIN tr ON tr.source = u.source""".stripMargin,
 
     "q_lang_dist" ->
       """WITH x AS (SELECT text, string_split(text, ' ') AS toks FROM documents),

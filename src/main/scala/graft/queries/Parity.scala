@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -125,6 +125,20 @@ object Parity {
             .when(col("nation_n") >= 10, lit(1L))
             .otherwise(lit(2L)).as("anon_level"))
     }),
+
+    // l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    // completion: a group can be k-large yet leak the sensitive value if
+    // every member shares it. Same QI pair (nation, segment), sensitive
+    // attribute = the 1000-wide account-balance band; distinct l >= 3 is
+    // the verdict. One hash-agg (count + distinct-count of the band in a
+    // single pass), group-sized output at any scale.
+    "q_l_diversity" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("group_n"),
+          countDistinct(floor(col("c_acctbal") / 1000).cast("long"))
+            .as("l_distinct"))
+        .withColumn("diverse", col("l_distinct") >= 3)),
 
     // A4: exact dedup == SELECT DISTINCT (survivor identity immaterial).
     "q_dedup_exact" -> ((s, dir) =>
@@ -466,9 +480,194 @@ object Parity {
         .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
           count(lit(1)).as("n_orders"))
     }),
+
+    // Z-order (Morton) data layout — the multi-dimension clustering move
+    // behind Delta/Iceberg OPTIMIZE ZORDER: interleave the bits of the
+    // two filter dimensions so range predicates on EITHER dimension map
+    // to a bounded set of contiguous files, instead of a linear sort
+    // that serves only its leading column. Pure integer bit arithmetic
+    // (16-bit magic-mask spread + interleave — identical << & | ops on
+    // both engines, zero drift); file assignment is rank div 500 over
+    // the z key via ext/GlobalRank (no single-partition window at
+    // scale); output is each file's min/max zone map per dimension —
+    // exactly the footer stats a 100 TB scan would prune on.
+    "q_zorder_layout" -> ((s, dir) =>
+      zorderFileStats(zorderBase(s, dir), Seq(col("z"),
+        col("l_orderkey"), col("l_linenumber")), "zorder")
+        .select(col("file_id"), col("n_rows"), col("min_pk"),
+          col("max_pk"), col("min_sk"), col("max_sk"))),
+
+    // The measurement that justifies the layout: for ten diagonal
+    // decile-box probes (one tenth of each dimension's range), count the
+    // files whose zone maps intersect the probe under the z-order layout
+    // vs the linear (pk, sk) sort — the fraction of files a pruning scan
+    // must touch. Z-order should touch strictly fewer files on probes
+    // away from the linear sort's leading-column prefix; the oracle
+    // recomputes both layouts and the probe overlap exactly.
+    "q_zorder_skipping" -> ((s, dir) => {
+      val base = zorderBase(s, dir).localCheckpoint()
+      val stats = zorderFileStats(base, Seq(col("z"), col("l_orderkey"),
+          col("l_linenumber")), "zorder")
+        .unionAll(zorderFileStats(base, Seq(col("pk"), col("sk"),
+          col("l_orderkey"), col("l_linenumber")), "linear"))
+        .localCheckpoint()
+      val bounds = base.agg(min(col("pk")).as("pmin"),
+        max(col("pk")).as("pmax"), min(col("sk")).as("smin"),
+        max(col("sk")).as("smax"))
+        .withColumn("wp", expr("((pmax - pmin) div 10) + 1"))
+        .withColumn("ws", expr("((smax - smin) div 10) + 1"))
+      val probes = s.range(10).select(col("id").as("probe_id"))
+        .crossJoin(broadcast(bounds))
+        .select(col("probe_id"),
+          (col("pmin") + col("probe_id") * col("wp")).as("plo"),
+          (col("pmin") + col("probe_id") * col("wp") + col("wp") - 1)
+            .as("phi"),
+          (col("smin") + col("probe_id") * col("ws")).as("slo"),
+          (col("smin") + col("probe_id") * col("ws") + col("ws") - 1)
+            .as("shi"))
+      val grid = stats.select(col("layout")).distinct().crossJoin(probes)
+      val totals = stats.groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_files"))
+      val st = stats.select(col("layout").as("l2"), col("file_id"),
+        col("min_pk"), col("max_pk"), col("min_sk"), col("max_sk"))
+      grid.join(st, col("layout") === col("l2") &&
+          col("min_pk") <= col("phi") && col("max_pk") >= col("plo") &&
+          col("min_sk") <= col("shi") && col("max_sk") >= col("slo"),
+          "left")
+        .groupBy(col("layout"), col("probe_id"))
+        .agg(sum(when(col("file_id").isNotNull, 1L).otherwise(0L))
+          .as("files_touched"))
+        .join(totals, Seq("layout"))
+    }),
   )
 
+  /** 16-bit magic-mask bit spread (x -> x with a zero bit between every
+    * data bit) — the classic Morton-code dilation, identical integer ops
+    * on both engines.
+    */
+  private def mortonSpread(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(65535L))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(16711935L))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(252645135L))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(858993459L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(1431655765L))
+  }
+
+  /** 32-bit Morton interleave of two 16-bit keys (a in even bits, b in
+    * odd bits).
+    */
+  private def zorder16(a: Column, b: Column): Column =
+    mortonSpread(a).bitwiseOR(shiftleft(mortonSpread(b), 1))
+
+  /** The z-order family's shared base: lineitem keyed by (partkey,
+    * suppkey) with the Morton key attached — one codegen'd projection.
+    */
+  private def zorderBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey").cast("long").as("pk"),
+      col("l_suppkey").cast("long").as("sk"))
+      .withColumn("z", zorder16(col("pk"), col("sk")))
+
+  /** 500-row files under the given total order (unique via the
+    * (orderkey, linenumber) tiebreak) with per-file zone maps. Global
+    * rank comes from ext/GlobalRank — range-repartition + broadcast
+    * partition offsets, never a single-partition window.
+    */
+  private def zorderFileStats(base: DataFrame, keys: Seq[Column],
+      layout: String): DataFrame = {
+    val (ranked, _) = graft.ext.GlobalRank.withGlobalRowNumberAdaptive(
+      base, "rn", keys: _*)
+    ranked.withColumn("file_id", expr("(rn - 1) div 500"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+        min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk"))
+      .withColumn("layout", lit(layout))
+  }
+
+  /** DuckDB twin of the Morton chain + z-order file stats: the same
+    * magic-mask dilation constants, the same (z, orderkey, linenumber)
+    * total order, rank // 500 files, per-file zone maps. Declared BEFORE
+    * the oracles map (same-object forward reference would init to null).
+    */
+  private val zorderCtes: String =
+    """zb AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk
+      |  FROM lineitem),
+      |z1 AS (SELECT l_orderkey, l_linenumber, pk, sk,
+      |  pk & 65535 AS xa, sk & 65535 AS xb FROM zb),
+      |z2 AS (SELECT l_orderkey, l_linenumber, pk, sk,
+      |  ((xa | (xa << 8)) & 16711935) AS xa,
+      |  ((xb | (xb << 8)) & 16711935) AS xb FROM z1),
+      |z3 AS (SELECT l_orderkey, l_linenumber, pk, sk,
+      |  ((xa | (xa << 4)) & 252645135) AS xa,
+      |  ((xb | (xb << 4)) & 252645135) AS xb FROM z2),
+      |z4 AS (SELECT l_orderkey, l_linenumber, pk, sk,
+      |  ((xa | (xa << 2)) & 858993459) AS xa,
+      |  ((xb | (xb << 2)) & 858993459) AS xb FROM z3),
+      |z5 AS (SELECT l_orderkey, l_linenumber, pk, sk,
+      |  ((xa | (xa << 1)) & 1431655765) AS xa,
+      |  ((xb | (xb << 1)) & 1431655765) AS xb FROM z4),
+      |zt AS (SELECT l_orderkey, l_linenumber, pk, sk,
+      |  (xa | (xb << 1)) AS z FROM z5),
+      |zf AS (
+      |  SELECT (row_number() OVER (ORDER BY z, l_orderkey,
+      |    l_linenumber) - 1) // 500 AS file_id, pk, sk
+      |  FROM zt),
+      |zstats AS (
+      |  SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+      |    min(pk) AS min_pk, max(pk) AS max_pk,
+      |    min(sk) AS min_sk, max(sk) AS max_sk
+      |  FROM zf GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_zorder_layout" ->
+      s"""WITH $zorderCtes
+        |SELECT file_id, n_rows, min_pk, max_pk, min_sk, max_sk
+        |FROM zstats""".stripMargin,
+
+    "q_zorder_skipping" ->
+      s"""WITH $zorderCtes,
+        |lf AS (
+        |  SELECT (row_number() OVER (ORDER BY pk, sk, l_orderkey,
+        |    l_linenumber) - 1) // 500 AS file_id, pk, sk
+        |  FROM zb),
+        |lstats AS (
+        |  SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(pk) AS min_pk, max(pk) AS max_pk,
+        |    min(sk) AS min_sk, max(sk) AS max_sk
+        |  FROM lf GROUP BY 1),
+        |stats AS (
+        |  SELECT 'zorder' AS layout, * FROM zstats
+        |  UNION ALL SELECT 'linear', * FROM lstats),
+        |bounds AS (
+        |  SELECT min(pk) AS pmin, max(pk) AS pmax,
+        |    min(sk) AS smin, max(sk) AS smax,
+        |    ((max(pk) - min(pk)) // 10) + 1 AS wp,
+        |    ((max(sk) - min(sk)) // 10) + 1 AS ws
+        |  FROM zb),
+        |probes AS (
+        |  SELECT b AS probe_id, pmin + b * wp AS plo,
+        |    pmin + b * wp + wp - 1 AS phi, smin + b * ws AS slo,
+        |    smin + b * ws + ws - 1 AS shi
+        |  FROM range(10) t(b), bounds),
+        |grid AS (
+        |  SELECT l.layout, p.* FROM
+        |    (SELECT DISTINCT layout FROM stats) l, probes p),
+        |tot AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files
+        |        FROM stats GROUP BY 1)
+        |SELECT g.layout, CAST(g.probe_id AS BIGINT) AS probe_id,
+        |  CAST(sum(CASE WHEN s.file_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS files_touched,
+        |  t.n_files
+        |FROM grid g
+        |LEFT JOIN stats s ON s.layout = g.layout
+        |  AND s.min_pk <= g.phi AND s.max_pk >= g.plo
+        |  AND s.min_sk <= g.shi AND s.max_sk >= g.slo
+        |JOIN tot t ON t.layout = g.layout
+        |GROUP BY 1, 2, t.n_files""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -504,6 +703,14 @@ object Parity {
         |    WHEN sum(group_n) OVER (PARTITION BY c_nationkey) >= 10 THEN 1
         |    ELSE 2 END AS BIGINT) AS anon_level
         |FROM g""".stripMargin,
+
+    "q_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS group_n,
+        |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |    AS BIGINT) AS l_distinct,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3
+        |    AS diverse
+        |FROM customer GROUP BY 1, 2""".stripMargin,
 
     "q_stats_profile" ->
       """SELECT l_returnflag, count(*) AS n,
