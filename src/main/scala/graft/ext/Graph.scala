@@ -317,6 +317,60 @@ object Graph {
     labels.select(col("id").as("node_id"), col("lbl").as("community"))
   }
 
+  /** k-core membership by synchronous batch peeling (the distributed
+    * formulation of Batagelj & Zaversnik 2003): each round drops every
+    * node of current degree < k and the edges touching it, `rounds`
+    * times; a node is in the k-core iff it still has degree >= k in the
+    * surviving edge set. Batch peeling is order-free (all sub-k nodes
+    * leave together), so the result is deterministic and the oracle can
+    * unroll the same rounds. A fixed round budget keeps both engines
+    * well-defined even before convergence (the LPA contract); each
+    * round is a degree hash-agg + two semi-join-shaped filters on the
+    * edge list, O(E), edges localCheckpointed so the plan never deepens.
+    *
+    * Returns (node_id, in_kcore) for every node of the ORIGINAL graph.
+    */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und0 = canonicalEdges(pairs, aCol, bCol)
+    val nodes = und0.select(col("lo").as("id"))
+      .union(und0.select(col("hi").as("id"))).distinct().localCheckpoint()
+    var e = und0
+    for (_ <- 1 to rounds) {
+      val surv = degrees(e).filter(col("deg") >= k).select(col("id"))
+      e = e.join(surv.select(col("id").as("lo")), Seq("lo"))
+        .join(surv.select(col("id").as("hi")), Seq("hi"))
+        .select(col("lo"), col("hi")).localCheckpoint()
+    }
+    val core = degrees(e).filter(col("deg") >= k)
+      .select(col("id"), lit(true).as("core"))
+    nodes.join(core, Seq("id"), "left")
+      .select(col("id").as("node_id"),
+        coalesce(col("core"), lit(false)).as("in_kcore"))
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the edge list counted in BOTH directions —
+    * positive means hubs attach to hubs. One degree hash-agg + two
+    * node-sized equi-joins onto the doubled edge list into a single
+    * corr aggregate, rounded to 4 (the q_stats_profile float-aggregate
+    * posture). Returns one row (n_directed_edges, assortativity).
+    */
+  def degreeAssortativity(pairs: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val und = canonicalEdges(pairs, aCol, bCol)
+    val deg = degrees(und)
+    val both = und.select(col("lo").as("a"), col("hi").as("b"))
+      .unionAll(und.select(col("hi").as("a"), col("lo").as("b")))
+    both
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .agg(count(lit(1)).as("n_directed_edges"),
+        round(corr(col("da"), col("db")), 4).as("assortativity"))
+  }
+
   /** One round's in-contribution table (id, c) — equi-join of ranks and
     * outdegree onto the edge list, hash-agg on dst with map-side partial
     * sums. Factored out so PlanSpec can pin the round's physical shape

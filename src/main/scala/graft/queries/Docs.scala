@@ -924,6 +924,28 @@ object Docs {
     "q_bm25_topk" -> ((s, dir) =>
       rankTop(bm25Scores(s, dir), "score", 10)),
 
+    // RM3 pseudo-relevance feedback (Lavrenko & Croft 2001; Abdul-Jaleel
+    // et al. 2004): the expansion-term table itself — top-3 non-query
+    // tokens by total occurrences in the first-pass top-5 docs. Uniform
+    // feedback-document priors instead of RM1's score-weighted term
+    // distribution keep every weight an exact integer (the engine's
+    // determinism discipline); ranked (count desc, token), so the LIMIT
+    // order is total.
+    "q_rm3_terms" -> ((s, dir) => rm3Expansion(s, dir)),
+
+    // The expanded second pass: BM25 over Q ∪ expansion with expansion
+    // contributions integer-halved (λ = 0.5 interpolation as `div 2` on
+    // the micro-unit term scores — order-free exact sums end to end).
+    // The feedback loop costs one extra corpus tf pass; the expansion
+    // table rides as a 6-row broadcast.
+    "q_bm25_rm3" -> ((s, dir) => {
+      import s.implicits._
+      val terms = bm25Terms.toDF("token").withColumn("wdiv", lit(1L))
+        .unionByName(rm3Expansion(s, dir)
+          .select(col("token"), lit(2L).as("wdiv")))
+      rankTop(bm25ScoresWith(s, dir, terms), "score", 10)
+    }),
+
     // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
     // the lexical arm (BM25 top-20) and the dense arm (cosine top-20 to
     // the query doc's embedding, vec_id=doc_id fixture contract) fused by
@@ -1202,6 +1224,21 @@ object Docs {
           col("n_fn")).as("f1"))
     }),
 
+    // Calibration audit of the classifier: held-out docs banded by
+    // half-unit score floors (floor of an IEEE division — NOT integer
+    // `div`, whose toward-zero truncation disagrees with DuckDB's floor
+    // `//` on negative scores), each band's empirical positive rate as
+    // one exact division rounded 4 — the reliability-diagram table; a
+    // well-ordered classifier's rate should climb with the band.
+    "q_nb_calibration" -> ((s, dir) =>
+      nbScored(s, dir)
+        .groupBy(floor(col("score_nano") / lit(5.0e8)).cast("long")
+          .as("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("actual_pos"), 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("pos_rate",
+          round(col("n_pos").cast("double") / col("n_docs"), 4))),
+
     // The model inspection surface: the 15 most positive- and most
     // negative-indicative token types by nano-unit weight (tok breaks
     // integer ties, so the LIMIT order is total on both engines).
@@ -1229,6 +1266,20 @@ object Docs {
         Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
           0.5).select(col("doc_a"), col("doc_b")),
         "doc_a", "doc_b")),
+
+    // 2-core of the verified near-dup graph (Batagelj-Zaversnik batch
+    // peeling, ext/Graph.kCore): separates docs embedded in CLUSTERED
+    // duplication (>= 2 verified neighbors even after the pendant pairs
+    // peel away) from docs whose only duplication is one isolated
+    // partner — the triage a curation pass reads before deciding whether
+    // a cluster representative or the pairwise survivor rule applies.
+    // Four synchronous peel rounds, each O(pairs); the oracle unrolls
+    // the same rounds over the shared verified-pair CTE chain.
+    "q_dedup_kcore" -> ((s, dir) =>
+      graft.ext.Graph.kCore(
+        Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id",
+          "text", 0.5).select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b", k = 2, rounds = 4)),
 
     // The GIANT-DIAMETER twin of q_dedup_clusters: identical labels from
     // the alternating large-star/small-star algorithm (Kiveris et al.
@@ -1994,14 +2045,24 @@ object Docs {
     * then an ORDER-INDEPENDENT integer sum — a float sum of rounded terms
     * can land on a .xxxx5 midpoint and round differently per engine.
     */
-  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("spark", "hash", "merge")
+  /** The fixed lexical query of the retrieval family. */
+  private val bm25Terms = Seq("spark", "hash", "merge")
+
+  /** BM25 scores for a WEIGHTED term table (token, wdiv): each term's
+    * micro-unit contribution is integer-divided by its wdiv before the
+    * per-doc sum (wdiv = 1 for query terms, 2 for RM3 expansion terms —
+    * the λ=0.5 interpolation as exact integer halving). df/idf are
+    * computed against the given term set, exactly as the fixed-term
+    * variant does.
+    */
+  private def bm25ScoresWith(s: SparkSession, dir: String,
+      termsDf: DataFrame): DataFrame = {
     val docs = t(s, dir, "documents")
     val dl = docs.select(col("doc_id"), Text.nTokens(col("text")).as("dl"))
     val tf = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
-      .filter(col("token").isin(terms: _*))
-      .groupBy(col("doc_id"), col("token"))
+      .join(broadcast(termsDf), "token")
+      .groupBy(col("doc_id"), col("token"), col("wdiv"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_corpus"),
@@ -2016,8 +2077,29 @@ object Docs {
         (col("tf") + lit(1.2) * (lit(0.25) +
           lit(0.75) * col("dl") / col("avgdl"))) * 1e6 + 0.5))
       .groupBy(col("doc_id"))
-      .agg((sum(col("ts_micro")) / lit(1e6)).as("score"),
+      .agg((sum(expr("ts_micro div wdiv")) / lit(1e6)).as("score"),
         count(lit(1)).as("n_terms_hit"))
+  }
+
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bm25ScoresWith(s, dir,
+      bm25Terms.toDF("token").withColumn("wdiv", lit(1L)))
+  }
+
+  /** RM3 expansion terms (Abdul-Jaleel et al. 2004's RM3 with uniform
+    * feedback-document priors — the deterministic-integer simplification
+    * documented at q_bm25_rm3): the 3 most frequent non-query tokens
+    * across the top-5 first-pass BM25 docs, (count desc, token) order.
+    */
+  private def rm3Expansion(s: SparkSession, dir: String): DataFrame = {
+    val fb = rankTop(bm25Scores(s, dir), "score", 5).select("doc_id")
+    t(s, dir, "documents")
+      .join(broadcast(fb), "doc_id")
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .filter(!col("token").isin(bm25Terms: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("fb_tf"))
+      .orderBy(col("fb_tf").desc, col("token").asc).limit(3)
   }
 
   /** Top-k of `scored` by (scoreCol desc, doc_id) with a `rank` column —
@@ -2253,6 +2335,60 @@ object Docs {
       |    count(*) AS n_terms_hit
       |  FROM sc GROUP BY 1)""".stripMargin
 
+  /** DuckDB twin of the RM3 chain: first-pass BM25 (micro-unit ordering
+    * key — monotonic to the /1e6 score, so the top-5 matches rankTop),
+    * uniform-prior expansion pick, weighted second pass with `// wdiv`
+    * (== Spark's `div` on the nonnegative micro scores).
+    */
+  private val rm3Ctes =
+    """rm_dl AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |rm_tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |rm_st AS (SELECT count(*) AS n_corpus,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM rm_dl),
+      |rm_tf1 AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM rm_tok
+      |  WHERE token IN ('spark', 'hash', 'merge') GROUP BY 1, 2),
+      |rm_df1 AS (SELECT token, count(*) AS df FROM rm_tf1 GROUP BY 1),
+      |rm_p1 AS (
+      |  SELECT tf.doc_id, CAST(sum(
+      |      CAST(floor(ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5))
+      |        * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |        * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro
+      |  FROM rm_tf1 tf JOIN rm_dl USING (doc_id)
+      |  JOIN rm_df1 USING (token) CROSS JOIN rm_st
+      |  GROUP BY 1),
+      |rm_fb AS (SELECT doc_id FROM rm_p1
+      |          ORDER BY score_micro DESC, doc_id LIMIT 5),
+      |rm_exp AS (
+      |  SELECT token, count(*) AS fb_tf FROM rm_tok
+      |  WHERE doc_id IN (SELECT doc_id FROM rm_fb)
+      |    AND token NOT IN ('spark', 'hash', 'merge')
+      |  GROUP BY 1 ORDER BY fb_tf DESC, token LIMIT 3),
+      |rm_terms AS (
+      |  SELECT token, 1 AS wdiv
+      |  FROM (VALUES ('spark'), ('hash'), ('merge')) v(token)
+      |  UNION ALL SELECT token, 2 FROM rm_exp),
+      |rm_tf2 AS (
+      |  SELECT k.doc_id, k.token, count(*) AS tf
+      |  FROM rm_tok k JOIN rm_terms USING (token) GROUP BY 1, 2),
+      |rm_df2 AS (SELECT token, count(*) AS df FROM rm_tf2 GROUP BY 1),
+      |rm_p2 AS (
+      |  SELECT tf.doc_id,
+      |    CAST(sum(
+      |      CAST(floor(ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5))
+      |        * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |        * 1000000 + 0.5) AS BIGINT) // wdiv) AS BIGINT)
+      |      / 1000000.0 AS score,
+      |    count(*) AS n_terms_hit
+      |  FROM rm_tf2 tf JOIN rm_dl USING (doc_id)
+      |  JOIN rm_df2 USING (token) JOIN rm_terms USING (token)
+      |  CROSS JOIN rm_st
+      |  GROUP BY 1)""".stripMargin
+
   /** DuckDB twin of [[spanMerge]]: expects a `flagged(doc_id, pos)` CTE
     * in scope; islands break only strictly past the position after the
     * running covered end, so overlapping AND touching flags coalesce
@@ -2366,6 +2502,21 @@ object Docs {
         |  round(CAST(alloc_toks AS DOUBLE) / avail, 4) AS rate,
         |  alloc_toks < avail AS capped
         |FROM alloc""".stripMargin,
+
+    "q_rm3_terms" ->
+      s"""WITH $rm3Ctes
+        |SELECT token, CAST(fb_tf AS BIGINT) AS fb_tf FROM rm_exp"""
+        .stripMargin,
+
+    "q_bm25_rm3" ->
+      s"""WITH $rm3Ctes,
+        |rm_top AS (SELECT doc_id, score, CAST(n_terms_hit AS BIGINT)
+        |    AS n_terms_hit
+        |  FROM rm_p2 ORDER BY score DESC, doc_id LIMIT 10)
+        |SELECT doc_id, score, n_terms_hit,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |    AS BIGINT) AS rank
+        |FROM rm_top""".stripMargin,
 
     "q_bm25_topk" ->
       s"""WITH $bm25Ctes
@@ -2585,6 +2736,17 @@ object Docs {
         |    round(CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn), 4)
         |    ELSE 0.0 END AS f1
         |FROM cells""".stripMargin,
+
+    "q_nb_calibration" ->
+      s"""WITH $splitsCte,
+        |$nbCtes
+        |SELECT CAST(floor(score_nano / 500000000.0) AS BIGINT) AS band,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN actual_pos THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos,
+        |  round(CAST(sum(CASE WHEN actual_pos THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 4) AS pos_rate
+        |FROM nb_scored GROUP BY 1""".stripMargin,
 
     "q_nb_top_features" ->
       s"""WITH $splitsCte,
@@ -3293,6 +3455,35 @@ object Docs {
         |$verifiedReachCte
         |SELECT src AS doc_id, min(dst) AS cluster_id
         |FROM reach GROUP BY src""".stripMargin,
+
+    // Unrolled 4-round peel twin over the same verified `pairs`. Every
+    // round's CTEs are MATERIALIZED: plain CTEs inline per reference,
+    // and each round reads its predecessor three times — 3^rounds
+    // re-evaluations of the whole minhash chain (the q_coreset_kcenter
+    // lesson; the unused recursive `reach` member costs nothing).
+    "q_dedup_kcore" ->
+      (s"""WITH RECURSIVE $shingleCte,
+        |$verifiedReachCte,
+        |ke0 AS MATERIALIZED (SELECT doc_a AS lo, doc_b AS hi
+        |                     FROM pairs)""" +
+        (1 to 4).map(r => s""",
+        |ks$r AS MATERIALIZED (
+        |  SELECT id FROM (SELECT lo AS id FROM ke${r - 1}
+        |                  UNION ALL SELECT hi FROM ke${r - 1})
+        |  GROUP BY id HAVING count(*) >= 2),
+        |ke$r AS MATERIALIZED (
+        |  SELECT e.lo, e.hi FROM ke${r - 1} e
+        |  JOIN ks$r a ON a.id = e.lo JOIN ks$r b ON b.id = e.hi)""")
+          .mkString + """,
+        |core AS (
+        |  SELECT id FROM (SELECT lo AS id FROM ke4
+        |                  UNION ALL SELECT hi FROM ke4)
+        |  GROUP BY id HAVING count(*) >= 2),
+        |kn AS (
+        |  SELECT DISTINCT id FROM (SELECT doc_a AS id FROM pairs
+        |                           UNION ALL SELECT doc_b FROM pairs))
+        |SELECT kn.id AS node_id, core.id IS NOT NULL AS in_kcore
+        |FROM kn LEFT JOIN core ON core.id = kn.id""").stripMargin,
 
     "q_dedup_kept" ->
       s"""WITH RECURSIVE $shingleCte,

@@ -505,6 +505,20 @@ object Joins {
         .select(col("l_partkey").as("pa"), col("r_partkey").as("pb"))
       graft.ext.Graph.labelPropagation(pairs, "pa", "pb", iters = 4)
     }),
+
+    // Degree assortativity (Newman 2002) of the co-purchase graph: do
+    // popular parts co-occur with other popular parts? One corr over the
+    // both-direction edge list with endpoint degrees joined on.
+    "q_graph_assortativity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val other = li.select(col("l_orderkey"),
+        col("l_partkey").as("r_partkey"))
+      val pairs = li.join(other, Seq("l_orderkey"))
+        .filter(col("l_partkey") =!= col("r_partkey"))
+        .select(col("l_partkey").as("pa"), col("r_partkey").as("pb"))
+      graft.ext.Graph.degreeAssortativity(pairs, "pa", "pb")
+    }),
   )
 
   /** Shared DuckDB CTE chain for the triangle family — canonical
@@ -810,6 +824,18 @@ object Joins {
         |    FROM c$i)
         |  WHERE cnt = mx GROUP BY id)""").mkString + """
         |SELECT id AS node_id, lbl AS community FROM l4""").stripMargin,
+
+    // Endpoint degrees over the doubled canonical edge list; corr
+    // rounded 4 (the q_stats_profile float-aggregate posture).
+    "q_graph_assortativity" ->
+      s"""WITH $triangleCtes,
+        |de AS (SELECT lo AS a, hi AS b FROM p
+        |       UNION ALL SELECT hi, lo FROM p)
+        |SELECT count(*) AS n_directed_edges,
+        |  round(corr(da.deg, db.deg), 4) AS assortativity
+        |FROM de
+        |JOIN dg da ON da.id = de.a
+        |JOIN dg db ON db.id = de.b""".stripMargin,
 
     // Deliberately BLOCKING-FREE: the oracle runs exact levenshtein over
     // ALL word pairs (fine for DuckDB at vocabulary size), so a candidate

@@ -140,6 +140,54 @@ object Parity {
             .as("l_distinct"))
         .withColumn("diverse", col("l_distinct") >= 3)),
 
+    // t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    // rung of the privacy ladder: a group can be l-diverse yet skewed
+    // far from the global sensitive distribution. For the ORDERED
+    // sensitive attribute (the 1000-wide balance band), the earth-mover
+    // distance collapses to the mean absolute cumulative gap:
+    // t(g) = Σ_b |cum_g(b)·N − cum(b)·N_g| / (N_g·N·(m−1)). Computed as
+    // an exact integer numerator sum (cross-multiplied cumulative
+    // counts — no per-band division, so the fold order can't drift) into
+    // ONE IEEE division, rounded 6. Shape: one (QI, band) hash-agg, a
+    // band-sized global table broadcast back, cumulative sums by
+    // QI-partitioned window — group×band-sized throughout.
+    "q_t_closeness" -> ((s, dir) => {
+      val bands = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("band"))
+        .agg(count(lit(1)).as("bn"))
+      // Global per-band counts and the full (group × observed-band)
+      // grid, so cumulative sums see every band in every group.
+      val glob = bands.groupBy(col("band")).agg(sum(col("bn")).as("gn"))
+      val groups = bands.select(col("c_nationkey"), col("c_mktsegment"))
+        .distinct()
+      val grid = groups.crossJoin(broadcast(glob))
+        .join(bands, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .withColumn("bn", coalesce(col("bn"), lit(0L)))
+      val wg = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+        .orderBy(col("band"))
+      val wAll = Window.partitionBy(col("c_nationkey"),
+        col("c_mktsegment"))
+      val cum = grid
+        .withColumn("cum_g", sum(col("bn")).over(wg))
+        .withColumn("cum", sum(col("gn")).over(wg))
+        .withColumn("ng", sum(col("bn")).over(wAll))
+        .withColumn("m", count(lit(1)).over(wAll))
+      val n = glob.agg(sum(col("gn")).as("nn"))
+      cum.crossJoin(broadcast(n))
+        .withColumn("num",
+          abs(col("cum_g") * col("nn") - col("cum") * col("ng")))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("ng"),
+          col("m"), col("nn"))
+        .agg(sum(col("num")).as("numsum"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("ng").as("group_n"),
+          when(col("m") > 1,
+            round(col("numsum").cast("double") /
+              (col("ng") * col("nn") * (col("m") - 1)), 6))
+            .otherwise(0.0).as("t_closeness"))
+    }),
+
     // A4: exact dedup == SELECT DISTINCT (survivor identity immaterial).
     "q_dedup_exact" -> ((s, dir) =>
       Cleaning.dedupExact(
@@ -711,6 +759,39 @@ object Parity {
         |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3
         |    AS diverse
         |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    // Same exact-integer EMD numerator (cross-multiplied cumulative
+    // counts), one division, round 6.
+    "q_t_closeness" ->
+      """WITH bnd AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+        |    count(*) AS bn
+        |  FROM customer GROUP BY 1, 2, 3),
+        |gl AS (SELECT band, sum(bn) AS gn FROM bnd GROUP BY 1),
+        |gr AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM bnd),
+        |grid AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, gl.band, gl.gn,
+        |    COALESCE(b.bn, 0) AS bn
+        |  FROM gr g CROSS JOIN gl
+        |  LEFT JOIN bnd b ON b.c_nationkey = g.c_nationkey
+        |    AND b.c_mktsegment = g.c_mktsegment AND b.band = gl.band),
+        |cum AS (
+        |  SELECT c_nationkey, c_mktsegment, band, gn, bn,
+        |    sum(bn) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY band) AS cum_g,
+        |    sum(gn) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY band) AS cum,
+        |    sum(bn) OVER (PARTITION BY c_nationkey, c_mktsegment) AS ng,
+        |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS m
+        |  FROM grid),
+        |tot AS (SELECT sum(gn) AS nn FROM gl)
+        |SELECT c_nationkey, c_mktsegment, CAST(ng AS BIGINT) AS group_n,
+        |  CASE WHEN m > 1 THEN
+        |    round(CAST(sum(abs(cum_g * nn - cum * ng)) AS DOUBLE)
+        |      / (ng * nn * (m - 1)), 6)
+        |  ELSE 0.0 END AS t_closeness
+        |FROM cum, tot GROUP BY 1, 2, ng, m, nn""".stripMargin,
 
     "q_stats_profile" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -167,6 +167,30 @@ class GraphSpec extends AnyFunSuite {
     assert(pair === Map(5L -> 5L, 6L -> 6L))
   }
 
+  test("k-core: triangle survives the peel, the pendant chain does not") {
+    // Triangle {1,2,3} with a chain 3-4-5: nodes 4 and 5 never reach
+    // degree 2 once the chain end peels, so the 2-core is the triangle.
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val got = Graph.kCore(edges(es: _*), "src", "dst", k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false))
+    // k above the max degree empties the core but keeps every node row.
+    val none = Graph.kCore(edges(es: _*), "src", "dst", k = 9, rounds = 2)
+      .collect().map(r => r.getBoolean(1))
+    assert(none.length === 5 && none.forall(_ == false))
+  }
+
+  test("degree assortativity: a star is perfectly disassortative") {
+    // K1,3: every directed edge pairs the degree-3 hub with a degree-1
+    // leaf — corr over {(3,1)x3, (1,3)x3} is exactly -1.
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val row = Graph.degreeAssortativity(edges(star: _*), "src", "dst")
+      .head()
+    assert(row.getLong(0) === 6L)
+    assert(row.getDouble(1) === -1.0)
+  }
+
   test("null endpoint fails loudly") {
     import spark.implicits._
     val df = Seq((Some(1L), Some(2L)), (None, Some(3L)))

@@ -417,6 +417,26 @@ class CurationOpsSpec extends AnyFunSuite {
       pos.toSet.intersect(neg.toSet).nonEmpty)
   }
 
+  test("q_rm3: expansion terms are non-query tokens and the expanded " +
+      "score dominates the plain BM25 score on every ranked doc") {
+    val exp = Docs.queries("q_rm3_terms")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(exp.length == 3)
+    assert(exp.map(_._1).toSet
+      .intersect(Set("spark", "hash", "merge")).isEmpty)
+    assert(exp.forall(_._2 > 0))
+    val plain = Docs.queries("q_bm25_topk")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rm3 = Docs.queries("q_bm25_rm3")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // Expansion contributions are nonnegative integer-halved micro
+    // scores, so wherever both rankings surface a doc the expanded
+    // score can only have grown.
+    rm3.keySet.intersect(plain.keySet).foreach { id =>
+      assert(rm3(id) >= plain(id) - 1e-9, s"doc $id shrank")
+    }
+  }
+
   test("q_dedup_cross_source: unordered pair key is normalized and pair " +
       "counts sum to the verified pair total") {
     val rows = Docs.queries("q_dedup_cross_source")(spark, dir)
