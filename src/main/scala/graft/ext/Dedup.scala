@@ -228,6 +228,48 @@ object Dedup {
     minhashVerifiedPairsFrom(shh, prof, idCol, threshold, k, rowsPerBand)
   }
 
+  /** EXACT near-dup pairs by prefix filtering (SSJoin/PPJoin lineage —
+    * Chaudhuri, Ganti & Kaushik 2006; Xiao et al. 2008): with shingles
+    * in a fixed global order, two sets with Jaccard >= t MUST share a
+    * token inside each side's first |x| − ceil(t·|x|) + 1 entries, so
+    * the inverted-index join runs over PREFIX tokens only and exact
+    * verification is confined to those candidates — the LOSSLESS
+    * counterpart to MinHash-LSH (zero false negatives, no probability
+    * dial), at the price of candidate volume driven by prefix-token
+    * frequency instead of band collisions.
+    *
+    * The global order is ascending (document frequency, hash) — rarest
+    * first, the published heuristic that keeps prefix postings short.
+    * All keys are the family's 8-byte xxhash64 longs; the per-doc
+    * position window partitions by doc (data-scaled, never global);
+    * verification reuses [[verifyCandidates]], so the jaccard arithmetic
+    * is IDENTICAL to every other verify path and the blocking-free
+    * oracle proves the filter lossless.
+    */
+  def jaccardPrefixPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 5): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val shh = docShingles(docs, idCol, textCol, shingleN)
+      .select(col(idCol), xxhash64(col("shingle")).as("shash"))
+      .distinct().localCheckpoint()
+    val dfreq = shh.groupBy(col("shash")).agg(count(lit(1)).as("dfreq"))
+    val sizes = shh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("dfreq"), col("shash"))
+    val prefix = shh.join(dfreq, "shash").join(sizes, idCol)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <=
+        col("sz") - ceil(lit(threshold) * col("sz")).cast("long") + 1)
+      .select(col(idCol), col("shash"))
+    val cand = prefix.select(col(idCol).as("doc_a"), col("shash"))
+      .join(prefix.select(col(idCol).as("doc_b"),
+        col("shash").as("sh_b")),
+        col("shash") === col("sh_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    verifyCandidates(cand, shh, idCol, threshold)
+  }
+
   /** [[minhashVerifiedPairs]] over ALREADY-materialized intermediates:
     * `shh` the distinct (id, shash) hashed-shingle view and `prof` the
     * signature profile — so a caller materializing the full dedup state

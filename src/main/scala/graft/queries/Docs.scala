@@ -57,6 +57,16 @@ object Docs {
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)),
 
+    // EXACT near-dup pairs by prefix filtering (SSJoin/PPJoin lineage):
+    // the lossless alternative to MinHash-LSH — candidates must share a
+    // token in each side's rarest-first prefix of length
+    // |x| − ceil(t·|x|) + 1, verified with the family's shared jaccard
+    // arithmetic. The ORACLE IS q_dedup_jaccard's blocking-free SQL, so
+    // hash-equality proves the prefix filter drops zero true pairs.
+    "q_dedup_ppjoin" -> ((s, dir) =>
+      Dedup.jaccardPrefixPairs(t(s, dir, "documents"), "doc_id", "text",
+        0.5)),
+
     // SimHash near-dup pairs: 64-bit signature, 4×16-bit LSH bands,
     // Hamming ≤ 3 on candidates.
     "q_dedup_simhash" -> ((s, dir) =>
@@ -3343,6 +3353,27 @@ object Docs {
         |SELECT doc_a, doc_b FROM cand""".stripMargin,
 
     "q_dedup_jaccard" ->
+      s"""WITH $shingleCte,
+        |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
+        |    AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4)
+        |  >= 0.5""".stripMargin,
+
+    // IDENTICAL SQL to q_dedup_jaccard by design: the Spark side joins
+    // only on rarest-first prefix tokens before verifying, so
+    // hash-equality against the blocking-free oracle proves prefix
+    // filtering lossless on this corpus.
+    "q_dedup_ppjoin" ->
       s"""WITH $shingleCte,
         |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),

@@ -22,6 +22,27 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Top user-journey paths: per (user, day), event types in exact
+    // (ts, event_id) order — collect_list is order-NONDETERMINISTIC
+    // across partitions, so the array is sorted by a struct whose
+    // leading fields are the unique (ts, event_id) key before the types
+    // are projected out (deterministic even under timestamp ties) —
+    // truncated to the first 8 steps, counted, top-20 by (n, path). One
+    // shuffle to the (user, day) grain; path counting aggregates
+    // journey-sized rows.
+    "q_top_paths" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(concat_ws(">",
+          slice(transform(array_sort(collect_list(col("e"))),
+            x => x.getField("event_type")), 1, 8)).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_journeys"))
+        .orderBy(col("n_journeys").desc, col("path").asc)
+        .limit(20)),
+
     // A6 freshness gate under the oracle: per-stream age-hours of the
     // newest event against a 0.5 h SLA, evaluated at an INJECTED instant
     // (Checks.freshnessAt — same constant-injection pattern as the
@@ -374,6 +395,22 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same unique (ts, event_id) struct sort; [1:8] slice == Spark's
+    // slice(arr, 1, 8).
+    "q_top_paths" ->
+      """WITH pe AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+        |    event_type
+        |  FROM events),
+        |paths AS (
+        |  SELECT user_id, day,
+        |    array_to_string(list_transform(
+        |      list_sort(array_agg(struct_pack(ts := ts,
+        |        eid := event_id, et := event_type))),
+        |      x -> x.et)[1:8], '>') AS path
+        |  FROM pe GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_journeys FROM paths GROUP BY 1
+        |ORDER BY n_journeys DESC, path LIMIT 20""".stripMargin,
     "q_freshness" ->
       """SELECT event_type,
         |  round((floor(epoch(TIMESTAMP '2024-01-31 00:00:00'))

@@ -171,6 +171,21 @@ class DedupSpec extends AnyFunSuite {
     assert(isNew(0L) && !isNew(7L) && !isNew(1L) && isNew(10L))
   }
 
+  test("prefix-filtered join equals the blocking-free inverted-index " +
+      "join — the filter is lossless") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pp = key(Dedup.jaccardPrefixPairs(docs, "doc_id", "text", 0.5))
+    val full = key(Dedup.jaccardPairs(docs, "doc_id", "text", 0.5))
+    assert(pp === full && pp.nonEmpty)
+    // Tighter threshold shortens prefixes; equality must still hold.
+    val pp8 = key(Dedup.jaccardPrefixPairs(docs, "doc_id", "text", 0.8))
+    val full8 = key(Dedup.jaccardPairs(docs, "doc_id", "text", 0.8))
+    assert(pp8 === full8)
+  }
+
   test("leakage-safe splits: a near-dup cluster never straddles a split") {
     // the invariant the operator exists for, asserted on the real fixture:
     // every assignment unit maps to exactly ONE split, every doc is
