@@ -107,7 +107,47 @@ object Connector {
       out
     }
 
+  /** documents written as TWO transactional commits (even doc_ids, then
+    * odd appended) — the time-travel fixture. Commit stamps are strictly
+    * increasing by the writer's stamp floor, so the min stamp identifies
+    * the first commit's snapshot regardless of wall-clock behavior.
+    */
+  private def docChunksTwoCommits(s: SparkSession, dir: String): String =
+    Scratch.cached(s"chunkcsv-docs-2c:$dir") { tmp =>
+      val out = tmp + "/docs-2c"
+      def half(parity: Int, mode: String): Unit =
+        t(s, dir, "documents").filter(col("doc_id") % 2 === parity)
+          .repartition(4, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.format("chunkcsv").option("chunkRows", "2048")
+          .mode(mode).save(out)
+      half(0, "overwrite")
+      half(1, "append")
+      out
+    }
+
+  private val stampedName = "chunk-(\\d{13})-\\d{5}\\.csv".r
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Time-travel read: snapshot the two-commit fixture AT ITS FIRST
+    // COMMIT via the asOfStamp option — the append-only commit-stamped
+    // chunk log IS the snapshot manifest. The oracle recomputes the
+    // first commit's content predicate (even doc_ids) from the parquet
+    // truth, so a chunk leaking across the snapshot boundary in either
+    // direction is a hash mismatch.
+    "q_chunkcsv_asof" -> ((s, dir) => {
+      val path = docChunksTwoCommits(s, dir)
+      val stamps = new java.io.File(path).listFiles()
+        .map(_.getName)
+        .collect { case stampedName(t) => t.toLong }
+      s.read.format("chunkcsv").schema(docsSchema)
+        .option("asOfStamp", stamps.min.toString).load(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
 
     // Full DSv2 path on free text: pushed lang filter + pruned read
     // (text is tokenized but never converted), integer aggregates only →
@@ -174,6 +214,11 @@ object Connector {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q_chunkcsv_asof" ->
+      """SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 2 = 0 GROUP BY lang""".stripMargin,
 
     "q_chunkcsv_scan" ->
       """SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc,

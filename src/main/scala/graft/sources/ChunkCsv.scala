@@ -90,6 +90,27 @@ private[sources] object ChunkCsv {
     p
   }
 
+  /** Commit-stamped chunk name, as minted by the transactional writer. */
+  private[sources] val StampedName = "chunk-(\\d{13})-\\d{5}\\.csv".r
+
+  /** Snapshot visibility for time-travel reads: with `asOf` set, a
+    * commit-stamped chunk is visible iff its stamp <= asOf — the
+    * append-only history IS the snapshot log (commit stamps are strictly
+    * increasing by construction of the writer's stamp floor), so no
+    * extra manifest is needed. Chunks with pre-scheme names (the
+    * reference's `cdc_chunk_%04d.csv`, Spark's `part-*.csv`) carry no
+    * commit order and stay visible at every snapshot — the same
+    * never-skip posture as unindexed chunks.
+    */
+  def visibleAsOf(chunks: Array[FileStatus], asOf: Option[Long])
+      : Array[FileStatus] = asOf match {
+    case None => chunks
+    case Some(s) => chunks.filter(st => st.getPath.getName match {
+      case StampedName(t) => t.toLong <= s
+      case _ => true
+    })
+  }
+
   /** Chunk files = the non-hidden, non-sidecar regular files of the dir.
     * Matches both the reference's `cdc_chunk_%04d.csv` names and Spark's
     * `part-*.csv` writer output.
@@ -182,6 +203,13 @@ private[sources] class ChunkCsvScanBuilder(schema: StructType, dir: String,
   private var aggFold: Option[(Seq[ChunkAgg], Array[String])] = None
   private var limit: Option[Int] = None
 
+  /** Time-travel read: only chunks committed at/below this stamp are
+    * visible (`asOfStamp` read option, millis — the stamp embedded in
+    * the chunk names the transactional writer minted).
+    */
+  private val asOfStamp: Option[Long] =
+    Option(options.get("asOfStamp")).map(_.toLong)
+
   /** LIMIT reaches the readers (each stops after `n` emitted rows) and,
     * when the sidecar knows every chunk's row count and no filter is in
     * play, the planner itself (only enough chunks to cover `n` are
@@ -217,6 +245,10 @@ private[sources] class ChunkCsvScanBuilder(schema: StructType, dir: String,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    // The sidecar fold sums EVERY indexed chunk — under a time-travel
+    // read that would answer from the future. Snapshot reads take the
+    // real (as-of-filtered) scan instead.
+    if (asOfStamp.nonEmpty) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 &&
@@ -256,7 +288,7 @@ private[sources] class ChunkCsvScanBuilder(schema: StructType, dir: String,
   override def build(): Scan = aggFold match {
     case Some((specs, values)) => ChunkCsvAggScan(dir, schema, specs, values)
     case None => ChunkCsvScan(dir, schema, required, pushed, limit,
-      Option(options.get("maxChunksPerTrigger")).map(_.toInt))
+      Option(options.get("maxChunksPerTrigger")).map(_.toInt), asOfStamp)
   }
 }
 
@@ -381,7 +413,8 @@ private[sources] case class ChunkAggReaderFactory(fullSchema: StructType,
   */
 private[sources] case class ChunkCsvScan(dir: String, fullSchema: StructType,
     required: StructType, pushed: Array[Filter],
-    limit: Option[Int] = None, maxChunksPerTrigger: Option[Int] = None)
+    limit: Option[Int] = None, maxChunksPerTrigger: Option[Int] = None,
+    asOfStamp: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -410,13 +443,20 @@ private[sources] case class ChunkCsvScan(dir: String, fullSchema: StructType,
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // A stream pinned to a past snapshot would silently never advance —
+    // fail loudly instead of ignoring the option.
+    require(asOfStamp.isEmpty,
+      "chunkcsv: asOfStamp is a batch-read option; streaming reads " +
+        "follow the live chunk log")
     new ChunkCsvMicroBatchStream(dir, fullSchema, required, pushed,
       maxChunksPerTrigger)
+  }
 
   override def description(): String =
     s"ChunkCsv[$dir] ReadSchema: ${required.simpleString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      asOfStamp.map(s => s", AsOfStamp: $s").getOrElse("")
 
   private lazy val statsCanon: Map[String, Map[String, (Any, Any)]] =
     ChunkStats.load(dir, new Configuration()).canon(fullSchema)
@@ -432,7 +472,8 @@ private[sources] case class ChunkCsvScan(dir: String, fullSchema: StructType,
     }
 
   private lazy val surviving: Array[FileStatus] = {
-    val all = ChunkCsv.listChunks(dir, new Configuration())
+    val all = ChunkCsv.visibleAsOf(
+      ChunkCsv.listChunks(dir, new Configuration()), asOfStamp)
     val keep = zoneMapKeep(all, pushed)
     ChunkCsvMetrics.plannedChunks.add(all.length)
     ChunkCsvMetrics.skippedChunks.add(all.length - keep.length)

@@ -85,10 +85,9 @@ private[sources] class ChunkCsvBatchWrite(dir: String, schema: StructType,
     // chunks that sort ≤ the watermark would never be streamed). Floor the
     // wall clock at maxExistingStamp+1, read from the surviving listing
     // (after any truncate).
-    val stampRe = "chunk-(\\d{13})-\\d{5}\\.csv".r
     val maxExisting = ChunkCsv.listChunks(dir, conf)
       .map(_.getPath.getName)
-      .collect { case stampRe(s) => s.toLong }
+      .collect { case ChunkCsv.StampedName(s) => s.toLong }
       .foldLeft(0L)(math.max)
     val stamp = math.max(System.currentTimeMillis(), maxExisting + 1L)
     val finalNames = temps.zipWithIndex.map { case (tmp, i) =>

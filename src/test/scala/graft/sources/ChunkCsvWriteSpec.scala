@@ -81,6 +81,58 @@ class ChunkCsvWriteSpec extends AnyFunSuite {
       .count() == 6L)
   }
 
+  test("asOfStamp time-travel: a snapshot read sees exactly the chunks " +
+      "committed at/under the stamp, and vetoes the sidecar agg path") {
+    val dir = java.nio.file.Files.createTempDirectory("chunkasof").toString
+    df(0 until 3).write.format("chunkcsv").option("indexStats", "true")
+      .mode("overwrite").save(dir)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def stamps = ChunkCsv.listChunks(dir, conf).map(_.getPath.getName)
+      .collect { case ChunkCsv.StampedName(s) => s.toLong }
+    val stamp1 = stamps.max
+    Thread.sleep(2)
+    df(3 until 8).write.format("chunkcsv").option("indexStats", "true")
+      .mode("append").save(dir)
+    assert(stamps.max > stamp1)
+    def read(asOf: Long) = spark.read.format("chunkcsv").schema(schema)
+      .option("asOfStamp", asOf.toString).load(dir)
+    // Snapshot at commit 1: only the first batch.
+    assert(read(stamp1).select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == (0L until 3L))
+    // Snapshot at HEAD: everything; before any commit: nothing.
+    assert(read(stamps.max).count() == 8L)
+    assert(read(0L).count() == 0L)
+    // COUNT under as-of must NOT come from the (full-history) sidecar:
+    // the plan falls back to the real scan and counts the snapshot.
+    val cnt = read(stamp1).agg(count(lit(1)))
+    assert(cnt.head().getLong(0) == 3L)
+    assert(!cnt.queryExecution.executedPlan.toString
+      .contains("ChunkCsvAggScan"))
+    // Pre-scheme names carry no commit order: visible at any snapshot.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "cdc_chunk_0001.csv"),
+      "id,grade,flag,day,ts,note\n" +
+        "9000,1.5,true,2024-02-01,2024-02-01 10:00:30.125,legacy\n")
+    assert(read(0L).count() == 1L)
+    // Streaming refuses a snapshot pin instead of silently freezing
+    // (the require fires on the stream thread — await its surfacing).
+    val q = spark.readStream.format("chunkcsv").schema(schema)
+      .option("asOfStamp", stamp1.toString).load(dir)
+      .writeStream.format("memory").queryName("asof_refuse")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("asofck").toString)
+      .start()
+    val e = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(10000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("asOfStamp")), messages(e))
+  }
+
   test("append after a clock step back still mints strictly-later names") {
     // Simulate the hazard: the dir's newest chunk carries a stamp AHEAD of
     // the wall clock (a backwards clock step, or a same-millisecond pair).
