@@ -107,7 +107,7 @@ class ChunkCsvWriteSpec extends AnyFunSuite {
     val cnt = read(stamp1).agg(count(lit(1)))
     assert(cnt.head().getLong(0) == 3L)
     assert(!cnt.queryExecution.executedPlan.toString
-      .contains("ChunkCsvAggScan"))
+      .contains("PushedAggregates"))
     // Pre-scheme names carry no commit order: visible at any snapshot.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "cdc_chunk_0001.csv"),
@@ -131,6 +131,39 @@ class ChunkCsvWriteSpec extends AnyFunSuite {
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("asOfStamp")), messages(e))
+  }
+
+  test("compact merges a drip-fed dir into full chunks, preserves every " +
+      "row, refreshes the sidecar, and sweeps orphaned temps") {
+    val dir = java.nio.file.Files.createTempDirectory("chunkcompact")
+      .toString
+    // Drip-feed: five tiny commits of 2 rows at chunkRows=1 → 10 chunks.
+    (0 until 5).foreach { i =>
+      df(i * 2 until i * 2 + 2).coalesce(1)
+        .write.format("chunkcsv").option("chunkRows", "1")
+        .option("indexStats", "true")
+        .mode(if (i == 0) "overwrite" else "append").save(dir)
+    }
+    val expect = df(0 until 10).collect().toSet
+    // An orphaned temp from a dead writer; swept, never read.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_tmp-dead"), "junk")
+    assert(ChunkCsvMaintenance.sweepTemps(dir) == 1)
+    val (before, after) =
+      ChunkCsvMaintenance.compact(spark, dir, schema, chunkRows = 1000)
+    assert(before == 10 && after == 1, s"$before -> $after")
+    val back = spark.read.format("chunkcsv").schema(schema).load(dir)
+    assert(back.collect().toSet == expect)
+    // The rewritten sidecar still answers metadata aggregates with zero
+    // chunk opens.
+    val agg = back.agg(count(lit(1)), min(col("id")), max(col("id")))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: [RowCount"))
+    assert(agg.head() == Row(10L, 0L, 9L))
+    // Empty dir: a no-op, not a crash.
+    val empty = java.nio.file.Files.createTempDirectory("chunkempty")
+      .toString
+    assert(ChunkCsvMaintenance.compact(spark, empty, schema) == ((0, 0)))
   }
 
   test("append after a clock step back still mints strictly-later names") {
