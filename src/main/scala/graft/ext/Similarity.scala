@@ -609,4 +609,66 @@ object Similarity {
       .select(col("sel_order"), col("id").as(idCol),
         round(col("dist"), 6).as("dist"))
   }
+
+  /** Johnson-Lindenstrauss random projection to `outDim` dimensions via
+    * a DETERMINISTIC ±1 sign matrix (the database-friendly JL variant of
+    * Achlioptas 2003): s(i, j) = +1 iff the first hex digit of
+    * md5("rp:j:i") is even — a pure (i, j) function both engines compute
+    * identically, so the "random" matrix needs no RNG, no seed plumbing,
+    * and no stored artifact. Inputs are quantized to exact micro-unit
+    * longs first (explicit floor(x·1e6 + 0.5)), so each projected
+    * coordinate is an ORDER-FREE integer sum — bit-identical across
+    * partitionings and engines.
+    *
+    * Output is long format (id, j, y): at 100 TB the projected table is
+    * the object that ships (outDim longs per vector — here 4× smaller
+    * than the float64 input), and long format feeds the dot-product join
+    * without array reassembly. Cost is the honest O(n·d·outDim) explode;
+    * map-side combine collapses it to n·outDim rows on the wire.
+    */
+  def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
+      outDim: Int): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    val x = emb
+      .select(col(idCol),
+        posexplode(asDouble(col(vecCol))).as(Seq("i", "xv")))
+      .withColumn("xq", floor(col("xv") * 1e6 + lit(0.5)).cast("long"))
+    x.crossJoin(
+        emb.sparkSession.range(outDim).select(col("id").as("j")))
+      .withColumn("s",
+        when(conv(substring(md5(concat(lit("rp:"), col("j"), lit(":"),
+          col("i"))), 1, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("xq") * col("s")).as("y"))
+  }
+
+  /** Exact cosine top-k over a LONG-FORMAT integer corpus (id, j, y):
+    * broadcast the query rows, join on the dimension index, integer dot
+    * products (order-free), norms as sqrt of exact integer
+    * sum-of-squares. Returns (query_id, neighbor_id, sim, rank) — the
+    * [[bruteForceTopKFrom]] contract for projected corpora.
+    */
+  def longFormatTopK(proj: DataFrame, idCol: String, queryPred: Column,
+      k: Int): DataFrame = {
+    val norms = proj.groupBy(col(idCol))
+      .agg(sum(col("y") * col("y")).as("n2"))
+    val queries = proj.filter(queryPred)
+      .select(col(idCol).as("query_id"), col("j"), col("y").as("qy"))
+    val sims = proj.join(broadcast(queries), Seq("j"))
+      .filter(col(idCol) =!= col("query_id"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("y") * col("qy")).as("dp"))
+      .join(norms.select(col(idCol), col("n2").as("nb2")), idCol)
+      .join(broadcast(norms.select(col(idCol).as("query_id"),
+        col("n2").as("na2"))), "query_id")
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(col("dp").cast("double") /
+          (sqrt(col("nb2").cast("double")) *
+            sqrt(col("na2").cast("double"))), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -124,6 +124,45 @@ object Vectors {
             .as("recall_at_5"))
     }),
 
+    // Johnson-Lindenstrauss random projection (Achlioptas ±1 signs from
+    // a pure (i, j) hash — no RNG, no stored matrix) down to 16 dims,
+    // then exact cosine top-5 in the projected space: the published
+    // dimensionality-reduction lever for ANN candidate generation.
+    // Micro-unit integer inputs make every projected coordinate an
+    // order-free integer sum; the projected table is long-format
+    // (id, j, y) — the shape that ships at scale.
+    "q_sim_rp_topk" -> ((s, dir) =>
+      Similarity.longFormatTopK(
+        Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id",
+          "embedding", outDim = 16),
+        "vec_id", querySet, k = 5)),
+
+    // The JL audit: recall@5 of the 16-dim projected ranking against the
+    // full-dimension brute-force ground truth — the number that decides
+    // whether the 4× shrink is usable as a candidate stage. On THIS
+    // fixture the verdict is no (mean ~0.13; ~0.36 even at 48 dims): the
+    // synthetic embeddings have near-uniform pairwise cosines, so JL's
+    // relative-distance guarantee preserves almost nothing of the
+    // ranking — exactly the corpus pathology the audit exists to catch
+    // before a projection ships.
+    "q_sim_rp_recall" -> ((s, dir) => {
+      val brute = Similarity.bruteForceTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", querySet, k = 5)
+      val rp = Similarity.longFormatTopK(
+        Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id",
+          "embedding", outDim = 16),
+        "vec_id", querySet, k = 5)
+      brute.select(col("query_id"), col("neighbor_id"))
+        .join(rp.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .select(col("query_id"), col("n_true"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_true"), 4)
+            .as("recall_at_5"))
+    }),
+
     // Per-vector element statistics via array HOFs — one codegen'd
     // projection, no explode, no shuffle.
     "q_vector_stats" -> ((s, dir) => {
@@ -630,7 +669,72 @@ object Vectors {
       |WHERE ${cos("x", "y")} >= 0.35""".stripMargin
   }
 
+  /** DuckDB twin of Similarity.randomProjection + longFormatTopK: same
+    * micro-unit quantization, same md5-parity sign matrix, integer dot
+    * products and sum-of-squares norms into one rounded division.
+    * 0-based dimension index i matches posexplode.
+    */
+  private val rpCtes =
+    """rp_u AS (
+      |  SELECT vec_id, unnest(list_transform(embedding,
+      |    (x, ix) -> struct_pack(i := ix - 1,
+      |      xq := CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+      |        AS BIGINT)))) AS s
+      |  FROM embeddings),
+      |rp_x AS (SELECT vec_id, s.i AS i, s.xq AS xq FROM rp_u),
+      |rp_y AS (
+      |  SELECT vec_id, sj.j,
+      |    CAST(sum(xq * CASE WHEN CAST(CONCAT('0x',
+      |        substring(md5('rp:' || sj.j || ':' || i), 1, 1)) AS BIGINT)
+      |        % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS y
+      |  FROM rp_x, range(16) sj(j) GROUP BY 1, 2),
+      |rp_n AS (SELECT vec_id, sum(y * y) AS n2 FROM rp_y GROUP BY 1),
+      |rp_sims AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |    round(CAST(sum(n.y * q.y) AS DOUBLE)
+      |      / (sqrt(CAST(nn.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))),
+      |      6) AS sim
+      |  FROM rp_y n
+      |  JOIN rp_y q ON q.j = n.j AND q.vec_id % 25 = 0
+      |    AND q.vec_id < 1000000 AND n.vec_id != q.vec_id
+      |  JOIN rp_n nn ON nn.vec_id = n.vec_id
+      |  JOIN rp_n nq ON nq.vec_id = q.vec_id
+      |  GROUP BY 1, 2, nn.n2, nq.n2),
+      |rp_top AS (
+      |  SELECT query_id, neighbor_id, sim, rank FROM (
+      |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |    FROM rp_sims)
+      |  WHERE rank <= 5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_sim_rp_topk" ->
+      s"""WITH $rpCtes
+        |SELECT query_id, neighbor_id, sim, rank FROM rp_top""".stripMargin,
+
+    "q_sim_rp_recall" ->
+      s"""WITH $withNorm,
+        |$rpCtes,
+        |brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id ASC) AS rank FROM (
+        |      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |        ${cos("n", "q")} AS sim
+        |      FROM c n, c q
+        |      WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000
+        |        AND n.vec_id != q.vec_id))
+        |  WHERE rank <= 5)
+        |SELECT b.query_id, count(*) AS n_true,
+        |  CAST(sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_found,
+        |  round(CAST(sum(CASE WHEN r.neighbor_id IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall_at_5
+        |FROM brute b
+        |LEFT JOIN rp_top r ON r.query_id = b.query_id
+        |  AND r.neighbor_id = b.neighbor_id
+        |GROUP BY 1""".stripMargin,
+
     "q_hard_negatives" ->
       s"""WITH el AS (
         |  SELECT vec_id, label,

@@ -179,6 +179,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byQuery(2L).map(_.getLong(4)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("randomProjection: deterministic sign matrix, self-similarity 1, " +
+      "and a projected identical pair stays identical") {
+    val df = emb(
+      (1L, Seq(1f, 2f, 3f, 4f), 0),
+      (2L, Seq(1f, 2f, 3f, 4f), 0), // exact duplicate of 1
+      (3L, Seq(-4f, 3f, -2f, 1f), 1))
+    val p1 = Similarity.randomProjection(df, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val p2 = Similarity.randomProjection(df, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(p1 === p2) // the hash matrix needs no seed and never drifts
+    assert(p1.size == 12) // 3 vectors x 4 out dims
+    // identical inputs project identically
+    (0L until 4L).foreach(j => assert(p1((1L, j)) == p1((2L, j))))
+    // top-k in projected space: the duplicate pair ranks first with
+    // sim 1.0 (integer coordinates are equal, so cosine is exactly 1)
+    val top = Similarity.longFormatTopK(
+      Similarity.randomProjection(df, "vec_id", "embedding", 4),
+      "vec_id", col("vec_id") === 1L, k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(top.head == ((2L, 1.0, 1L)))
+  }
+
   test("semanticDedupReport drops higher ids within a cluster only") {
     // Centroids on orthogonal axes. Cluster 0: ids 2, 3 are near-dups of
     // the centroid vector 0 (cosine ≈ .995, .999) — the policy keeps the
