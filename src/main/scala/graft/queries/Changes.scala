@@ -91,23 +91,50 @@ object Changes {
     // version with the next version's start. Two windows over the same
     // user_id partitioning; event_id breaks timestamp ties so version
     // boundaries are deterministic under any row order.
-    "q_scd2" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val versions = t(s, dir, "events")
-        .withColumn("prev", lag(col("event_type"), 1).over(w))
-        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-        .select(col("user_id"), col("event_type"), col("event_id"),
-          col("ts").as("effective_from"))
-      val w2 = Window.partitionBy(col("user_id"))
-        .orderBy(col("effective_from"), col("event_id"))
-      versions
-        .withColumn("effective_to", lead(col("effective_from"), 1).over(w2))
-        .withColumn("is_current", col("effective_to").isNull)
-        .select("user_id", "event_type", "effective_from", "effective_to",
-          "is_current")
+    "q_scd2" -> ((s, dir) => scd2Dim(s, dir)),
+
+    // Point-in-time lookup against the SCD2 dimension — the canonical
+    // warehouse pattern the versioned dimension exists FOR: each fact
+    // (purchase events) joins the version valid AT ITS TIMESTAMP,
+    // from <= ts < to (open current version matches everything after its
+    // from). The join is an EQUI-join on user_id with the interval as a
+    // post-filter — per-user version chains are short, so this is a hash
+    // join at any corpus scale, never an NLJ.
+    "q_scd2_pit" -> ((s, dir) => {
+      val dim = scd2Dim(s, dir).select(col("user_id"),
+        col("event_type").as("regime"), col("effective_from"),
+        col("effective_to"))
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .join(dim, Seq("user_id"))
+        .filter(col("effective_from") <= col("ts") &&
+          (col("effective_to").isNull || col("ts") < col("effective_to")))
+        .select(col("user_id"), col("event_id"), col("regime"),
+          col("effective_from"))
     }),
   )
+
+  /** The SCD2 dimension build (regime changes of a user's event stream
+    * versioned by [effective_from, effective_to)) — ONE definition for
+    * the build query and the point-in-time lookup.
+    */
+  private def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val versions = t(s, dir, "events")
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("effective_from"))
+    val w2 = Window.partitionBy(col("user_id"))
+      .orderBy(col("effective_from"), col("event_id"))
+    versions
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(w2))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select("user_id", "event_type", "effective_from", "effective_to",
+        "is_current")
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -169,5 +196,29 @@ object Changes {
         |    (PARTITION BY user_id ORDER BY effective_from, event_id) IS NULL)
         |    AS is_current
         |FROM versions""".stripMargin,
+
+    "q_scd2_pit" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |versions AS (
+        |  SELECT user_id, event_type, event_id, ts AS effective_from
+        |  FROM ordered WHERE prev IS NULL OR prev <> event_type),
+        |dim AS (
+        |  SELECT user_id, event_type AS regime, effective_from,
+        |    lead(effective_from) OVER
+        |      (PARTITION BY user_id ORDER BY effective_from, event_id)
+        |      AS effective_to
+        |  FROM versions),
+        |facts AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id, d.regime, d.effective_from
+        |FROM facts f JOIN dim d ON d.user_id = f.user_id
+        |  AND d.effective_from <= f.ts
+        |  AND (d.effective_to IS NULL OR f.ts < d.effective_to)"""
+        .stripMargin,
   )
 }
