@@ -174,6 +174,56 @@ object Graph {
         col("auth").as("auth_micro"))
   }
 
+  /** Multi-source BFS hop distances: min #hops from any seed node to
+    * every node reachable within `maxHops`, over the directed edge set.
+    * `seed` is any deterministic boolean predicate over the node id
+    * column `id` (the personalizedPageRankNano convention).
+    *
+    * Classic frontier expansion — the Pregel/GraphX SSSP layout as plain
+    * DataFrame rounds: the frontier joins the edge table (one O(E)
+    * shuffle), newly reached nodes (LEFT ANTI against the settled set)
+    * become the next frontier, and both sides are localCheckpointed so
+    * the plan never deepens. Work per round is O(E) worst-case but
+    * proportional to the frontier's out-edges in practice; the loop
+    * stops early on an empty frontier (one bounded count per round —
+    * the connectedComponents convergence-probe precedent). Distances are
+    * exact by induction: a node enters the settled set the first round
+    * it is reachable, which IS its minimum hop count.
+    *
+    * Returns (node_id, dist) for reached nodes only — unreachable nodes
+    * are absent, not null-padded (consumers LEFT JOIN if they want ∞).
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seed: Column, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint()
+    if (e.filter(col("src").isNull || col("dst").isNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"bfsHops: ids in '$srcCol'/'$dstCol' are null after cast to " +
+          "long — edge endpoints must be non-null and numeric")
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var settled = nodes.filter(seed)
+      .select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = settled.select(col("id"))
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = frontier
+        .join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .localCheckpoint()
+      settled = settled
+        .unionAll(frontier.select(col("id"), lit(hop.toLong).as("dist")))
+        .localCheckpoint()
+    }
+    settled.select(col("id").as("node_id"), col("dist"))
+  }
+
   /** Per-node triangle counts by degree-ordered edge orientation (the
     * MapReduce triangle-counting layout of Suri & Vassilvitskii 2011 /
     * Cohen 2009): orient every undirected edge from the (degree, id)-

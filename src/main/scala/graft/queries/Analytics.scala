@@ -61,6 +61,50 @@ object Analytics {
             (col("n_a") * col("n_b")), 4).as("lift"))
     }),
 
+    // Item-item collaborative filtering (Sarwar et al. 2001 / the
+    // Amazon item-to-item layout): cosine similarity over order
+    // co-occurrence — sim(i,j) = n_ij / sqrt(n_i·n_j) — then the top-5
+    // neighbor list per item, the precomputed "related items" serving
+    // table. Same pair derivation as q_basket_lift (one basket self-join
+    // on the distinct item-order set, support ≥ 2 prunes the noise tail
+    // BEFORE the marginals join back); every value is one
+    // correctly-rounded IEEE op over exact integer counts (sqrt of an
+    // exact product, one multiply, one divide), so both engines agree
+    // bit-for-bit and the round-6 rank key ties break on neighbor id.
+    // Scale: pair volume is Σ per-order basket², bounded by basket size,
+    // never |items|²; the ranking window partitions by item.
+    "q_cf_item_cosine" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint() // both self-join sides + marginals
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = items.select(col("l_orderkey").as("ok_b"),
+        col("l_partkey").as("pb"))
+      val pairs = a.join(b, a("l_orderkey") === b("ok_b") &&
+          col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+      val bi = pairs.select(col("pa").as("item"), col("pb").as("nbr"),
+          col("n_co"))
+        .unionAll(pairs.select(col("pb").as("item"), col("pa").as("nbr"),
+          col("n_co")))
+      val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
+      val scored = bi
+        .join(freq.select(col("l_partkey").as("item"),
+          col("n_p").as("n_i")), "item")
+        .join(freq.select(col("l_partkey").as("nbr"),
+          col("n_p").as("n_j")), "nbr")
+        .select(col("item"), col("nbr"), col("n_co"),
+          round(col("n_co") / sqrt((col("n_i") * col("n_j"))
+            .cast("double")), 6).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("item"))
+        .orderBy(col("cos_sim").desc, col("nbr").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+    }),
+
     // Q3 shape: shipping priority — segment-filtered customers, orders
     // before / lineitems shipped after a date, top-10 open-order revenue.
     "q_tpch_q3" -> ((s, dir) => {
@@ -596,6 +640,30 @@ object Analytics {
         |JOIN f fa ON p.part_a = fa.l_partkey
         |JOIN f fb ON p.part_b = fb.l_partkey
         |CROSS JOIN t""".stripMargin,
+
+    "q_cf_item_cosine" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pc AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_co
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |bi AS (SELECT pa AS item, pb AS nbr, n_co FROM pc
+        |       UNION ALL SELECT pb, pa, n_co FROM pc),
+        |f AS (SELECT l_partkey, count(*) AS n_p FROM items GROUP BY 1),
+        |sc AS (
+        |  SELECT bi.item, bi.nbr, bi.n_co,
+        |    round(bi.n_co / sqrt(CAST(fa.n_p * fb.n_p AS DOUBLE)), 6)
+        |      AS cos_sim
+        |  FROM bi
+        |  JOIN f fa ON bi.item = fa.l_partkey
+        |  JOIN f fb ON bi.nbr = fb.l_partkey)
+        |SELECT item, nbr, n_co, cos_sim, rnk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY item
+        |    ORDER BY cos_sim DESC, nbr ASC) AS BIGINT) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 5""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,

@@ -141,8 +141,11 @@ object Connector {
       val stamps = new java.io.File(path).listFiles()
         .map(_.getName)
         .collect { case stampedName(t) => t.toLong }
+      // An empty corpus commits zero chunks — snapshot "before anything"
+      // (stamp 0) instead of throwing on min of nothing.
+      val asOf = if (stamps.isEmpty) 0L else stamps.min
       s.read.format("chunkcsv").schema(docsSchema)
-        .option("asOfStamp", stamps.min.toString).load(path)
+        .option("asOfStamp", asOf.toString).load(path)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("first_doc"),

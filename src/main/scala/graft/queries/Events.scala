@@ -73,6 +73,45 @@ object Events {
     // by n avoids a float mean inside the cumsum — engine-exact), argmax
     // |cusum| with earliest-hour tiebreak. Windows run over the hourly
     // aggregate (≤ hours×types rows), never raw events.
+    // EWMA control chart (Roberts 1959; the streaming-friendly smoother
+    // beside CUSUM's retrospective changepoint): per event type, the
+    // exponentially weighted moving average of hourly volume with α = 1/2
+    // truncated at 8 lags — dyadic weights 2^(7−i) make numerator and
+    // denominator EXACT integer window sums over the cents-scaled hourly
+    // totals (the q_cusum_changepoint idiom), so the only IEEE op is the
+    // final readable division. Early hours renormalize over the weights
+    // actually present (a proper weighted average from row 1, no warm-up
+    // bias). The spike verdict compares this hour against 2× the PREVIOUS
+    // hour's EWMA by integer cross-multiplication — zero float drift in
+    // the decision. Shape: one hourly hash-agg, then one window pass;
+    // partitions are (type, hours), never row-count-sized.
+    "q_ewma_control" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(floor(round(sum(col("value")), 2) * 100 + 0.5).as("cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      def lagged(i: Int) =
+        if (i == 0) col("cents") else lag(col("cents"), i).over(w)
+      val num = (0 to 7).map(i =>
+        coalesce(lagged(i), lit(0L)) * lit(1L << (7 - i))).reduce(_ + _)
+      val den = (0 to 7).map(i =>
+        when(lagged(i).isNotNull, lit(1L << (7 - i))).otherwise(lit(0L)))
+        .reduce(_ + _)
+      hourly
+        .withColumn("num", num).withColumn("den", den)
+        .withColumn("num_prev", lag(col("num"), 1).over(w))
+        .withColumn("den_prev", lag(col("den"), 1).over(w))
+        .select(col("event_type"), col("h"), col("cents"),
+          // den = 0 only when every windowed hour's cents is null (an
+          // all-null group) — report null, and keep ANSI div-by-zero
+          // out of the plan.
+          when(col("den") > 0,
+            round(col("num") / (col("den") * 100.0), 4))
+            .otherwise(lit(null).cast("double")).as("ewma"),
+          coalesce(col("cents") * col("den_prev") > col("num_prev") * 2,
+            lit(false)).as("spike"))
+    }),
+
     "q_cusum_changepoint" -> ((s, dir) => {
       val hourly = t(s, dir, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
@@ -418,6 +457,35 @@ object Events {
         |  (floor(epoch(TIMESTAMP '2024-01-31 00:00:00'))
         |    - floor(epoch(max(ts)))) / 3600.0 <= 0.5 AS passed
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_ewma_control" ->
+      ("""WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(floor(round(sum(value), 2) * 100 + 0.5) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |lagd AS (
+        |  SELECT event_type, h, cents,
+        |    cents * 128""" +
+        (1 to 7).map(i =>
+          s" + coalesce(lag(cents, $i) OVER wd, 0) * ${1L << (7 - i)}")
+          .mkString + """ AS num,
+        |    128""" +
+        (1 to 7).map(i => s""" + CASE WHEN lag(cents, $i) OVER wd
+        |      IS NOT NULL THEN ${1L << (7 - i)} ELSE 0 END""").mkString +
+        """ AS den
+        |  FROM hourly
+        |  WINDOW wd AS (PARTITION BY event_type ORDER BY h)),
+        |sel AS (
+        |  SELECT event_type, h, cents, num, den,
+        |    lag(num) OVER wd2 AS num_prev, lag(den) OVER wd2 AS den_prev
+        |  FROM lagd
+        |  WINDOW wd2 AS (PARTITION BY event_type ORDER BY h))
+        |SELECT event_type, h, cents,
+        |  CASE WHEN den > 0 THEN round(num / (den * 100.0), 4) END
+        |    AS ewma,
+        |  coalesce(cents * den_prev > 2 * num_prev, FALSE) AS spike
+        |FROM sel""").stripMargin,
 
     "q_cusum_changepoint" ->
       """WITH hourly AS (

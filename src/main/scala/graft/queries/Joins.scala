@@ -506,6 +506,94 @@ object Joins {
       graft.ext.Graph.labelPropagation(pairs, "pa", "pb", iters = 4)
     }),
 
+    // Multi-source BFS hop distances from the seed parts (every 50th
+    // partkey) over the co-purchase graph — the "how far is everything
+    // from the catalog anchors" primitive (graph feature for retrieval /
+    // neighborhood expansion). graft.ext.Graph.bfsHops: frontier
+    // expansion, one O(E) equi-join + LEFT ANTI per round, settled set
+    // localCheckpointed; distances are exact small integers so the twin
+    // (a depth-bounded recursive CTE taking min hop per node) matches
+    // bit-for-bit.
+    "q_graph_bfs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val other = li.select(col("l_orderkey"),
+        col("l_partkey").as("r_partkey"))
+      val edges = li.join(other, Seq("l_orderkey"))
+        .filter(col("l_partkey") =!= col("r_partkey"))
+        .select(col("l_partkey").as("src"), col("r_partkey").as("dst"))
+      graft.ext.Graph.bfsHops(edges, "src", "dst",
+        col("id") % 50 === 0, maxHops = 3)
+        .select(col("node_id").as("part_id"), col("dist"))
+    }),
+
+    // DBSCAN (Ester et al. 1996) over the synthesized customer points —
+    // the density clustering a curation pipeline runs on 2-D projections
+    // (e.g. UMAP'd embeddings) to find coherent regions vs noise. Fully
+    // composed from the engine's own scale primitives: the ε-neighborhood
+    // count is the q_spatial_join grid-blocked self-join (1° cells, 3×3
+    // expansion — lossless for ε = 0.4 < 1), core↔core edges feed
+    // Dedup.connectedComponents (min-label = deterministic cluster id),
+    // and border points take the MIN core-neighbor's cluster (standard
+    // DBSCAN leaves border assignment order-dependent; pinning min makes
+    // it deterministic). Noise keeps cluster −1. The oracle verifies
+    // blocking-free over all pairs with a recursive-CTE closure,
+    // independently proving the grid lossless (the q_spatial_join
+    // stance). Per-id jitter makes the density structure real: points
+    // spread inside a cell and chain across cell borders, so all three
+    // roles occur.
+    "q_dbscan" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey").as("pid"),
+        ((col("c_custkey") % 90) - 45 + (col("c_custkey") % 7) * 0.1)
+          .as("lat"),
+        (((col("c_custkey") * 7) % 180) - 90 + (col("c_custkey") % 11) * 0.08)
+          .as("lon"))
+      val left = pts
+        .withColumn("cx", floor(col("lat")))
+        .withColumn("cy", floor(col("lon")))
+      val right = pts.select(col("pid").as("qid"), col("lat").as("qlat"),
+          col("lon").as("qlon"))
+        .withColumn("dx", explode(array((-1 to 1).map(lit(_)): _*)))
+        .withColumn("dy", explode(array((-1 to 1).map(lit(_)): _*)))
+        .withColumn("cx", floor(col("qlat")) + col("dx"))
+        .withColumn("cy", floor(col("qlon")) + col("dy"))
+      val d2 = (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
+        (col("lon") - col("qlon")) * (col("lon") - col("qlon"))
+      // ε-neighborhoods INCLUDING self (the paper's |N_ε(p)| ≥ minPts).
+      val nbr = left.join(right, Seq("cx", "cy")).filter(d2 <= 0.16)
+        .select(col("pid"), col("qid")).localCheckpoint()
+      val core = nbr.groupBy(col("pid"))
+        .agg(count(lit(1)).as("n_nbrs"))
+        .filter(col("n_nbrs") >= 5).select(col("pid"))
+      val coreEdges = nbr.filter(col("pid") < col("qid"))
+        .join(core, Seq("pid"))
+        .join(core.select(col("pid").as("qid")), Seq("qid"))
+      val cc = graft.ext.Dedup.connectedComponents(coreEdges, "pid", "qid")
+        .select(col("doc_id").as("pid"), col("cluster_id"))
+      // Isolated cores (ε-dense but no core neighbor) root their own
+      // cluster — the reflexive closure the oracle's `reach` carries.
+      val coreLab = core.join(cc, Seq("pid"), "left")
+        .select(col("pid"),
+          coalesce(col("cluster_id"), col("pid")).as("cluster_id"))
+      val borderLab = nbr.filter(col("pid") =!= col("qid"))
+        .join(core, Seq("pid"), "left_anti")
+        .join(coreLab.select(col("pid").as("qid"),
+          col("cluster_id")), Seq("qid"))
+        .groupBy(col("pid")).agg(min(col("cluster_id")).as("cluster_id"))
+      pts.select(col("pid"))
+        .join(coreLab.withColumnRenamed("cluster_id", "core_cl"),
+          Seq("pid"), "left")
+        .join(borderLab.withColumnRenamed("cluster_id", "border_cl"),
+          Seq("pid"), "left")
+        .select(col("pid"),
+          when(col("core_cl").isNotNull, "core")
+            .when(col("border_cl").isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce(col("core_cl"), col("border_cl"), lit(-1L))
+            .as("cluster_id"))
+    }),
+
     // Degree assortativity (Newman 2002) of the co-purchase graph: do
     // popular parts co-occur with other popular parts? One corr over the
     // both-direction edge list with endpoint degrees joined on.
@@ -836,6 +924,68 @@ object Joins {
         |FROM de
         |JOIN dg da ON da.id = de.a
         |JOIN dg db ON db.id = de.b""".stripMargin,
+
+    // Depth-bounded recursive closure carrying the hop count; min(d) per
+    // node IS the BFS distance (the walk enumerates every ≤3-hop path
+    // endpoint, deduplicated per (node, d) by the recursive UNION).
+    "q_graph_bfs" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey != b.l_partkey),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |walk(id, d) AS (
+        |  SELECT id, CAST(0 AS BIGINT) FROM n WHERE id % 50 = 0
+        |  UNION
+        |  SELECT e.dst, w.d + 1 FROM walk w
+        |  JOIN e ON e.src = w.id WHERE w.d < 3)
+        |SELECT id AS part_id, min(d) AS dist FROM walk GROUP BY id"""
+        .stripMargin,
+
+    // Blocking-free all-pairs ε-neighborhoods + a recursive reach closure
+    // over core↔core edges (reflexive, so an isolated core roots its own
+    // cluster) — proves the Spark side's grid blocking AND its iterative
+    // min-label propagation exact in one shot.
+    "q_dbscan" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT c_custkey AS pid,
+        |    (c_custkey % 90) - 45 + (c_custkey % 7) * CAST(0.1 AS DOUBLE)
+        |      AS lat,
+        |    ((c_custkey * 7) % 180) - 90
+        |      + (c_custkey % 11) * CAST(0.08 AS DOUBLE) AS lon
+        |  FROM customer),
+        |nbr AS (
+        |  SELECT a.pid, b.pid AS qid
+        |  FROM pts a, pts b
+        |  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+        |    + (a.lon - b.lon) * (a.lon - b.lon) <= CAST(0.16 AS DOUBLE)),
+        |core AS (SELECT pid FROM nbr GROUP BY pid HAVING count(*) >= 5),
+        |ce AS (
+        |  SELECT n.pid AS a, n.qid AS b FROM nbr n
+        |  JOIN core ca ON ca.pid = n.pid
+        |  JOIN core cb ON cb.pid = n.qid
+        |  WHERE n.pid != n.qid),
+        |reach AS (
+        |  SELECT pid AS src, pid AS dst FROM core
+        |  UNION
+        |  SELECT r.src, ce.b FROM reach r JOIN ce ON ce.a = r.dst),
+        |corelab AS (SELECT src AS pid, min(dst) AS cluster_id
+        |            FROM reach GROUP BY src),
+        |borderlab AS (
+        |  SELECT n.pid, min(cl.cluster_id) AS cluster_id
+        |  FROM nbr n JOIN corelab cl ON cl.pid = n.qid
+        |  WHERE n.pid != n.qid
+        |    AND n.pid NOT IN (SELECT pid FROM core)
+        |  GROUP BY n.pid)
+        |SELECT p.pid,
+        |  CASE WHEN c.cluster_id IS NOT NULL THEN 'core'
+        |       WHEN b.cluster_id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  coalesce(c.cluster_id, b.cluster_id, CAST(-1 AS BIGINT))
+        |    AS cluster_id
+        |FROM pts p
+        |LEFT JOIN corelab c ON c.pid = p.pid
+        |LEFT JOIN borderlab b ON b.pid = p.pid""".stripMargin,
 
     // Deliberately BLOCKING-FREE: the oracle runs exact levenshtein over
     // ALL word pairs (fine for DuckDB at vocabulary size), so a candidate

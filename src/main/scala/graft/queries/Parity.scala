@@ -182,7 +182,11 @@ object Parity {
         .agg(sum(col("num")).as("numsum"))
         .select(col("c_nationkey"), col("c_mktsegment"),
           col("ng").as("group_n"),
-          when(col("m") > 1,
+          // ng = 0 can only happen for a group whose every band key is
+          // null (join keys never match) — t-closeness of an empty
+          // distribution is reported 0 like the single-band case, and
+          // the guard keeps ANSI division-by-zero out of the plan.
+          when(col("m") > 1 && col("ng") > 0,
             round(col("numsum").cast("double") /
               (col("ng") * col("nn") * (col("m") - 1)), 6))
             .otherwise(0.0).as("t_closeness"))
@@ -787,7 +791,7 @@ object Parity {
         |  FROM grid),
         |tot AS (SELECT sum(gn) AS nn FROM gl)
         |SELECT c_nationkey, c_mktsegment, CAST(ng AS BIGINT) AS group_n,
-        |  CASE WHEN m > 1 THEN
+        |  CASE WHEN m > 1 AND ng > 0 THEN
         |    round(CAST(sum(abs(cum_g * nn - cum * ng)) AS DOUBLE)
         |      / (ng * nn * (m - 1)), 6)
         |  ELSE 0.0 END AS t_closeness

@@ -456,6 +456,61 @@ object Vectors {
           round(col("dcg_nano") / lit(10271924935.0), 6))
     }),
 
+    // KNN-Shapley data valuation (Jia et al. 2019, "Efficient task-
+    // specific data valuation for nearest neighbor algorithms"): the
+    // exact closed form for every training point's Shapley value under
+    // the K-NN utility — rank the train corpus per query by cosine, then
+    //   s_(n) = 1[y_(n)=y_q] / n
+    //   s_(i) = s_(i+1) + (1[y_(i)=y_q] − 1[y_(i+1)=y_q]) / max(K, i)
+    // which is a SUFFIX SUM of per-rank terms — one window pass, no
+    // recursion. Arithmetic is exact nano-unit longs: each term is
+    // d · (1e9 div max(K, i)) with d ∈ {−1, 0, 1}, multiplied AFTER the
+    // positive integer division so truncation semantics never meet a
+    // negative operand (Spark div truncates toward zero, DuckDB //
+    // floors; on positives they agree). The per-point value is the
+    // integer sum over queries plus one final IEEE division for the
+    // readable average. Baseline is O(queries × corpus) like the brute
+    // top-k (bounded-query serving model; querySet pins the workload in
+    // the scale ledger); at scale the ranking confines to IVF candidate
+    // lists exactly like the retrieval family.
+    "q_knn_shapley" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val c = Similarity.withNorm(emb, "vec_id", "embedding")
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      val qs = c.filter(querySet)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("label").as("qlabel"))
+      val sims = c.filter(!querySet).crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id"),
+          round(Similarity.dot(col("v"), col("qv")) /
+            (col("nrm") * col("qn")), 6).as("sim"),
+          (col("label") === col("qlabel")).cast("long").as("ind"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+      val terms = sims
+        .withColumn("rnk", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(wp))
+        .withColumn("ind_next", lead(col("ind"), 1).over(wr))
+        .withColumn("term",
+          when(col("ind_next").isNull,
+            col("ind") * expr("1000000000L div n"))
+            .otherwise((col("ind") - col("ind_next")) *
+              expr("1000000000L div greatest(5L, rnk)")))
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rnk"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      terms.withColumn("s", sum(col("term")).over(ws))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("s")).as("shap_nano"), count(lit(1)).as("n_q"))
+        .select(col("vec_id"), col("shap_nano"), col("n_q"),
+          round(col("shap_nano") / (col("n_q") * lit(1e9)), 6)
+            .as("avg_shap"))
+    }),
+
     // Hard-negative mining for contrastive/embedding training: for every
     // query vector, the top-5 most-similar CORPUS vectors with a DIFFERENT
     // label — near neighbors that are semantically wrong, the negatives a
@@ -860,6 +915,50 @@ object Vectors {
         |    ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
         |  FROM sims)
         |WHERE rank <= 5""".stripMargin,
+
+    // Same ranked cross join as the brute twin, then the Jia et al.
+    // recurrence as a suffix-sum window over exact nano-unit terms —
+    // every integer op mirrors the Spark side (division before the
+    // signed multiply), so shap_nano matches bit-for-bit.
+    "q_knn_shapley" ->
+      s"""WITH $withNorm,
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |q AS (SELECT c.vec_id AS query_id, c.v, c.nrm,
+        |    lab.label AS qlabel
+        |  FROM c JOIN lab USING (vec_id)
+        |  WHERE c.vec_id % 25 = 0 AND c.vec_id < 1000000),
+        |tr AS (SELECT c.vec_id, c.v, c.nrm, lab.label
+        |  FROM c JOIN lab USING (vec_id)
+        |  WHERE NOT (c.vec_id % 25 = 0 AND c.vec_id < 1000000)),
+        |sims AS (
+        |  SELECT q.query_id, tr.vec_id,
+        |    ${cos("tr", "q")} AS sim,
+        |    CASE WHEN tr.label = q.qlabel THEN 1 ELSE 0 END AS ind
+        |  FROM tr, q),
+        |rk AS (
+        |  SELECT query_id, vec_id, ind,
+        |    CAST(row_number() OVER wd AS BIGINT) AS rnk,
+        |    count(*) OVER (PARTITION BY query_id) AS n,
+        |    lead(ind) OVER wd AS ind_next
+        |  FROM sims
+        |  WINDOW wd AS (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id ASC)),
+        |terms AS (
+        |  SELECT query_id, vec_id, rnk,
+        |    CASE WHEN ind_next IS NULL THEN ind * (1000000000 // n)
+        |    ELSE (ind - ind_next) * (1000000000 // greatest(5, rnk))
+        |    END AS term
+        |  FROM rk),
+        |sv AS (
+        |  SELECT query_id, vec_id,
+        |    CAST(sum(term) OVER (PARTITION BY query_id ORDER BY rnk
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS BIGINT) AS s
+        |  FROM terms)
+        |SELECT vec_id, CAST(sum(s) AS BIGINT) AS shap_nano,
+        |  count(*) AS n_q,
+        |  round(CAST(sum(s) AS BIGINT) / (count(*) * 1e9), 6) AS avg_shap
+        |FROM sv GROUP BY vec_id""".stripMargin,
 
     // Unrolled farthest-first twin: s_r accumulates selected ids, d_r is
     // the per-candidate min rounded distance to s_{r-1}, m_r its

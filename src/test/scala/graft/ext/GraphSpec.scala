@@ -200,4 +200,49 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("null"))
   }
+
+  private def bfsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfsHops: chain distances are exact, truncation at maxHops, " +
+      "unreachable nodes absent") {
+    import org.apache.spark.sql.functions.col
+    // Directed chain 1→2→3→4→5 plus an isolated edge 8→9.
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val got = bfsOf(Graph.bfsHops(edges(es: _*), "src", "dst",
+      col("id") === 1L, maxHops = 3))
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // maxHops beyond the diameter settles everything reachable; 8/9
+    // stay absent from seed 1's component.
+    val full = bfsOf(Graph.bfsHops(edges(es: _*), "src", "dst",
+      col("id") === 1L, maxHops = 10))
+    assert(full === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("bfsHops: multi-source takes the min over seeds and respects " +
+      "edge direction") {
+    import org.apache.spark.sql.functions.col
+    // 1→2→3 and 5→3: seeds {1, 5} reach 3 in 2 hops via 1 but 1 hop
+    // via 5 — min wins. Reverse edges are NOT followed (5 is a seed, so
+    // its dist 0 row exists but nothing points from 3 back).
+    val es = Seq((1L, 2L), (2L, 3L), (5L, 3L))
+    val got = bfsOf(Graph.bfsHops(edges(es: _*), "src", "dst",
+      col("id") === 1L || col("id") === 5L, maxHops = 5))
+    assert(got === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bfsHops: empty seed set yields empty result; null endpoint " +
+      "fails loudly") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val es = Seq((1L, 2L))
+    assert(Graph.bfsHops(edges(es: _*), "src", "dst",
+      lit(false), maxHops = 3).isEmpty)
+    val df = Seq((Some(1L), Some(2L)), (None, Some(3L)))
+      .toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.bfsHops(df, "src", "dst", col("id") === 1L, 2)
+    }
+    assert(e.getMessage.contains("null"))
+  }
 }
