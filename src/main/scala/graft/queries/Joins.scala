@@ -541,14 +541,23 @@ object Joins {
     // independently proving the grid lossless (the q_spatial_join
     // stance). Per-id jitter makes the density structure real: points
     // spread inside a cell and chain across cell borders, so all three
-    // roles occur.
+    // roles occur. The `div 1e6` longitude band keeps density CONSTANT
+    // under fixture replication (ScaleFixture shifts replica ids by
+    // +r·1e6; without the band every replica lands on the same 180
+    // cells and the ε-pair volume grows ×factor² — 61M pairs at factor
+    // 10, an OOM, where constant density is linear). A world that grows
+    // WITH the corpus is the realistic 100 TB spatial regime; bands sit
+    // 181° apart so they can never chain, and the term is identically 0
+    // on every real sf dir (max custkey ≪ 1e6), leaving oracle rows
+    // untouched at every verify scale — the querySet-pinning precedent.
     "q_dbscan" -> ((s, dir) => {
       val pts = t(s, dir, "customer").select(
         col("c_custkey").as("pid"),
         ((col("c_custkey") % 90) - 45 + (col("c_custkey") % 7) * 0.1)
           .as("lat"),
-        (((col("c_custkey") * 7) % 180) - 90 + (col("c_custkey") % 11) * 0.08)
-          .as("lon"))
+        (((col("c_custkey") * 7) % 180) - 90
+          + (col("c_custkey") % 11) * 0.08
+          + expr("c_custkey div 1000000") * 181.0).as("lon"))
       val left = pts
         .withColumn("cx", floor(col("lat")))
         .withColumn("cy", floor(col("lon")))
@@ -952,7 +961,8 @@ object Joins {
         |    (c_custkey % 90) - 45 + (c_custkey % 7) * CAST(0.1 AS DOUBLE)
         |      AS lat,
         |    ((c_custkey * 7) % 180) - 90
-        |      + (c_custkey % 11) * CAST(0.08 AS DOUBLE) AS lon
+        |      + (c_custkey % 11) * CAST(0.08 AS DOUBLE)
+        |      + (c_custkey // 1000000) * CAST(181.0 AS DOUBLE) AS lon
         |  FROM customer),
         |nbr AS (
         |  SELECT a.pid, b.pid AS qid

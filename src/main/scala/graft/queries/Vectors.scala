@@ -480,11 +480,19 @@ object Vectors {
       val qs = c.filter(querySet)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("label").as("qlabel"))
-      val sims = c.filter(!querySet).crossJoin(broadcast(qs))
+      val train = c.filter(!querySet)
+      // Every query ranks the SAME train corpus, so the rank-domain size
+      // n is one global count (broadcast one-row join), not a per-query
+      // window — and the suffix sum rewrites as tot − prefix + term over
+      // the ALREADY rank-sorted order, so the whole pass is ONE exchange
+      // + ONE sort (three window frames sharing it), never a second sort.
+      val nRow = train.agg(count(lit(1)).as("n"))
+      val sims = train.crossJoin(broadcast(qs))
         .select(col("query_id"), col("vec_id"),
           round(Similarity.dot(col("v"), col("qv")) /
             (col("nrm") * col("qn")), 6).as("sim"),
           (col("label") === col("qlabel")).cast("long").as("ind"))
+        .crossJoin(broadcast(nRow))
       val wr = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
@@ -492,18 +500,19 @@ object Vectors {
         .partitionBy(col("query_id"))
       val terms = sims
         .withColumn("rnk", row_number().over(wr).cast("long"))
-        .withColumn("n", count(lit(1)).over(wp))
         .withColumn("ind_next", lead(col("ind"), 1).over(wr))
         .withColumn("term",
           when(col("ind_next").isNull,
             col("ind") * expr("1000000000L div n"))
             .otherwise((col("ind") - col("ind_next")) *
               expr("1000000000L div greatest(5L, rnk)")))
-      val ws = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("rnk"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
-          org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      terms.withColumn("s", sum(col("term")).over(ws))
+      terms
+        .withColumn("prefix", sum(col("term"))
+          .over(wr.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .withColumn("tot", sum(col("term")).over(wp))
+        .withColumn("s", col("tot") - col("prefix") + col("term"))
         .groupBy(col("vec_id"))
         .agg(sum(col("s")).as("shap_nano"), count(lit(1)).as("n_q"))
         .select(col("vec_id"), col("shap_nano"), col("n_q"),

@@ -26,7 +26,8 @@ class ThirdWaveSpec extends AnyFunSuite {
     val pts = t(spark, dir, "customer").select("c_custkey").collect()
       .map(_.getLong(0)).sorted
       .map(c => (c, (c % 90 - 45).toDouble + (c % 7) * 0.1,
-        ((c * 7) % 180 - 90).toDouble + (c % 11) * 0.08))
+        ((c * 7) % 180 - 90).toDouble + (c % 11) * 0.08
+          + (c / 1000000) * 181.0))
     def d2(a: (Long, Double, Double), b: (Long, Double, Double)) =
       (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
     val nbrs = pts.map(p =>
