@@ -286,6 +286,47 @@ object Similarity {
       .agg(round(avg(col("x")), 6).as("mean"),
         count(lit(1)).as("n_members"))
 
+  /** Lloyd's k-means TRAINING loop (Lloyd 1982; the codebook trainer the
+    * IVF/PQ family documents as its production path): `rounds` iterations
+    * of assign ([[assignClustersAgainst]] — broadcast argmax, zero
+    * shuffle) then refine ([[centroidRefinement]] — per-(cluster, dim)
+    * rounded mean, one hash-agg), centroids rebuilt as vectors from the
+    * long-format means (array_sort of (dim, mean) structs — never a
+    * driver collect; the k×D centroid table is broadcast-sized by
+    * definition). Returns the FINAL refinement table (cluster_id,
+    * dim_idx, mean, n_members).
+    *
+    * Determinism: means are round-6 (absorbing float-sum order, the
+    * q_sim_kmeans_step posture), assignments argmax round-6 cosines with
+    * the lowest-id tiebreak — so every round's state is bit-identical
+    * across engines and partitionings, and the unrolled SQL twin matches
+    * exactly. A cluster that loses all members drops out (both engines'
+    * inner joins agree); cluster identity is the seed row's id
+    * throughout. Per round: O(n·k) flops + one corpus hash-agg — the
+    * same cost envelope as one IVF build.
+    */
+  def kMeansTrain(corpus: DataFrame, idCol: String, centroidPred: Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var cent = corpus.filter(centroidPred)
+      .select(col(idCol), col("v"), col("nrm")).localCheckpoint()
+    var refined: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val asgn = assignClustersAgainst(corpus, idCol, cent)
+      refined = centroidRefinement(asgn, "cluster_id", "v")
+        .localCheckpoint()
+      cent = refined
+        .groupBy(col("cluster_id"))
+        .agg(array_sort(collect_list(struct(col("dim_idx"), col("mean"))))
+          .as("dm"))
+        .select(col("cluster_id").as(idCol),
+          transform(col("dm"), x => x.getField("mean")).as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+        .localCheckpoint()
+    }
+    refined
+  }
+
   /** IVF: assign every vector to its nearest centroid
     * ([[assignClusters]]), search only within the query's cluster. Returns
     * (query_id, neighbor_id, cluster_id, sim, rank).

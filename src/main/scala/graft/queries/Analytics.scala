@@ -25,6 +25,49 @@ object Analytics {
       (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))),
     2).cast("double")
 
+  /** Item-item collaborative-filtering neighbor table (Sarwar et al.
+    * 2001 / the Amazon item-to-item layout): cosine over order
+    * co-occurrence — sim(i,j) = n_ij / sqrt(n_i·n_j) — then the top-5
+    * list per item, the precomputed "related items" serving table. ONE
+    * definition shared by q_cf_item_cosine (the table itself) and
+    * q_cf_recs (user recommendations built on it); same pair derivation
+    * as q_basket_lift, support ≥ 2 pruned BEFORE the marginals join.
+    * Every value is one correctly-rounded IEEE op over exact integer
+    * counts, so both engines agree bit-for-bit; round-6 rank ties break
+    * on neighbor id. Pair volume is Σ per-order basket², never |items|².
+    */
+  private def cfNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint() // both self-join sides + marginals
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = items.select(col("l_orderkey").as("ok_b"),
+      col("l_partkey").as("pb"))
+    val pairs = a.join(b, a("l_orderkey") === b("ok_b") &&
+        col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+    val bi = pairs.select(col("pa").as("item"), col("pb").as("nbr"),
+        col("n_co"))
+      .unionAll(pairs.select(col("pb").as("item"), col("pa").as("nbr"),
+        col("n_co")))
+    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
+    val scored = bi
+      .join(freq.select(col("l_partkey").as("item"),
+        col("n_p").as("n_i")), "item")
+      .join(freq.select(col("l_partkey").as("nbr"),
+        col("n_p").as("n_j")), "nbr")
+      .select(col("item"), col("nbr"), col("n_co"),
+        round(col("n_co") / sqrt((col("n_i") * col("n_j"))
+          .cast("double")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("cos_sim").desc, col("nbr").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Market-basket lift: part pairs co-bought in one order, scored by
@@ -73,36 +116,43 @@ object Analytics {
     // bit-for-bit and the round-6 rank key ties break on neighbor id.
     // Scale: pair volume is Σ per-order basket², bounded by basket size,
     // never |items|²; the ranking window partitions by item.
-    "q_cf_item_cosine" -> ((s, dir) => {
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .localCheckpoint() // both self-join sides + marginals
-      val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      val b = items.select(col("l_orderkey").as("ok_b"),
-        col("l_partkey").as("pb"))
-      val pairs = a.join(b, a("l_orderkey") === b("ok_b") &&
-          col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("n_co"))
-        .filter(col("n_co") >= 2)
-      val bi = pairs.select(col("pa").as("item"), col("pb").as("nbr"),
-          col("n_co"))
-        .unionAll(pairs.select(col("pb").as("item"), col("pa").as("nbr"),
-          col("n_co")))
-      val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
-      val scored = bi
-        .join(freq.select(col("l_partkey").as("item"),
-          col("n_p").as("n_i")), "item")
-        .join(freq.select(col("l_partkey").as("nbr"),
-          col("n_p").as("n_j")), "nbr")
-        .select(col("item"), col("nbr"), col("n_co"),
-          round(col("n_co") / sqrt((col("n_i") * col("n_j"))
-            .cast("double")), 6).as("cos_sim"))
+    "q_cf_item_cosine" -> ((s, dir) => cfNeighbors(s, dir)),
+
+    // User-level recommendations on top of the item-item table (the
+    // second half of the Sarwar/Amazon layout): for every customer, the
+    // top-3 parts they DON'T own, ranked by the summed similarity of
+    // their owned items' top-5 neighbor lists. Similarity sums in exact
+    // micro-units (the round-6 cosine ×1e6 is integer-valued — one
+    // floor(+0.5) recovers the exact long on both engines; long sums are
+    // order-free where a double sum would hash-drift). Scale: fanout is
+    // |owned| × 5 (the neighbor lists bound it), the anti-join removes
+    // owned candidates before ranking, and the ranking window partitions
+    // by customer.
+    "q_cf_recs" -> ((s, dir) => {
+      val owned = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+        .distinct()
+        .localCheckpoint() // fanout side + anti-join side
+      val nbrs = cfNeighbors(s, dir)
+        .select(col("item"), col("nbr"),
+          floor(col("cos_sim") * 1e6 + 0.5).as("sim_micro"))
+      val cand = owned.join(nbrs, Seq("item"))
+        .groupBy(col("cust"), col("nbr"))
+        .agg(sum(col("sim_micro")).as("score_micro"),
+          count(lit(1)).as("n_owned_nbrs"))
+        .join(owned.select(col("cust"), col("item").as("nbr")),
+          Seq("cust", "nbr"), "left_anti")
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("item"))
-        .orderBy(col("cos_sim").desc, col("nbr").asc)
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
+        .partitionBy(col("cust"))
+        .orderBy(col("score_micro").desc, col("nbr").asc)
+      cand.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("cust"), col("nbr").as("rec_item"),
+          col("score_micro"), col("n_owned_nbrs"), col("rnk"))
     }),
 
     // Q3 shape: shipping priority — segment-filtered customers, orders
@@ -621,6 +671,34 @@ object Analytics {
     }),
   )
 
+  /** Shared CF neighbor-table CTE chain — the declarative twin of
+    * [[cfNeighbors]], ending in `cfn` (item, nbr, n_co, cos_sim, rnk ≤ 5).
+    */
+  private val cfCtes: String =
+    """items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pc AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_co
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |bi AS (SELECT pa AS item, pb AS nbr, n_co FROM pc
+      |       UNION ALL SELECT pb, pa, n_co FROM pc),
+      |f AS (SELECT l_partkey, count(*) AS n_p FROM items GROUP BY 1),
+      |sc AS (
+      |  SELECT bi.item, bi.nbr, bi.n_co,
+      |    round(bi.n_co / sqrt(CAST(fa.n_p * fb.n_p AS DOUBLE)), 6)
+      |      AS cos_sim
+      |  FROM bi
+      |  JOIN f fa ON bi.item = fa.l_partkey
+      |  JOIN f fb ON bi.nbr = fb.l_partkey),
+      |cfn AS (
+      |  SELECT item, nbr, n_co, cos_sim, rnk FROM (
+      |    SELECT *, CAST(row_number() OVER (PARTITION BY item
+      |      ORDER BY cos_sim DESC, nbr ASC) AS BIGINT) AS rnk
+      |    FROM sc)
+      |  WHERE rnk <= 5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_basket_lift" ->
       """WITH items AS (
@@ -642,28 +720,33 @@ object Analytics {
         |CROSS JOIN t""".stripMargin,
 
     "q_cf_item_cosine" ->
-      """WITH items AS (
-        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pc AS (
-        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_co
-        |  FROM items a JOIN items b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |bi AS (SELECT pa AS item, pb AS nbr, n_co FROM pc
-        |       UNION ALL SELECT pb, pa, n_co FROM pc),
-        |f AS (SELECT l_partkey, count(*) AS n_p FROM items GROUP BY 1),
-        |sc AS (
-        |  SELECT bi.item, bi.nbr, bi.n_co,
-        |    round(bi.n_co / sqrt(CAST(fa.n_p * fb.n_p AS DOUBLE)), 6)
-        |      AS cos_sim
-        |  FROM bi
-        |  JOIN f fa ON bi.item = fa.l_partkey
-        |  JOIN f fb ON bi.nbr = fb.l_partkey)
-        |SELECT item, nbr, n_co, cos_sim, rnk FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY item
-        |    ORDER BY cos_sim DESC, nbr ASC) AS BIGINT) AS rnk
-        |  FROM sc)
-        |WHERE rnk <= 5""".stripMargin,
+      s"""WITH $cfCtes
+        |SELECT item, nbr, n_co, cos_sim, rnk FROM cfn""".stripMargin,
+
+    "q_cf_recs" ->
+      s"""WITH $cfCtes,
+        |owned AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nb AS (SELECT item, nbr,
+        |    CAST(floor(cos_sim * 1e6 + 0.5) AS BIGINT) AS sim_micro
+        |  FROM cfn),
+        |cand AS (
+        |  SELECT o.cust, nb.nbr,
+        |    CAST(sum(nb.sim_micro) AS BIGINT) AS score_micro,
+        |    count(*) AS n_owned_nbrs
+        |  FROM owned o JOIN nb USING (item)
+        |  GROUP BY 1, 2),
+        |flt AS (
+        |  SELECT c.* FROM cand c
+        |  LEFT JOIN owned w ON w.cust = c.cust AND w.item = c.nbr
+        |  WHERE w.item IS NULL)
+        |SELECT cust, nbr AS rec_item, score_micro, n_owned_nbrs, rnk
+        |FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY cust
+        |    ORDER BY score_micro DESC, nbr ASC) AS BIGINT) AS rnk
+        |  FROM flt)
+        |WHERE rnk <= 3""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,

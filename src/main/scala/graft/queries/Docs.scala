@@ -1765,6 +1765,36 @@ object Docs {
           .as("dup_3gram_ratio"))
     }),
 
+    // N-gram novelty (the memorization/repeat audit beside q_repetition's
+    // WITHIN-doc signals): per doc, the fraction of its DISTINCT 5-gram
+    // shingles whose first corpus occurrence (min doc_id) is this doc —
+    // low novelty means the doc restates earlier content, the
+    // upweight/downweight dial a dedup-soft pipeline reads. Shingle
+    // semantics shared with the dedup family; grams shuffle as 60-bit
+    // md5-prefix longs (the hashBucket idiom — ENGINE-CONSISTENT hashing,
+    // so even a collision collides identically on both sides, unlike an
+    // engine-specific hash) — the text itself never shuffles. Shape: one
+    // explode → per-doc distinct → gram hash-agg (min doc) → join back;
+    // all linear with map-side combine.
+    "q_ngram_novelty" -> ((s, dir) => {
+      val sh = Dedup.docShingles(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+            .as("g"))
+        .distinct()
+        .localCheckpoint() // first-seen agg + join-back side
+      val firstSeen = sh.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      sh.join(firstSeen, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel") / col("n_grams").cast("double"), 6)
+            .as("novelty"))
+    }),
+
     // Unicode canonicalization: the fixture text is pure ASCII, so (like
     // q_pii_scrub below) the accented forms are synthesized IDENTICALLY in
     // both engines — translate vowels to precomposed Latin-1 accents, and
@@ -3916,6 +3946,25 @@ object Docs {
         |  n_3grams,
         |  round(CAST(dup_3grams AS DOUBLE) / n_3grams, 4) AS dup_3gram_ratio
         |FROM ta JOIN ga ON ta.doc_id = ga.doc_id""".stripMargin,
+
+    // Same shingle CTE as the dedup family; grams keyed by the identical
+    // 60-bit md5-prefix both engines derive, so even a hash collision is
+    // shared rather than divergent.
+    "q_ngram_novelty" ->
+      s"""WITH $shingleCte,
+        |dg AS (SELECT DISTINCT doc_id,
+        |    CAST(CONCAT('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+        |      AS g
+        |  FROM sh),
+        |fs AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g)
+        |SELECT dg.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN fs.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN fs.first_doc = dg.doc_id
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM dg JOIN fs USING (g)
+        |GROUP BY dg.doc_id""".stripMargin,
 
     // chr(225,233,237,243,250) = precomposed a/e/i/o/u-acute; chr(769) =
     // the combining acute — ASCII-only SQL so the oracle JSON stays

@@ -185,6 +185,19 @@ object Vectors {
           "embedding", col("vec_id") < 10),
         "cluster_id", "v")),
 
+    // The full Lloyd TRAINING loop the single step above exists for —
+    // and the trainer the PQ codebook doc points at: 3 rounds of
+    // broadcast-argmax assignment + per-(cluster, dim) rounded-mean
+    // refinement, centroids rebuilt distributedly between rounds
+    // (Similarity.kMeansTrain). Round-6 state makes every round
+    // bit-identical across engines, so the unrolled 3-round SQL twin
+    // (MATERIALIZED per the q_coreset_kcenter lesson) hash-matches the
+    // final centroid table exactly.
+    "q_sim_kmeans" -> ((s, dir) =>
+      Similarity.kMeansTrain(
+        Similarity.withNorm(t(s, dir, "embeddings"), "vec_id", "embedding"),
+        "vec_id", col("vec_id") < 10, rounds = 3)),
+
     // Scale path: random-hyperplane LSH candidates verified by exact
     // cosine — the composition nearDupPairs exists to baseline.
     "q_sim_neardup_lsh" -> ((s, dir) =>
@@ -1060,6 +1073,44 @@ object Vectors {
         |SELECT cluster_id, CAST(ii - 1 AS BIGINT) AS dim_idx,
         |  round(avg(v[ii]), 6) AS mean, count(*) AS n_members
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // Unrolled 3-round Lloyd twin: each round re-derives assignment
+    // (argmax of the round-6 cosine against the PREVIOUS round's
+    // centroids, lowest-id tiebreak) and the per-dim rounded means, then
+    // rebuilds centroid lists with an ordered list() aggregate. Every
+    // CTE is MATERIALIZED — the centroid chain is referenced repeatedly
+    // and DuckDB inlines plain CTEs (the q_coreset_kcenter lesson).
+    "q_sim_kmeans" ->
+      (s"""WITH $withNorm,
+        |cent0 AS MATERIALIZED (
+        |  SELECT vec_id AS cent_id, v, nrm FROM c WHERE vec_id < 10)""" +
+        (1 to 3).map(r => s""",
+        |asgn$r AS MATERIALIZED (
+        |  SELECT vec_id, cent_id AS cluster_id FROM (
+        |    SELECT x.vec_id, ct.cent_id,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY ${cos("x", "ct")} DESC, ct.cent_id ASC) AS rn
+        |    FROM c x, cent${r - 1} ct)
+        |  WHERE rn = 1),
+        |ref$r AS MATERIALIZED (
+        |  SELECT cluster_id, CAST(ii - 1 AS BIGINT) AS dim_idx,
+        |    round(avg(v[ii]), 6) AS mean, count(*) AS n_members
+        |  FROM (
+        |    SELECT a.cluster_id, unnest(range(1, len(c.v) + 1)) AS ii,
+        |      c.v AS v
+        |    FROM asgn$r a JOIN c ON c.vec_id = a.vec_id)
+        |  GROUP BY 1, 2),
+        |centv$r AS MATERIALIZED (
+        |  SELECT cluster_id AS cent_id,
+        |    list(mean ORDER BY dim_idx) AS v
+        |  FROM ref$r GROUP BY 1),
+        |cent$r AS MATERIALIZED (
+        |  SELECT cent_id, v,
+        |    sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+        |      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+        |  FROM centv$r)""").mkString + """
+        |SELECT cluster_id, dim_idx, mean, n_members FROM ref3""")
+        .stripMargin,
 
     "q_vector_stats" ->
       s"""WITH $withNorm

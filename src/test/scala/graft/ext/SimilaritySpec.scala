@@ -229,4 +229,55 @@ class SimilaritySpec extends AnyFunSuite {
     // members partition the corpus: every vector counted exactly once
     assert(report.values.map(_._1).sum == 7L)
   }
+
+  test("kMeansTrain: misassignments from a bad seed migrate across " +
+      "rounds to the true group means") {
+    // Two cosine-direction groups: x-ish {0, 1, 2} and y-ish {3, 4, 5},
+    // but BOTH seeds sit in the x group. Round 1 splits on direction
+    // anyway (seed 1 = (0.98, 0.02) is nearer every y vector than the
+    // pure-x seed 0), which misassigns vector 1 to its own singleton-ish
+    // cluster; round 2's refined centroid 1 has moved to the y mass, so
+    // vector 1 migrates home to cluster 0 and the loop settles at the
+    // per-group coordinate means — the behavior a single step cannot
+    // produce (q_sim_kmeans_step leaves vector 1 misassigned).
+    val df = emb(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0.98f, 0.02f), 0),
+      (2L, Seq(0.99f, 0.01f), 0),
+      (3L, Seq(0f, 1f), 0), (4L, Seq(0.02f, 0.98f), 0),
+      (5L, Seq(0.01f, 0.99f), 0))
+    val got = Similarity.kMeansTrain(
+      Similarity.withNorm(df, "vec_id", "embedding"),
+      "vec_id", col("vec_id") < 2, rounds = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    def mean6(xs: Seq[Double]): Double =
+      java.math.BigDecimal.valueOf(xs.sum / xs.size)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val xs = Seq(1.0, 0.98f.toDouble, 0.99f.toDouble)
+    val ys = Seq(0.0, 0.02f.toDouble, 0.01f.toDouble)
+    assert(got((0L, 0L)) == ((mean6(xs), 3L)))
+    assert(got((0L, 1L)) == ((mean6(ys), 3L)))
+    assert(got((1L, 0L)) == ((mean6(ys), 3L)))
+    assert(got((1L, 1L)) == ((mean6(xs), 3L)))
+    // counts partition the corpus
+    assert(got.collect { case ((_, 0L), (_, n)) => n }.sum == 6L)
+  }
+
+  test("kMeansTrain: a cluster that loses every member drops out") {
+    // Seed 1's vector is IDENTICAL to seed 0's, so round 1's exact
+    // cosine ties all resolve to the lower cent_id — cluster 1 receives
+    // zero members, its refinement row set is empty, and it vanishes
+    // from every later round and the output (both engines' inner joins
+    // agree on this drop policy).
+    val df = emb(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0.9f, 0.1f), 0))
+    val got = Similarity.kMeansTrain(
+      Similarity.withNorm(df, "vec_id", "embedding"),
+      "vec_id", col("vec_id") < 2, rounds = 2)
+      .select("cluster_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L))
+  }
 }
