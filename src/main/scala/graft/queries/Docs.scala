@@ -1795,6 +1795,40 @@ object Docs {
             .as("novelty"))
     }),
 
+    // KMV distinct-count sketch (Beyer et al. 2007 — the θ-sketch core)
+    // per source over distinct 5-gram shingles, BESIDE the exact count it
+    // estimates: the k smallest engine-consistent gram hashes (same
+    // 60-bit md5-prefix keys as q_ngram_novelty) via the typed-Aggregator
+    // UDAF graft.functions.Kmv — O(k) state per group, map-side partial
+    // merge, shuffle O(groups × k) longs instead of O(grams). Under k
+    // distinct values the buffer IS the distinct set (exact); at or over,
+    // the estimate (k−1)·M/U_(k) is four IEEE-exact ops over the k-th min
+    // — so unlike HLL ([[graft.engine.Sketches]]) the ESTIMATE itself is
+    // oracle-checkable: DuckDB re-derives the same k-th min by sorting.
+    "q_distinct_kmv" -> ((s, dir) => {
+      val k = 64
+      val m = 1152921504606846976.0 // 2^60, the md5-prefix hash domain
+      val grams = Dedup.docShingles(t(s, dir, "documents"), "doc_id",
+          "text")
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .select(col("source"),
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+            .as("g"))
+      grams.groupBy(col("source"))
+        .agg(countDistinct(col("g")).as("n_exact"),
+          graft.functions.Kmv.kmvAgg(col("g"), k).as("kept"))
+        .select(col("source"), col("n_exact"),
+          when(size(col("kept")) < k,
+            size(col("kept")).cast("double"))
+            .otherwise(round(lit((k - 1).toDouble) * m /
+              element_at(col("kept"), k), 2)).as("est"),
+          when(size(col("kept")) < k, 0.0)
+            .otherwise(round(abs(round(lit((k - 1).toDouble) * m /
+              element_at(col("kept"), k), 2) - col("n_exact")) /
+              col("n_exact"), 4)).as("rel_err"))
+    }),
+
     // Unicode canonicalization: the fixture text is pure ASCII, so (like
     // q_pii_scrub below) the accented forms are synthesized IDENTICALLY in
     // both engines — translate vowels to precomposed Latin-1 accents, and
@@ -3946,6 +3980,36 @@ object Docs {
         |  n_3grams,
         |  round(CAST(dup_3grams AS DOUBLE) / n_3grams, 4) AS dup_3gram_ratio
         |FROM ta JOIN ga ON ta.doc_id = ga.doc_id""".stripMargin,
+
+    // The twin re-derives the k-th minimum by sorting the distinct hash
+    // set — the declarative proof that the Aggregator's bounded heap
+    // kept exactly the k smallest. Estimator arithmetic mirrors the
+    // Spark plan op for op.
+    "q_distinct_kmv" ->
+      s"""WITH $shingleCte,
+        |dg AS (SELECT DISTINCT d.source,
+        |    CAST(CONCAT('0x', substring(md5(s.shingle), 1, 15)) AS BIGINT)
+        |      AS g
+        |  FROM sh s JOIN documents d USING (doc_id)),
+        |kth AS (
+        |  SELECT source, g, row_number() OVER (PARTITION BY source
+        |    ORDER BY g ASC) AS rn, count(*) OVER (PARTITION BY source)
+        |    AS nd
+        |  FROM dg)
+        |SELECT source, CAST(nd AS BIGINT) AS n_exact,
+        |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |    ELSE round(63.0 * CAST(1152921504606846976 AS DOUBLE) / g, 2)
+        |  END AS est,
+        |  CASE WHEN nd < 64 THEN 0.0
+        |    ELSE round(abs(round(63.0 *
+        |        CAST(1152921504606846976 AS DOUBLE) / g, 2) - nd)
+        |      / CAST(nd AS DOUBLE), 4)
+        |  END AS rel_err
+        |FROM kth WHERE nd >= 64 AND rn = 64
+        |UNION ALL
+        |SELECT source, CAST(nd AS BIGINT) AS n_exact,
+        |  CAST(nd AS DOUBLE) AS est, 0.0 AS rel_err
+        |FROM kth WHERE nd < 64 AND rn = 1""".stripMargin,
 
     // Same shingle CTE as the dedup family; grams keyed by the identical
     // 60-bit md5-prefix both engines derive, so even a hash collision is
