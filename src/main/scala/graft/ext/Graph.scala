@@ -255,15 +255,64 @@ object Graph {
       .distinct().localCheckpoint()
   }
 
+  /** k-truss membership (Cohen 2008, "Trusses: cohesive subgraphs for
+    * social network analysis"): iteratively drop every edge supported by
+    * fewer than k−2 triangles among the SURVIVING edges — the
+    * edge-grained cohesion ladder above [[kCore]]'s degree peel (every
+    * k-truss edge joins k−2 mutually-adjacent corroborating wedges, so a
+    * truss survives the hub-and-spoke artifacts a core keeps).
+    *
+    * Synchronous peel with a FIXED round budget (the kCore posture: both
+    * engines stay well-defined pre-convergence). Per round:
+    * [[trianglesFrom]] enumerates each surviving triangle once under the
+    * (deg, id) orientation (O(√E) wedge bound — a hub costs √E wedges,
+    * not degree²), three canonical-edge projections hash-agg per-edge
+    * support, one join back filters; edges localCheckpointed per round.
+    * Support counts are orientation-independent (every triangle is
+    * counted exactly once under ANY orientation), so the SQL twin may
+    * enumerate with the simpler lo<hi wedge join and still match row
+    * for row — which independently proves the orientation lossless.
+    *
+    * Returns (lo, hi, in_truss) over the ORIGINAL canonical edge set.
+    */
+  def kTruss(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val orig = canonicalEdges(pairs, aCol, bCol)
+    var e = orig
+    for (_ <- 1 to rounds) {
+      val tri = trianglesFrom(e)
+      def edgeOf(u: Column, v: Column) =
+        struct(least(u, v).as("lo"), greatest(u, v).as("hi"))
+      val sup = tri.select(explode(array(
+          edgeOf(col("a"), col("b")),
+          edgeOf(col("a"), col("c")),
+          edgeOf(col("b"), col("c")))).as("e"))
+        .groupBy(col("e.lo").as("lo"), col("e.hi").as("hi"))
+        .agg(count(lit(1)).as("nsup"))
+        .filter(col("nsup") >= k - 2)
+      e = e.join(sup.select(col("lo"), col("hi")), Seq("lo", "hi"))
+        .localCheckpoint()
+    }
+    orig.join(e.withColumn("in_truss", lit(true)), Seq("lo", "hi"), "left")
+      .select(col("lo"), col("hi"),
+        coalesce(col("in_truss"), lit(false)).as("in_truss"))
+  }
+
   /** Undirected degree per node of a canonical edge set. */
   private[ext] def degrees(und: DataFrame): DataFrame =
     und.select(col("lo").as("id"))
       .unionAll(und.select(col("hi").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
 
-  private def triangleCountsFrom(und: DataFrame): DataFrame = {
-    val nodes = und.select(col("lo").as("id"))
-      .union(und.select(col("hi").as("id"))).distinct()
+  /** Every triangle of a canonical edge set exactly once, as (a, b, c)
+    * rows (corner order follows the (deg, id) orientation, NOT lo<hi) —
+    * the degree-oriented enumeration (Suri & Vassilvitskii 2011) with
+    * its O(√E) out-degree bound, shared by [[triangleCounts]] and
+    * [[kTruss]].
+    */
+  private[ext] def trianglesFrom(und: DataFrame): DataFrame = {
     val deg = degrees(und)
     // Orient by (deg, id): src strictly smaller in that total order.
     val ori = und
@@ -289,9 +338,14 @@ object Graph {
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
     val closing = ori.select(col("src").as("v"), col("dst").as("w"))
-    val tris = wedges.join(closing, Seq("v", "w"))
+    wedges.join(closing, Seq("v", "w"))
       .select(col("src").as("a"), col("v").as("b"), col("w").as("c"))
-    val perNode = tris
+  }
+
+  private def triangleCountsFrom(und: DataFrame): DataFrame = {
+    val nodes = und.select(col("lo").as("id"))
+      .union(und.select(col("hi").as("id"))).distinct()
+    val perNode = trianglesFrom(und)
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n"))
     nodes.join(perNode, Seq("id"), "left")

@@ -603,6 +603,26 @@ object Joins {
             .as("cluster_id"))
     }),
 
+    // 10-truss of the co-purchase graph (Cohen 2008): keep edges
+    // corroborated by ≥ 8 triangles among surviving edges, 3 synchronous
+    // peel rounds (graft.ext.Graph.kTruss — the edge-grained cohesion
+    // ladder above q_dedup_kcore's degree peel; a truss shakes out the
+    // hub-and-spoke artifacts a core keeps). Spark enumerates triangles
+    // under the O(sqrt E) degree orientation; the twin uses the naive
+    // lo<hi wedge join — support counts are orientation-independent, so
+    // row-for-row equality proves the orientation lossless. 39,405 of
+    // 115,729 edges survive at sf0.01 — still cascading at round 3.
+    "q_ktruss" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val other = li.select(col("l_orderkey"),
+        col("l_partkey").as("r_partkey"))
+      val pairs = li.join(other, Seq("l_orderkey"))
+        .filter(col("l_partkey") =!= col("r_partkey"))
+        .select(col("l_partkey").as("pa"), col("r_partkey").as("pb"))
+      graft.ext.Graph.kTruss(pairs, "pa", "pb", k = 10, rounds = 3)
+    }),
+
     // Degree assortativity (Newman 2002) of the co-purchase graph: do
     // popular parts co-occur with other popular parts? One corr over the
     // both-direction edge list with endpoint degrees joined on.
@@ -933,6 +953,37 @@ object Joins {
         |FROM de
         |JOIN dg da ON da.id = de.a
         |JOIN dg db ON db.id = de.b""".stripMargin,
+
+    // Unrolled 3-round peel twin: each round re-enumerates surviving
+    // triangles (lo<hi wedge join + closing edge) and filters on the
+    // exact support count. Every round CTE is MATERIALIZED — each is
+    // read three times by the next round's triangle join, and DuckDB
+    // inlines plain CTEs (the q_dedup_kcore precedent).
+    "q_ktruss" ->
+      ("""WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+        |    greatest(a.l_partkey, b.l_partkey) AS hi
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey != b.l_partkey)""" +
+        (1 to 3).map(r => s""",
+        |tr$r AS MATERIALIZED (
+        |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |  FROM e${r - 1} e1
+        |  JOIN e${r - 1} e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+        |  JOIN e${r - 1} e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+        |sup$r AS MATERIALIZED (
+        |  SELECT lo, hi, count(*) AS n FROM (
+        |    SELECT a AS lo, b AS hi FROM tr$r
+        |    UNION ALL SELECT a, c FROM tr$r
+        |    UNION ALL SELECT b, c FROM tr$r)
+        |  GROUP BY 1, 2),
+        |e$r AS MATERIALIZED (
+        |  SELECT e.lo, e.hi FROM e${r - 1} e
+        |  JOIN sup$r s ON s.lo = e.lo AND s.hi = e.hi
+        |  WHERE s.n >= 8)""").mkString + """
+        |SELECT e0.lo, e0.hi, e3.lo IS NOT NULL AS in_truss
+        |FROM e0 LEFT JOIN e3 ON e3.lo = e0.lo AND e3.hi = e0.hi""")
+        .stripMargin,
 
     // Depth-bounded recursive closure carrying the hop count; min(d) per
     // node IS the BFS distance (the walk enumerates every ≤3-hop path

@@ -204,6 +204,26 @@ class GraphSpec extends AnyFunSuite {
   private def bfsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("kTruss: a K4 survives the 4-truss, an attached triangle does " +
+      "not; the 3-truss keeps both; peeling cascades") {
+    // K4 on {1..4} plus a triangle {4,5,6} hanging off vertex 4.
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+    def trussEdges(k: Int) =
+      Graph.kTruss(edges(es: _*), "src", "dst", k, rounds = 3)
+        .collect().collect {
+          case r if r.getBoolean(2) => (r.getLong(0), r.getLong(1)) }.toSet
+    // k=4 (support >= 2): every K4 edge sits in 2 triangles among K4
+    // edges; the pendant triangle's edges have support 1 and drop.
+    assert(trussEdges(4) ===
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // k=3 (support >= 1): both cliques' edges survive.
+    assert(trussEdges(3) === es.toSet)
+    // k=5 (support >= 3): no edge of K4 has 3 supporting triangles once
+    // peers drop — everything cascades away.
+    assert(trussEdges(5) === Set.empty)
+  }
+
   test("bfsHops: chain distances are exact, truncation at maxHops, " +
       "unreachable nodes absent") {
     import org.apache.spark.sql.functions.col
