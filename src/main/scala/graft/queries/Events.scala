@@ -65,14 +65,6 @@ object Events {
           (chk.metric <= 0.5).as("passed"))
     }),
 
-    // Changepoint localization (CUSUM, Page 1954): WHERE in time the
-    // level of a series shifted — the companion to q_psi_drift's "did the
-    // distribution move". Hourly value sums per type (integer cents), then
-    // the classic cumulative-deviation statistic computed SCALE-FREE in
-    // exact longs: cusum_t·n = n·Σ_{i≤t}x_i − t·Σx_i (multiplying through
-    // by n avoids a float mean inside the cumsum — engine-exact), argmax
-    // |cusum| with earliest-hour tiebreak. Windows run over the hourly
-    // aggregate (≤ hours×types rows), never raw events.
     // EWMA control chart (Roberts 1959; the streaming-friendly smoother
     // beside CUSUM's retrospective changepoint): per event type, the
     // exponentially weighted moving average of hourly volume with α = 1/2
@@ -112,6 +104,14 @@ object Events {
             lit(false)).as("spike"))
     }),
 
+    // Changepoint localization (CUSUM, Page 1954): WHERE in time the
+    // level of a series shifted — the companion to q_psi_drift's "did the
+    // distribution move". Hourly value sums per type (integer cents), then
+    // the classic cumulative-deviation statistic computed SCALE-FREE in
+    // exact longs: cusum_t·n = n·Σ_{i≤t}x_i − t·Σx_i (multiplying through
+    // by n avoids a float mean inside the cumsum — engine-exact), argmax
+    // |cusum| with earliest-hour tiebreak. Windows run over the hourly
+    // aggregate (≤ hours×types rows), never raw events.
     "q_cusum_changepoint" -> ((s, dir) => {
       val hourly = t(s, dir, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
@@ -188,6 +188,59 @@ object Events {
           max(col("d")).as("ks"))
         .withColumn("verdict",
           when(col("ks") > 0.1, "drifted").otherwise("stable"))
+    }),
+
+    // Wasserstein-1 (earth mover) drift beside PSI's binned divergence
+    // and KS's sup-norm: W1 = ∫|F_ref − F_cur| dx over the observed
+    // cents-grid support — the drift measure that weighs HOW FAR the
+    // mass moved, not just that it moved. Exact to the last bit: each
+    // step's |F_ref − F_cur| is the cross-multiplied integer
+    // |cum_ref·N_cur − cum_cur·N_ref|, scaled by the integer gap to the
+    // next observed value and summed as longs (order-free); ONE IEEE
+    // division at the end. The cross-multiply bound is
+    // max(cum)·max(N)·gap ≲ 1e12 at fixture scale and needs ~N² ≤ 2^63
+    // headroom in general — beyond ~3e9 rows per side, divide per step
+    // in doubles instead (the documented trade). Same distinct-grain
+    // shuffle + type-partitioned running windows as q_ks_drift.
+    "q_wasserstein_drift" -> ((s, dir) => {
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val g = t(s, dir, "events")
+        .withColumn("cents", floor(col("value") * 100 + 0.5))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("c_cur"))
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"))
+      val wAll = Window.partitionBy(col("event_type"))
+      g.withColumn("cum_ref", sum(col("c_ref")).over(wOrd))
+        .withColumn("cum_cur", sum(col("c_cur")).over(wOrd))
+        .withColumn("n_ref", sum(col("c_ref")).over(wAll))
+        .withColumn("n_cur", sum(col("c_cur")).over(wAll))
+        .withColumn("gap",
+          coalesce(lead(col("cents"), 1).over(wNext) - col("cents"),
+            lit(0L)))
+        .filter(col("n_ref") > 0 && col("n_cur") > 0)
+        .withColumn("term",
+          abs(col("cum_ref") * col("n_cur") - col("cum_cur") * col("n_ref"))
+            * col("gap"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+          sum(col("term")).as("tsum"),
+          (max(col("cents")) - min(col("cents"))).as("range_cents"))
+        // Verdict normalizes by the observed value RANGE — an absolute
+        // W1 threshold can't be right across differently-scaled metrics,
+        // and the ~range/sqrt(n) sampling noise would trip it. 10% of
+        // range is well above the noise floor at any useful n.
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          round(col("tsum") /
+            (col("n_ref") * col("n_cur") * lit(100.0)), 6).as("w1"),
+          round(col("tsum") / (col("n_ref") * col("n_cur") *
+            col("range_cents").cast("double")), 6).as("w1_rel"))
+        .withColumn("verdict",
+          when(col("w1_rel") > 0.1, "drifted").otherwise("stable"))
     }),
 
     // Tumbling 1-hour window per event type (Spark's window() operator;
@@ -511,6 +564,43 @@ object Events {
         |  round(abs(cusum_scaled) / (n * 100.0), 2) AS max_cusum,
         |  n AS n_hours
         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_wasserstein_drift" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, cents,
+        |    CAST(sum(c_ref) OVER wo AS BIGINT) AS cum_ref,
+        |    CAST(sum(c_cur) OVER wo AS BIGINT) AS cum_cur,
+        |    CAST(sum(c_ref) OVER wa AS BIGINT) AS n_ref,
+        |    CAST(sum(c_cur) OVER wa AS BIGINT) AS n_cur,
+        |    coalesce(lead(cents) OVER (PARTITION BY event_type
+        |      ORDER BY cents) - cents, 0) AS gap
+        |  FROM g
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY cents
+        |    ROWS UNBOUNDED PRECEDING),
+        |  wa AS (PARTITION BY event_type)),
+        |agg AS (
+        |  SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+        |    CAST(sum(abs(cum_ref * n_cur - cum_cur * n_ref) * gap)
+        |      AS BIGINT) AS tsum,
+        |    max(cents) - min(cents) AS range_cents
+        |  FROM cum WHERE n_ref > 0 AND n_cur > 0
+        |  GROUP BY 1)
+        |SELECT event_type, n_ref, n_cur,
+        |  round(tsum / (n_ref * n_cur * 100.0), 6) AS w1,
+        |  round(tsum / (n_ref * n_cur * CAST(range_cents AS DOUBLE)), 6)
+        |    AS w1_rel,
+        |  CASE WHEN round(tsum / (n_ref * n_cur *
+        |      CAST(range_cents AS DOUBLE)), 6) > 0.1
+        |    THEN 'drifted' ELSE 'stable' END AS verdict
+        |FROM agg""".stripMargin,
 
     "q_ks_drift" ->
       """WITH g AS (
