@@ -319,6 +319,70 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
 
+  /** Deterministic 8×8 grayscale PNG from 64 pixel values (row-major,
+    * 0..255) — the synthesized image payload of the q_multimodal_phash
+    * family, the same build-real-media posture as [[buildWav]]: the
+    * bytes are a REAL PNG (encoder-dependent, never hashed directly),
+    * while the pixels are pure integer arithmetic an oracle can predict
+    * without any codec.
+    */
+  def buildGrayPng(px: Array[Int]): Array[Byte] = {
+    require(px.length == 64, s"need 64 pixels, got ${px.length}")
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var b = 0
+    while (b < 64) {
+      raster.setSample(b % 8, b / 8, 0, px(b))
+      b += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Full-pixel decode of an 8×8 grayscale image (row-major samples) —
+    * unlike [[decodeImage]] this reads the raster, not just the header;
+    * 8-bit grayscale PNG is lossless, so round-tripping [[buildGrayPng]]
+    * recovers the exact synthesized values (the oracle's contract). None
+    * on any codec failure or unexpected geometry.
+    */
+  def decodeGray8x8(bytes: Array[Byte]): Option[Array[Int]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth != 8 || img.getHeight != 8) None
+      else {
+        val r = img.getRaster
+        val out = new Array[Int](64)
+        var b = 0
+        while (b < 64) {
+          out(b) = r.getSample(b % 8, b / 8, 0)
+          b += 1
+        }
+        Some(out)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Average-hash (aHash) of 64 grayscale pixels as FOUR 16-bit band
+    * integers (bands are the LSH keys AND avoid packing bit 63 into a
+    * sign bit): bit b is set iff px(b)·64 > Σpx — the classic
+    * brighter-than-mean rule with the division cross-multiplied away, so
+    * every bit is one exact integer compare any engine reproduces.
+    */
+  def aHashBands(px: Array[Int]): Array[Long] = {
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += px(i); i += 1 }
+    val bands = new Array[Long](4)
+    var b = 0
+    while (b < 64) {
+      if (px(b) * 64L > sum) bands(b / 16) |= 1L << (b % 16)
+      b += 1
+    }
+    bands
+  }
+
   /** Executor-side feature extraction over batched partitions — the Scala
     * analog of a vectorized decode UDF: one codec instance per partition,
     * streaming through records without materializing the partition.

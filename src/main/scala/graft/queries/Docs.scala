@@ -1795,6 +1795,70 @@ object Docs {
             .as("novelty"))
     }),
 
+    // Perceptual-hash image near-dup (aHash — the average-hash baseline
+    // of the pHash family): synthesize a REAL 8×8 grayscale PNG per doc
+    // whose pixels are integer arithmetic on doc_id (the buildWav
+    // posture), decode the actual raster back through javax.imageio on
+    // the executors, aHash the decoded pixels into four 16-bit bands
+    // (bit = pixel·64 > Σpixels — division cross-multiplied away), and
+    // find near-dup pairs by banded LSH + Hamming ≤ 3 (the SimHash
+    // machinery's shape, one equi-join on (band, value)). The oracle
+    // predicts the same bands from the pixel ARITHMETIC alone — no codec
+    // — so a misdecode (or a lossy roundtrip) breaks the hash compare.
+    // Fixture structure: docs sharing doc_id % 50 share an md5-derived
+    // base pattern (the hashBucket idiom — a multiplicative formula
+    // collapses to g mod 7 classes and floods the output with
+    // cross-group hamming-0 pairs); doc_id % 3 perturbs three fixed
+    // pixels, so same-group variants differ in ≤ 3 bits confined to
+    // band 0 and bands 1-3 are the guaranteed LSH match. The `div 1e6`
+    // group offset keeps dup-group SIZE constant under fixture
+    // replication (new corpus ⇒ new dup families, the q_dbscan
+    // constant-density stance; 6.0× → linear at factor 10) and is
+    // identically 0 on every real sf dir.
+    "q_multimodal_phash" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id").isNotNull).as[Long]
+        .map { id =>
+          val g = id % 50 + (id / 1000000L) * 50
+          val v = id % 3
+          val px = Array.tabulate(64) { b =>
+            if (b < 3) (40 + v * 70).toInt
+            else {
+              val d = java.security.MessageDigest.getInstance("MD5")
+                .digest(s"px:$g:$b".getBytes("UTF-8"))
+              if (((d(0) >> 4) & 0xf) >= 8) 216 else 40
+            }
+          }
+          val dec = Multimodal.decodeGray8x8(Multimodal.buildGrayPng(px))
+            .getOrElse(Array.fill(64)(-1)) // sentinel → oracle mismatch
+          val bd = Multimodal.aHashBands(dec)
+          (id, bd(0), bd(1), bd(2), bd(3))
+        }.toDF("doc_id", "b0", "b1", "b2", "b3")
+        .localCheckpoint() // band explode + two hamming join sides
+      val e = hashes.select(col("doc_id"), posexplode(array(
+        col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("k", "bv")))
+      val cand = e.as("x").join(e.as("y"),
+          col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val ha = hashes.select(col("doc_id").as("doc_a"),
+        col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"),
+        col("b3").as("a3"))
+      val hb = hashes.select(col("doc_id").as("doc_b"),
+        col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"),
+        col("b3").as("c3"))
+      cand.join(ha, "doc_a").join(hb, "doc_b")
+        .withColumn("hamming",
+          bit_count(col("a0").bitwiseXOR(col("c0"))).cast("long") +
+            bit_count(col("a1").bitwiseXOR(col("c1"))) +
+            bit_count(col("a2").bitwiseXOR(col("c2"))) +
+            bit_count(col("a3").bitwiseXOR(col("c3"))))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }),
+
     // KMV distinct-count sketch (Beyer et al. 2007 — the θ-sketch core)
     // per source over distinct 5-gram shingles, BESIDE the exact count it
     // estimates: the k smallest engine-consistent gram hashes (same
@@ -3980,6 +4044,53 @@ object Docs {
         |  n_3grams,
         |  round(CAST(dup_3grams AS DOUBLE) / n_3grams, 4) AS dup_3gram_ratio
         |FROM ta JOIN ga ON ta.doc_id = ga.doc_id""".stripMargin,
+
+    // The codec-free twin: pixels from the same integer arithmetic, bits
+    // from the same cross-multiplied compare, bands/candidates/Hamming
+    // from the same joins — equality proves the PNG encode→decode
+    // round-trip returned the exact synthesized raster.
+    "q_multimodal_phash" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id % 50 + (doc_id // 1000000) * 50 AS g,
+        |    doc_id % 3 AS v
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |px AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN b < 3 THEN 40 + v * 70
+        |         WHEN CAST(CONCAT('0x', substring(md5(
+        |             'px:' || CAST(g AS VARCHAR) || ':'
+        |             || CAST(b AS VARCHAR)), 1, 1)) AS INTEGER) >= 8
+        |           THEN 216 ELSE 40 END AS p
+        |  FROM ids, (SELECT unnest(range(0, 64)) AS b)),
+        |sums AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS s
+        |         FROM px GROUP BY 1),
+        |bits AS (
+        |  SELECT px.doc_id, b // 16 AS k,
+        |    CAST(sum(CASE WHEN p * 64 > s THEN 1 << (b % 16) ELSE 0 END)
+        |      AS BIGINT) AS bv
+        |  FROM px JOIN sums USING (doc_id)
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bits x JOIN bits y ON x.k = y.k AND x.bv = y.bv
+        |    AND x.doc_id < y.doc_id),
+        |hx AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN k = 0 THEN bv END) AS h0,
+        |    max(CASE WHEN k = 1 THEN bv END) AS h1,
+        |    max(CASE WHEN k = 2 THEN bv END) AS h2,
+        |    max(CASE WHEN k = 3 THEN bv END) AS h3
+        |  FROM bits GROUP BY 1)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3))
+        |    AS BIGINT) AS hamming
+        |FROM cand c
+        |JOIN hx a ON a.doc_id = c.doc_a
+        |JOIN hx b ON b.doc_id = c.doc_b
+        |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |  + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3"""
+        .stripMargin,
 
     // The twin re-derives the k-th minimum by sorting the distinct hash
     // set — the declarative proof that the Aggregator's bounded heap
