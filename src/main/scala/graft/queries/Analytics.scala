@@ -155,6 +155,44 @@ object Analytics {
           col("score_micro"), col("n_owned_nbrs"), col("rnk"))
     }),
 
+    // RFM customer scoring (Hughes 1994 — the classic segmentation): per
+    // customer, recency (days since last order at a fixed instant),
+    // frequency (order count), monetary (exact cents), each cut into
+    // global quintiles. The three whole-table rankings go through
+    // ext/GlobalRank's ADAPTIVE row number (range-repartition + parallel
+    // per-partition ranks at scale — never Spark's single-task bare
+    // Window.orderBy, the 19.9×-at-factor-26 lesson) with the customer
+    // key as tiebreak, then the SQL-standard NTILE arithmetic from the
+    // known total. Recency inverts (most recent = 5); the concatenated
+    // code is the serving segment label.
+    "q_rfm" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(datediff(lit("1998-08-01").cast("date"),
+          max(to_date(col("o_orderdate")))).cast("long").as("recency_days"),
+          count(lit(1)).as("frequency"),
+          floor(round(sum(col("o_totalprice")), 2) * 100 + 0.5)
+            .as("monetary_cents"))
+        .localCheckpoint() // three rank passes + the final join base
+      def quintile(key: String, out: String): DataFrame = {
+        val (ranked, n) = graft.ext.GlobalRank
+          .withGlobalRowNumberAdaptive(
+            base.select(col("cust"), col(key)), "rn",
+            col(key).asc, col("cust").asc)
+        ranked.select(col("cust"),
+          graft.ext.GlobalRank.ntileFromRowNumber(col("rn"), n, 5).as(out))
+      }
+      base
+        .join(quintile("recency_days", "rq"), "cust")
+        .join(quintile("frequency", "f"), "cust")
+        .join(quintile("monetary_cents", "m"), "cust")
+        .select(col("cust"), col("recency_days"), col("frequency"),
+          col("monetary_cents"), (lit(5L) + 1L - col("rq")).as("r"),
+          col("f"), col("m"))
+        .withColumn("rfm", concat(col("r").cast("string"),
+          col("f").cast("string"), col("m").cast("string")))
+    }),
+
     // Q3 shape: shipping priority — segment-filtered customers, orders
     // before / lineitems shipped after a date, top-10 open-order revenue.
     "q_tpch_q3" -> ((s, dir) => {
@@ -747,6 +785,31 @@ object Analytics {
         |    ORDER BY score_micro DESC, nbr ASC) AS BIGINT) AS rnk
         |  FROM flt)
         |WHERE rnk <= 3""".stripMargin,
+
+    // DuckDB's NTILE is the same SQL-standard first-buckets-larger split
+    // GlobalRank.ntileFromRowNumber computes — equality pins the
+    // distributed rank == the single-window rank.
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS cust,
+        |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |      DATE '1998-08-01') AS BIGINT) AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(floor(round(sum(o_totalprice), 2) * 100 + 0.5) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |sc AS (
+        |  SELECT *,
+        |    ntile(5) OVER (ORDER BY recency_days ASC, cust ASC) AS rq,
+        |    ntile(5) OVER (ORDER BY frequency ASC, cust ASC) AS f,
+        |    ntile(5) OVER (ORDER BY monetary_cents ASC, cust ASC) AS m
+        |  FROM base)
+        |SELECT cust, recency_days, frequency, monetary_cents,
+        |  CAST(6 - rq AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+        |  CAST(m AS BIGINT) AS m,
+        |  CAST(6 - rq AS VARCHAR) || CAST(f AS VARCHAR)
+        |    || CAST(m AS VARCHAR) AS rfm
+        |FROM sc""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,
