@@ -200,6 +200,93 @@ object Streams {
     }
   }
 
+  /** Standing EWMA spike monitor — the streaming twin of the batch
+    * q_ewma_control: each micro-batch (1) appends its per-(type, hour)
+    * RAW value-sum partial to an hourly journal under the commit-ledger
+    * guard (partials stay unrounded doubles — the cents rounding happens
+    * once, at report time, so batch-boundary placement cannot perturb
+    * the hourly totals by a rounded cent), then (2) recomputes the full
+    * EWMA chart FROM THE JOURNAL ALONE: hourly partials collapse by
+    * (type, hour, batch tag) first — the crash-between-journal-and-
+    * marker seam duplicates one batch's byte-identical partials on
+    * replay, and the dedup self-heals it ([[startRollupJournal]]'s
+    * posture) — then the exact dyadic-weight arithmetic of the batch
+    * query runs over the (types × hours)-sized totals. No raw data is
+    * rescanned; the verdict set lands with mode=overwrite under
+    * `verdictDir/b<batchId>`, so an at-least-once replay recomputes
+    * byte-identical output onto the same path.
+    */
+  def startEwmaMonitor(stream: DataFrame, journalDir: String,
+      verdictDir: String, checkpointDir: String, typeCol: String,
+      tsCol: String, valueCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ewmaBatchIdempotent(batch, journalDir, verdictDir, batchId,
+          typeCol, tsCol, valueCol)
+      }
+      .start()
+
+  private[graft] def ewmaBatchIdempotent(batch: DataFrame,
+      journalDir: String, verdictDir: String, batchId: Long,
+      typeCol: String, tsCol: String, valueCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val marker = new Path(journalDir, s"_graft_commits/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      batch
+        .groupBy(col(typeCol).as("event_type"),
+          date_trunc("hour", col(tsCol)).as("h"))
+        .agg(sum(col(valueCol)).as("vsum"))
+        .withColumn("_tag", lit(s"b$batchId"))
+        .write.mode("append").parquet(journalDir)
+      try fs.create(marker, false).close() // exclusive: lost race = no-op
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+    ewmaFromJournal(spark, journalDir)
+      .write.mode("overwrite").parquet(s"$verdictDir/b$batchId")
+  }
+
+  /** The chart as a pure function of the journal — hourly totals from
+    * the deduped partials, then EXACTLY the batch query's arithmetic:
+    * cents = floor(round(Σ, 2)·100 + 0.5); num/den = dyadic-weight
+    * integer window sums over the trailing 8 hours; spike = integer
+    * cross-multiplication against 2× the previous hour's EWMA.
+    */
+  private[graft] def ewmaFromJournal(
+      spark: org.apache.spark.sql.SparkSession, journalDir: String)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+    val hourly = spark.read.parquet(journalDir)
+      .groupBy(col("event_type"), col("h"), col("_tag"))
+      .agg(first(col("vsum")).as("vsum")) // replayed partials collapse
+      .groupBy(col("event_type"), col("h"))
+      .agg(floor(round(sum(col("vsum")), 2) * 100 + 0.5).as("cents"))
+    def lagged(i: Int) =
+      if (i == 0) col("cents") else lag(col("cents"), i).over(w)
+    val num = (0 to 7).map(i =>
+      coalesce(lagged(i), lit(0L)) * lit(1L << (7 - i))).reduce(_ + _)
+    val den = (0 to 7).map(i =>
+      when(lagged(i).isNotNull, lit(1L << (7 - i))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    hourly
+      .withColumn("num", num).withColumn("den", den)
+      .withColumn("num_prev", lag(col("num"), 1).over(w))
+      .withColumn("den_prev", lag(col("den"), 1).over(w))
+      .select(col("event_type"), col("h"), col("cents"),
+        when(col("den") > 0, round(col("num") / (col("den") * 100.0), 4))
+          .otherwise(lit(null).cast("double")).as("ewma"),
+        coalesce(col("cents") * col("den_prev") > col("num_prev") * 2,
+          lit(false)).as("spike"))
+  }
+
   /** Streaming twin of [[graft.engine.Rollup.journalHistogram]]: each
     * micro-batch's per-group bucket counts (over the FROZEN boundary
     * grid — the grid is state decided before the stream starts) append

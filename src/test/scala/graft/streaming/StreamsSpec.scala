@@ -786,6 +786,58 @@ class StreamsSpec extends AnyFunSuite {
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
+
+  test("startEwmaMonitor: journal-only chart matches the hand-computed " +
+      "dyadic smoother; committed batches replay as no-ops") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("ewma-mon")
+    try {
+      def ev(id: Long, typ: String, v: Double, hour: Int, minute: Int) =
+        Streams.Event(id, 1L, typ, v,
+          Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00"))
+      val in = MemoryStream[Streams.Event]
+      val q = Streams.startEwmaMonitor(in.toDF(), s"$root/journal",
+        s"$root/verdict", s"$root/ck", "event_type", "ts", "value")
+      // hour 10 of `click` SPLITS across the two batches — the journal
+      // must reassemble it into one hourly total before rounding
+      runBatches(q)(
+        () => in.addData(ev(1, "click", 10.00, 10, 5),
+          ev(2, "click", 2.50, 10, 40), ev(3, "click", 1.25, 11, 10)),
+        () => in.addData(ev(4, "click", 4.00, 11, 30),
+          ev(5, "click", 100.00, 12, 0), ev(6, "view", 3.00, 10, 0)))
+      val got = spark.read.parquet(s"$root/verdict/b1")
+        .collect().map(r => (r.getString(0),
+          r.getTimestamp(1).toString.substring(11, 13), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4))).toSet
+      // click hourly cents: h10 = 1250 (10.00 + 2.50, cross-batch),
+      // h11 = 525 (1.25 + 4.00), h12 = 10000. Dyadic weights 128/64/32:
+      //   h10: 1250·128/128/100 = 12.5
+      //   h11: (525·128 + 1250·64)/(192·100) = 7.6667; no spike
+      //   h12: (10000·128 + 525·64 + 1250·32)/(224·100) = 60.4286;
+      //        spike: 10000·192 > 2·147200 — the jump trips the chart
+      assert(got === Set(
+        ("click", "10", 1250L, 12.5, false),
+        ("click", "11", 525L, 7.6667, false),
+        ("click", "12", 10000L, 60.4286, true),
+        ("view", "10", 300L, 3.0, false)))
+      // committed batch 1 replays as a no-op even with mutated content
+      val files0 = new java.io.File(s"$root/journal").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      Streams.ewmaBatchIdempotent(
+        Seq(ev(99, "click", 999.0, 12, 1)).toDF(),
+        s"$root/journal", s"$root/verdict", 1L, "event_type", "ts",
+        "value")
+      val files1 = new java.io.File(s"$root/journal").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files0 == files1, "committed batch must not re-journal")
+      val again = spark.read.parquet(s"$root/verdict/b1")
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+      assert(again == got.map(x => (x._1, x._3)),
+        "replayed verdict must be identical")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
 }
 
 /** Minimal GroupState stub for direct unit-testing of the session fold
