@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
   * (JIT/codegen/Scratch builds), then one timed run each, same JVM.
   *
   * Usage: runMain graft.ScaleOne <baseDir> <scaledDir> q_name [q_name...]
+  *
+  * A missing scaledDir of the form `.../f<N>` is built on the spot via
+  * [[ScaleFixture]] — the fast loop shouldn't require a prior full-suite
+  * run just to exist.
   */
 object ScaleOne {
   def main(args: Array[String]): Unit = {
@@ -28,6 +32,11 @@ object ScaleOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(scaled))) {
+      val f = "f(\\d+)$".r.findFirstMatchIn(scaled).map(_.group(1).toInt)
+        .getOrElse(sys.error(s"$scaled missing and not .../f<N> — can't infer factor"))
+      ScaleFixture.build(spark, base, scaled, f)
+    }
     val tally = new Bench.ShuffleTally
     spark.sparkContext.addSparkListener(tally)
     def time(n: String, dir: String): (Double, Long) = {

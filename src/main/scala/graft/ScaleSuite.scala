@@ -54,9 +54,9 @@ object ScaleSuite {
     // fixed 16-plane LSH: candidate volume is true-pairs + n²/2^bits of
     // random band collisions — quadratic once the collision floor
     // dominates (the published reason band width must grow ~log n). The
-    // 32-plane dial is the production re-dial (measured 50× vs 8× at
-    // factor 26)
-    "q_sim_neardup_lsh" -> "q_sim_neardup_lsh32",
+    // default-named 32-plane dial is the production re-dial (measured
+    // 50× vs 8× at factor 26); the narrow dial carries the lsh16 suffix
+    "q_sim_neardup_lsh16" -> "q_sim_neardup_lsh",
   )
 
   def main(args: Array[String]): Unit = {
@@ -110,6 +110,13 @@ object ScaleSuite {
       val sec = (System.nanoTime() - t0) / 1e9
       val res = Res(sec, status, tally.settled() - sh0)
       Bench.resetState(spark)
+      // Queries run in sorted name order, so a query scheduled right
+      // after a multi-GB-shuffle neighbor inherits its GC debt — the r13
+      // ledger flagged q_vocab_topk at 15.4× (0.25 s → 3.81 s) purely
+      // because it follows the graph family; in isolation (ScaleOne,
+      // same fixtures) it measures 1.13×. Collect between queries so
+      // each measurement starts from a settled heap.
+      System.gc()
       res
     }
 
@@ -131,7 +138,20 @@ object ScaleSuite {
       // would buy no information).
       val pre = names.map(n => n -> run(n, dir)).toMap
       names.map { n =>
-        n -> (if (pre(n).status == "ok") run(n, dir) else pre(n))
+        // Per-query time = min(pre-pass, timed run). The pre-pass bills
+        // Scratch fixture builds to SOME queries, so min never picks an
+        // inflated pre-pass — but where the pre-pass ran clean and the
+        // timed run caught a noise spike (GC, page-cache eviction), min
+        // recovers the steady-state cost. Same estimator on both
+        // fixtures keeps the ratio internally consistent. Shuffle bytes
+        // come from the timed run (deterministic per plan, and the
+        // pre-pass tally includes fixture-build writes).
+        n -> (if (pre(n).status == "ok") {
+          val timed = run(n, dir)
+          if (timed.status == "ok")
+            Res(math.min(pre(n).sec, timed.sec), "ok", timed.shuffle)
+          else timed
+        } else pre(n))
       }.toMap
     }
 
@@ -147,8 +167,11 @@ object ScaleSuite {
       val b = baseRes(n); val s = scaledRes(n)
       val x = if (b.status == "ok" && s.status == "ok" && b.sec > 0)
         fmt(s.sec / b.sec) else "null"
+      val xs = if (b.status == "ok" && s.status == "ok" && b.shuffle > 0)
+        fmt(s.shuffle.toDouble / b.shuffle) else "null"
       s""""$n":{"base":${fmt(b.sec)},"scaled":${fmt(s.sec)},"x":$x,""" +
-        s""""scaled_shuffle":${s.shuffle}}"""
+        s""""base_shuffle":${b.shuffle},"scaled_shuffle":${s.shuffle},""" +
+        s""""x_shuffle":$xs}"""
     }.mkString("{", ",", "}")
 
     // Superlinear flag: materially above the growth the query's declared
@@ -164,6 +187,24 @@ object ScaleSuite {
     }
     val superlinear =
       names.filter(n => !quadraticBaselines.contains(n) && overBudget(n))
+
+    // Shuffle-byte growth flag — the r12 lesson: on a 32-core box with
+    // idle capacity, wall-clock under-flags (O(n×q) work grew 100× while
+    // time grew 10×). Shuffle volume is load-independent, so hold it to
+    // the same declared cost model. Floor: 64 MB scaled — a KB-sized
+    // shuffle's growth ratio is metadata noise, and a shuffle that small
+    // is not a 100 TB risk regardless of its exponent.
+    def shuffleOverBudget(n: String): Boolean = {
+      val b = baseRes(n); val s = scaledRes(n)
+      val budget =
+        if (quadraticBaselines.contains(n)) factor.toDouble * factor
+        else factor.toDouble
+      b.status == "ok" && s.status == "ok" &&
+        s.shuffle > 64L * 1024 * 1024 && b.shuffle > 0 &&
+        s.shuffle.toDouble / b.shuffle > budget * 1.5
+    }
+    val superlinearShuffle =
+      names.filter(n => !quadraticBaselines.contains(n) && shuffleOverBudget(n))
     val quadJson = quadraticBaselines.toSeq.sorted.map { case (n, twin) =>
       def xOf(q: String): String = {
         val b = baseRes(q); val s = scaledRes(q)
@@ -192,6 +233,7 @@ object ScaleSuite {
       s""""base_not_ok":${lst(baseBad)},"scaled_failed":${lst(failed)},""" +
       s""""scaled_timeout":${lst(timedOut)},""" +
       s""""superlinear":${lst(superlinear)},""" +
+      s""""superlinear_shuffle":${lst(superlinearShuffle)},""" +
       s""""quadratic_baselines":$quadJson,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${Bench.loadavg()}",""" +
       s""""cpu_probe_ms":${Bench.cpuProbeMs()},"queries":$perQuery}"""

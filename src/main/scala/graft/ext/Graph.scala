@@ -281,24 +281,118 @@ object Graph {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val orig = canonicalEdges(pairs, aCol, bCol)
     var e = orig
-    for (_ <- 1 to rounds) {
-      val tri = trianglesFrom(e)
-      def edgeOf(u: Column, v: Column) =
-        struct(least(u, v).as("lo"), greatest(u, v).as("hi"))
-      val sup = tri.select(explode(array(
-          edgeOf(col("a"), col("b")),
-          edgeOf(col("a"), col("c")),
-          edgeOf(col("b"), col("c")))).as("e"))
-        .groupBy(col("e.lo").as("lo"), col("e.hi").as("hi"))
-        .agg(count(lit(1)).as("nsup"))
-        .filter(col("nsup") >= k - 2)
-      e = e.join(sup.select(col("lo"), col("hi")), Seq("lo", "hi"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to rounds) e = peelOnce(e, k)
+    trussReport(orig, e)
+  }
+
+  /** [[kTruss]] with round 1 served from MATERIALIZED per-edge support
+    * (the `support` table [[writeTriangleState]] persists): the first —
+    * and by far largest — triangle enumeration becomes an edge-sized
+    * join against precomputed counts; rounds 2..n re-enumerate over the
+    * already-peeled survivor set only. Bit-identical to [[kTruss]] over
+    * the same graph because round 1 there computes exactly this support.
+    * `orig` must be the state's canonical edge set.
+    */
+  def kTrussResume(orig: DataFrame, support: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = orig.join(
+        support.filter(col("nsup") >= k - 2).select(col("lo"), col("hi")),
+        Seq("lo", "hi"))
+      .localCheckpoint()
+    for (_ <- 2 to rounds) e = peelOnce(e, k)
+    trussReport(orig, e)
+  }
+
+  /** One synchronous peel round: enumerate surviving triangles, hash-agg
+    * per-edge support, drop edges under k−2. Shared by [[kTruss]] and
+    * [[kTrussResume]] so the round semantics cannot diverge.
+    */
+  private def peelOnce(e: DataFrame, k: Int): DataFrame = {
+    val sup = supportFrom(trianglesFrom(e)).filter(col("nsup") >= k - 2)
+    e.join(sup.select(col("lo"), col("hi")), Seq("lo", "hi"))
+      .localCheckpoint()
+  }
+
+  /** Per-edge triangle support of an enumerated triangle set — each
+    * triangle credits its three canonical edges.
+    */
+  private def supportFrom(tri: DataFrame): DataFrame = {
+    def edgeOf(u: Column, v: Column) =
+      struct(least(u, v).as("lo"), greatest(u, v).as("hi"))
+    tri.select(explode(array(
+        edgeOf(col("a"), col("b")),
+        edgeOf(col("a"), col("c")),
+        edgeOf(col("b"), col("c")))).as("e"))
+      .groupBy(col("e.lo").as("lo"), col("e.hi").as("hi"))
+      .agg(count(lit(1)).as("nsup"))
+  }
+
+  private def trussReport(orig: DataFrame, e: DataFrame): DataFrame =
     orig.join(e.withColumn("in_truss", lit(true)), Seq("lo", "hi"), "left")
       .select(col("lo"), col("hi"),
         coalesce(col("in_truss"), lit(false)).as("in_truss"))
+
+  /** Materialized triangle state — the [[graft.engine.Pipeline]]
+    * `writeDedupState` pattern applied to the graph family, which
+    * otherwise triple-pays the suite's single largest shuffle (the wedge
+    * join: 4.7–5.5 GB per query at bench factor 10). ONE degree-oriented
+    * enumeration persists:
+    *
+    *   - `outDir/edges`       (lo, hi) — canonical undirected edge set
+    *   - `outDir/degrees`     (id, deg)
+    *   - `outDir/triangles`   (a, b, c) — every triangle exactly once
+    *   - `outDir/support`     (lo, hi, nsup) — per-edge triangle support
+    *     (edges in no triangle are absent: support 0 by left-join)
+    *   - `outDir/tri_counts`  (node_id, n_triangles) — all nodes, zeros
+    *     kept
+    *
+    * so every consumer (per-node counts, clustering coefficients, the
+    * k-truss first peel, downstream cohesion reports) reads node- or
+    * edge-sized tables and only the build pays the wedge join. At 100 TB
+    * this is the production layout: triangle state is maintained beside
+    * the graph, not recomputed per report.
+    */
+  def writeTriangleState(pairs: DataFrame, aCol: String, bCol: String,
+      outDir: String): Unit = {
+    val spark = pairs.sparkSession
+    val und = canonicalEdges(pairs, aCol, bCol)
+    und.write.mode("overwrite").parquet(s"$outDir/edges")
+    degrees(und).write.mode("overwrite").parquet(s"$outDir/degrees")
+    // The one wedge join, persisted; support and per-node counts derive
+    // from the PARQUET read so the enumeration runs exactly once.
+    trianglesFrom(und).write.mode("overwrite").parquet(s"$outDir/triangles")
+    val tri = spark.read.schema("a LONG, b LONG, c LONG")
+      .parquet(s"$outDir/triangles")
+    supportFrom(tri).write.mode("overwrite").parquet(s"$outDir/support")
+    val nodes = und.select(col("lo").as("id"))
+      .union(und.select(col("hi").as("id"))).distinct()
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    nodes.join(perNode, Seq("id"), "left")
+      .select(col("id").as("node_id"),
+        coalesce(col("n"), lit(0L)).as("n_triangles"))
+      .write.mode("overwrite").parquet(s"$outDir/tri_counts")
   }
+
+  /** Readers over a [[writeTriangleState]] layout. Explicit schemas keep
+    * every read lawful on a triangle-free graph (zero part files to
+    * infer from — the dedup-state precedent).
+    */
+  final case class TriangleState(edges: DataFrame, degrees: DataFrame,
+      support: DataFrame, triCounts: DataFrame)
+
+  def readTriangleState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): TriangleState = TriangleState(
+    edges = spark.read.schema("lo LONG, hi LONG").parquet(s"$dir/edges"),
+    degrees = spark.read.schema("id LONG, deg LONG")
+      .parquet(s"$dir/degrees"),
+    support = spark.read.schema("lo LONG, hi LONG, nsup LONG")
+      .parquet(s"$dir/support"),
+    triCounts = spark.read.schema("node_id LONG, n_triangles LONG")
+      .parquet(s"$dir/tri_counts"))
 
   /** Undirected degree per node of a canonical edge set. */
   private[ext] def degrees(und: DataFrame): DataFrame =
@@ -363,15 +457,25 @@ object Graph {
   def clusteringCoefficients(pairs: DataFrame, aCol: String,
       bCol: String): DataFrame = {
     val und = canonicalEdges(pairs, aCol, bCol)
-    triangleCountsFrom(und)
-      .join(degrees(und).select(col("id").as("node_id"),
-        col("deg").as("degree")), Seq("node_id"))
+    clusteringFromCounts(triangleCountsFrom(und), degrees(und))
+  }
+
+  /** The coefficient composition over ALREADY-AGGREGATED per-node
+    * triangle counts and degrees — the shape that reads
+    * [[writeTriangleState]]'s node-sized tables instead of re-running
+    * the wedge join. Shared by [[clusteringCoefficients]] so the
+    * arithmetic cannot diverge between the recompute and state paths.
+    */
+  def clusteringFromCounts(triCounts: DataFrame, degs: DataFrame)
+      : DataFrame =
+    triCounts
+      .join(degs.select(col("id").as("node_id"), col("deg").as("degree")),
+        Seq("node_id"))
       .select(col("node_id"), col("degree"), col("n_triangles"),
         when(col("degree") >= 2,
           round(lit(2.0) * col("n_triangles") /
             (col("degree") * (col("degree") - 1)), 6))
           .otherwise(lit(0.0)).as("coeff"))
-  }
 
   /** Synchronous label propagation community detection (Raghavan,
     * Albert & Kumara 2007) with DETERMINISTIC tie-breaks: l_0(v) = v;

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.{filter, lit, udaf, when}
 
 /** KMV (k minimum values) distinct-count sketch — the θ-sketch core
   * (Bar-Yossef et al. 2002; Beyer et al. 2007, "On synopses for distinct-
@@ -69,7 +69,24 @@ object Kmv {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** The sketch as an aggregate Column over a LONG hash column. */
-  def kmvAgg(hashCol: Column, k: Int = 64): Column =
-    udaf(new KmvAgg(k), Encoders.scalaLong).apply(hashCol)
+  /** The sketch as an aggregate Column over a LONG hash column.
+    *
+    * NULL inputs are dropped before the aggregator sees them — the
+    * primitive-long encoder would otherwise decode NULL as 0L and
+    * insert a spurious minimum into the k-min set while countDistinct
+    * beside it ignores NULLs. The guard maps NULL to the aggregator's
+    * no-op (Long.MaxValue never displaces a kept minimum and an
+    * all-null group yields the empty sketch via the size cap below),
+    * so nullable hash columns estimate exactly the non-null distinct
+    * count, matching countDistinct semantics.
+    */
+  def kmvAgg(hashCol: Column, k: Int = 64): Column = {
+    val sketch = udaf(new KmvAgg(k), Encoders.scalaLong)
+      .apply(when(hashCol.isNotNull, hashCol)
+        .otherwise(lit(Long.MaxValue)))
+    // Long.MaxValue sentinels from all-null groups are only visible when
+    // the group holds fewer than k real values; strip them so the sketch
+    // is exactly the k smallest REAL hashes (filter preserves sort order).
+    filter(sketch, (v: Column) => v =!= lit(Long.MaxValue))
+  }
 }

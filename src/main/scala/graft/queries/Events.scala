@@ -519,11 +519,11 @@ object Events {
         |  FROM events GROUP BY 1, 2),
         |lagd AS (
         |  SELECT event_type, h, cents,
-        |    cents * 128""" +
+        |    coalesce(cents, 0) * 128""" +
         (1 to 7).map(i =>
           s" + coalesce(lag(cents, $i) OVER wd, 0) * ${1L << (7 - i)}")
           .mkString + """ AS num,
-        |    128""" +
+        |    CASE WHEN cents IS NOT NULL THEN 128 ELSE 0 END""" +
         (1 to 7).map(i => s""" + CASE WHEN lag(cents, $i) OVER wd
         |      IS NOT NULL THEN ${1L << (7 - i)} ELSE 0 END""").mkString +
         """ AS den

@@ -38,6 +38,35 @@ object Joins {
     transform(sequence(lit(1), length(n)), i =>
       md5(concat(n.substr(lit(1), i - 1), n.substr(i + 1, length(n))))))
 
+  /** The co-purchase pair list (parts sharing an order, both directions,
+    * self-pairs dropped) — the edge feed of the whole graph family, ONE
+    * definition so the pagerank/triangle/truss/assortativity queries
+    * cannot silently diverge on graph construction.
+    */
+  private def coPurchasePairs(s: SparkSession, dir: String,
+      aName: String, bName: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val other = li.select(col("l_orderkey"),
+      col("l_partkey").as("r_partkey"))
+    li.join(other, Seq("l_orderkey"))
+      .filter(col("l_partkey") =!= col("r_partkey"))
+      .select(col("l_partkey").as(aName), col("r_partkey").as(bName))
+  }
+
+  /** Scratch-cached [[graft.ext.Graph.writeTriangleState]] layout over
+    * the co-purchase graph — built once per fixture dir, read by every
+    * triangle-family consumer (the wedge join is the suite's largest
+    * shuffle; paying it per-query was the r13 verdict's top perf debt).
+    */
+  private def triStateDir(s: SparkSession, dir: String): String =
+    Scratch.cached(s"tri-state:$dir") { tmp =>
+      val o = tmp + "/state"
+      graft.ext.Graph.writeTriangleState(
+        coPurchasePairs(s, dir, "pa", "pb"), "pa", "pb", o)
+      o
+    }
+
   /** Register bucketed external-table twins of orders/customer for this
     * fixture, both bucketed AND sorted on the join key with the same bucket
     * count — the write-time layout that lets a repeated join/aggregate on
@@ -327,17 +356,20 @@ object Joins {
     // O(√E), wedges come from one self-equi-join of the oriented list,
     // and the closing edge is one more equi-join — three shuffles, no
     // nested loops, each triangle counted once and credited to all three
-    // corners (graft.ext.Graph.triangleCounts).
-    "q_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val other = li.select(col("l_orderkey"),
-        col("l_partkey").as("r_partkey"))
-      val pairs = li.join(other, Seq("l_orderkey"))
-        .filter(col("l_partkey") =!= col("r_partkey"))
-        .select(col("l_partkey").as("pa"), col("r_partkey").as("pb"))
-      graft.ext.Graph.triangleCounts(pairs, "pa", "pb")
-    }),
+    // corners (graft.ext.Graph.triangleCounts). This row stays the
+    // RECOMPUTE baseline; q_triangles_state reads the materialized state
+    // under the same oracle.
+    "q_triangles" -> ((s, dir) =>
+      graft.ext.Graph.triangleCounts(
+        coPurchasePairs(s, dir, "pa", "pb"), "pa", "pb")),
+
+    // The MATERIALIZED-STATE twin of q_triangles (the q_dedup_state_kept
+    // proof shape): Graph.writeTriangleState persists the one wedge
+    // enumeration; this row reads the node-sized tri_counts table. The
+    // oracle is IDENTICAL to q_triangles', so a green row IS the proof
+    // that state-read == recompute.
+    "q_triangles_state" -> ((s, dir) =>
+      graft.ext.Graph.readTriangleState(s, triStateDir(s, dir)).triCounts),
 
     // Probabilistic record linkage (Fellegi-Sunter 1969): within-nation
     // customer pairs scored by per-field agreement log-likelihood ratios
@@ -458,17 +490,15 @@ object Joins {
     }),
 
     // Local clustering coefficient (Watts-Strogatz 1998) over the same
-    // co-purchase graph: triangles and degrees off ONE shared canonical
-    // edge set, exact integers into a single rounded IEEE division.
+    // co-purchase graph, READ FROM STATE: the wedge join already ran in
+    // writeTriangleState, so this is one node-sized join and the exact
+    // integer arithmetic into a single rounded IEEE division
+    // (Graph.clusteringFromCounts — the same composition the recompute
+    // path uses). The DuckDB oracle recomputes from scratch, so the
+    // green row proves the state path, not just the formula.
     "q_clustering_coeff" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val other = li.select(col("l_orderkey"),
-        col("l_partkey").as("r_partkey"))
-      val pairs = li.join(other, Seq("l_orderkey"))
-        .filter(col("l_partkey") =!= col("r_partkey"))
-        .select(col("l_partkey").as("pa"), col("r_partkey").as("pb"))
-      graft.ext.Graph.clusteringCoefficients(pairs, "pa", "pb")
+      val st = graft.ext.Graph.readTriangleState(s, triStateDir(s, dir))
+      graft.ext.Graph.clusteringFromCounts(st.triCounts, st.degrees)
     }),
 
     // HITS hubs/authorities (Kleinberg 1999) on the DIRECTED
@@ -605,22 +635,20 @@ object Joins {
 
     // 10-truss of the co-purchase graph (Cohen 2008): keep edges
     // corroborated by ≥ 8 triangles among surviving edges, 3 synchronous
-    // peel rounds (graft.ext.Graph.kTruss — the edge-grained cohesion
-    // ladder above q_dedup_kcore's degree peel; a truss shakes out the
-    // hub-and-spoke artifacts a core keeps). Spark enumerates triangles
-    // under the O(sqrt E) degree orientation; the twin uses the naive
-    // lo<hi wedge join — support counts are orientation-independent, so
-    // row-for-row equality proves the orientation lossless. 39,405 of
-    // 115,729 edges survive at sf0.01 — still cascading at round 3.
+    // peel rounds — the edge-grained cohesion ladder above
+    // q_dedup_kcore's degree peel; a truss shakes out the hub-and-spoke
+    // artifacts a core keeps. Round 1 — the full-graph enumeration, by
+    // far the largest — reads the MATERIALIZED per-edge support
+    // (Graph.kTrussResume); rounds 2-3 re-enumerate over survivors only,
+    // under the O(sqrt E) degree orientation. The twin recomputes all
+    // three rounds with the naive lo<hi wedge join — support counts are
+    // orientation-independent, so row-for-row equality proves both the
+    // orientation and the state-read lossless. 39,405 of 115,729 edges
+    // survive at sf0.01 — still cascading at round 3.
     "q_ktruss" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val other = li.select(col("l_orderkey"),
-        col("l_partkey").as("r_partkey"))
-      val pairs = li.join(other, Seq("l_orderkey"))
-        .filter(col("l_partkey") =!= col("r_partkey"))
-        .select(col("l_partkey").as("pa"), col("r_partkey").as("pb"))
-      graft.ext.Graph.kTruss(pairs, "pa", "pb", k = 10, rounds = 3)
+      val st = graft.ext.Graph.readTriangleState(s, triStateDir(s, dir))
+      graft.ext.Graph.kTrussResume(st.edges, st.support, k = 10,
+        rounds = 3)
     }),
 
     // Degree assortativity (Newman 2002) of the co-purchase graph: do
@@ -853,6 +881,15 @@ object Joins {
     // exactly once on both engines; totals cross-checked against a
     // blocking-free three-way join during development.
     "q_triangles" ->
+      s"""WITH $triangleCtes
+        |SELECT n.id AS node_id, CAST(COALESCE(pn.n, 0) AS BIGINT)
+        |  AS n_triangles
+        |FROM n LEFT JOIN pn ON pn.id = n.id""".stripMargin,
+
+    // VERBATIM q_triangles oracle — the state row must hash-match the
+    // recompute row's ground truth exactly (the q_dedup_state_kept
+    // proof shape).
+    "q_triangles_state" ->
       s"""WITH $triangleCtes
         |SELECT n.id AS node_id, CAST(COALESCE(pn.n, 0) AS BIGINT)
         |  AS n_triangles

@@ -198,9 +198,13 @@ object Vectors {
         Similarity.withNorm(t(s, dir, "embeddings"), "vec_id", "embedding"),
         "vec_id", col("vec_id") < 10, rounds = 3)),
 
-    // Scale path: random-hyperplane LSH candidates verified by exact
-    // cosine — the composition nearDupPairs exists to baseline.
-    "q_sim_neardup_lsh" -> ((s, dir) =>
+    // The NARROW demo dial (16 planes, 4 bands × 4 bits) kept under the
+    // oracle as the dial-sensitivity baseline: 4-bit bands have a
+    // quadratic random-collision floor (bands/2^bits of ALL pairs — 46×
+    // growth at factor 26 vs the default dial's 5×), which is exactly
+    // why band width must grow ~log₂(n). Deliberately NOT the default
+    // name: a reader copying the default gets the scale-safe dial below.
+    "q_sim_neardup_lsh16" -> ((s, dir) =>
       Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", dim = 64, threshold = 0.35)),
 
@@ -271,11 +275,14 @@ object Vectors {
           min(col("eval_id")).as("first_eval_id"))
     }),
 
-    // The WIDER band dial (32 planes, 4 bands × 8 bits) under the same
-    // oracle: 16× lower random-collision floor per band at reduced recall —
-    // the dial a big-corpus sweep turns (ScaleBench measures the tradeoff;
-    // this row proves the parameterized machinery stays engine-exact).
-    "q_sim_neardup_lsh32" -> ((s, dir) =>
+    // Scale path, DEFAULT dial: random-hyperplane LSH candidates (32
+    // planes, 4 bands × 8 bits) verified by exact cosine — the
+    // composition nearDupPairs exists to baseline. 8-bit bands keep the
+    // random-collision floor 16× below the 4-bit demo dial's
+    // (bands/2^bits of all pairs), measured 5.3× vs 46× growth at factor
+    // 26 — the production dial leads; the narrow dial lives under the
+    // `lsh16` suffix above.
+    "q_sim_neardup_lsh" -> ((s, dir) =>
       Similarity.cosineLshPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", dim = 64, threshold = 0.35, planes = 32)),
 
@@ -1158,8 +1165,8 @@ object Vectors {
         |  FROM sims)
         |WHERE rank <= 5""".stripMargin,
 
-    "q_sim_neardup_lsh" -> lshTwin(planes = 16, bands = 4),
-    "q_sim_neardup_lsh32" -> lshTwin(planes = 32, bands = 4),
+    "q_sim_neardup_lsh16" -> lshTwin(planes = 16, bands = 4),
+    "q_sim_neardup_lsh" -> lshTwin(planes = 32, bands = 4),
 
     // Same assignment CTEs as the IVF family; the drop policy (higher id
     // of any within-cluster pair at cosine ≥ 0.3) mirrors the Scala fold.

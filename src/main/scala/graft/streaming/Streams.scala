@@ -258,6 +258,15 @@ object Streams {
     * cents = floor(round(Σ, 2)·100 + 0.5); num/den = dyadic-weight
     * integer window sums over the trailing 8 hours; spike = integer
     * cross-multiplication against 2× the previous hour's EWMA.
+    *
+    * Replay dedup is STRUCTURAL, not by value: a crash between the
+    * journal append and the commit marker replays the batch, and the
+    * replayed partial can differ in final ulps (double summation is
+    * partition-order dependent), so collapsing with first() would pick
+    * nondeterministically. Instead each (type, hour, tag) keeps the
+    * partial from the lexicographically-first journal file — min_by on
+    * the file path — making the chart a deterministic function of the
+    * journal directory's contents regardless of read parallelism.
     */
   private[graft] def ewmaFromJournal(
       spark: org.apache.spark.sql.SparkSession, journalDir: String)
@@ -265,8 +274,9 @@ object Streams {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("h"))
     val hourly = spark.read.parquet(journalDir)
+      .withColumn("_file", input_file_name())
       .groupBy(col("event_type"), col("h"), col("_tag"))
-      .agg(first(col("vsum")).as("vsum")) // replayed partials collapse
+      .agg(min_by(col("vsum"), col("_file")).as("vsum"))
       .groupBy(col("event_type"), col("h"))
       .agg(floor(round(sum(col("vsum")), 2) * 100 + 0.5).as("cents"))
     def lagged(i: Int) =

@@ -224,6 +224,42 @@ class GraphSpec extends AnyFunSuite {
     assert(trussEdges(5) === Set.empty)
   }
 
+  test("triangle state: every persisted table matches the recompute " +
+      "path, kTrussResume == kTruss, clusteringFromCounts == " +
+      "clusteringCoefficients") {
+    // K4 plus a pendant triangle plus an isolated (triangle-free) edge —
+    // exercises zero-support edges and zero-count nodes in the state.
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (7L, 8L))
+    val dir = java.nio.file.Files.createTempDirectory("tri-state").toString
+    Graph.writeTriangleState(edges(es: _*), "src", "dst", dir)
+    val st = Graph.readTriangleState(spark, dir)
+    // per-node counts match the recompute
+    assert(ranksOf(st.triCounts) ===
+      ranksOf(Graph.triangleCounts(edges(es: _*), "src", "dst")))
+    // zero-support edge absent from support, present in edges
+    assert(st.support.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .get((7L, 8L)).isEmpty)
+    assert(st.edges.count() === es.size)
+    // resume path == from-scratch truss at every k
+    for (k <- Seq(3, 4, 5)) {
+      val full = Graph.kTruss(edges(es: _*), "src", "dst", k, rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      val res = Graph.kTrussResume(st.edges, st.support, k, rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(res === full, s"k=$k resume != recompute")
+    }
+    // state-fed coefficients == recompute coefficients
+    val viaState = Graph.clusteringFromCounts(st.triCounts, st.degrees)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val direct = Graph.clusteringCoefficients(edges(es: _*), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(viaState === direct)
+  }
+
   test("bfsHops: chain distances are exact, truncation at maxHops, " +
       "unreachable nodes absent") {
     import org.apache.spark.sql.functions.col

@@ -51,4 +51,19 @@ class KmvSpec extends AnyFunSuite {
     assert(math.abs(est - 5000.0) / 5000.0 < 0.51,
       s"estimate $est too far from 5000")
   }
+
+  test("kmvAgg over a nullable hash column ignores NULLs like " +
+      "countDistinct (no spurious 0L minimum)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq[(Int, Option[Long])](
+      (1, Some(10L)), (1, None), (1, Some(3L)), (1, Some(10L)),
+      (2, None), (2, None)).toDF("g", "h")
+    val out = df.groupBy(col("g"))
+      .agg(Kmv.kmvAgg(col("h"), K).as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1) == Seq(3L, 10L)) // no 0L from the NULL row
+    assert(out(2).isEmpty) // all-null group = empty sketch, not [0]
+  }
 }
