@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental maintenance of algebraic aggregates: per-batch PARTIALS
@@ -172,6 +173,81 @@ object Rollup {
         max(col("n_bins")).as("n_bins"),
         sum(col("n_ref")).as(refTotalName),
         sum(col("n_cur")).as(curTotalName))
+  }
+
+  /** Exact Kolmogorov–Smirnov statistic per group over (group, value,
+    * c_ref, c_cur) counts at the OBSERVED value grain: max |F_ref −
+    * F_cur| via running-count windows partitioned by group, the CDF gap
+    * rounded to 6dp per row (the rounded value IS the published metric),
+    * verdict at the 0.1 rule. Groups observed on only one side are
+    * dropped — KS is undefined against an empty sample, and dividing by
+    * its zero total would poison the fold. ONE definition shared by the
+    * batch query (q_ks_drift) and the streaming monitor
+    * ([[graft.streaming.Streams.startKsW1Monitor]]) so the arithmetic
+    * cannot diverge between them.
+    */
+  def ksReport(counts: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    counts
+      .withColumn("cum_ref", sum(col("c_ref")).over(wOrd))
+      .withColumn("cum_cur", sum(col("c_cur")).over(wOrd))
+      .withColumn("n_ref", sum(col("c_ref")).over(wAll))
+      .withColumn("n_cur", sum(col("c_cur")).over(wAll))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+      .withColumn("d", round(abs(
+        col("cum_ref").cast("double") / col("n_ref") -
+          col("cum_cur").cast("double") / col("n_cur")), 6))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        max(col("d")).as("ks"))
+      .withColumn("verdict",
+        when(col("ks") > 0.1, "drifted").otherwise("stable"))
+  }
+
+  /** Exact Wasserstein-1 (earth mover) distance per group over (group,
+    * cents, c_ref, c_cur) counts on an integer cents grid: W1 =
+    * ∫|F_ref − F_cur| dx with each step's gap as the cross-multiplied
+    * integer |cum_ref·N_cur − cum_cur·N_ref| scaled by the integer
+    * distance to the next observed value, summed as longs (order-free),
+    * ONE IEEE division at the end. The cross-multiply needs ~N² ≤ 2^63
+    * headroom — beyond ~3e9 rows per side, divide per step in doubles
+    * instead (the documented trade). Verdict normalizes by the observed
+    * value RANGE (an absolute W1 threshold can't be right across
+    * differently-scaled metrics). ONE definition shared by
+    * q_wasserstein_drift and the streaming monitor.
+    */
+  def w1Report(counts: DataFrame, groupCol: String, centsCol: String)
+      : DataFrame = {
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col(centsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(groupCol)).orderBy(col(centsCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    counts
+      .withColumn("cum_ref", sum(col("c_ref")).over(wOrd))
+      .withColumn("cum_cur", sum(col("c_cur")).over(wOrd))
+      .withColumn("n_ref", sum(col("c_ref")).over(wAll))
+      .withColumn("n_cur", sum(col("c_cur")).over(wAll))
+      .withColumn("gap",
+        coalesce(lead(col(centsCol), 1).over(wNext) - col(centsCol),
+          lit(0L)))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+      .withColumn("term",
+        abs(col("cum_ref") * col("n_cur") - col("cum_cur") * col("n_ref"))
+          * col("gap"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        sum(col("term")).as("tsum"),
+        (max(col(centsCol)) - min(col(centsCol))).as("range_cents"))
+      .select(col(groupCol), col("n_ref"), col("n_cur"),
+        round(col("tsum") /
+          (col("n_ref") * col("n_cur") * lit(100.0)), 6).as("w1"),
+        round(col("tsum") / (col("n_ref") * col("n_cur") *
+          col("range_cents").cast("double")), 6).as("w1_rel"))
+      .withColumn("verdict",
+        when(col("w1_rel") > 0.1, "drifted").otherwise("stable"))
   }
 
   /** Per-group PSI between two journaled batches, from the histogram

@@ -162,32 +162,15 @@ object Events {
     // distinct (type, value) grain, running-count windows partitioned by
     // type, per-row rounded CDF gap, max. The verdict gates on the same
     // rounded metric both engines compute — not a display rounding.
+    // Fold lives in Rollup.ksReport — ONE definition with the streaming
+    // monitor (Streams.startKsW1Monitor), the psiFold posture.
     "q_ks_drift" -> ((s, dir) => {
       val cut = to_timestamp(lit("2024-01-16 00:00:00"))
       val g = t(s, dir, "events")
         .groupBy(col("event_type"), col("value"))
         .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("c_ref"),
           sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("c_cur"))
-      val wOrd = Window.partitionBy(col("event_type"))
-        .orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(col("event_type"))
-      g.withColumn("cum_ref", sum(col("c_ref")).over(wOrd))
-        .withColumn("cum_cur", sum(col("c_cur")).over(wOrd))
-        .withColumn("n_ref", sum(col("c_ref")).over(wAll))
-        .withColumn("n_cur", sum(col("c_cur")).over(wAll))
-        // KS is defined only for types observed on BOTH sides (an
-        // all-null ingest row yields an n=0 partition — drop it, don't
-        // divide by it).
-        .filter(col("n_ref") > 0 && col("n_cur") > 0)
-        .withColumn("d", round(abs(
-          col("cum_ref").cast("double") / col("n_ref") -
-            col("cum_cur").cast("double") / col("n_cur")), 6))
-        .groupBy(col("event_type"))
-        .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
-          max(col("d")).as("ks"))
-        .withColumn("verdict",
-          when(col("ks") > 0.1, "drifted").otherwise("stable"))
+      graft.engine.Rollup.ksReport(g, "event_type", "value")
     }),
 
     // Wasserstein-1 (earth mover) drift beside PSI's binned divergence
@@ -202,6 +185,8 @@ object Events {
     // headroom in general — beyond ~3e9 rows per side, divide per step
     // in doubles instead (the documented trade). Same distinct-grain
     // shuffle + type-partitioned running windows as q_ks_drift.
+    // Fold lives in Rollup.w1Report — ONE definition with the streaming
+    // monitor (Streams.startKsW1Monitor), the psiFold posture.
     "q_wasserstein_drift" -> ((s, dir) => {
       val cut = to_timestamp(lit("2024-01-16 00:00:00"))
       val g = t(s, dir, "events")
@@ -209,38 +194,7 @@ object Events {
         .groupBy(col("event_type"), col("cents"))
         .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("c_ref"),
           sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("c_cur"))
-      val wOrd = Window.partitionBy(col("event_type"))
-        .orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wNext = Window.partitionBy(col("event_type"))
-        .orderBy(col("cents"))
-      val wAll = Window.partitionBy(col("event_type"))
-      g.withColumn("cum_ref", sum(col("c_ref")).over(wOrd))
-        .withColumn("cum_cur", sum(col("c_cur")).over(wOrd))
-        .withColumn("n_ref", sum(col("c_ref")).over(wAll))
-        .withColumn("n_cur", sum(col("c_cur")).over(wAll))
-        .withColumn("gap",
-          coalesce(lead(col("cents"), 1).over(wNext) - col("cents"),
-            lit(0L)))
-        .filter(col("n_ref") > 0 && col("n_cur") > 0)
-        .withColumn("term",
-          abs(col("cum_ref") * col("n_cur") - col("cum_cur") * col("n_ref"))
-            * col("gap"))
-        .groupBy(col("event_type"))
-        .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
-          sum(col("term")).as("tsum"),
-          (max(col("cents")) - min(col("cents"))).as("range_cents"))
-        // Verdict normalizes by the observed value RANGE — an absolute
-        // W1 threshold can't be right across differently-scaled metrics,
-        // and the ~range/sqrt(n) sampling noise would trip it. 10% of
-        // range is well above the noise floor at any useful n.
-        .select(col("event_type"), col("n_ref"), col("n_cur"),
-          round(col("tsum") /
-            (col("n_ref") * col("n_cur") * lit(100.0)), 6).as("w1"),
-          round(col("tsum") / (col("n_ref") * col("n_cur") *
-            col("range_cents").cast("double")), 6).as("w1_rel"))
-        .withColumn("verdict",
-          when(col("w1_rel") > 0.1, "drifted").otherwise("stable"))
+      graft.engine.Rollup.w1Report(g, "event_type", "cents")
     }),
 
     // Tumbling 1-hour window per event type (Spark's window() operator;

@@ -297,6 +297,99 @@ object Streams {
           lit(false)).as("spike"))
   }
 
+  /** Standing KS + Wasserstein-1 drift monitor — completes the streaming
+    * drift trio (PSI streams via [[startDriftMonitor]], EWMA via
+    * [[startEwmaMonitor]]; KS and W1 previously required a batch pass).
+    * Each micro-batch appends its per-(type, value, ref/cur period)
+    * COUNTS to a journal under the commit-ledger guard; both verdicts
+    * are then recomputed FROM THE JOURNAL ALONE with the exact batch
+    * arithmetic ([[graft.engine.Rollup.ksReport]] /
+    * [[graft.engine.Rollup.w1Report]] — the same single definitions
+    * q_ks_drift and q_wasserstein_drift run), never rescanning the
+    * stream: the read set is O(types × observed values × batches) per
+    * trigger regardless of stream volume.
+    *
+    * Unlike the EWMA value journal, these partials are INTEGER counts —
+    * deterministic under any partition order — so a
+    * crash-between-journal-and-marker replay appends byte-identical
+    * rows and the structural collapse (max over the (key, tag) group)
+    * is exact with no ulp seam at all. Verdicts land with
+    * mode=overwrite under `verdictDir/ks/b<batchId>` and
+    * `verdictDir/w1/b<batchId>`.
+    *
+    * `cut` is the fixed ref/cur boundary timestamp (`yyyy-MM-dd
+    * HH:mm:ss`) — the same dial the batch queries hardcode; rows with a
+    * NULL timestamp count toward neither side (mirroring the batch
+    * conditional sums, where NULL fails both `<` and `>=`).
+    */
+  def startKsW1Monitor(stream: DataFrame, journalDir: String,
+      verdictDir: String, checkpointDir: String, typeCol: String,
+      tsCol: String, valueCol: String, cut: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ksW1BatchIdempotent(batch, journalDir, verdictDir, batchId,
+          typeCol, tsCol, valueCol, cut)
+      }
+      .start()
+
+  private[graft] def ksW1BatchIdempotent(batch: DataFrame,
+      journalDir: String, verdictDir: String, batchId: Long,
+      typeCol: String, tsCol: String, valueCol: String, cut: String)
+      : Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val marker = new Path(journalDir, s"_graft_commits/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      batch
+        .groupBy(col(typeCol).as("event_type"),
+          col(valueCol).as("value"),
+          (col(tsCol) < to_timestamp(lit(cut))).as("is_ref"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("is_ref").isNotNull) // NULL ts: neither period
+        .withColumn("_tag", lit(s"b$batchId"))
+        .write.mode("append").parquet(journalDir)
+      try fs.create(marker, false).close() // exclusive: lost race = no-op
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+    val (ks, w1) = ksW1FromJournal(spark, journalDir)
+    ks.write.mode("overwrite").parquet(s"$verdictDir/ks/b$batchId")
+    w1.write.mode("overwrite").parquet(s"$verdictDir/w1/b$batchId")
+  }
+
+  /** Both verdicts as pure functions of the journal: collapse replayed
+    * (type, value, period, tag) duplicates (byte-identical integers —
+    * max is exact), fold tags into per-(type, value) ref/cur counts,
+    * then run the SHARED report folds. W1's cents grid derives from the
+    * value grain by exact rollup (cents = floor(value·100 + .5) is a
+    * pure function of the journal key, so counts sum losslessly).
+    */
+  private[graft] def ksW1FromJournal(
+      spark: org.apache.spark.sql.SparkSession, journalDir: String)
+      : (DataFrame, DataFrame) = {
+    val g = spark.read.parquet(journalDir)
+      .groupBy(col("event_type"), col("value"), col("is_ref"),
+        col("_tag"))
+      .agg(max(col("n")).as("n"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("is_ref"), col("n")).otherwise(0L)).as("c_ref"),
+        sum(when(!col("is_ref"), col("n")).otherwise(0L)).as("c_cur"))
+      .localCheckpoint() // feeds both report folds
+    val ks = graft.engine.Rollup.ksReport(g, "event_type", "value")
+    val cents = g
+      .withColumn("cents", floor(col("value") * 100 + 0.5))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(col("c_ref")).as("c_ref"), sum(col("c_cur")).as("c_cur"))
+    val w1 = graft.engine.Rollup.w1Report(cents, "event_type", "cents")
+    (ks, w1)
+  }
+
   /** Streaming twin of [[graft.engine.Rollup.journalHistogram]]: each
     * micro-batch's per-group bucket counts (over the FROZEN boundary
     * grid — the grid is state decided before the stream starts) append

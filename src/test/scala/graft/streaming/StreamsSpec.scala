@@ -787,6 +787,54 @@ class StreamsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
+  test("startKsW1Monitor: journal-only KS and W1 verdicts equal the " +
+      "batch oracle rows; the at-least-once journal seam replays exactly") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("ksw1-mon")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val evs = spark.read.parquet(s"$dir/events.parquet")
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .as[Event].collect()
+      // the cut hour splits ACROSS batches: the journal must reassemble
+      // both periods from per-batch partials
+      val (b0, b1) = evs.partition(_.event_id % 2 == 0)
+      val in = MemoryStream[Event]
+      val q = Streams.startKsW1Monitor(in.toDF(), s"$root/journal",
+        s"$root/verdict", s"$root/ck", "event_type", "ts", "value",
+        "2024-01-16 00:00:00")
+      runBatches(q)(
+        () => in.addData(b0.toSeq),
+        () => in.addData(b1.toSeq))
+      def rows(p: String) = spark.read.parquet(p)
+        .collect().map(_.toSeq).toSet
+      val ksGot = rows(s"$root/verdict/ks/b1")
+      val w1Got = rows(s"$root/verdict/w1/b1")
+      assert(ksGot.nonEmpty && w1Got.nonEmpty)
+      // the streaming verdict IS the batch query's row set — same fixture,
+      // same cut, same shared fold (Rollup.ksReport / w1Report)
+      assert(ksGot === graft.SparkEntry.queries("q_ks_drift")(spark, dir)
+        .collect().map(_.toSeq).toSet)
+      assert(w1Got ===
+        graft.SparkEntry.queries("q_wasserstein_drift")(spark, dir)
+          .collect().map(_.toSeq).toSet)
+      // at-least-once seam: crash BETWEEN journal append and marker —
+      // the replay re-appends the batch's partials (byte-identical
+      // integers), and the structural collapse keeps both verdicts exact
+      val marker = new java.io.File(s"$root/journal/_graft_commits/1")
+      assert(marker.delete(), "seam setup: marker must exist")
+      Streams.ksW1BatchIdempotent(b1.toSeq.toDF(), s"$root/journal",
+        s"$root/verdict", 1L, "event_type", "ts", "value",
+        "2024-01-16 00:00:00")
+      assert(rows(s"$root/verdict/ks/b1") === ksGot,
+        "replayed KS verdict must be byte-identical")
+      assert(rows(s"$root/verdict/w1/b1") === w1Got,
+        "replayed W1 verdict must be byte-identical")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("startEwmaMonitor: journal-only chart matches the hand-computed " +
       "dyadic smoother; committed batches replay as no-ops") {
     import spark.implicits._
