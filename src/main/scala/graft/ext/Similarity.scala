@@ -77,6 +77,61 @@ object Similarity {
       queryPred: Column, k: Int): DataFrame =
     bruteForceTopKFrom(withNorm(emb, idCol, vecCol), idCol, queryPred, k)
 
+  /** Distinct powers of two, so + IS bitwise OR; pow stays exact in a
+    * double through 2^31, converted back to long before the fold.
+    */
+  private def packBits(vslice: Column, width: Int): Column =
+    aggregate(
+      zip_with(vslice, sequence(lit(0), lit(width - 1)),
+        (x, j) => when(x > 0, pow(lit(2.0), j).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+
+  /** 1-bit (sign) quantization: each vector collapses to TWO 32-bit
+    * words (bit j of the lo/hi word set iff v[j] > 0 / v[32+j] > 0) —
+    * the coarsest rung of the quantization ladder (float32 → int8 → PQ
+    * → sign) and its biggest memory lever: 32× below float32, so the
+    * whole signature table broadcasts where even the int8 corpus must
+    * shuffle. Hamming distance between signatures estimates angular
+    * distance (Charikar 2002's hyperplane identity,
+    * P[bit differs] = θ/π — here with the coordinate axes as the
+    * hyperplanes, i.e. the signs ARE the hyperplane codes); production
+    * re-ranks the Hamming candidates by exact cosine downstream. One
+    * codegen'd HOF per row, no UDF, no shuffle.
+    */
+  def signSignature(emb: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val v = asDouble(col(vecCol))
+    emb.select(col(idCol),
+      packBits(slice(v, 1, 32), 32).as("sig_lo"),
+      packBits(slice(v, 33, 32), 32).as("sig_hi"))
+  }
+
+  /** Top-k by Hamming distance over [[signSignature]] words: the query
+    * side broadcasts (signatures are 16 bytes/row — it broadcasts at ANY
+    * corpus scale), each corpus row pays two XOR+popcount ALU ops, and
+    * the per-query rank window partitions by query. Ties break
+    * (hamming asc, neighbor_id asc) so the k-set is deterministic.
+    * Returns (query_id, neighbor_id, hamming, rank).
+    */
+  def binaryHammingTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val sigs = signSignature(emb, idCol, vecCol).localCheckpoint()
+    val q = sigs.filter(queryPred)
+      .select(col(idCol).as("query_id"), col("sig_lo").as("qlo"),
+        col("sig_hi").as("qhi"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    sigs.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (bit_count(col("sig_lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("sig_hi").bitwiseXOR(col("qhi"))))
+          .cast("long").as("hamming"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** [[bruteForceTopK]] over an ALREADY-normalized corpus (idCol, v, nrm) —
     * lets an evaluation like recall@k share one materialized norm projection
     * between the brute and index sides instead of paying it twice.

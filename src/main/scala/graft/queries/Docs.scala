@@ -939,6 +939,51 @@ object Docs {
     "q_bm25_topk" -> ((s, dir) =>
       rankTop(bm25Scores(s, dir), "score", 10)),
 
+    // Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    // Lafferty 2001) — the language-modeling arm of the retrieval family
+    // beside BM25's probabilistic one: score(Q,D) = Σ_q ln((tf_qD +
+    // μ·cf_q/|C|) / (dl_D + μ)), μ = 2000 (the published default).
+    // Smoothing defines the score over EVERY doc, so the corpus pays a
+    // broadcast cross join against the 3-term query (3n rows, linear)
+    // with observed tfs left-joined on; per-term scores floor to exact
+    // micro-units before the order-free per-doc integer sum (the BM25
+    // idiom). A query term absent from the whole corpus would send every
+    // doc to ln 0 identically: the cf inner join drops it, shifting all
+    // scores by the same constant — ranking unchanged, scores finite.
+    "q_retrieval_ql" -> ((s, dir) => rankTop(qlScores(s, dir), "score",
+      10)),
+
+    // Sequence-packing AUDIT — the layout-cost companion to
+    // q_pack_sequences (which reports per-bin membership): same
+    // concat-and-chunk packing, here priced per shard — total tokens,
+    // chunk count, padding waste in the final chunk, and how many
+    // documents straddle a chunk boundary (the rows an attention mask
+    // must separate, the number cross-document-attention ablations gate
+    // on). Exact integer token offsets off ONE lang-partitioned
+    // cumulative window (a doc's span is [cum−n, cum−1]; its chunks are
+    // the floor-divided endpoints) — O(docs) total, shards run in
+    // parallel, and at 100 TB the shard key just gets finer
+    // (lang × source) to keep partitions bounded.
+    "q_pack_chunks" -> ((s, dir) => {
+      val C = 512L
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          Text.nTokens(col("text")).as("n"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("first_chunk", expr(s"(cum - n) div $C"))
+        .withColumn("last_chunk", expr(s"(cum - 1) div $C"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          expr(s"(max(cum) + ${C - 1}) div $C").as("n_chunks"),
+          sum(when(col("first_chunk") =!= col("last_chunk"), 1L)
+            .otherwise(0L)).as("n_boundary_docs"))
+        .withColumn("waste_tokens",
+          col("n_chunks") * C - col("total_tokens"))
+    }),
+
     // RM3 pseudo-relevance feedback (Lavrenko & Croft 2001; Abdul-Jaleel
     // et al. 2004): the expansion-term table itself — top-3 non-query
     // tokens by total occurrences in the first-pass top-5 docs. Uniform
@@ -2230,6 +2275,33 @@ object Docs {
       bm25Terms.toDF("token").withColumn("wdiv", lit(1L)))
   }
 
+  /** Dirichlet query-likelihood scores over the fixed query (μ = 2000):
+    * doc lengths and corpus term frequencies from one token pass, then
+    * dl × terms via a 3-row broadcast cross join. See q_retrieval_ql.
+    */
+  private def qlScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val dl = docs.select(col("doc_id"), Text.nTokens(col("text")).as("dl"))
+    val toks = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .join(broadcast(bm25Terms.toDF("token")), "token")
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = toks.groupBy(col("token")).agg(count(lit(1)).as("cf"))
+    val ctot = dl.agg(sum(col("dl")).as("ctot"))
+    dl.crossJoin(broadcast(cf))
+      .join(tf, Seq("doc_id", "token"), "left")
+      .crossJoin(broadcast(ctot))
+      .withColumn("ts_micro", floor(
+        log((coalesce(col("tf"), lit(0L)) +
+          lit(2000.0) * col("cf") / col("ctot")) /
+          (col("dl") + lit(2000.0))) * 1e6 + 0.5))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("ts_micro")) / lit(1e6)).as("score"),
+        count(col("tf")).as("n_terms_hit"))
+  }
+
   /** RM3 expansion terms (Abdul-Jaleel et al. 2004's RM3 with uniform
     * feedback-document priors — the deterministic-integer simplification
     * documented at q_bm25_rm3): the 3 most frequent non-query tokens
@@ -2663,6 +2735,53 @@ object Docs {
 
     "q_bm25_topk" ->
       s"""WITH $bm25Ctes
+        |SELECT doc_id, score, n_terms_hit,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+        |    AS rank
+        |FROM p ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_pack_chunks" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  CAST((max(cum) + 511) // 512 AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN (cum - n) // 512 != (cum - 1) // 512
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+        |  CAST((max(cum) + 511) // 512 * 512 - sum(n) AS BIGINT)
+        |    AS waste_tokens
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q_retrieval_ql" ->
+      """WITH dl AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE token IN ('spark', 'hash', 'merge') GROUP BY 1, 2),
+        |cf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf
+        |  FROM tf GROUP BY 1),
+        |ct AS (SELECT CAST(sum(dl) AS BIGINT) AS ctot FROM dl),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CAST(floor(ln((COALESCE(tf.tf, 0) + 2000.0 * cf.cf / ct.ctot)
+        |      / (d.dl + 2000.0)) * 1000000 + 0.5) AS BIGINT) AS ts_micro,
+        |    CASE WHEN tf.tf IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM dl d CROSS JOIN cf CROSS JOIN ct
+        |  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.token = cf.token),
+        |p AS (SELECT doc_id,
+        |    CAST(sum(ts_micro) AS BIGINT) / 1000000.0 AS score,
+        |    CAST(sum(hit) AS BIGINT) AS n_terms_hit
+        |  FROM sc GROUP BY 1)
         |SELECT doc_id, score, n_terms_hit,
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
         |    AS rank

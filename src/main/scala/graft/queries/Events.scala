@@ -144,6 +144,55 @@ object Events {
     // conditional sums in ONE pass, per-type totals as a tiny broadcast
     // join back; the PSI fold is ≤10 rows per type. The standard
     // monitoring thresholds (0.1 / 0.25) label the verdict.
+    // Split-conformal prediction audit (Vovk et al. 2005; Angelopoulos &
+    // Bates 2021): per event type, the model is the TRAIN-split value
+    // mean, the nonconformity score is |value − mean|, q̂ is the
+    // ⌈(n+1)·0.9⌉-th smallest calibration (val-split) score, and the
+    // report is the TEST-split coverage of the interval mean ± q̂ — the
+    // distribution-free ≥90% guarantee a deployed predictor's intervals
+    // are audited against. All decisions are exact integers: the mean is
+    // never materialized — score·n = |cents·n − Σcents| cross-multiplies
+    // it away, the quantile index is the pure-integer ⌈9(n+1)/10⌉ =
+    // (9(n+1)+9) div 10 (a float ·0.9 misrounds exact multiples), and
+    // the test compare is integer-to-integer; the only IEEE ops are the
+    // two display roundings. The quantile position clamps to n_cal when
+    // the calibration set is smaller than ⌈(n+1)(1−α)⌉ demands (the
+    // honest convention is q̂ = ∞; the clamp keeps the row defined and
+    // is documented by n_cal beside it). Shape: one split pass, the
+    // per-type train stats and q̂ ride as broadcast joins, ranks
+    // partition by type — nothing global.
+    "q_conformal_coverage" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("cents", floor(col("value") * 100 + 0.5))
+        .withColumn("split", splitCol(col("event_id")))
+      val train = ev.filter(col("split") === "train")
+        .groupBy(col("event_type"))
+        .agg(sum(col("cents")).as("tsum"), count(lit(1)).as("tn"))
+      val cal = ev.filter(col("split") === "val")
+        .join(broadcast(train), "event_type")
+        .withColumn("ss", abs(col("cents") * col("tn") - col("tsum")))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("ss"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val qhat = cal
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("n_cal", count(lit(1)).over(wAll))
+        .filter(col("rn") ===
+          least(expr("(9 * (n_cal + 1) + 9) div 10"), col("n_cal")))
+        .select(col("event_type"), col("ss").as("qhat_scaled"),
+          col("n_cal"), col("tn"), col("tsum"))
+      ev.filter(col("split") === "test")
+        .join(broadcast(qhat), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n_cal")).as("n_cal"),
+          round(max(col("qhat_scaled")) / (max(col("tn")) * 100.0), 4)
+            .as("qhat"),
+          count(lit(1)).as("n_test"),
+          sum(when(abs(col("cents") * col("tn") - col("tsum")) <=
+            col("qhat_scaled"), 1L).otherwise(0L)).as("n_covered"))
+        .withColumn("coverage",
+          round(col("n_covered").cast("double") / col("n_test"), 4))
+    }),
+
     "q_psi_drift" -> ((s, dir) => {
       val cut = to_timestamp(lit("2024-01-16 00:00:00"))
       val g = t(s, dir, "events")
@@ -585,6 +634,42 @@ object Events {
         |SELECT event_type, n_ref, n_cur, ks,
         |  CASE WHEN ks > 0.1 THEN 'drifted' ELSE 'stable' END AS verdict
         |FROM a""".stripMargin,
+
+    "q_conformal_coverage" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    CASE WHEN bucket < 90 THEN 'train'
+        |         WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT *,
+        |    CAST(CONCAT('0x', substring(
+        |      md5('split:' || CAST(event_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |      % 100 AS bucket FROM events)),
+        |tr AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS tsum,
+        |    count(*) AS tn
+        |  FROM ev WHERE split = 'train' GROUP BY 1),
+        |cal AS (SELECT e.event_type,
+        |    abs(e.cents * t.tn - t.tsum) AS ss
+        |  FROM ev e JOIN tr t USING (event_type) WHERE e.split = 'val'),
+        |ranked AS (SELECT event_type, ss,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ss) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_cal
+        |  FROM cal),
+        |qh AS (SELECT event_type, ss AS qhat_scaled, n_cal FROM ranked
+        |  WHERE rn = least((9 * (n_cal + 1) + 9) // 10, n_cal))
+        |SELECT q.event_type, q.n_cal,
+        |  round(q.qhat_scaled / (t.tn * 100.0), 4) AS qhat,
+        |  count(*) AS n_test,
+        |  CAST(sum(CASE WHEN abs(e.cents * t.tn - t.tsum) <= q.qhat_scaled
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  round(CAST(sum(CASE WHEN abs(e.cents * t.tn - t.tsum)
+        |      <= q.qhat_scaled THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS coverage
+        |FROM ev e
+        |JOIN tr t USING (event_type)
+        |JOIN qh q USING (event_type)
+        |WHERE e.split = 'test'
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_psi_drift" ->
       """WITH g AS (

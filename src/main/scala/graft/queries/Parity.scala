@@ -258,6 +258,41 @@ object Parity {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)),
 
+    // Skyline / Pareto front (Börzsönyi et al. 2001, "The Skyline
+    // Operator"): the parts no other part beats on BOTH price (lower
+    // better) and size (higher better) — multi-objective shortlisting
+    // with no weighting dial. Exact points collapse first (duplicates
+    // can't dominate each other), then TWO window passes instead of the
+    // textbook quadratic self-join: within a fixed-width price bucket,
+    // order (price asc, size desc) and drop any point whose running
+    // preceding max size ≥ its own (on DISTINCT points this is exactly
+    // the dominance test — a preceding equal size must be strictly
+    // cheaper); survivors (per-bucket fronts, tiny) take the same test
+    // globally. Local-then-global is lossless: a point dominated
+    // anywhere is dominated inside its own bucket or by a survivor.
+    // The oracle runs the NOT EXISTS quadratic definition — equality
+    // proves the window formulation, not just the arithmetic. Shape:
+    // one hash-agg + one bucket-partitioned window; nothing global
+    // touches more than the per-bucket fronts.
+    "q_skyline" -> ((s, dir) => {
+      val pts = t(s, dir, "part")
+        .groupBy(col("p_retailprice").as("price"),
+          col("p_size").cast("long").as("psize"))
+        .agg(count(lit(1)).as("n_parts"),
+          min(col("p_partkey")).as("first_partkey"))
+      def front(df: DataFrame, parts: Seq[Column]): DataFrame = {
+        val w = Window.partitionBy(parts: _*)
+          .orderBy(col("price").asc, col("psize").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        df.withColumn("m", max(col("psize")).over(w))
+          .filter(col("m").isNull || col("m") < col("psize"))
+          .drop("m")
+      }
+      val local = front(pts.withColumn("bkt", floor(col("price") / 100)),
+        Seq(col("bkt"))).drop("bkt")
+      front(local, Seq.empty)
+    }),
+
     // F4/F5 adjacent: date-part extraction + monthly aggregate.
     "q_date_parts" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -887,6 +922,19 @@ object Parity {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    // The quadratic textbook definition — an INDEPENDENT formulation, so
+    // equality proves the Spark side's bucketed window decomposition.
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS psize,
+        |    count(*) AS n_parts, min(p_partkey) AS first_partkey
+        |  FROM part GROUP BY 1, 2)
+        |SELECT price, psize, n_parts, first_partkey FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.price <= a.price AND b.psize >= a.psize
+        |    AND (b.price < a.price OR b.psize > a.psize))""".stripMargin,
 
     "q_date_parts" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,

@@ -163,6 +163,36 @@ object Vectors {
             .as("recall_at_5"))
     }),
 
+    // 1-bit (sign) quantized top-k: every vector collapses to two 32-bit
+    // words, ranking is XOR+popcount Hamming (Similarity.signSignature /
+    // binaryHammingTopK) — the 32×-memory coarse rung of the
+    // quantization ladder, the first-stage filter whose candidates the
+    // exact ladder re-ranks. The oracle computes the SAME Hamming count
+    // WITHOUT packing (per-dimension sign mismatches over the float
+    // lists), so a green row proves the bit packing lossless.
+    "q_sim_binary_topk" -> ((s, dir) =>
+      Similarity.binaryHammingTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", querySet, k = 5)),
+
+    // The binary-quantization audit: recall@5 of the Hamming ranking
+    // against exact-cosine ground truth — the number that prices the
+    // 32× memory saving (same report shape as q_sim_rp_recall).
+    "q_sim_binary_recall" -> ((s, dir) => {
+      val brute = Similarity.bruteForceTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", querySet, k = 5)
+      val bin = Similarity.binaryHammingTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", querySet, k = 5)
+      brute.select(col("query_id"), col("neighbor_id"))
+        .join(bin.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .select(col("query_id"), col("n_true"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_true"), 4)
+            .as("recall_at_5"))
+    }),
+
     // Per-vector element statistics via array HOFs — one codegen'd
     // projection, no explode, no shuffle.
     "q_vector_stats" -> ((s, dir) => {
@@ -795,6 +825,61 @@ object Vectors {
     "q_sim_rp_topk" ->
       s"""WITH $rpCtes
         |SELECT query_id, neighbor_id, sim, rank FROM rp_top""".stripMargin,
+
+    // Hamming recomputed WITHOUT packing: per-dimension sign mismatches
+    // over the raw float lists — an independent formulation, so equality
+    // proves the Spark side's two-word bit packing lossless.
+    "q_sim_binary_topk" ->
+      s"""WITH el AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |h AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    CAST(len(list_filter(range(1, len(n.v) + 1),
+        |      i -> (n.v[i] > 0) != (q.v[i] > 0))) AS BIGINT) AS hamming
+        |  FROM el n, el q
+        |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000
+        |    AND n.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, hamming, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY hamming ASC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM h)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_sim_binary_recall" ->
+      s"""WITH $withNorm,
+        |h AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    CAST(len(list_filter(range(1, len(n.v) + 1),
+        |      i -> (n.v[i] > 0) != (q.v[i] > 0))) AS BIGINT) AS hamming
+        |  FROM e n, e q
+        |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000
+        |    AND n.vec_id != q.vec_id),
+        |bin_top AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming ASC, neighbor_id ASC) AS rank FROM h)
+        |  WHERE rank <= 5),
+        |brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id ASC) AS rank FROM (
+        |      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |        ${cos("n", "q")} AS sim
+        |      FROM c n, c q
+        |      WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000000
+        |        AND n.vec_id != q.vec_id))
+        |  WHERE rank <= 5)
+        |SELECT b.query_id, count(*) AS n_true,
+        |  CAST(sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_found,
+        |  round(CAST(sum(CASE WHEN r.neighbor_id IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall_at_5
+        |FROM brute b
+        |LEFT JOIN bin_top r ON r.query_id = b.query_id
+        |  AND r.neighbor_id = b.neighbor_id
+        |GROUP BY 1""".stripMargin,
 
     "q_sim_rp_recall" ->
       s"""WITH $withNorm,

@@ -598,4 +598,41 @@ class PlanSpec extends AnyFunSuite {
         s"$q funnels through one partition:\n$p")
     }
   }
+
+  test("q_sim_binary_topk: broadcast query signatures, rank window " +
+      "keyed by query, no shuffled cartesian") {
+    val p = plan("q_sim_binary_topk")
+    // signatures are 16 bytes/row: the query side must ride a broadcast
+    // (the cross shape is intended — every corpus row scores every query)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(query_id"), p)
+  }
+
+  test("q_skyline: bucketed window decomposition — the bucket-keyed " +
+      "local pass runs parallel, and no quadratic self-join sneaks in") {
+    val p = plan("q_skyline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline must stay on windows, not the quadratic definition:\n$p")
+    assert(p.contains("hashpartitioning(bkt"),
+      s"local front not keyed by price bucket:\n$p")
+  }
+
+  test("q_conformal_coverage: per-type stats ride broadcasts, rank " +
+      "windows keyed by event_type — nothing global") {
+    val p = plan("q_conformal_coverage")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("hashpartitioning(event_type"), p)
+    assert(!p.contains("SinglePartition, "), p)
+  }
+
+  test("q_pack_chunks: the packing cumsum partitions by the shard key " +
+      "and reads only the three needed columns") {
+    val p = plan("q_pack_chunks")
+    assert(p.contains("hashpartitioning(lang"), p)
+    assert(!p.contains("SinglePartition, "), p)
+    assert(!p.contains("n_chars") && !p.contains("source"), p)
+  }
 }
