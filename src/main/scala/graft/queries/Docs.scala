@@ -984,6 +984,63 @@ object Docs {
           col("n_chunks") * C - col("total_tokens"))
     }),
 
+    // MMR diversified re-ranking (Carbonell & Goldstein 1998): the
+    // serving-side stage of the retrieval family — from the BM25 top-20,
+    // greedily pick 5 maximizing λ·relevance − (1−λ)·max-sim-to-selected
+    // (λ = 0.7), the dedup-at-serving move that keeps a result list from
+    // collapsing onto near-identical docs. Selection arithmetic is exact
+    // longs: relevance normalized to nano-units by integer division,
+    // similarities floor-scaled from the 6dp-rounded cosine, λ as the
+    // integer pair 7/3, ties on doc_id. The candidate set is ≤20 BY
+    // CONSTRUCTION at any corpus scale, so the greedy runs over
+    // collected rows (the kmeans/BPE bounded-driver-state precedent);
+    // everything upstream — BM25, norms, the 20×20 sim table — is
+    // distributed. The oracle unrolls the 5 rounds in SQL.
+    "q_mmr_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val cand = rankTop(bm25Scores(s, dir), "score", 20)
+        .select(col("doc_id"),
+          floor(col("score") * 1e6 + 0.5).cast("long").as("rel_micro"))
+        .localCheckpoint()
+      val rn = cand
+        .crossJoin(broadcast(cand.agg(max(col("rel_micro")).as("mr"))))
+        .select(col("doc_id"),
+          expr("rel_micro * 1000000000L div mr").as("rn"))
+      val c = Similarity.withNorm(t(s, dir, "embeddings"), "vec_id",
+          "embedding")
+        .join(cand.select(col("doc_id").as("vec_id")), "vec_id")
+        .localCheckpoint()
+      val av = c.select(col("vec_id").as("da"), col("v").as("va"),
+        col("nrm").as("na"))
+      val bv = c.select(col("vec_id").as("db"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      val sims = av.join(bv, col("da") =!= col("db"))
+        .select(col("da"), col("db"),
+          floor(round(Similarity.dot(col("va"), col("vb")) /
+            (col("na") * col("nb")), 6) * 1e9 + 0.5).cast("long")
+            .as("sim_nano"))
+      val relMap = rn.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      val simMap = sims.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      var selected = Vector.empty[(Long, Long)]
+      var remaining = relMap.keySet
+      for (_ <- 1 to 5 if remaining.nonEmpty) {
+        val scored = remaining.toSeq.map { d =>
+          val ms =
+            if (selected.isEmpty) 0L
+            else selected.map(sd => simMap.getOrElse((d, sd._1), 0L)).max
+          (d, 7L * relMap(d) - 3L * ms)
+        }
+        val pick = scored.minBy { case (d, sc) => (-sc, d) }
+        selected :+= pick
+        remaining -= pick._1
+      }
+      selected.zipWithIndex
+        .map { case ((d, sc), i) => (i + 1L, d, sc) }
+        .toDF("rank", "doc_id", "mmr_nano")
+    }),
+
     // RM3 pseudo-relevance feedback (Lavrenko & Croft 2001; Abdul-Jaleel
     // et al. 2004): the expansion-term table itself — top-3 non-query
     // tokens by total occurrences in the first-pass top-5 docs. Uniform
@@ -1298,6 +1355,63 @@ object Docs {
           sum(when(col("actual_pos"), 1L).otherwise(0L)).as("n_pos"))
         .withColumn("pos_rate",
           round(col("n_pos").cast("double") / col("n_docs"), 4))),
+
+    // ROC-AUC of the quality classifier per language — the
+    // threshold-free companion to q_nb_eval's fixed-threshold confusion:
+    // AUC == the Mann-Whitney probability a random positive outscores a
+    // random negative, computed by the rank identity with MID-ranks for
+    // ties (integer scores tie often; a tie-broken row_number would
+    // overstate AUC). Everything stays exact longs: per distinct score,
+    // 2·midrank = 2·cum_before + n_s + 1, so 2U = Σ_s n_pos_s·(2·cum_b
+    // + n_s + 1) − n_pos·(n_pos+1) — one distinct-score hash-agg, one
+    // lang-partitioned running window, AUC as a single rounded division.
+    "q_nb_auc" -> ((s, dir) => {
+      val perScore = nbScored(s, dir)
+        .groupBy(col("lang"), col("score_nano"))
+        .agg(count(lit(1)).as("ns"),
+          sum(when(col("actual_pos"), 1L).otherwise(0L)).as("nps"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("score_nano"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perScore
+        .withColumn("cumb", coalesce(sum(col("ns")).over(w), lit(0L)))
+        .groupBy(col("lang"))
+        .agg(sum(col("nps")).as("n_pos"),
+          (sum(col("ns")) - sum(col("nps"))).as("n_neg"),
+          sum(col("nps") * (col("cumb") * 2 + col("ns") + 1))
+            .as("two_mid"))
+        .select(col("lang"), col("n_pos"), col("n_neg"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            round((col("two_mid") - col("n_pos") * (col("n_pos") + 1))
+              .cast("double") / (col("n_pos") * col("n_neg") * 2.0), 4))
+            .otherwise(lit(null).cast("double")).as("auc"))
+    }),
+
+    // χ² feature selection (Yang & Pedersen 1997) over the classifier's
+    // train counts: each token type's 2×2 occurrence table (cp, np−cp;
+    // cn, nn−cn) scored χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — the
+    // model-free ranking of which types SEPARATE the classes, beside
+    // q_nb_top_features' model-weight view. Counts stay exact longs
+    // into ONE double expression (the (ad−bc)² cross term exceeds 2^63
+    // at corpus scale — both engines round the same IEEE products);
+    // top-15 on the ROUNDED score with tok tie-break, so the LIMIT
+    // order is total.
+    "q_chi2_features" -> ((s, dir) => {
+      val (wtab, scal) = nbWeights(s, dir)
+      val d = wtab.select(col("tok"), col("cp"), col("cn"))
+        .crossJoin(broadcast(scal.select(col("np"), col("nn"))))
+      val adbc = col("cp").cast("double") * (col("nn") - col("cn"))
+        .cast("double") -
+        col("cn").cast("double") * (col("np") - col("cp")).cast("double")
+      d.withColumn("chi2", round(
+          (col("np") + col("nn")).cast("double") * adbc * adbc /
+            ((col("cp") + col("cn")).cast("double") *
+              (col("np") - col("cp") + col("nn") - col("cn"))
+                .cast("double") *
+              col("np").cast("double") * col("nn").cast("double")), 4))
+        .select(col("tok"), col("cp"), col("cn"), col("chi2"))
+        .orderBy(col("chi2").desc, col("tok").asc)
+        .limit(15)
+    }),
 
     // The model inspection surface: the 15 most positive- and most
     // negative-indicative token types by nano-unit weight (tok breaks
@@ -2168,15 +2282,15 @@ object Docs {
     val (wtab, scal) = nbWeights(s, dir)
     t(s, dir, "documents")
       .filter(splitCol(col("doc_id")) =!= "train")
-      .select(col("doc_id"), nbKeep.as("actual_pos"),
+      .select(col("doc_id"), col("lang"), nbKeep.as("actual_pos"),
         explode(split(col("text"), " ")).as("tok"))
       .join(wtab.select(col("tok"), col("w_nano")), Seq("tok"), "left")
-      .groupBy(col("doc_id"), col("actual_pos"))
+      .groupBy(col("doc_id"), col("lang"), col("actual_pos"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("w_nano"), lit(0L))).as("sw"),
         sum(when(col("w_nano").isNull, 1L).otherwise(0L)).as("n_oov"))
       .crossJoin(broadcast(scal.select(col("w0"), col("prior"))))
-      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_oov"),
         (col("prior") + col("sw") + col("n_oov") * col("w0"))
           .as("score_nano"),
         col("actual_pos"))
@@ -2439,12 +2553,12 @@ object Docs {
     */
   private val nbCtes =
     """nb_lab AS (
-      |  SELECT d.doc_id, s.split,
+      |  SELECT d.doc_id, d.lang, s.split,
       |    NOT (nt < 30 OR nt > 400 OR ndist / nt < 0.2
       |      OR cl / nt < 2 OR cl / nt > 12) AS pos,
       |    d.text
       |  FROM (
-      |    SELECT doc_id, text,
+      |    SELECT doc_id, lang, text,
       |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
       |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
       |        AS ndist,
@@ -2475,18 +2589,20 @@ object Docs {
       |      / (nn + v))) * 1000000000 + 0.5) AS BIGINT) AS w_nano
       |  FROM nb_cnt, nb_const),
       |nb_scored AS (
-      |  SELECT s.doc_id, s.actual_pos,
+      |  SELECT s.doc_id, s.lang, s.actual_pos,
       |    CAST(s.n_tokens AS BIGINT) AS n_tokens,
       |    CAST(s.n_oov AS BIGINT) AS n_oov,
       |    CAST(c.prior + s.sw + s.n_oov * c.w0 AS BIGINT) AS score_nano
       |  FROM (
-      |    SELECT h.doc_id, h.pos AS actual_pos, count(*) AS n_tokens,
+      |    SELECT h.doc_id, h.lang, h.pos AS actual_pos,
+      |      count(*) AS n_tokens,
       |      sum(COALESCE(w.w_nano, 0)) AS sw,
       |      sum(CASE WHEN w.w_nano IS NULL THEN 1 ELSE 0 END) AS n_oov
-      |    FROM (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS tok
+      |    FROM (SELECT doc_id, lang, pos,
+      |            unnest(string_split(text, ' ')) AS tok
       |          FROM nb_lab WHERE split != 'train') h
       |    LEFT JOIN nb_w w ON w.tok = h.tok
-      |    GROUP BY 1, 2) s, nb_const c)""".stripMargin
+      |    GROUP BY 1, 2, 3) s, nb_const c)""".stripMargin
 
   private val dsirCtes =
     """toksd AS (SELECT doc_id, source, string_split(text, ' ') AS t
@@ -2759,6 +2875,54 @@ object Docs {
         |    AS waste_tokens
         |FROM c GROUP BY 1""".stripMargin,
 
+    // Unrolled 5-round greedy twin: per round, argmax of 7·rn − 3·max
+    // sim-to-selected over the not-yet-selected candidates (scalar
+    // subqueries over the ≤20-row CTEs — driver-trivial on both
+    // engines), ties on doc_id via the ORDER BY ... LIMIT 1.
+    "q_mmr_rerank" ->
+      (s"""WITH $bm25Ctes,
+        |topc AS (
+        |  SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT)
+        |    AS rel_micro
+        |  FROM p ORDER BY score DESC, doc_id LIMIT 20),
+        |rnn AS (SELECT doc_id, rel_micro * 1000000000
+        |    // (SELECT max(rel_micro) FROM topc) AS rn FROM topc),
+        |ee AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM topc)),
+        |cc AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+        |      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+        |  FROM ee),
+        |simsm AS (
+        |  SELECT a.vec_id AS da, b.vec_id AS db,
+        |    CAST(floor(round(list_reduce(list_transform(
+        |        range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+        |        (x, y) -> x + y) / (a.nrm * b.nrm), 6)
+        |      * 1000000000 + 0.5) AS BIGINT) AS sim_nano
+        |  FROM cc a, cc b WHERE a.vec_id != b.vec_id),
+        |s1 AS (SELECT doc_id, 7 * rn AS mmr FROM rnn
+        |  ORDER BY mmr DESC, doc_id LIMIT 1),
+        |sel1 AS (SELECT doc_id FROM s1)""" +
+        (2 to 5).map(i => s""",
+        |s$i AS (
+        |  SELECT r.doc_id, 7 * r.rn - 3 * (
+        |      SELECT max(sim_nano) FROM simsm
+        |      WHERE da = r.doc_id
+        |        AND db IN (SELECT doc_id FROM sel${i - 1})) AS mmr
+        |  FROM rnn r
+        |  WHERE r.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})
+        |  ORDER BY mmr DESC, doc_id LIMIT 1),
+        |sel$i AS (SELECT doc_id FROM sel${i - 1}
+        |  UNION ALL SELECT doc_id FROM s$i)""").mkString + """
+        |SELECT * FROM (""" +
+        (1 to 5).map(i =>
+          s"""
+        |  SELECT CAST($i AS BIGINT) AS rank, doc_id,
+        |    CAST(mmr AS BIGINT) AS mmr_nano FROM s$i""")
+          .mkString("\n        |  UNION ALL") + """
+        |)""").stripMargin,
+
     "q_retrieval_ql" ->
       """WITH dl AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
@@ -2968,6 +3132,47 @@ object Docs {
         |SELECT doc_id, n_tokens, n_oov, score_nano,
         |  score_nano > 0 AS predicted
         |FROM nb_scored""".stripMargin,
+
+    "q_nb_auc" ->
+      s"""WITH $splitsCte,
+        |$nbCtes,
+        |per_s AS (
+        |  SELECT lang, score_nano, count(*) AS ns,
+        |    sum(CASE WHEN actual_pos THEN 1 ELSE 0 END) AS nps
+        |  FROM nb_scored GROUP BY 1, 2),
+        |cumd AS (
+        |  SELECT lang, ns, nps,
+        |    COALESCE(sum(ns) OVER (PARTITION BY lang ORDER BY score_nano
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumb
+        |  FROM per_s),
+        |aggd AS (
+        |  SELECT lang, CAST(sum(nps) AS BIGINT) AS n_pos,
+        |    CAST(sum(ns) - sum(nps) AS BIGINT) AS n_neg,
+        |    CAST(sum(nps * (2 * cumb + ns + 1)) AS BIGINT) AS two_mid
+        |  FROM cumd GROUP BY 1)
+        |SELECT lang, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round(CAST(two_mid - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / (2.0 * n_pos * n_neg), 4) END AS auc
+        |FROM aggd""".stripMargin,
+
+    "q_chi2_features" ->
+      s"""WITH $splitsCte,
+        |$nbCtes,
+        |x AS (
+        |  SELECT tok, CAST(cp AS BIGINT) AS cp, CAST(cn AS BIGINT) AS cn,
+        |    CAST(cp AS DOUBLE) * CAST(nn - cn AS DOUBLE)
+        |      - CAST(cn AS DOUBLE) * CAST(np - cp AS DOUBLE) AS adbc,
+        |    np, nn
+        |  FROM nb_cnt, nb_const)
+        |SELECT tok, cp, cn,
+        |  round(CAST(np + nn AS DOUBLE) * adbc * adbc
+        |    / (CAST(cp + cn AS DOUBLE)
+        |      * CAST(np - cp + nn - cn AS DOUBLE)
+        |      * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 4) AS chi2
+        |FROM x
+        |ORDER BY chi2 DESC, tok LIMIT 15""".stripMargin,
 
     // Cells as exact integers; each measure ONE IEEE division rounded to
     // 4 (F1 = 2·tp/(2·tp+fp+fn), never a composition of rounded values).
