@@ -194,6 +194,17 @@ object ScaleSuite {
     // the same declared cost model. Floor: 64 MB scaled — a KB-sized
     // shuffle's growth ratio is metadata noise, and a shuffle that small
     // is not a 100 TB risk regardless of its exponent.
+    //
+    // CAVEAT (measured r14): this in-run ratio compares against the
+    // sf0.1 base, and OVER-READS whenever a join crosses the broadcast
+    // threshold between the fixtures — at base AQE broadcasts the small
+    // side (zero shuffle on that edge), at 10× it correctly switches to
+    // sort-merge, and a linear query reads as 20-80× byte growth
+    // (q_graph_assortativity plans 2 BHJ + 2 SMJ at sf0.1 vs 4 SMJ at
+    // f10). Rows in this list are therefore LEADS, not verdicts; the
+    // authoritative byte gate is tools/shuffle_growth.py comparing two
+    // POST-TRANSITION ledgers (f10 → f26), where a linear query must
+    // grow ≈ the factor ratio.
     def shuffleOverBudget(n: String): Boolean = {
       val b = baseRes(n); val s = scaledRes(n)
       val budget =
