@@ -155,13 +155,28 @@ object Bench {
     // Untimed warmup: full registry once on the smallest fixture (falls back
     // to the bench dir if absent) — loads classes, JITs codegen paths.
     names.foreach(execute(_, warmupDir(sfDir)))
-    // Pre-build the cached incremental tables OUTSIDE the timers: otherwise
-    // whichever q_incremental_* runs first absorbs the two load writes, and
-    // whether that even happens depends on whether the warmup fixture
-    // happened to equal the bench fixture. Timed lines measure the read.
-    queries.Incremental.ensureBuilt(spark, sfDir)
-    queries.Joins.ensureBucketed(spark, sfDir)
     resetState(spark)
+    // Materialized-state builds run FIRST and are timed as their OWN
+    // ledger lines (wall + shuffle bytes): the pay-once ingest cost is a
+    // named number instead of landing inside whichever consumer query
+    // runs first alphabetically (r14: q_clustering_coeff billed the
+    // triangle wedge join at 34.8 s against its ~0.45 s steady-state
+    // plan). The builds warm the exact Scratch keys the consumers read,
+    // so the per-query lines below measure steady-state reads by
+    // construction. Caveat: if the warmup fixture EQUALS the bench
+    // fixture (no sf0.001 present) the warmup already built these and
+    // the build lines read ~0 — the driver environment always has the
+    // warmup fixture, so the priced numbers are cold builds there.
+    val mats = Materializations.builds.map { case (name, build) =>
+      val sh0 = tally.settled()
+      val t0 = System.nanoTime()
+      val ok = try { build(spark, sfDir); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val sh = tally.settled() - sh0
+      resetState(spark)
+      (name, ok, sec, sh)
+    }
 
     // Checkpoint-pressure instrumentation (r9 verdict: the minhash family
     // ran 6-13x its quiet time in gate runs, suspected localCheckpoint
@@ -227,7 +242,12 @@ object Bench {
     val load =
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
         s""""cpu_probe_ms":${cpuProbeMs()}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"order":$ord,"shuffle_bytes":$sh,"gc_millis":$gc,"storage_bytes":$st,$load,"sf":"$sfDir"}"""
+    val matJson = mats.map { case (n, ok, s, b) =>
+      s"\"" + n + "\":{\"sec\":" +
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(s)) +
+        s",\"shuffle_bytes\":$b,\"ok\":$ok}"
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"order":$ord,"shuffle_bytes":$sh,"gc_millis":$gc,"storage_bytes":$st,"materializations":$matJson,$load,"sf":"$sfDir"}"""
     val slowest = passed.sortBy(-_._2).take(10).map { case (k, v) =>
       s"\"" + k + "\":" +
         String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))

@@ -37,6 +37,13 @@ object BenchOne {
       queries.Incremental.ensureBuilt(spark, sfDir)
     if (names.contains("q_join_bucketed"))
       queries.Joins.ensureBucketed(spark, sfDir)
+    if (names.exists(Set("q_triangles_state", "q_clustering_coeff",
+        "q_ktruss")))
+      queries.Joins.triStateDir(spark, sfDir)
+    if (names.contains("q_dedup_state_kept"))
+      queries.Docs.dedupStateDir(spark, sfDir)
+    if (names.contains("q_dedup_state_incr"))
+      queries.Docs.dedupStateIncrDir(spark, sfDir)
 
     names.foreach { name =>
       try {

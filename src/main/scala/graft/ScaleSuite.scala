@@ -31,7 +31,14 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleSuite {
 
-  private final case class Res(sec: Double, status: String, shuffle: Long)
+  /** One measured query execution. For a COMBINED result (after the
+    * min-of-two-runs estimator) `sec` is the min, and `pre`/`timed` carry
+    * the two raw run times so a large spread — a genuine intermittent
+    * regression that one lucky run would otherwise hide — stays visible
+    * in the ledger instead of silently collapsing into the min.
+    */
+  private final case class Res(sec: Double, status: String, shuffle: Long,
+      pre: Double = -1.0, timed: Double = -1.0)
 
   /** Queries whose DECLARED cost model is quadratic in the data factor —
     * exhaustive baselines kept under the oracle precisely so their
@@ -87,13 +94,13 @@ object ScaleSuite {
       * driver-side iteration (connected components) dies on the next
       * job submission against the cancelled group.
       */
-    def run(name: String, dir: String): Res = {
+    def runThunk(name: String, deadlineSec: Long)(body: () => Unit): Res = {
       val group = s"scale:$name"
       @volatile var status = "ok"
       val sh0 = tally.settled()
       val t = new Thread(() => {
         sc.setJobGroup(group, name, interruptOnCancel = true)
-        try Bench.runToExhaustion(SparkEntry.queries(name)(spark, dir))
+        try body()
         catch { case scala.util.control.NonFatal(_) =>
           if (status == "ok") status = "failed" }
         finally sc.clearJobGroup()
@@ -101,7 +108,7 @@ object ScaleSuite {
       t.setDaemon(true)
       val t0 = System.nanoTime()
       t.start()
-      t.join(timeoutSec * 1000)
+      t.join(deadlineSec * 1000)
       if (t.isAlive) {
         status = "timeout"
         sc.cancelJobGroup(group)
@@ -120,6 +127,10 @@ object ScaleSuite {
       res
     }
 
+    def run(name: String, dir: String): Res =
+      runThunk(name, timeoutSec)(() =>
+        Bench.runToExhaustion(SparkEntry.queries(name)(spark, dir)))
+
     val names = SparkEntry.queries.keys.toSeq.sorted
 
     // JIT/codegen warmup on the smallest fixture, untimed.
@@ -129,13 +140,22 @@ object ScaleSuite {
       catch { case scala.util.control.NonFatal(_) => () })
     Bench.resetState(spark)
 
-    def suite(dir: String): Map[String, Res] = {
-      queries.Incremental.ensureBuilt(spark, dir)
-      queries.Joins.ensureBucketed(spark, dir)
-      // Untimed pre-pass: builds every Scratch-cached fixture for this
-      // dir and reaches steady state. A query that fails or times out
-      // here is recorded as such and NOT re-run (a second 300 s stall
-      // would buy no information).
+    def suite(dir: String): (Map[String, Res], Map[String, Res]) = {
+      // Materialized-state builds run FIRST, TIMED, under the same
+      // watchdog (×2 budget: a build is compute + a full write). This
+      // prices the pay-once ingest cost as its own ledger line at BOTH
+      // fixtures — before r15 the untimed pre-pass absorbed every build,
+      // so the ledgers showed the families' steady state but never the
+      // amortized cost the README's "pay the shuffle once" claim rests
+      // on. The builds warm the exact Scratch keys the consumer queries
+      // read, so per-query rows keep measuring steady-state reads.
+      val mats = Materializations.builds.map { case (mn, build) =>
+        mn -> runThunk(mn, timeoutSec * 2)(() => build(spark, dir))
+      }.toMap
+      // Untimed pre-pass: builds every remaining Scratch-cached fixture
+      // for this dir and reaches steady state. A query that fails or
+      // times out here is recorded as such and NOT re-run (a second
+      // 300 s stall would buy no information).
       val pre = names.map(n => n -> run(n, dir)).toMap
       names.map { n =>
         // Per-query time = min(pre-pass, timed run). The pre-pass bills
@@ -149,19 +169,20 @@ object ScaleSuite {
         n -> (if (pre(n).status == "ok") {
           val timed = run(n, dir)
           if (timed.status == "ok")
-            Res(math.min(pre(n).sec, timed.sec), "ok", timed.shuffle)
+            Res(math.min(pre(n).sec, timed.sec), "ok", timed.shuffle,
+              pre = pre(n).sec, timed = timed.sec)
           else timed
         } else pre(n))
-      }.toMap
+      }.toMap -> mats
     }
 
-    val baseRes = suite(base)
-    val scaledRes = suite(scaled)
+    val (baseRes, baseMats) = suite(base)
+    val (scaledRes, scaledMats) = suite(scaled)
 
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     def totalOf(m: Map[String, Res]): Double =
-      m.values.collect { case Res(s, "ok", _) => s }.sum
+      m.values.collect { case r if r.status == "ok" => r.sec }.sum
 
     val perQuery = names.map { n =>
       val b = baseRes(n); val s = scaledRes(n)
@@ -169,7 +190,15 @@ object ScaleSuite {
         fmt(s.sec / b.sec) else "null"
       val xs = if (b.status == "ok" && s.status == "ok" && b.shuffle > 0)
         fmt(s.shuffle.toDouble / b.shuffle) else "null"
+      // base/scaled = min(pre-pass, timed run); the raw pair rides along
+      // so a min/max spread (an intermittent regression one lucky run
+      // would hide) is a visible ledger fact, not a collapsed one.
+      def two(prefix: String, r: Res): String =
+        if (r.pre < 0) s""""${prefix}_pre":null,"${prefix}_timed":null"""
+        else s""""${prefix}_pre":${fmt(r.pre)},"${prefix}_timed":${
+          fmt(r.timed)}"""
       s""""$n":{"base":${fmt(b.sec)},"scaled":${fmt(s.sec)},"x":$x,""" +
+        two("base", b) + "," + two("scaled", s) + "," +
         s""""base_shuffle":${b.shuffle},"scaled_shuffle":${s.shuffle},""" +
         s""""x_shuffle":$xs}"""
     }.mkString("{", ",", "}")
@@ -225,6 +254,22 @@ object ScaleSuite {
       s""""$n":{"twin":"$twin","x":${xOf(n)},"twin_x":${xOf(twin)},""" +
         s""""over_budget":${overBudget(n)}}"""
     }.mkString("{", ",", "}")
+    // Priced materializations: the pay-once builds' wall + shuffle bytes
+    // at both fixtures, with growth factors. NOT in the superlinear flag
+    // lists — a build's exponent is its family's documented cost model
+    // (the wedge join is the suite's largest shuffle by design); the gate
+    // is that the number EXISTS as a committed ledger line.
+    val matJson = Materializations.builds.map(_._1).map { mn =>
+      val b = baseMats(mn); val s = scaledMats(mn)
+      val x = if (b.status == "ok" && s.status == "ok" && b.sec > 0)
+        fmt(s.sec / b.sec) else "null"
+      val xs = if (b.status == "ok" && s.status == "ok" && b.shuffle > 0)
+        fmt(s.shuffle.toDouble / b.shuffle) else "null"
+      s""""$mn":{"base":${fmt(b.sec)},"scaled":${fmt(s.sec)},"x":$x,""" +
+        s""""base_status":"${b.status}","scaled_status":"${s.status}",""" +
+        s""""base_shuffle":${b.shuffle},"scaled_shuffle":${s.shuffle},""" +
+        s""""x_shuffle":$xs}"""
+    }.mkString("{", ",", "}")
     def lst(ns: Seq[String]) = ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed = names.filter(n => scaledRes(n).status == "failed")
     val timedOut = names.filter(n => scaledRes(n).status == "timeout")
@@ -246,6 +291,7 @@ object ScaleSuite {
       s""""superlinear":${lst(superlinear)},""" +
       s""""superlinear_shuffle":${lst(superlinearShuffle)},""" +
       s""""quadratic_baselines":$quadJson,""" +
+      s""""materializations":$matJson,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${Bench.loadavg()}",""" +
       s""""cpu_probe_ms":${Bench.cpuProbeMs()},"queries":$perQuery}"""
     // factor 10 over sf0.1 ≈ "sf1", 30 ≈ "sf3" — name the ledger by the

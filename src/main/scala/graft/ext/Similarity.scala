@@ -101,7 +101,16 @@ object Similarity {
     */
   def signSignature(emb: DataFrame, idCol: String, vecCol: String)
       : DataFrame = {
-    val v = asDouble(col(vecCol))
+    // 64-dim contract ENFORCED per row, not assumed: the packer emits
+    // exactly two 32-bit words, so a wider vector would silently truncate
+    // and a narrower one zero-pad (zip_with nulls fall to otherwise(0)) —
+    // both diverging from the full-length Hamming the oracle computes and
+    // from the Charikar estimate the Scaladoc cites. A non-conforming
+    // corpus fails loudly with its observed dimension instead.
+    val raw = asDouble(col(vecCol))
+    val v = when(size(raw) === 64, raw).otherwise(raise_error(concat(
+      lit("signSignature requires 64-dim vectors, got dim="),
+      size(raw).cast("string"))))
     emb.select(col(idCol),
       packBits(slice(v, 1, 32), 32).as("sig_lo"),
       packBits(slice(v, 33, 32), 32).as("sig_hi"))

@@ -79,6 +79,17 @@ object Kmv {
     * all-null group yields the empty sketch via the size cap below),
     * so nullable hash columns estimate exactly the non-null distinct
     * count, matching countDistinct semantics.
+    *
+    * CONTRACT: `Long.MaxValue` is RESERVED as the NULL sentinel — a
+    * genuine input of Long.MaxValue is indistinguishable from NULL and
+    * is dropped from the sketch, undercounting by one distinct value.
+    * This is unreachable with the engine's own hashes (60-bit md5
+    * prefixes, the `hashBucket` idiom: max 2^60-1 < Long.MaxValue),
+    * but callers feeding arbitrary long columns must
+    * either avoid that one value or pre-map it. The alternative — a
+    * boxed java.lang.Long buffer so NULLs skip inside reduce — costs an
+    * allocation per row on the sketch hot path; the engine keeps the
+    * primitive encoder and documents the reserved value instead.
     */
   def kmvAgg(hashCol: Column, k: Int = 64): Column = {
     val sketch = udaf(new KmvAgg(k), Encoders.scalaLong)

@@ -25,6 +25,37 @@ import graft.ext.{Bpe, Dedup, Multimodal, Similarity, Text}
   */
 object Docs {
 
+  /** Scratch-cached [[graft.engine.Pipeline.writeDedupState]] layout —
+    * built once per fixture dir, read by `q_dedup_state_kept`. Exposed
+    * (with [[dedupStateIncrDir]]) so [[graft.Materializations]] can price
+    * the build as its own ledger line instead of whichever consumer
+    * query happens to run first absorbing it.
+    */
+  private[graft] def dedupStateDir(s: SparkSession, dir: String): String =
+    Scratch.cached(s"dedup-state:$dir") { tmp =>
+      val o = tmp + "/state"
+      graft.engine.Pipeline.writeDedupState(s, dir, o)
+      o
+    }
+
+  /** Scratch-cached build-then-fold state for `q_dedup_state_incr`:
+    * state from HALF the corpus (even ids), folded forward with the odd
+    * half via [[graft.engine.Pipeline.updateDedupState]].
+    */
+  private[graft] def dedupStateIncrDir(s: SparkSession, dir: String)
+      : String =
+    Scratch.cached(s"dedup-state-incr:$dir") { tmp =>
+      val o = tmp + "/state"
+      val firstHalf = tmp + "/first"
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.parquet(s"$firstHalf/documents.parquet")
+      graft.engine.Pipeline.writeDedupState(s, firstHalf, o)
+      graft.engine.Pipeline.updateDedupState(s, dir, o,
+        docs.filter(col("doc_id") % 2 =!= 0))
+      o
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Text analysis: token counts (whitespace + BPE-ish regex), mean token
@@ -1025,6 +1056,12 @@ object Docs {
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       var selected = Vector.empty[(Long, Long)]
       var remaining = relMap.keySet
+      // Missing-vector contract: a candidate with no embeddings row has
+      // no (d, selected) sim entry; getOrElse(0L) treats it as maximally
+      // dissimilar (no diversity penalty), and the SQL twin's scalar
+      // subquery COALESCEs its empty-set NULL to 0 so both engines apply
+      // the same rule instead of DuckDB's NULL sorting the doc out of
+      // contention.
       for (_ <- 1 to 5 if remaining.nonEmpty) {
         val scored = remaining.toSeq.map { d =>
           val ms =
@@ -1494,11 +1531,7 @@ object Docs {
     // (the endpoint builds state once; reports re-read it).
     "q_dedup_state_kept" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val state = Scratch.cached(s"dedup-state:$dir") { tmp =>
-        val o = tmp + "/state"
-        graft.engine.Pipeline.writeDedupState(s, dir, o)
-        o
-      }
+      val state = dedupStateDir(s, dir)
       // Explicit schema: lawful read even when the corpus has no near-dup
       // pairs (zero part files to infer from).
       val clusterSchema = new org.apache.spark.sql.types.StructType()
@@ -1520,16 +1553,7 @@ object Docs {
     // proves build-then-update == full recompute end to end.
     "q_dedup_state_incr" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val state = Scratch.cached(s"dedup-state-incr:$dir") { tmp =>
-        val o = tmp + "/state"
-        val firstHalf = tmp + "/first"
-        docs.filter(col("doc_id") % 2 === 0)
-          .write.parquet(s"$firstHalf/documents.parquet")
-        graft.engine.Pipeline.writeDedupState(s, firstHalf, o)
-        graft.engine.Pipeline.updateDedupState(s, dir, o,
-          docs.filter(col("doc_id") % 2 =!= 0))
-        o
-      }
+      val state = dedupStateIncrDir(s, dir)
       val clusterSchema = new org.apache.spark.sql.types.StructType()
         .add("doc_id", "long").add("cluster_id", "long")
       val dropIds = s.read.schema(clusterSchema).parquet(s"$state/clusters")
@@ -2906,10 +2930,10 @@ object Docs {
         |sel1 AS (SELECT doc_id FROM s1)""" +
         (2 to 5).map(i => s""",
         |s$i AS (
-        |  SELECT r.doc_id, 7 * r.rn - 3 * (
+        |  SELECT r.doc_id, 7 * r.rn - 3 * COALESCE((
         |      SELECT max(sim_nano) FROM simsm
         |      WHERE da = r.doc_id
-        |        AND db IN (SELECT doc_id FROM sel${i - 1})) AS mmr
+        |        AND db IN (SELECT doc_id FROM sel${i - 1})), 0) AS mmr
         |  FROM rnn r
         |  WHERE r.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})
         |  ORDER BY mmr DESC, doc_id LIMIT 1),

@@ -59,7 +59,7 @@ object Joins {
     * triangle-family consumer (the wedge join is the suite's largest
     * shuffle; paying it per-query was the r13 verdict's top perf debt).
     */
-  private def triStateDir(s: SparkSession, dir: String): String =
+  private[graft] def triStateDir(s: SparkSession, dir: String): String =
     Scratch.cached(s"tri-state:$dir") { tmp =>
       val o = tmp + "/state"
       graft.ext.Graph.writeTriangleState(
