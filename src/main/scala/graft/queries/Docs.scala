@@ -56,6 +56,52 @@ object Docs {
       o
     }
 
+  /** Deterministic multi-line view of a document — the fixture's texts are
+    * single-line, so the published LINE-level quality rules (Gopher
+    * duplicate-line/paragraph fractions, Rae 2021 Appendix A; C4's line
+    * filters, Raffel 2020 §2.2) would be vacuous over raw `text`. Instead
+    * of faking the rules, synthesize the line structure as pure arithmetic
+    * on (doc_id, text) — the buildWav posture: both engines derive the
+    * SAME lines, so the rules are real and oracle-checkable.
+    *
+    * Construction (all HOFs, zero shuffle, codegen-free of UDFs):
+    *   - line width lw = 4 + doc_id % 5 words; base lines are consecutive
+    *     lw-word slices joined by spaces;
+    *   - line i gets a terminal '.' iff (doc_id + i) % 3 != 0, so ~1/3 of
+    *     lines fail C4's terminal-punctuation rule;
+    *   - doc_id % 5 == 0  appends a copy of line 1 (duplicate line);
+    *   - doc_id % 11 == 0 appends copies of lines 1-2 (a duplicate
+    *     2-line paragraph when the append lands block-aligned);
+    *   - doc_id % 7 == 0  appends an unpunctuated boilerplate line
+    *     containing "javascript"/"cookie" (C4 policy-line positive);
+    *   - doc_id % 101 == 0 appends "lorem ipsum { }" (C4 page-level drop).
+    */
+  private def synthLines(docId: Column, text: Column): Column = {
+    val toks = split(text, " ")
+    val lw = (docId % 5 + 4).cast("int")
+    val nl = floor((size(toks) + lw - 1) / lw).cast("int")
+    val base = transform(sequence(lit(0), nl - 1), i =>
+      concat(array_join(slice(toks, (i * lw + 1).cast("int"), lw), " "),
+        when((docId + i) % 3 =!= 0, lit(".")).otherwise(lit(""))))
+    val withDupLine = when(docId % 5 === 0,
+      concat(base, slice(base, 1, 1))).otherwise(base)
+    val withDupPara = when(docId % 11 === 0,
+      concat(withDupLine, slice(base, 1, 2))).otherwise(withDupLine)
+    val withPolicy = when(docId % 7 === 0, concat(withDupPara,
+      array(lit("please enable javascript and accept our cookie policy"))))
+      .otherwise(withDupPara)
+    when(docId % 101 === 0,
+      concat(withPolicy, array(lit("lorem ipsum { }")))).otherwise(withPolicy)
+  }
+
+  /** Non-overlapping 2-line paragraphs over a [[synthLines]] array (odd
+    * tail = a 1-line paragraph) — the paragraph granularity the Gopher
+    * duplicate-paragraph fractions run at.
+    */
+  private def synthParas(lines: Column): Column =
+    transform(sequence(lit(0), floor((size(lines) + 1) / 2).cast("int") - 1),
+      j => array_join(slice(lines, (j * 2 + 1).cast("int"), lit(2)), " "))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Text analysis: token counts (whitespace + BPE-ish regex), mean token
@@ -1333,6 +1379,78 @@ object Docs {
         rWc.as("r_word_count"), rMean.as("r_mean_len"),
         rAlpha.as("r_alpha"), rSym.as("r_symbol"), rStop.as("r_stop"),
         (rWc && rMean && rAlpha && rSym && rStop).as("keep"))
+    }),
+
+    // The Gopher LINE-shape rules the word-level row omits (Rae et al.
+    // 2021, Appendix A): fraction of duplicate lines ≤ 0.30, fraction of
+    // characters in duplicate lines ≤ 0.20, and the same pair at
+    // paragraph granularity, over the [[synthLines]] structure. Dup
+    // volume is a pure identity over value multiplicity — n_dup =
+    // n − |distinct|, dup_chars = Σlen − Σlen(distinct) — so every count
+    // is an array HOF and the whole query is ONE projection: zero
+    // shuffle, zero explode, trivially linear at 100 TB. The gate
+    // booleans are integer cross-multiplications (n_dup·10 ≤ n·3,
+    // dup_chars·5 ≤ chars), so both engines decide identically; the
+    // rounded fractions ride along as report columns.
+    "q_quality_gopher_lines" -> ((s, dir) => {
+      def dupStats(arr: Column, prefix: String): Seq[Column] = {
+        val n = size(arr).cast("long")
+        val nDup = (size(arr) - size(array_distinct(arr))).cast("long")
+        val chars = aggregate(arr, lit(0L), (a, x) => a + length(x))
+        val dupChars = chars -
+          aggregate(array_distinct(arr), lit(0L), (a, x) => a + length(x))
+        Seq(n.as(s"n_$prefix"), nDup.as(s"n_dup_$prefix"),
+          dupChars.as(s"dup_${prefix}_chars"),
+          round(nDup.cast("double") / n, 4).as(s"dup_${prefix}_frac"),
+          (nDup * 10 <= n * 3).as(s"r_dup_$prefix"),
+          (dupChars * 5 <= chars).as(s"r_dup_${prefix}_chars"))
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          synthLines(col("doc_id"), col("text")).as("lines"))
+        .withColumn("paras", synthParas(col("lines")))
+        .select(Seq(col("doc_id"), col("lang")) ++
+          dupStats(col("lines"), "lines") ++
+          dupStats(col("paras"), "paras"): _*)
+        .withColumn("keep", col("r_dup_lines") && col("r_dup_lines_chars")
+          && col("r_dup_paras") && col("r_dup_paras_chars"))
+    }),
+
+    // C4's line filters (Raffel et al. 2020 §2.2) over the same
+    // [[synthLines]] structure: a line is kept iff it ends in terminal
+    // punctuation (. ! ? "), has ≥ 3 words, and carries no
+    // javascript/cookie policy boilerplate; the page is kept iff ≥ 5
+    // lines survive (the "at least 5 sentences" page rule at this
+    // corpus's sentence==line granularity) and the page contains neither
+    // "lorem ipsum" nor a curly brace. Counts per rule ride along so the
+    // report localizes WHY a page dropped. Same scale shape as the
+    // Gopher row: one projection, all HOFs, zero shuffle.
+    "q_quality_c4" -> ((s, dir) => {
+      def last(l: Column) = substring(l, -1, 1)
+      def isPolicy(l: Column) =
+        instr(l, "javascript") > 0 || instr(l, "cookie") > 0
+      def keptLine(l: Column) =
+        last(l).isin(".", "!", "?", "\"") &&
+          size(split(l, " ")) >= 3 && !isPolicy(l)
+      val lines = col("lines")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          synthLines(col("doc_id"), col("text")).as("lines"))
+        .select(col("doc_id"), col("lang"),
+          size(lines).cast("long").as("n_lines"),
+          size(filter(lines, l => !last(l).isin(".", "!", "?", "\"")))
+            .cast("long").as("n_unpunct_lines"),
+          size(filter(lines, l => size(split(l, " ")) < 3)).cast("long")
+            .as("n_short_lines"),
+          size(filter(lines, l => isPolicy(l))).cast("long")
+            .as("n_policy_lines"),
+          size(filter(lines, l => keptLine(l))).cast("long")
+            .as("n_kept_lines"),
+          (size(filter(lines, l => instr(l, "lorem ipsum") > 0)) > 0)
+            .as("has_lorem"),
+          (size(filter(lines, l => instr(l, "{") > 0)) > 0).as("has_brace"))
+        .withColumn("keep_page",
+          col("n_kept_lines") >= 5 && !col("has_lorem") && !col("has_brace"))
     }),
 
     // Classifier-based quality filtering (the GPT-3 Appendix-A /
@@ -2665,6 +2783,36 @@ object Docs {
     * [[bm25Scores]] (term-filtered postings, micro-unit integer score
     * sum); ONE definition for the BM25 and RRF-fusion oracles.
     */
+  /** DuckDB twin of [[synthLines]] — the same deterministic multi-line
+    * derivation, word for word: lw-word slices, (doc_id+i)%3 terminal
+    * punctuation, and the %5 / %11 / %7 / %101 injection ladder. Ends in
+    * a `sdoc(doc_id, lang, lines)` CTE.
+    */
+  private val synthLinesCte =
+    """slbase AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+      |    4 + doc_id % 5 AS lw
+      |  FROM documents),
+      |slines AS (
+      |  SELECT doc_id, lang,
+      |    list_transform(range(0, (len(toks) + lw - 1) // lw), i ->
+      |      array_to_string(toks[(i * lw + 1):(i * lw + lw)], ' ') ||
+      |      CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END) AS base
+      |  FROM slbase),
+      |sdoc AS (
+      |  SELECT doc_id, lang,
+      |    list_concat(list_concat(list_concat(list_concat(base,
+      |      CASE WHEN doc_id % 5 = 0 THEN base[1:1]
+      |           ELSE CAST([] AS VARCHAR[]) END),
+      |      CASE WHEN doc_id % 11 = 0 THEN base[1:2]
+      |           ELSE CAST([] AS VARCHAR[]) END),
+      |      CASE WHEN doc_id % 7 = 0 THEN
+      |           ['please enable javascript and accept our cookie policy']
+      |           ELSE CAST([] AS VARCHAR[]) END),
+      |      CASE WHEN doc_id % 101 = 0 THEN ['lorem ipsum { }']
+      |           ELSE CAST([] AS VARCHAR[]) END) AS lines
+      |  FROM slines)""".stripMargin
+
   private val bm25Ctes =
     """dl AS (SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
@@ -3149,6 +3297,79 @@ object Docs {
         |     CAST(n_ell AS DOUBLE) / n_words <= 0.1) AND
         |    n_stop >= 2 AS keep
         |FROM m""".stripMargin,
+
+    "q_quality_gopher_lines" ->
+      (s"""WITH $synthLinesCte,
+        |gm AS (
+        |  SELECT doc_id, lang, lines,
+        |    list_transform(range(0, (len(lines) + 1) // 2), j ->
+        |      array_to_string(lines[(j * 2 + 1):(j * 2 + 2)], ' '))
+        |      AS paras
+        |  FROM sdoc),
+        |gq AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
+        |      AS n_dup_lines,
+        |    CAST(list_reduce(list_transform(lines, x -> length(x)),
+        |      (a, b) -> a + b) AS BIGINT) AS chars_lines,
+        |    CAST(list_reduce(list_transform(list_distinct(lines),
+        |      x -> length(x)), (a, b) -> a + b) AS BIGINT) AS cd_lines,
+        |    CAST(len(paras) AS BIGINT) AS n_paras,
+        |    CAST(len(paras) - len(list_distinct(paras)) AS BIGINT)
+        |      AS n_dup_paras,
+        |    CAST(list_reduce(list_transform(paras, x -> length(x)),
+        |      (a, b) -> a + b) AS BIGINT) AS chars_paras,
+        |    CAST(list_reduce(list_transform(list_distinct(paras),
+        |      x -> length(x)), (a, b) -> a + b) AS BIGINT) AS cd_paras
+        |  FROM gm)
+        |SELECT doc_id, lang,
+        |  n_lines, n_dup_lines,
+        |  chars_lines - cd_lines AS dup_lines_chars,
+        |  round(CAST(n_dup_lines AS DOUBLE) / n_lines, 4)
+        |    AS dup_lines_frac,
+        |  n_dup_lines * 10 <= n_lines * 3 AS r_dup_lines,
+        |  (chars_lines - cd_lines) * 5 <= chars_lines
+        |    AS r_dup_lines_chars,
+        |  n_paras, n_dup_paras,
+        |  chars_paras - cd_paras AS dup_paras_chars,
+        |  round(CAST(n_dup_paras AS DOUBLE) / n_paras, 4)
+        |    AS dup_paras_frac,
+        |  n_dup_paras * 10 <= n_paras * 3 AS r_dup_paras,
+        |  (chars_paras - cd_paras) * 5 <= chars_paras
+        |    AS r_dup_paras_chars,
+        |  (n_dup_lines * 10 <= n_lines * 3) AND
+        |    ((chars_lines - cd_lines) * 5 <= chars_lines) AND
+        |    (n_dup_paras * 10 <= n_paras * 3) AND
+        |    ((chars_paras - cd_paras) * 5 <= chars_paras) AS keep
+        |FROM gq""").stripMargin,
+
+    "q_quality_c4" ->
+      (s"""WITH $synthLinesCte,
+        |cq AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l ->
+        |      right(l, 1) NOT IN ('.', '!', '?', '"'))) AS BIGINT)
+        |      AS n_unpunct_lines,
+        |    CAST(len(list_filter(lines, l ->
+        |      len(string_split(l, ' ')) < 3)) AS BIGINT) AS n_short_lines,
+        |    CAST(len(list_filter(lines, l -> contains(l, 'javascript')
+        |      OR contains(l, 'cookie'))) AS BIGINT) AS n_policy_lines,
+        |    CAST(len(list_filter(lines, l ->
+        |      right(l, 1) IN ('.', '!', '?', '"') AND
+        |      len(string_split(l, ' ')) >= 3 AND
+        |      NOT (contains(l, 'javascript') OR contains(l, 'cookie'))))
+        |      AS BIGINT) AS n_kept_lines,
+        |    len(list_filter(lines, l -> contains(l, 'lorem ipsum'))) > 0
+        |      AS has_lorem,
+        |    len(list_filter(lines, l -> contains(l, '{'))) > 0 AS has_brace
+        |  FROM sdoc)
+        |SELECT doc_id, lang, n_lines, n_unpunct_lines, n_short_lines,
+        |  n_policy_lines, n_kept_lines, has_lorem, has_brace,
+        |  n_kept_lines >= 5 AND NOT has_lorem AND NOT has_brace
+        |    AS keep_page
+        |FROM cq""").stripMargin,
 
     "q_nb_scores" ->
       s"""WITH $splitsCte,

@@ -437,6 +437,96 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent plain-Scala reimplementation of the synthetic multi-line
+    * ladder behind q_quality_gopher_lines / q_quality_c4 — a SEPARATE
+    * formulation (Vector ops, no Spark expressions), so agreement pins
+    * the HOF construction rather than re-running it.
+    */
+  private def refLines(docId: Long, text: String): Vector[String] = {
+    val toks = text.split(" ", -1).toVector
+    val lw = (docId % 5 + 4).toInt
+    val nl = (toks.size + lw - 1) / lw
+    val base = (0 until nl).map { i =>
+      val line = toks.slice(i * lw, math.min(i * lw + lw, toks.size))
+        .mkString(" ")
+      if ((docId + i) % 3 != 0) line + "." else line
+    }.toVector
+    var out = base
+    if (docId % 5 == 0) out = out ++ base.take(1)
+    if (docId % 11 == 0) out = out ++ base.take(2)
+    if (docId % 7 == 0)
+      out :+= "please enable javascript and accept our cookie policy"
+    if (docId % 101 == 0) out :+= "lorem ipsum { }"
+    out
+  }
+
+  test("q_quality_gopher_lines: every count matches an independent Scala " +
+      "reimplementation of the line ladder, across the whole corpus") {
+    val texts = t(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Docs.queries("q_quality_gopher_lines")(spark, dir).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val lines = refLines(id, texts(id))
+      val paras = lines.grouped(2).map(_.mkString(" ")).toVector
+      def dup(v: Vector[String]) = v.size - v.distinct.size
+      def dupChars(v: Vector[String]) =
+        v.map(_.length).sum - v.distinct.map(_.length).sum
+      assert(r.getLong(r.fieldIndex("n_lines")) == lines.size, s"doc $id")
+      assert(r.getLong(r.fieldIndex("n_dup_lines")) == dup(lines))
+      assert(r.getLong(r.fieldIndex("dup_lines_chars")) == dupChars(lines))
+      assert(r.getLong(r.fieldIndex("n_paras")) == paras.size)
+      assert(r.getLong(r.fieldIndex("n_dup_paras")) == dup(paras))
+      assert(r.getLong(r.fieldIndex("dup_paras_chars")) == dupChars(paras))
+      assert(r.getBoolean(r.fieldIndex("keep")) ==
+        (dup(lines) * 10 <= lines.size * 3 &&
+          dupChars(lines) * 5 <= lines.map(_.length).sum &&
+          dup(paras) * 10 <= paras.size * 3 &&
+          dupChars(paras) * 5 <= paras.map(_.length).sum))
+    }
+    // Separation: the ladder must produce real positives AND survivors —
+    // a vacuous rule (all-keep or all-drop) would pass parity while
+    // testing nothing.
+    val keeps = rows.map(r => r.getBoolean(r.fieldIndex("keep")))
+    assert(keeps.contains(true) && keeps.contains(false))
+    assert(rows.exists(r => r.getLong(r.fieldIndex("n_dup_paras")) > 0))
+  }
+
+  test("q_quality_c4: per-line rule counts match the independent ladder, " +
+      "and keep_page separates") {
+    val texts = t(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Docs.queries("q_quality_c4")(spark, dir).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val lines = refLines(id, texts(id))
+      def punct(l: String) = ".!?\"".contains(l.last)
+      def policy(l: String) =
+        l.contains("javascript") || l.contains("cookie")
+      def short(l: String) = l.split(" ", -1).length < 3
+      val kept = lines.count(l => punct(l) && !short(l) && !policy(l))
+      assert(r.getLong(r.fieldIndex("n_lines")) == lines.size, s"doc $id")
+      assert(r.getLong(r.fieldIndex("n_unpunct_lines")) ==
+        lines.count(!punct(_)))
+      assert(r.getLong(r.fieldIndex("n_short_lines")) == lines.count(short))
+      assert(r.getLong(r.fieldIndex("n_policy_lines")) ==
+        lines.count(policy))
+      assert(r.getLong(r.fieldIndex("n_kept_lines")) == kept)
+      assert(r.getBoolean(r.fieldIndex("has_lorem")) ==
+        lines.exists(_.contains("lorem ipsum")))
+      assert(r.getBoolean(r.fieldIndex("has_brace")) ==
+        lines.exists(_.contains("{")))
+      assert(r.getBoolean(r.fieldIndex("keep_page")) ==
+        (kept >= 5 && !lines.exists(_.contains("lorem ipsum")) &&
+          !lines.exists(_.contains("{"))))
+    }
+    val keeps = rows.map(r => r.getBoolean(r.fieldIndex("keep_page")))
+    assert(keeps.contains(true) && keeps.contains(false))
+    assert(rows.exists(r => r.getLong(r.fieldIndex("n_policy_lines")) > 0))
+  }
+
   test("q_dedup_cross_source: unordered pair key is normalized and pair " +
       "counts sum to the verified pair total") {
     val rows = Docs.queries("q_dedup_cross_source")(spark, dir)
