@@ -193,6 +193,46 @@ object Events {
           round(col("n_covered").cast("double") / col("n_test"), 4))
     }),
 
+    // The PRODUCTION dial for q_conformal_coverage's q̂: at 100 TB a hot
+    // event type's val slice is one task's exact-rank sort, so swap the
+    // per-type rank window for approx_percentile's mergeable KLL-style
+    // sketch (O(accuracy) state per type, one hash-agg, NO window — the
+    // q_winsorize_approx precedent). The oracle cannot see the sketch;
+    // what it CAN see is the contract the sketch must satisfy on the
+    // rows it ran over: accuracy=10000 bounds rank error to
+    // n_cal/10000, and the conformal index ⌈0.9(n_cal+1)⌉ sits within
+    // one rank of the sketch's 0.9·n_cal target — so the count of val
+    // scores ≤ q̂_approx must land within max(2, n_cal/1000) ranks of
+    // 9(n_cal+1)/10. That boolean (integer cross-multiplied, no IEEE
+    // division) plus the exact split counts are the oracle row.
+    "q_conformal_approx" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("cents", floor(col("value") * 100 + 0.5))
+        .withColumn("split", splitCol(col("event_id")))
+      val train = ev.filter(col("split") === "train")
+        .groupBy(col("event_type"))
+        .agg(sum(col("cents")).as("tsum"), count(lit(1)).as("tn"))
+      val cal = ev.filter(col("split") === "val")
+        .join(broadcast(train), "event_type")
+        .withColumn("ss", abs(col("cents") * col("tn") - col("tsum")))
+        .localCheckpoint() // feeds the sketch agg AND the rank audit
+      val qhat = cal.groupBy(col("event_type"))
+        .agg(percentile_approx(col("ss"), lit(0.9), lit(10000))
+          .as("qhat_scaled"))
+      val audit = cal.join(broadcast(qhat), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_cal"),
+          count_if(col("ss") <= col("qhat_scaled")).as("r"),
+          max(col("qhat_scaled")).as("qhat_scaled"))
+      val nTest = ev.filter(col("split") === "test")
+        .join(broadcast(train.select("event_type")), "event_type")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_test"))
+      audit.join(nTest, "event_type")
+        .select(col("event_type"), col("n_cal"), col("n_test"),
+          (abs(col("r") * 10 - (col("n_cal") + 1) * 9) * 100 <=
+            greatest(lit(2000L), col("n_cal"))).as("rank_ok"))
+    }),
+
     "q_psi_drift" -> ((s, dir) => {
       val cut = to_timestamp(lit("2024-01-16 00:00:00"))
       val g = t(s, dir, "events")
@@ -670,6 +710,30 @@ object Events {
         |JOIN qh q USING (event_type)
         |WHERE e.split = 'test'
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Bounded-comparison oracle (the q_winsorize_approx shape): DuckDB
+    // cannot see the sketch, but the split counts are exact and the
+    // rank-error contract must come back true.
+    "q_conformal_approx" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN bucket < 90 THEN 'train'
+        |         WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT *,
+        |    CAST(CONCAT('0x', substring(
+        |      md5('split:' || CAST(event_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |      % 100 AS bucket FROM events))
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cal,
+        |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_test,
+        |  CAST(1 AS BOOLEAN) AS rank_ok
+        |FROM ev GROUP BY 1
+        |HAVING sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0
+        |  AND sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) > 0
+        |  AND sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) > 0"""
+        .stripMargin,
 
     "q_psi_drift" ->
       """WITH g AS (

@@ -356,6 +356,17 @@ class PlanSpec extends AnyFunSuite {
       s"exact percentile leaked into the approx twin's plan:\n$p")
   }
 
+  test("q_conformal_approx plans the sketch aggregate, never an " +
+      "exact-rank window") {
+    // the production q̂ dial must not re-introduce the per-type rank sort
+    // it exists to avoid: no Window/row_number anywhere, sketch present
+    val p = plan("q_conformal_approx")
+    assert(p.contains("approx_percentile") || p.contains("percentile_approx"),
+      s"expected the approx-percentile sketch aggregate:\n$p")
+    assert(!p.contains("Window") && !p.contains("row_number"),
+      s"exact-rank window leaked into the approx conformal plan:\n$p")
+  }
+
   test("q_decontam_bloom probes the bloom filter before the verify join") {
     // the codegen'd membership probe must sit in the plan as a Filter
     // below the exact join — that prefilter is the whole point of the twin
