@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bpe, Dedup, Multimodal, Similarity, Text}
+import graft.ext.{Bpe, Dedup, Multimodal, Similarity, Text, Unigram}
 
 /** LLM-training-data operators over the documents fixture (north star:
   * dedup, text analysis, multimodal columns) as driver-checkable
@@ -333,6 +333,50 @@ object Docs {
           explode(regexp_extract_all(lower(col("text")),
             lit("[a-z]+"), lit(0))).as("word"))
         .join(seg, Seq("word"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          round(sum(col("n_pieces")).cast("double") / count(lit(1)), 4)
+            .as("fertility"))
+    }),
+
+    // Unigram-LM tokenizer induction (Kudo 2018) beside BPE — the final
+    // piece vocabulary after two hard-EM rounds (seed from frequent
+    // substrings → Viterbi E-step → usage M-step → prune → round 2):
+    // (piece, piece_len, cnt = round-2 usage, cost_micro = the round-2
+    // integer micro-nat cost the final segmentation minimized). The
+    // oracle re-derives the identical rounds with the E-step as an
+    // EXHAUSTIVE recursive-CTE enumeration of all segmentations min'd by
+    // (cost, repr) — an independent formulation, so a green row proves
+    // the engine's linear Viterbi DP equals the brute-force argmin.
+    "q_unigram_tok_vocab" -> ((s, dir) => {
+      import s.implicits._
+      val (p2, seg2) = Unigram.train(t(s, dir, "documents"), "text")
+      p2.map(p => (p.piece, p.costMicro)).toDF("piece", "cost_micro")
+        .join(Unigram.usageCounts(seg2), Seq("piece"), "left")
+        .select(col("piece"),
+          length(col("piece")).cast("long").as("piece_len"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"), col("cost_micro"))
+    }),
+
+    // The trained unigram tokenizer applied: every corpus word's final
+    // Viterbi segmentation — the q_bpe_apply twin for the other
+    // tokenizer family, directly comparable piece-for-piece.
+    "q_unigram_tok_apply" -> ((s, dir) =>
+      Unigram.train(t(s, dir, "documents"), "text")._2),
+
+    // Unigram-tokenizer fertility per language (mean pieces per word
+    // occurrence) — comparable side by side with q_bpe_fertility: same
+    // second corpus pass joining the exploded word stream to the
+    // Zipf-small broadcast segmentation table, same exact integer sums.
+    "q_unigram_tok_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seg = Unigram.train(docs, "text")._2
+        .select(col("word"), col("n_pieces"))
+      docs.select(col("lang"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+"), lit(0))).as("word"))
+        .join(broadcast(seg), Seq("word"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_words"),
           sum(col("n_pieces")).as("n_pieces"),
@@ -2468,6 +2512,100 @@ object Docs {
     (v0 +: perRound).mkString(",\n")
   }
 
+  /** DuckDB twin of [[graft.ext.Unigram.train]] (maxLen=4, seedTopK=48,
+    * keepK=32): identical seed, costs, prune, and M-steps — but the
+    * E-step enumerates ALL segmentations of each word via a recursive
+    * CTE and takes min by (cost, repr), the brute-force formulation the
+    * engine's linear Viterbi DP must equal. Requires WITH RECURSIVE on
+    * the consuming query. Ends in `up2` (piece, l, cost), `ubest2`
+    * (word, freq, cost, repr), `uuse2` (piece, cnt).
+    */
+  private val unigramCtes =
+    """uv AS (
+      |  SELECT w AS word, count(*) AS freq FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |    FROM documents)
+      |  GROUP BY 1),
+      |usub AS (
+      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT freq, unnest(flatten(list_transform(
+      |      range(1, least(4, length(word)) + 1), l ->
+      |        list_transform(range(1, length(word) - l + 2), i ->
+      |          substr(word, CAST(i AS INT), CAST(l AS INT)))))) AS piece
+      |    FROM uv)
+      |  GROUP BY 1),
+      |useed AS (
+      |  -- DISTINCT over UNION ALL, not UNION: inside a WITH RECURSIVE
+      |  -- clause DuckDB applies recursive-union semantics to EVERY
+      |  -- CTE's top-level UNION and stops deduplicating plain set ops.
+      |  SELECT DISTINCT piece, cnt FROM (
+      |    SELECT piece, cnt FROM
+      |      (SELECT piece, cnt FROM usub ORDER BY cnt DESC, piece
+      |       LIMIT 48)
+      |    UNION ALL
+      |    SELECT piece, cnt FROM usub WHERE length(piece) = 1)),
+      |up1 AS (
+      |  SELECT piece, length(piece) AS l,
+      |    CAST(floor(ln((t.total + t.np) / (cnt + 1.0)) * 1000000 + 0.5)
+      |      AS BIGINT) AS cost
+      |  FROM useed, (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+      |    count(*) AS np FROM useed) t),
+      |urec1 AS (
+      |  SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+      |    '' AS repr
+      |  FROM uv
+      |  UNION ALL
+      |  SELECT s.word, s.freq, s.pos + p.l, s.cost + p.cost,
+      |    s.repr || '[' || p.piece || ']'
+      |  FROM urec1 s JOIN up1 p ON s.pos < length(s.word)
+      |    AND substr(s.word, s.pos + 1, p.l) = p.piece),
+      |ubest1 AS (
+      |  SELECT word, freq, cost, repr FROM (
+      |    SELECT word, freq, cost, repr, row_number() OVER (
+      |      PARTITION BY word ORDER BY cost, repr) AS rn
+      |    FROM urec1 WHERE pos = length(word))
+      |  WHERE rn = 1),
+      |uuse1 AS (
+      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT freq, unnest(str_split(trim(repr, '[]'), '][')) AS piece
+      |    FROM ubest1)
+      |  GROUP BY 1),
+      |up2base AS (
+      |  SELECT DISTINCT piece, cnt FROM (
+      |    SELECT piece, cnt FROM
+      |      (SELECT piece, cnt FROM uuse1 ORDER BY cnt DESC, piece
+      |       LIMIT 32)
+      |    UNION ALL
+      |    SELECT s.piece, COALESCE(u.cnt, 0) AS cnt
+      |    FROM (SELECT piece FROM useed WHERE length(piece) = 1) s
+      |    LEFT JOIN uuse1 u USING (piece))),
+      |up2 AS (
+      |  SELECT piece, length(piece) AS l,
+      |    CAST(floor(ln((t.total + t.np) / (cnt + 1.0)) * 1000000 + 0.5)
+      |      AS BIGINT) AS cost
+      |  FROM up2base, (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+      |    count(*) AS np FROM up2base) t),
+      |urec2 AS (
+      |  SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+      |    '' AS repr
+      |  FROM uv
+      |  UNION ALL
+      |  SELECT s.word, s.freq, s.pos + p.l, s.cost + p.cost,
+      |    s.repr || '[' || p.piece || ']'
+      |  FROM urec2 s JOIN up2 p ON s.pos < length(s.word)
+      |    AND substr(s.word, s.pos + 1, p.l) = p.piece),
+      |ubest2 AS (
+      |  SELECT word, freq, cost, repr FROM (
+      |    SELECT word, freq, cost, repr, row_number() OVER (
+      |      PARTITION BY word ORDER BY cost, repr) AS rn
+      |    FROM urec2 WHERE pos = length(word))
+      |  WHERE rn = 1),
+      |uuse2 AS (
+      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT freq, unnest(str_split(trim(repr, '[]'), '][')) AS piece
+      |    FROM ubest2)
+      |  GROUP BY 1)""".stripMargin
+
   /** DuckDB CTEs `toks`/`g` building the 4-token gram md5 list `hs` per doc
     * — mirrors [[graft.ext.Dedup.winnowFingerprints]]'s gram/hash stage;
     * ONE definition for both winnow oracles.
@@ -3546,6 +3684,39 @@ object Docs {
           |SELECT doc_id, count(*) AS n_words,
           |  CAST(sum(n_pieces) AS BIGINT) AS n_bpe_tokens
           |FROM wrds JOIN seg USING (word)
+          |GROUP BY 1""".stripMargin),
+
+    "q_unigram_tok_vocab" ->
+      (s"WITH RECURSIVE $unigramCtes\n" +
+        """SELECT p.piece, CAST(length(p.piece) AS BIGINT) AS piece_len,
+          |  COALESCE(u.cnt, 0) AS cnt, p.cost AS cost_micro
+          |FROM up2 p LEFT JOIN uuse2 u USING (piece)""".stripMargin),
+
+    "q_unigram_tok_apply" ->
+      (s"WITH RECURSIVE $unigramCtes\n" +
+        """SELECT word, CAST(freq AS BIGINT) AS freq,
+          |  cost AS cost_micro,
+          |  CAST(len(str_split(trim(repr, '[]'), '][')) AS BIGINT)
+          |    AS n_pieces,
+          |  repr AS pieces
+          |FROM ubest2""".stripMargin),
+
+    "q_unigram_tok_fertility" ->
+      (s"WITH RECURSIVE $unigramCtes,\n" +
+        """wrds AS (
+          |  SELECT lang,
+          |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          |  FROM documents),
+          |useg AS (
+          |  SELECT word,
+          |    CAST(len(str_split(trim(repr, '[]'), '][')) AS BIGINT)
+          |      AS n_pieces
+          |  FROM ubest2)
+          |SELECT lang, count(*) AS n_words,
+          |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+          |  round(CAST(sum(n_pieces) AS DOUBLE) / count(*), 4)
+          |    AS fertility
+          |FROM wrds JOIN useg USING (word)
           |GROUP BY 1""".stripMargin),
 
     "q_length_batches" ->
