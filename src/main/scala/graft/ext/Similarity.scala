@@ -107,10 +107,15 @@ object Similarity {
     // both diverging from the full-length Hamming the oracle computes and
     // from the Charikar estimate the Scaladoc cites. A non-conforming
     // corpus fails loudly with its observed dimension instead.
+    // NULL vectors pass through as NULL signatures (the engine-wide
+    // null-tolerance contract EmptyInputSpec pins); only a PRESENT
+    // vector of the wrong dimension fails.
     val raw = asDouble(col(vecCol))
-    val v = when(size(raw) === 64, raw).otherwise(raise_error(concat(
-      lit("signSignature requires 64-dim vectors, got dim="),
-      size(raw).cast("string"))))
+    val v = when(raw.isNull, raw)
+      .when(size(raw) === 64, raw)
+      .otherwise(raise_error(concat(
+        lit("signSignature requires 64-dim vectors, got dim="),
+        size(raw).cast("string"))))
     emb.select(col(idCol),
       packBits(slice(v, 1, 32), 32).as("sig_lo"),
       packBits(slice(v, 33, 32), 32).as("sig_hi"))

@@ -165,6 +165,13 @@ object Unigram {
     // every later piece set only shrinks.
     val seed = seedPieces(words, maxLen, seedTopK).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // Degenerate corpus (no [a-z]+ words at all): an empty tokenizer and
+    // an empty, schema-correct segmentation — never a throw (the
+    // EmptyInputSpec contract; mirrors Bpe.learnMerges' early exhaust).
+    if (seed.isEmpty)
+      return (Seq.empty, words.select(col("word"),
+        col("freq").cast("long").as("freq"), lit(0L).as("cost_micro"),
+        lit(0L).as("n_pieces"), lit("").as("pieces")).where(lit(false)))
     val p1 = withCosts(seed)
     val use1 = usageCounts(segment(words, p1, maxLen)).localCheckpoint()
     val top2 = use1.orderBy(col("cnt").desc, col("piece").asc).limit(keepK)
