@@ -77,9 +77,30 @@ object ScaleFixture {
     table match {
       case _ if r == 0 => df
       case "documents" =>
+        // Replicas 0..25: the r-th power of the 26-cycle (fixed-point-
+        // free pairwise). A pairwise-everywhere-different permutation
+        // family on 26 letters caps at 26 rows (each position must take
+        // 26 distinct values across rows — a Latin-square column), so
+        // the SECOND block of 26 composes the same cycle powers with a
+        // per-word character REVERSAL. Cross-block word coincidences
+        // need pos(w[i]) − pos(w[n−1−i]) constant across i; verified
+        // exhaustively over the fixture's 31-word vocabulary, the only
+        // such word is the palindrome 'a' (at equal powers), and the
+        // corpus's longest consecutive-palindrome run is 4 < the 5-token
+        // shingle — so no 5-gram shingle, no whole-doc fingerprint, and
+        // no ≥20-token substring span can ever coincide across replicas,
+        // raising the clean-replication ceiling from 26× to 52×. The
+        // reversal is a bijection on [a-z]+ words applied uniformly, so
+        // within-replica duplicate/near-dup geometry, tokenization,
+        // lengths, and whitespace structure are all preserved exactly.
         val k = r % SubstAlphabet.length
         val to = SubstAlphabet.drop(k) + SubstAlphabet.take(k)
-        df.withColumn("text", translate(col("text"), SubstAlphabet, to))
+        val subbed =
+          df.withColumn("text", translate(col("text"), SubstAlphabet, to))
+        if (r < SubstAlphabet.length) subbed
+        else subbed.withColumn("text",
+          array_join(transform(split(col("text"), " "), w => reverse(w)),
+            " "))
       case "customer" =>
         // Pairwise-similarity queries (Fellegi-Sunter ER) block on name
         // variants and balance bands: verbatim replicas put F copies of
@@ -114,14 +135,16 @@ object ScaleFixture {
     */
   def replicateTable(spark: SparkSession, srcDir: String, table: String,
       factor: Int): DataFrame = {
-    // Beyond |SubstAlphabet| replicas the substitution key wraps (r % 10)
-    // and replicas 10 apart become byte-identical text — the F² duplicate
-    // artifact this fixture exists to avoid would silently return and the
-    // scale ledger would blame the engine for it. Fail loudly instead.
-    require(factor <= SubstAlphabet.length,
-      s"factor $factor > ${SubstAlphabet.length}: the per-replica " +
-        "substitution alphabet would wrap and reintroduce quadratic " +
-        "duplicate structure; extend SubstAlphabet to go bigger")
+    // Beyond 2×|SubstAlphabet| replicas the (cycle power, reversal)
+    // perturbation key wraps and replicas 52 apart become byte-identical
+    // text — the F² duplicate artifact this fixture exists to avoid
+    // would silently return and the scale ledger would blame the engine
+    // for it. Fail loudly instead.
+    require(factor <= 2 * SubstAlphabet.length,
+      s"factor $factor > ${2 * SubstAlphabet.length}: the per-replica " +
+        "(substitution, reversal) perturbation family would wrap and " +
+        "reintroduce quadratic duplicate structure; compose another " +
+        "orthogonal bijection to go bigger")
     val src = spark.read.parquet(s"$srcDir/$table.parquet")
     // An embedding rotation at r >= dim aliases toward identity and would
     // quietly reintroduce cross-replica duplicate vectors. One head probe

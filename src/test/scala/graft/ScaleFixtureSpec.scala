@@ -82,12 +82,33 @@ class ScaleFixtureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("offset"))
   }
 
-  test("a factor past the substitution alphabet fails loudly instead of " +
-      "wrapping into quadratic duplicate structure") {
+  test("a factor past the (substitution, reversal) family fails loudly " +
+      "instead of wrapping into quadratic duplicate structure") {
     val e = intercept[IllegalArgumentException] {
-      ScaleFixture.replicateTable(spark, dir, "documents", 27)
+      ScaleFixture.replicateTable(spark, dir, "documents", 53)
     }
     assert(e.getMessage.contains("wrap"))
+  }
+
+  test("third-decade factors keep every replica pair SHINGLE-disjoint: " +
+      "the reversal block composes cleanly with the cycle powers") {
+    // factor 30 exercises both blocks plus the cross-block equal-power
+    // pairs (r, r+26) — the palindrome case: the corpus's longest
+    // consecutive-palindrome run is 4, so no 5-token shingle can
+    // coincide across ANY two distinct replicas (within one replica,
+    // shared shingles are the preserved duplicate structure, by design).
+    val docs = ScaleFixture.replicateTable(spark, dir, "documents", 30)
+      .select((col("doc_id") / ScaleFixture.Offset).cast("int").as("r"),
+        col("doc_id"), col("text"))
+    val sh = docs
+      .select(col("r"), col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1))," +
+          " i -> array_join(slice(split(text, ' '), i, 5), ' '))"))
+        .as("shingle"))
+    val crossReplica = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.r") < col("b.r"))
+      .count()
+    assert(crossReplica === 0)
   }
 
   test("second-decade factors keep every replica pair textually disjoint " +
