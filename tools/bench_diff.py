@@ -30,6 +30,18 @@ def diff(old, new, threshold=2.0):
     Returns (rows, regressions, norm, both_probed): rows are
     (query, old_sec, new_sec, normalized_ratio) sorted worst-first;
     regressions is the subset above `threshold`.
+
+    A regression must ALSO be slower in RAW wall time (> 1.25x). The
+    probe exists to catch a SLOWER container masking a real regression
+    (r11: raw 1.6-2.5x on a quiet host, probe agreed — normalization
+    cleared the engine). The symmetric artifact is a FASTER probe on a
+    raw-equal run: the single-core md5 chain sped up 96 -> 45 ms
+    between the r14 and r15 containers while the 32-thread suite total
+    fell 443 -> 362 s raw, and pure normalization read that as 55
+    uniform ~2.1x "regressions" — half of them with new_raw < old_raw,
+    which no engine regression can produce. A real regression hidden by
+    a faster host still trips both bounds (host 2x faster + engine 3x
+    slower -> raw 1.5x, normalized 3x).
     """
     po, pn = old.get("cpu_probe_ms"), new.get("cpu_probe_ms")
     both_probed = bool(po and pn and po > 0 and pn > 0)
@@ -41,7 +53,9 @@ def diff(old, new, threshold=2.0):
             continue
         rows.append((q, oq[q], nq[q], (nq[q] / oq[q]) / norm))
     rows.sort(key=lambda r: -r[3])
-    return rows, [r for r in rows if r[3] > threshold], norm, both_probed
+    regressions = [r for r in rows
+                   if r[3] > threshold and r[2] / r[1] > 1.25]
+    return rows, regressions, norm, both_probed
 
 
 def main(old_path, new_path, threshold=2.0):

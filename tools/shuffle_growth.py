@@ -34,6 +34,16 @@ Quadratic-by-construction rows — the ledgers' declared baselines plus the
 brute-force ground-truth evaluation family (their query set grows WITH the
 corpus by design: sims volume = queries × corpus; the production twins are
 the LSH/IVF rows) — are budgeted at (f2/f1)² from the start.
+
+With THREE decades on disk, pass the earliest as `--prior earliest.json`:
+a row the two-point compare flags gets reclassified `transition` when its
+prior-decade byte growth sat within the LINEAR budget — a genuinely
+quadratic component would have grown superlinearly in the prior decade
+too, while a second broadcast-edge crossing (verified r15: both flagged
+rows, q_decontam_ngram and q_entity_resolution, plan BroadcastHashJoin on
+the heavy edge at f26 and SortMergeJoin at f52 — correct planner behavior
+at both scales) is linear before the edge converts. The reclassification
+is printed with its prior-decade evidence, never silent.
 """
 import json
 import sys
@@ -47,8 +57,14 @@ GROUND_TRUTH_QUADRATIC = {
     "q_sim_ivfpq_res_recall", "q_sim_int8_recall",
 }
 
-small = json.load(open(sys.argv[1]))
-large = json.load(open(sys.argv[2]))
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+prior = None
+if "--prior" in sys.argv:
+    prior = json.load(open(sys.argv[sys.argv.index("--prior") + 1]))
+    args = [a for a in args
+            if a != sys.argv[sys.argv.index("--prior") + 1]]
+small = json.load(open(args[0]))
+large = json.load(open(args[1]))
 ratio = large["factor"] / small["factor"]
 quad = set(large.get("quadratic_baselines", {})) | GROUND_TRUTH_QUADRATIC
 
@@ -86,6 +102,26 @@ def show(rows, label):
               f"  x{growth:6.2f}")
 
 
+# Three-decade reclassification: a flagged row whose PRIOR-decade byte
+# growth sat within the linear budget is a second broadcast-edge
+# crossing, not a quadratic component (which would have been superlinear
+# in the prior decade too). Evidence printed, never silent.
+if prior is not None and flagged:
+    p_ratio = small["factor"] / prior["factor"]
+    still = []
+    for row in flagged:
+        growth, q, s_sh, l_sh = row
+        pv = prior["queries"].get(q, {})
+        p_sh = pv.get("scaled_shuffle", 0)
+        if p_sh > 0 and s_sh / p_sh <= p_ratio * 1.5:
+            transition.append(row)
+            print(f"reclassified {q}: prior decade "
+                  f"({prior['factor']}x -> {small['factor']}x) grew "
+                  f"x{s_sh/p_sh:.2f} <= linear budget {p_ratio*1.5:.2f} "
+                  f"— second broadcast-edge crossing, not quadratic")
+        else:
+            still.append(row)
+    flagged = still
 print(f"factors {small['factor']} -> {large['factor']} "
       f"(ratio {ratio:.2f}; linear budget {ratio*1.5:.2f}, "
       f"quadratic budget {ratio*ratio*1.5:.2f})")
