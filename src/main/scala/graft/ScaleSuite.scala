@@ -89,6 +89,34 @@ object ScaleSuite {
     val tally = new Bench.ShuffleTally
     sc.addSparkListener(tally)
 
+    // Watchdogged threads that survived cancel + the 60 s post-cancel
+    // join (still inside a Spark call or a Scratch build). Drained —
+    // with the wait measured and ledgered — before any timed run that
+    // could otherwise inherit the stall.
+    val zombies = scala.collection.mutable.ArrayBuffer.empty[(String, Thread)]
+    val zombieDrains = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    /** Join leftover watchdog zombies before a timed phase: a zombie
+      * parked in Scratch.cached's computeIfAbsent holds the map bin, and
+      * the first consumer of that key would block on it — billing the
+      * zombie's drain to the consumer's row. Waiting HERE (bounded, one
+      * extra timeout budget) makes the drain its own ledger line; a
+      * thread still alive after that is recorded `exited:false` so
+      * downstream rows for that fixture are known-suspect.
+      */
+    def drainZombies(where: String): Unit = {
+      val snap = zombies.synchronized { val s = zombies.toList; zombies.clear(); s }
+      snap.foreach { case (zn, zt) =>
+        val t0 = System.nanoTime()
+        zt.join(timeoutSec * 1000)
+        val sec = (System.nanoTime() - t0) / 1e9
+        zombieDrains += s"""{"name":"$zn","at":"$where","drain_sec":${
+          String.format(java.util.Locale.ROOT, "%.1f", Double.box(sec))
+        },"exited":${!zt.isAlive}}"""
+        if (zt.isAlive) zombies.synchronized { zombies += (zn -> zt) }
+      }
+    }
+
     /** Execute one query on a watchdog thread; cancel its job group at
       * the deadline. `interruptOnCancel` interrupts running tasks; a
       * driver-side iteration (connected components) dies on the next
@@ -113,6 +141,13 @@ object ScaleSuite {
         status = "timeout"
         sc.cancelJobGroup(group)
         t.join(60000) // bounded drain; a daemon thread can't block exit
+        // A thread still alive here is a ZOMBIE: if it sits inside
+        // Scratch.cached's computeIfAbsent, a later consumer of the same
+        // key blocks on the map bin until it drains — and that stall
+        // would be billed to the consumer's timed row. Track it so the
+        // suite can verify it exited BEFORE the per-query runs start
+        // (drain time becomes its own ledger line, not a distortion).
+        if (t.isAlive) zombies.synchronized { zombies += (name -> t) }
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val res = Res(sec, status, tally.settled() - sh0)
@@ -152,6 +187,10 @@ object ScaleSuite {
       val mats = Materializations.builds.map { case (mn, build) =>
         mn -> runThunk(mn, timeoutSec * 2)(() => build(spark, dir))
       }.toMap
+      // A timed-out build may leave its thread parked inside
+      // Scratch.cached — verify it exited before any consumer row is
+      // timed, so the stall can't be billed to a steady-state read.
+      drainZombies(s"post-mats:$dir")
       // Untimed pre-pass: builds every remaining Scratch-cached fixture
       // for this dir and reaches steady state. A query that fails or
       // times out here is recorded as such and NOT re-run (a second
@@ -291,7 +330,16 @@ object ScaleSuite {
       s""""superlinear":${lst(superlinear)},""" +
       s""""superlinear_shuffle":${lst(superlinearShuffle)},""" +
       s""""quadratic_baselines":$quadJson,""" +
+      // warmup_equals_base: when no smaller warmup fixture exists, the
+      // untimed JIT warmup already ran every query against `base` itself
+      // — the base-side build rows then read warm (~0 s) and the x
+      // growth factors are meaningless. Ledger consumers must discount
+      // base build numbers whenever this is true. zombie_drains: named
+      // waits for watchdog threads that survived cancellation, each with
+      // whether the thread actually exited before timed rows started.
       s""""materializations":$matJson,""" +
+      s""""warmup_equals_base":${Bench.warmupDir(base) == base},""" +
+      s""""zombie_drains":${zombieDrains.mkString("[", ",", "]")},""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${Bench.loadavg()}",""" +
       s""""cpu_probe_ms":${Bench.cpuProbeMs()},"queries":$perQuery}"""
     // factor 10 over sf0.1 ≈ "sf1", 30 ≈ "sf3" — name the ledger by the

@@ -201,10 +201,17 @@ object Events {
     // what it CAN see is the contract the sketch must satisfy on the
     // rows it ran over: accuracy=10000 bounds rank error to
     // n_cal/10000, and the conformal index ⌈0.9(n_cal+1)⌉ sits within
-    // one rank of the sketch's 0.9·n_cal target — so the count of val
-    // scores ≤ q̂_approx must land within max(2, n_cal/1000) ranks of
-    // 9(n_cal+1)/10. That boolean (integer cross-multiplied, no IEEE
-    // division) plus the exact split counts are the oracle row.
+    // one rank of the sketch's 0.9·n_cal target — so q̂_approx's rank
+    // must land within tol = max(2, n_cal/1000) of 9(n_cal+1)/10. The
+    // audit is TWO-SIDED over q̂'s tie group (integer-cents scores make
+    // ties likely, and the sketch's guarantee is about SOME rank inside
+    // the group, not the group's upper edge): pass iff
+    // count(ss < q̂)·10 ≤ 9(n_cal+1) + 10·tol  AND
+    // count(ss ≤ q̂)·10 ≥ 9(n_cal+1) − 10·tol — a one-sided
+    // count(ss ≤ q̂) would bill the whole tie group to the target rank
+    // and fail a correct sketch on a heavy tie. Both bounds integer
+    // cross-multiplied (×100 clears the /1000 tolerance), no IEEE
+    // division; plus the exact split counts as the oracle row.
     "q_conformal_approx" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .withColumn("cents", floor(col("value") * 100 + 0.5))
@@ -222,15 +229,18 @@ object Events {
       val audit = cal.join(broadcast(qhat), "event_type")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_cal"),
-          count_if(col("ss") <= col("qhat_scaled")).as("r"),
+          count_if(col("ss") < col("qhat_scaled")).as("r_lt"),
+          count_if(col("ss") <= col("qhat_scaled")).as("r_le"),
           max(col("qhat_scaled")).as("qhat_scaled"))
       val nTest = ev.filter(col("split") === "test")
         .join(broadcast(train.select("event_type")), "event_type")
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_test"))
       audit.join(nTest, "event_type")
         .select(col("event_type"), col("n_cal"), col("n_test"),
-          (abs(col("r") * 10 - (col("n_cal") + 1) * 9) * 100 <=
-            greatest(lit(2000L), col("n_cal"))).as("rank_ok"))
+          (((col("r_lt") * 10 - (col("n_cal") + 1) * 9) * 100 <=
+            greatest(lit(2000L), col("n_cal"))) &&
+           (((col("n_cal") + 1) * 9 - col("r_le") * 10) * 100 <=
+            greatest(lit(2000L), col("n_cal")))).as("rank_ok"))
     }),
 
     "q_psi_drift" -> ((s, dir) => {

@@ -45,6 +45,7 @@ the heavy edge at f26 and SortMergeJoin at f52 — correct planner behavior
 at both scales) is linear before the edge converts. The reclassification
 is printed with its prior-decade evidence, never silent.
 """
+import argparse
 import json
 import sys
 
@@ -57,14 +58,16 @@ GROUND_TRUTH_QUADRATIC = {
     "q_sim_ivfpq_res_recall", "q_sim_int8_recall",
 }
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-prior = None
-if "--prior" in sys.argv:
-    prior = json.load(open(sys.argv[sys.argv.index("--prior") + 1]))
-    args = [a for a in args
-            if a != sys.argv[sys.argv.index("--prior") + 1]]
-small = json.load(open(args[0]))
-large = json.load(open(args[1]))
+ap = argparse.ArgumentParser(
+    description="Cross-decade shuffle-byte growth gate")
+ap.add_argument("small", help="smaller-factor ScaleSuite ledger JSON")
+ap.add_argument("large", help="larger-factor ScaleSuite ledger JSON")
+ap.add_argument("--prior", default=None, metavar="LEDGER",
+                help="earliest-decade ledger for flag reclassification")
+cli = ap.parse_args()
+prior = json.load(open(cli.prior)) if cli.prior else None
+small = json.load(open(cli.small))
+large = json.load(open(cli.large))
 ratio = large["factor"] / small["factor"]
 quad = set(large.get("quadratic_baselines", {})) | GROUND_TRUTH_QUADRATIC
 
