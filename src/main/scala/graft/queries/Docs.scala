@@ -74,7 +74,12 @@ object Docs {
     *     2-line paragraph when the append lands block-aligned);
     *   - doc_id % 7 == 0  appends an unpunctuated boilerplate line
     *     containing "javascript"/"cookie" (C4 policy-line positive);
-    *   - doc_id % 101 == 0 appends "lorem ipsum { }" (C4 page-level drop).
+    *   - doc_id % 101 == 0 appends "lorem ipsum { }" (C4 page-level drop);
+    *   - doc_id % 13 == 0  PREPENDS a fixed 3-line boilerplate header —
+    *     the same three sentences on every 13th page, the CROSS-document
+    *     duplicated 3-sentence span C4's span dedup (Raffel 2020 §2.2)
+    *     exists to remove (each header line passes the C4 line filters
+    *     individually, so only the span-level rule catches it).
     */
   private def synthLines(docId: Column, text: Column): Column = {
     val toks = split(text, " ")
@@ -90,9 +95,19 @@ object Docs {
     val withPolicy = when(docId % 7 === 0, concat(withDupPara,
       array(lit("please enable javascript and accept our cookie policy"))))
       .otherwise(withDupPara)
-    when(docId % 101 === 0,
+    val withLorem = when(docId % 101 === 0,
       concat(withPolicy, array(lit("lorem ipsum { }")))).otherwise(withPolicy)
+    when(docId % 13 === 0,
+      concat(array(headerLines.map(lit): _*), withLorem)).otherwise(withLorem)
   }
+
+  /** The %13 boilerplate header — ONE definition feeding [[synthLines]],
+    * its DuckDB twin, and the spec fixtures.
+    */
+  private[queries] val headerLines = Seq(
+    "shared boilerplate navigation menu.",
+    "subscribe to our newsletter today.",
+    "copyright footer all rights reserved.")
 
   /** Non-overlapping 2-line paragraphs over a [[synthLines]] array (odd
     * tail = a 1-line paragraph) — the paragraph granularity the Gopher
@@ -101,6 +116,41 @@ object Docs {
   private def synthParas(lines: Column): Column =
     transform(sequence(lit(0), floor((size(lines) + 1) / 2).cast("int") - 1),
       j => array_join(slice(lines, (j * 2 + 1).cast("int"), lit(2)), " "))
+
+  /** Start positions (doc_id, pos) of every NON-KEEPER occurrence of a
+    * 3-sentence span duplicated anywhere in the corpus — C4's
+    * cross-document span dedup unit (Raffel et al. 2020 §2.2: "we
+    * discarded all but one of any three-sentence span occurring more
+    * than once in the data set"), at this fixture's sentence == ladder
+    * line granularity. One corpus scan builds the (doc_id, pos, digest)
+    * stream — the span text never leaves the map side, only its 16-byte
+    * md5 shuffles. Keep-first semantics via min(struct(doc_id, pos)) per
+    * digest: a partial-aggregable hash-agg (map-side combine confines a
+    * boilerplate span repeated across millions of docs), unlike a
+    * per-digest rank window whose hot key would land in one task; the
+    * join back on the digest is AQE-skew-splittable. Feeds the family's
+    * gaps-and-islands merge and running-max coverage rewrite unchanged.
+    */
+  private def c4DupSpanStarts(docs: DataFrame): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"),
+        synthLines(col("doc_id"), col("text")).as("lines"))
+      .filter(size(col("lines")) >= 3)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("lines")) - 3),
+          i => md5(array_join(slice(col("lines"), i + 1, lit(3)), "\n"))))
+        .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+    val dup = occ.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keep"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("h"), col("keep"))
+    occ.join(dup, Seq("h"))
+      .filter(col("doc_id") =!= col("keep.doc_id") ||
+        col("pos") =!= col("keep.pos"))
+      .select(col("doc_id"), col("pos"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -197,6 +247,38 @@ object Docs {
       coverageRewrite(train, Dedup.substringMatchPositions(train,
         docs.filter(splitCol(col("doc_id")) =!= "train"),
         "doc_id", "text", 5), l = 5)
+    }),
+
+    // C4's cross-document span dedup (Raffel et al. 2020 §2.2) — the one
+    // published C4 curation stage beyond the line filters: all but one
+    // occurrence of any 3-sentence span repeated anywhere in the corpus
+    // is removed. Sentences come from the same synthLines ladder the
+    // quality rows run on (TESTDATA.md pins the fixture read-only, so
+    // deterministic line arithmetic is the only oracle-checkable route
+    // to sentence structure). This row reports the maximal flagged
+    // regions per doc in SENTENCE units: non-keeper occurrences from
+    // [[c4DupSpanStarts]], coalesced by the family's gaps-and-islands
+    // merge — overlapping and touching flags become ONE maximal span,
+    // exactly like the ExactSubstr rows.
+    "q_dedup_c4_spans" -> ((s, dir) =>
+      spanMerge(c4DupSpanStarts(t(s, dir, "documents")), l = 3,
+        unit = "lines")),
+
+    // The rewrite phase: every sentence covered by a flagged (non-keeper)
+    // span occurrence is dropped and the page reassembled from the
+    // surviving sentences in order — q_dedup_substring_kept's running-max
+    // coverage window pointed at line positions (l = 3 sentences). The
+    // keeper occurrence keeps its sentences unless a DIFFERENT flagged
+    // span overlaps them — all-but-one semantics, localized to the span.
+    "q_dedup_c4_kept" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"),
+          synthLines(col("doc_id"), col("text")).as("lines"))
+        .select(col("doc_id"),
+          posexplode(col("lines")).as(Seq("pos", "token")))
+        .withColumn("pos", col("pos").cast("long"))
+      coverageRewriteToks(toks, c4DupSpanStarts(docs), l = 3)
     }),
 
     // Near-dup provenance matrix: verified pairs annotated with BOTH sides'
@@ -382,6 +464,26 @@ object Docs {
           sum(col("n_pieces")).as("n_pieces"),
           round(sum(col("n_pieces")).cast("double") / count(lit(1)), 4)
             .as("fertility"))
+    }),
+
+    // Per-document token counts under the TRAINED unigram tokenizer —
+    // q_bpe_doc_tokens' twin for the other tokenizer family, completing
+    // the vocab/apply/fertility/doc_tokens symmetry on both: the number
+    // packing and batching actually budget against, under the Kudo-2018
+    // piece table instead of the BPE merges. Same shape: one exploded
+    // word stream joined to the Zipf-small broadcast segmentation table,
+    // one doc-grain hash-agg with map-side combine.
+    "q_unigram_doc_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seg = Unigram.train(docs, "text")._2
+        .select(col("word"), col("n_pieces"))
+      docs.select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+"), lit(0))).as("word"))
+        .join(broadcast(seg), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_unigram_tokens"))
     }),
 
     // Length-bucketed batching: group docs into 32-token length buckets,
@@ -926,22 +1028,7 @@ object Docs {
     // as the production dial (the q_mad_outliers pattern) once a language
     // outgrows one task's sort.
     "q_perplexity_band" -> ((s, dir) => {
-      val tok = t(s, dir, "documents")
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-        .localCheckpoint() // feeds the model agg AND the scoring join
-      val model = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
-      val total = tok.agg(count(lit(1)).as("nn"))
-      val scores = model.crossJoin(broadcast(total))
-        .select(col("tok"),
-          floor(log(col("nn").cast("double") / col("n_t")) * lit(1e9) +
-            lit(0.5)).cast("long").as("s_nano"))
-      val perDoc = tok.join(scores, "tok")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("s_nano")).as("sum_nano"))
-        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
-          "doc_id")
-        .withColumn("mean6", round(
-          col("sum_nano").cast("double") / lit(1e9) / col("n_tokens"), 6))
+      val perDoc = perplexityPerDoc(s, dir)
       val rankW = Window.partitionBy(col("lang"))
         .orderBy(col("mean6"), col("doc_id"))
       val langW = Window.partitionBy(col("lang"))
@@ -957,6 +1044,47 @@ object Docs {
           sum(col("n_tokens")).as("n_tokens"),
           round(sum(col("sum_nano")).cast("double") / lit(1e9) /
             sum(col("n_tokens")), 4).as("nll"))
+    }),
+
+    // The PRODUCTION dial q_perplexity_band's own scaladoc declares: once
+    // a language outgrows one task's sort, the per-lang rank window (the
+    // oracle-exact tertile cut) swaps for approx_percentile's mergeable
+    // sketch — per-lang head/middle edges from ONE hash-agg, NO window
+    // (the q_conformal_approx / q_winsorize_approx twinning pattern).
+    // The oracle cannot see the sketch; what it CAN see is the contract
+    // the sketch must satisfy on the per-doc scores it ran over:
+    // accuracy=10000 bounds rank error to n/10000, so each returned
+    // edge's rank must land within tol = max(2, n/1000) of its n/3 (and
+    // 2n/3) target. Ties make the audit TWO-SIDED over each edge's tie
+    // group (mean6 is a round-6 double — collisions happen): pass iff
+    // count(mean6 < edge) ≤ target + tol AND count(mean6 ≤ edge) ≥
+    // target − tol, every bound integer cross-multiplied (×3 clears the
+    // tertile, ×1000 the tolerance) — no IEEE division anywhere in the
+    // verdict; the exact per-lang doc count rides as the oracle row.
+    "q_perplexity_band_approx" -> ((s, dir) => {
+      val perDoc = perplexityPerDoc(s, dir)
+        .localCheckpoint() // feeds the sketch agg AND the rank audit
+      val edges = perDoc.groupBy(col("lang"))
+        .agg(percentile_approx(col("mean6"), lit(1.0 / 3), lit(10000))
+            .as("t1"),
+          percentile_approx(col("mean6"), lit(2.0 / 3), lit(10000))
+            .as("t2"))
+      def contract(lt: Column, le: Column, mulT: Int): Column = {
+        val n = col("n_docs")
+        val tol3k = greatest(lit(6000L), n * 3) // 3000 × tol
+        ((lt * 3 - n * mulT) * 1000 <= tol3k) &&
+          ((n * mulT - le * 3) * 1000 <= tol3k)
+      }
+      perDoc.join(broadcast(edges), "lang")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_if(col("mean6") < col("t1")).as("r1_lt"),
+          count_if(col("mean6") <= col("t1")).as("r1_le"),
+          count_if(col("mean6") < col("t2")).as("r2_lt"),
+          count_if(col("mean6") <= col("t2")).as("r2_le"))
+        .select(col("lang"), col("n_docs"),
+          (contract(col("r1_lt"), col("r1_le"), 1) &&
+            contract(col("r2_lt"), col("r2_le"), 2)).as("rank_ok"))
     }),
 
     // Pointwise mutual information between the two document facets
@@ -2734,7 +2862,8 @@ object Docs {
     * span [0, 39]. ONE definition for the within-corpus and cross-split
     * span queries.
     */
-  private def spanMerge(flagged: DataFrame, l: Int): DataFrame = {
+  private def spanMerge(flagged: DataFrame, l: Int,
+      unit: String = "tokens"): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     flagged
       .withColumn("brk",
@@ -2745,8 +2874,8 @@ object Docs {
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(l - 1)).as("span_end"),
-        (max(col("pos")) - min(col("pos")) + lit(l)).as("n_span_tokens"))
-      .select("doc_id", "span_start", "span_end", "n_span_tokens")
+        (max(col("pos")) - min(col("pos")) + lit(l)).as(s"n_span_$unit"))
+      .select("doc_id", "span_start", "span_end", s"n_span_$unit")
   }
 
   /** Drop every token of `docs` covered by a flagged l-gram span and
@@ -2755,11 +2884,18 @@ object Docs {
     * decontamination rewrites.
     */
   private def coverageRewrite(docs: DataFrame, flagged: DataFrame,
+      l: Int): DataFrame =
+    coverageRewriteToks(docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .withColumn("pos", col("pos").cast("long")), flagged, l)
+
+  /** [[coverageRewrite]] over an already-exploded (doc_id, pos, token)
+    * stream — the shared body, so the C4 sentence-level rewrite reuses
+    * the exact running-max coverage machinery at LINE granularity.
+    */
+  private def coverageRewriteToks(toks: DataFrame, flagged: DataFrame,
       l: Int): DataFrame = {
     val f = flagged.withColumn("fpos", col("pos"))
-    val toks = docs.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
-      .withColumn("pos", col("pos").cast("long"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks.join(f, Seq("doc_id", "pos"), "left")
@@ -2774,6 +2910,32 @@ object Docs {
           x => x("token")), " ").as("text_kept"),
         count(when(col("kept"), lit(1))).as("n_kept"),
         count(when(!col("kept"), lit(1))).as("n_dropped"))
+  }
+
+  /** Per-doc unigram-LM scores feeding BOTH perplexity banding rows:
+    * (doc_id, lang, n_tokens, sum_nano, mean6). Per-TYPE nano-unit token
+    * scores → order-independent integer sum per doc → ONE IEEE division
+    * rounded 6 (absorbs the 1-ulp ln drift the family tolerates
+    * everywhere). The token stream stays (doc_id, tok) — lang joins back
+    * at per-DOC granularity, never riding the explode.
+    */
+  private def perplexityPerDoc(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .localCheckpoint() // feeds the model agg AND the scoring join
+    val model = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
+    val total = tok.agg(count(lit(1)).as("nn"))
+    val scores = model.crossJoin(broadcast(total))
+      .select(col("tok"),
+        floor(log(col("nn").cast("double") / col("n_t")) * lit(1e9) +
+          lit(0.5)).cast("long").as("s_nano"))
+    tok.join(scores, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s_nano")).as("sum_nano"))
+      .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id")
+      .withColumn("mean6", round(
+        col("sum_nano").cast("double") / lit(1e9) / col("n_tokens"), 6))
   }
 
   /** DSIR importance weights for every raw-pool doc (see q_dsir_weights):
@@ -2923,8 +3085,9 @@ object Docs {
     */
   /** DuckDB twin of [[synthLines]] — the same deterministic multi-line
     * derivation, word for word: lw-word slices, (doc_id+i)%3 terminal
-    * punctuation, and the %5 / %11 / %7 / %101 injection ladder. Ends in
-    * a `sdoc(doc_id, lang, lines)` CTE.
+    * punctuation, the %5 / %11 / %7 / %101 injection ladder, and the %13
+    * prepended boilerplate header. Ends in a `sdoc(doc_id, lang, lines)`
+    * CTE.
     */
   private val synthLinesCte =
     """slbase AS (
@@ -2939,6 +3102,12 @@ object Docs {
       |  FROM slbase),
       |sdoc AS (
       |  SELECT doc_id, lang,
+      |    list_concat(
+      |      CASE WHEN doc_id % 13 = 0 THEN
+      |           ['shared boilerplate navigation menu.',
+      |            'subscribe to our newsletter today.',
+      |            'copyright footer all rights reserved.']
+      |           ELSE CAST([] AS VARCHAR[]) END,
       |    list_concat(list_concat(list_concat(list_concat(base,
       |      CASE WHEN doc_id % 5 = 0 THEN base[1:1]
       |           ELSE CAST([] AS VARCHAR[]) END),
@@ -2948,8 +3117,27 @@ object Docs {
       |           ['please enable javascript and accept our cookie policy']
       |           ELSE CAST([] AS VARCHAR[]) END),
       |      CASE WHEN doc_id % 101 = 0 THEN ['lorem ipsum { }']
-      |           ELSE CAST([] AS VARCHAR[]) END) AS lines
+      |           ELSE CAST([] AS VARCHAR[]) END)) AS lines
       |  FROM slines)""".stripMargin
+
+  /** DuckDB twin of [[c4DupSpanStarts]] — expects the [[synthLinesCte]]
+    * `sdoc` in scope; ends in `flagged(doc_id, pos)`. The keeper is the
+    * rn=1 occurrence under (doc_id, pos) order per span digest — an
+    * independent formulation of Spark's min(struct) argmin, so a green
+    * row proves both pick the same survivor.
+    */
+  private val c4FlaggedCtes =
+    """c4sp AS (
+      |  SELECT doc_id, t.pos,
+      |    md5(array_to_string(lines[t.pos+1:t.pos+3], chr(10))) AS h
+      |  FROM sdoc, LATERAL (SELECT unnest(range(len(lines) - 2)) AS pos) t
+      |  WHERE len(lines) >= 3),
+      |flagged AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos,
+      |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      |    FROM c4sp)
+      |  WHERE rn > 1)""".stripMargin
 
   private val bm25Ctes =
     """dl AS (SELECT doc_id,
@@ -3035,7 +3223,7 @@ object Docs {
     * running covered end, so overlapping AND touching flags coalesce
     * exactly as in Spark.
     */
-  private def spanMergeSql(l: Int): String =
+  private def spanMergeSql(l: Int, unit: String = "tokens"): String =
     s"""runs AS (
       |  SELECT doc_id, pos,
       |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
@@ -3046,7 +3234,7 @@ object Docs {
       |    ROWS UNBOUNDED PRECEDING) AS island
       |  FROM runs)
       |SELECT doc_id, min(pos) AS span_start, max(pos) + ${l - 1} AS span_end,
-      |  max(pos) - min(pos) + $l AS n_span_tokens
+      |  max(pos) - min(pos) + $l AS n_span_$unit
       |FROM isl GROUP BY doc_id, island""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -3305,6 +3493,34 @@ object Docs {
         |  FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS n FROM grams)
         |  WHERE n >= 2),
         |${spanMergeSql(20)}""".stripMargin,
+
+    "q_dedup_c4_spans" ->
+      s"""WITH $synthLinesCte,
+        |$c4FlaggedCtes,
+        |${spanMergeSql(3, "lines")}""".stripMargin,
+
+    "q_dedup_c4_kept" ->
+      s"""WITH $synthLinesCte,
+        |$c4FlaggedCtes,
+        |toks AS (
+        |  SELECT doc_id, unnest(lines) AS token,
+        |    unnest(range(len(lines))) AS pos
+        |  FROM sdoc),
+        |cover AS (
+        |  SELECT t.doc_id, t.pos, t.token,
+        |    max(CASE WHEN f.pos IS NOT NULL THEN f.pos + 2 END)
+        |      OVER (PARTITION BY t.doc_id ORDER BY t.pos
+        |            ROWS UNBOUNDED PRECEDING) AS cov_end
+        |  FROM toks t LEFT JOIN flagged f
+        |    ON t.doc_id = f.doc_id AND t.pos = f.pos)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN cov_end IS NULL OR cov_end < pos
+        |    THEN token END, ' ' ORDER BY pos), '') AS text_kept,
+        |  count(*) FILTER (WHERE cov_end IS NULL OR cov_end < pos)
+        |    AS n_kept,
+        |  count(*) FILTER (WHERE cov_end IS NOT NULL AND cov_end >= pos)
+        |    AS n_dropped
+        |FROM cover GROUP BY doc_id""".stripMargin,
 
     "q_dedup_substring_kept" ->
       """WITH lt AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
@@ -3719,6 +3935,22 @@ object Docs {
           |FROM wrds JOIN useg USING (word)
           |GROUP BY 1""".stripMargin),
 
+    "q_unigram_doc_tokens" ->
+      (s"WITH RECURSIVE $unigramCtes,\n" +
+        """wrds AS (
+          |  SELECT doc_id,
+          |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          |  FROM documents),
+          |useg AS (
+          |  SELECT word,
+          |    CAST(len(str_split(trim(repr, '[]'), '][')) AS BIGINT)
+          |      AS n_pieces
+          |  FROM ubest2)
+          |SELECT doc_id, count(*) AS n_words,
+          |  CAST(sum(n_pieces) AS BIGINT) AS n_unigram_tokens
+          |FROM wrds JOIN useg USING (word)
+          |GROUP BY 1""".stripMargin),
+
     "q_length_batches" ->
       """WITH tk AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
@@ -3963,6 +4195,15 @@ object Docs {
         |  round(CAST(sum(sum_nano) AS BIGINT) / 1000000000.0 /
         |    sum(n_tokens), 4) AS nll
         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // Bounded-comparison oracle (the q_conformal_approx shape): DuckDB
+    // cannot see the sketch, but the per-lang doc count is exact and the
+    // rank-error contract must come back true. Every doc lands in the
+    // scored stream (string_split('') = [''] matches the engine's
+    // tokenizer on the degenerate row), so n_docs is count(*) per lang.
+    "q_perplexity_band_approx" ->
+      """SELECT lang, count(*) AS n_docs, CAST(1 AS BOOLEAN) AS rank_ok
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q_mutual_info" ->
       """WITH j AS (

@@ -367,6 +367,19 @@ class PlanSpec extends AnyFunSuite {
       s"exact-rank window leaked into the approx conformal plan:\n$p")
   }
 
+  test("q_perplexity_band_approx plans the sketch aggregate, never a " +
+      "per-lang rank window") {
+    // the production tertile dial must not re-introduce the per-lang rank
+    // sort it exists to avoid (one hot language = one task's sort): no
+    // Window/row_number anywhere above the checkpointed per-doc scores,
+    // both tertile edges from the mergeable sketch
+    val p = plan("q_perplexity_band_approx")
+    assert(p.contains("approx_percentile") || p.contains("percentile_approx"),
+      s"expected the approx-percentile sketch aggregate:\n$p")
+    assert(!p.contains("Window") && !p.contains("row_number"),
+      s"exact-rank window leaked into the approx banding plan:\n$p")
+  }
+
   test("q_decontam_bloom probes the bloom filter before the verify join") {
     // the codegen'd membership probe must sit in the plan as a Filter
     // below the exact join — that prefilter is the whole point of the twin

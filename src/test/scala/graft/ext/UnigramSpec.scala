@@ -115,6 +115,23 @@ class UnigramSpec extends AnyFunSuite {
     assert(direct === viaUsage)
   }
 
+  test("doc-grain totals reconcile: q_unigram_doc_tokens sums to the " +
+      "segmentation's freq-weighted piece count, word for word") {
+    // the doc-grain row re-joins the exploded word stream to the piece
+    // table, so its corpus totals must equal the vocab-grain identity —
+    // sum(n_words) == sum(freq) and sum(n_unigram_tokens) ==
+    // sum(freq · n_pieces) — or the join is dropping/duplicating words
+    val (_, seg) = Unigram.train(t(), "text")
+    val vocab = seg.select(sum(col("freq")).as("w"),
+      sum(col("freq") * col("n_pieces")).as("p")).head()
+    val docGrain = graft.queries.Docs.queries("q_unigram_doc_tokens")(
+      spark, dir)
+      .select(sum(col("n_words")).as("w"),
+        sum(col("n_unigram_tokens")).as("p")).head()
+    assert(docGrain.getLong(0) === vocab.getLong(0))
+    assert(docGrain.getLong(1) === vocab.getLong(1))
+  }
+
   private def t() =
     spark.read.parquet(s"$dir/documents.parquet")
 }

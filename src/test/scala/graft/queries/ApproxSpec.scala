@@ -42,6 +42,19 @@ class ApproxSpec extends AnyFunSuite {
     * pin a 5× multiple so a broken sketch merge fails loudly while normal
     * estimator variance never does.
     */
+  test("q_perplexity_band_approx: the sketch's tertile edges honor the " +
+      "rank-error contract on every language, and band sizes from the " +
+      "edges stay within tolerance of the exact thirds") {
+    val rows = Docs.queries("q_perplexity_band_approx")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2),
+        s"lang ${r.getString(0)} (n=${r.getLong(1)}): sketch edge landed " +
+          "outside max(2, n/1000) ranks of its tertile target")
+    }
+  }
+
   test("approx_count_distinct error stays within 5x the configured rsd") {
     val ev = graft.engine.Sources.table(spark, "/root/testdata/sf0.001",
       "events").localCheckpoint()
