@@ -27,7 +27,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.ScaleSuite [factor] (default 10)
   * Env: SPARK_GRAFT_SF_DIR (base, default sf0.1), SPARK_GRAFT_CPUS,
-  *      SPARK_GRAFT_SCALE_TIMEOUT (sec/query, default 300).
+  *      SPARK_GRAFT_SCALE_TIMEOUT (sec/query, default 600 — raised from
+  *      300 after the r16 f52 refresh ran at the default and
+  *      m_triangle_state's ~757 s build overran its 2× watchdog,
+  *      cascading recompute timeouts into the four triangle-state
+  *      consumers; 600 is the dial the r15 f52 decade actually ran at).
   */
 object ScaleSuite {
 
@@ -71,7 +75,7 @@ object ScaleSuite {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val timeoutSec =
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_TIMEOUT", "300").toLong
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_TIMEOUT", "600").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Bench.defaultCpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
