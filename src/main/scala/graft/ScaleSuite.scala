@@ -41,8 +41,95 @@ object ScaleSuite {
     * regression that one lucky run would otherwise hide — stays visible
     * in the ledger instead of silently collapsing into the min.
     */
-  private final case class Res(sec: Double, status: String, shuffle: Long,
-      pre: Double = -1.0, timed: Double = -1.0)
+  private[graft] final case class Res(sec: Double, status: String,
+      shuffle: Long, pre: Double = -1.0, timed: Double = -1.0)
+
+  /** Execute one thunk on a watchdog thread inside a cancellable job
+    * group; cancel at the deadline and record `timeout`. Shared by the
+    * full-registry suite and the targeted graph decade (ScaleGraph) so
+    * the two ledgers measure under ONE methodology. Returns the result
+    * plus the thread if it survived the bounded post-cancel join — a
+    * zombie the caller must drain (its own ledger line) before the next
+    * timed phase, or the stall gets billed to an innocent row.
+    */
+  private[graft] def watchdogRun(spark: SparkSession,
+      tally: Bench.ShuffleTally, name: String, deadlineSec: Long)
+      (body: () => Unit): (Res, Option[Thread]) = {
+    val sc = spark.sparkContext
+    val group = s"scale:$name"
+    @volatile var status = "ok"
+    val sh0 = tally.settled()
+    val t = new Thread(() => {
+      sc.setJobGroup(group, name, interruptOnCancel = true)
+      try body()
+      catch { case scala.util.control.NonFatal(_) =>
+        if (status == "ok") status = "failed" }
+      finally sc.clearJobGroup()
+    }, s"scale-$name")
+    t.setDaemon(true)
+    val t0 = System.nanoTime()
+    t.start()
+    t.join(deadlineSec * 1000)
+    var zombie: Option[Thread] = None
+    if (t.isAlive) {
+      status = "timeout"
+      sc.cancelJobGroup(group)
+      t.join(60000) // bounded drain; a daemon thread can't block exit
+      if (t.isAlive) zombie = Some(t)
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val res = Res(sec, status, tally.settled() - sh0)
+    Bench.resetState(spark)
+    // Queries run in sorted name order, so a query scheduled right after
+    // a multi-GB-shuffle neighbor inherits its GC debt — the r13 ledger
+    // flagged q_vocab_topk at 15.4x (0.25 s -> 3.81 s) purely because it
+    // follows the graph family; in isolation (same fixtures) it measures
+    // 1.13x. Collect between queries so each measurement starts from a
+    // settled heap.
+    System.gc()
+    (res, zombie)
+  }
+
+  /** Pre-flight dial guard — makes the r16 300 s-dial mistake
+    * structurally unrepeatable: that refresh started a factor-52 decade
+    * at a per-query timeout whose 2x build budget (600 s) was under
+    * m_triangle_state's last-known ~757 s wall at that factor, and the
+    * guaranteed build timeout cascaded recompute timeouts into all four
+    * triangle-state consumers. Given the PRIOR committed ledger for this
+    * factor, refuse to start when (a) the largest ok-status priced
+    * build's scaled wall does not fit the 2x build budget, or (b) the
+    * prior run recorded scaled timeouts at a dial >= the requested one
+    * (same dial, same outcome — re-running buys no information).
+    * Override with SPARK_GRAFT_SCALE_FORCE=1.
+    */
+  private[graft] def timeoutGuard(priorLedger: String, timeoutSec: Long)
+      : Option[String] = {
+    val priorDial = """"timeout_sec":(\d+)""".r
+      .findFirstMatchIn(priorLedger).map(_.group(1).toLong)
+    val priorTimeouts = """"scaled_timeout":\[([^\]]*)\]""".r
+      .findFirstMatchIn(priorLedger).map(_.group(1).trim).getOrElse("")
+    val maxBuild = """"scaled":([0-9.]+),"x":[^,]*,"base_status":"[a-z]+","scaled_status":"ok"""".r
+      .findAllMatchIn(priorLedger).map(_.group(1).toDouble)
+      .foldLeft(0.0)(math.max)
+    if (timeoutSec * 2 < maxBuild)
+      Some(f"dial $timeoutSec s gives a ${timeoutSec * 2} s build budget " +
+        f"< the prior ledger's largest ok build wall $maxBuild%.1f s — " +
+        "the build WILL time out and cascade; raise " +
+        "SPARK_GRAFT_SCALE_TIMEOUT (or SPARK_GRAFT_SCALE_FORCE=1)")
+    else if (priorTimeouts.nonEmpty && priorDial.exists(timeoutSec <= _))
+      Some(s"prior ledger recorded scaled timeouts [$priorTimeouts] at " +
+        s"dial ${priorDial.get} s; re-running at $timeoutSec s repeats " +
+        "the mistake — raise SPARK_GRAFT_SCALE_TIMEOUT (or " +
+        "SPARK_GRAFT_SCALE_FORCE=1)")
+    else None
+  }
+
+  /** Ledger file name for a factor: 10/20/... land on the effective-SF
+    * names (BENCH_SF1, ...), everything else on BENCH_SFx{factor}.
+    */
+  private[graft] def ledgerName(factor: Int): String =
+    if (factor % 10 == 0) s"BENCH_SF${factor / 10}.json"
+    else s"BENCH_SFx$factor.json"
 
   /** Queries whose DECLARED cost model is quadratic in the data factor —
     * exhaustive baselines kept under the oracle precisely so their
@@ -77,6 +164,17 @@ object ScaleSuite {
     val timeoutSec =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_TIMEOUT", "600").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Bench.defaultCpus)
+    val out = ledgerName(factor)
+    val outPath = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(outPath) &&
+        !sys.env.get("SPARK_GRAFT_SCALE_FORCE").contains("1")) {
+      timeoutGuard(new String(java.nio.file.Files.readAllBytes(outPath),
+          java.nio.charset.StandardCharsets.UTF_8), timeoutSec).foreach {
+        reason =>
+          System.err.println(s"REFUSING factor-$factor decade: $reason")
+          sys.exit(2)
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -121,48 +219,17 @@ object ScaleSuite {
       }
     }
 
-    /** Execute one query on a watchdog thread; cancel its job group at
-      * the deadline. `interruptOnCancel` interrupts running tasks; a
-      * driver-side iteration (connected components) dies on the next
-      * job submission against the cancelled group.
+    /** One query under [[watchdogRun]]'s shared watchdog; a thread still
+      * alive after the post-cancel join is a ZOMBIE — if it sits inside
+      * Scratch.cached's computeIfAbsent, a later consumer of the same
+      * key blocks on the map bin until it drains, and that stall would
+      * be billed to the consumer's timed row. Track it so the suite can
+      * verify it exited BEFORE the per-query runs start (drain time
+      * becomes its own ledger line, not a distortion).
       */
     def runThunk(name: String, deadlineSec: Long)(body: () => Unit): Res = {
-      val group = s"scale:$name"
-      @volatile var status = "ok"
-      val sh0 = tally.settled()
-      val t = new Thread(() => {
-        sc.setJobGroup(group, name, interruptOnCancel = true)
-        try body()
-        catch { case scala.util.control.NonFatal(_) =>
-          if (status == "ok") status = "failed" }
-        finally sc.clearJobGroup()
-      }, s"scale-$name")
-      t.setDaemon(true)
-      val t0 = System.nanoTime()
-      t.start()
-      t.join(deadlineSec * 1000)
-      if (t.isAlive) {
-        status = "timeout"
-        sc.cancelJobGroup(group)
-        t.join(60000) // bounded drain; a daemon thread can't block exit
-        // A thread still alive here is a ZOMBIE: if it sits inside
-        // Scratch.cached's computeIfAbsent, a later consumer of the same
-        // key blocks on the map bin until it drains — and that stall
-        // would be billed to the consumer's timed row. Track it so the
-        // suite can verify it exited BEFORE the per-query runs start
-        // (drain time becomes its own ledger line, not a distortion).
-        if (t.isAlive) zombies.synchronized { zombies += (name -> t) }
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      val res = Res(sec, status, tally.settled() - sh0)
-      Bench.resetState(spark)
-      // Queries run in sorted name order, so a query scheduled right
-      // after a multi-GB-shuffle neighbor inherits its GC debt — the r13
-      // ledger flagged q_vocab_topk at 15.4× (0.25 s → 3.81 s) purely
-      // because it follows the graph family; in isolation (ScaleOne,
-      // same fixtures) it measures 1.13×. Collect between queries so
-      // each measurement starts from a settled heap.
-      System.gc()
+      val (res, zombie) = watchdogRun(spark, tally, name, deadlineSec)(body)
+      zombie.foreach(t => zombies.synchronized { zombies += (name -> t) })
       res
     }
 
@@ -346,11 +413,10 @@ object ScaleSuite {
       s""""zombie_drains":${zombieDrains.mkString("[", ",", "]")},""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${Bench.loadavg()}",""" +
       s""""cpu_probe_ms":${Bench.cpuProbeMs()},"queries":$perQuery}"""
-    // factor 10 over sf0.1 ≈ "sf1", 30 ≈ "sf3" — name the ledger by the
-    // effective scale so multiple decades can sit side by side in git.
-    val out = if (factor % 10 == 0) s"BENCH_SF${factor / 10}.json"
-      else s"BENCH_SFx$factor.json"
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+    // factor 10 over sf0.1 ≈ "sf1", 30 ≈ "sf3" — the ledger is named by
+    // the effective scale (ledgerName, computed up top for the dial
+    // guard) so multiple decades can sit side by side in git.
+    java.nio.file.Files.write(outPath,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
     spark.stop()

@@ -102,7 +102,8 @@ object Docs {
   }
 
   /** The %13 boilerplate header — ONE definition feeding [[synthLines]],
-    * its DuckDB twin, and the spec fixtures.
+    * its DuckDB twin (interpolated into [[synthLinesCte]]), and the spec
+    * fixture (CurationOpsSpec.refLines references this val).
     */
   private[queries] val headerLines = Seq(
     "shared boilerplate navigation menu.",
@@ -124,7 +125,12 @@ object Docs {
     * than once in the data set"), at this fixture's sentence == ladder
     * line granularity. One corpus scan builds the (doc_id, pos, digest)
     * stream — the span text never leaves the map side, only its 16-byte
-    * md5 shuffles. Keep-first semantics via min(struct(doc_id, pos)) per
+    * md5 shuffles (unhex'd to binary: the hex string would be 32 bytes
+    * per occurrence), and the stream is localCheckpointed because it
+    * feeds BOTH the duplicate-digest aggregate and the join back (the
+    * family's feeds-two-consumers convention — without it the
+    * synthLines+md5 corpus scan recomputes per consumer).
+    * Keep-first semantics via min(struct(doc_id, pos)) per
     * digest: a partial-aggregable hash-agg (map-side combine confines a
     * boilerplate span repeated across millions of docs), unlike a
     * per-digest rank window whose hot key would land in one task; the
@@ -138,9 +144,11 @@ object Docs {
       .filter(size(col("lines")) >= 3)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), size(col("lines")) - 3),
-          i => md5(array_join(slice(col("lines"), i + 1, lit(3)), "\n"))))
+          i => unhex(md5(array_join(slice(col("lines"), i + 1, lit(3)),
+            "\n")))))
         .as(Seq("pos", "h")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+      .localCheckpoint()
     val dup = occ.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("keep"),
         count(lit(1)).as("n"))
@@ -174,6 +182,28 @@ object Docs {
       t(s, dir, "documents")
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
         .groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))),
+
+    // URL-canonicalization dedup — the one published pre-training dedup
+    // stage that runs BEFORE any content dedup: C4 (Raffel et al. 2020)
+    // and Dolma (Soldaini et al. 2024) both collapse crawl records by
+    // normalized URL first, because re-crawls of one page differ in
+    // case, default port, tracking params, trailing slash and fragment
+    // while the canonical resource is identical. URLs here are
+    // deterministic arithmetic on doc_id (TESTDATA.md pins the fixture
+    // read-only — the buildWav/pHash posture), exercising every rule:
+    // mixed-case scheme/host, :80/:443/:8080 ports, utm_*/ref tracking
+    // params beside a REAL id= param that must survive, trailing
+    // slashes, fragments. [[urlCanon]] is the reusable operator — one
+    // codegen'd projection (parse_url + regexp + array HOFs) — and the
+    // keep-first is c4DupSpanStarts' hash-agg shape: group on the canon
+    // string, min(doc_id) survivor, map-side combine confining any hot
+    // canonical key; the raw URL never shuffles.
+    "q_dedup_url" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), synthUrl.as("url"))
+        .select(col("doc_id"), urlCanon(col("url")).as("canon_url"))
+        .groupBy(col("canon_url"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))),
 
     // MinHash+LSH candidate pairs: 8 hashes, 4 bands × 2 rows.
@@ -589,6 +619,37 @@ object Docs {
         .groupBy(col("lang"), col("lang_id"))
         .agg(count(lit(1)).as("n_docs"))
         .withColumn("agree", col("lang") === col("lang_id"))),
+
+    // Classifier language-ID (the fastText-grade component CCNet §3.1,
+    // Gopher and Dolma all LEAD their pipelines with, here as the
+    // engine's own NB machinery): multinomial Naive Bayes over
+    // whitespace unigrams, one class per DECLARED language, trained
+    // distributedly on the hash-split's train docs with the declared
+    // lang as the weak label — the q_nb_scores lineage generalized from
+    // 2 classes to L. Same exactness discipline: every log-probability
+    // is floored to a nano-unit long per (type, lang), a doc's per-lang
+    // score is prior + Σ seen-type weights + (n_tokens − n_hit)·w0_lang
+    // (add-one smoothing gives OOV types and types unseen in a given
+    // lang the SAME c=0 weight, so one hit-count covers both), and the
+    // argmax is max(struct(score, lang)) — integer compare, lang-string
+    // tie-break, identical to the oracle's window formulation. Scale
+    // shape: ONE train scan into a vocab×L count table (Zipf-small,
+    // broadcast), ONE corpus scan for scoring (n_tokens needs no
+    // explode), per-doc hash-agg — no window over the corpus.
+    "q_langid_nb" -> ((s, dir) =>
+      langidBest(s, dir)
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          col("score_nano"),
+          (col("lang") === col("pred_lang")).as("agree"))),
+
+    // The NB upgrade of q_lang_confusion's heuristic diagonal: declared
+    // label × classifier prediction, one hash-agg over the per-doc
+    // argmax rows.
+    "q_langid_confusion" -> ((s, dir) =>
+      langidBest(s, dir)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("agree", col("lang") === col("pred_lang"))),
 
     // Inter-filter agreement (Cohen's kappa) between the heuristic
     // quality filter and the Gopher SHAPE rules (word count, mean word
@@ -2610,6 +2671,111 @@ object Docs {
         col("actual_pos"))
   }
 
+  /** Deterministic raw-URL synthesis from doc_id — the fixture side of
+    * q_dedup_url (the parquet tables are read-only, so URLs are derived
+    * arithmetic, like the multimodal family's payloads). Groups of 10
+    * docs share a host+path; the decorations that canonicalization must
+    * remove (case, default ports, tracking params, trailing slash,
+    * fragment) and must KEEP (the :8080 non-default port, the id= real
+    * param) vary by residue so every rule is exercised both ways.
+    */
+  private def synthUrl: Column = {
+    val d = col("doc_id")
+    val g = (d / 10).cast("long")
+    val host = concat(lit("www.site"), g, lit(".example.com"))
+    concat(
+      when(d % 2 === 0, "HTTP").otherwise("https"), lit("://"),
+      when(d % 4 === 0, upper(host)).otherwise(host),
+      when(d % 10 === 7, ":8080").when(d % 6 === 0, ":80")
+        .when(d % 6 === 3, ":443").otherwise(""),
+      lit("/docs/"), g,
+      when(d % 5 === 0, "/").otherwise(""),
+      when(d % 7 === 0,
+          concat(lit("?id="), g, lit("&utm_source=feed&utm_campaign=sync")))
+        .when(d % 7 === 1, "?utm_medium=rss")
+        .when(d % 7 === 2, concat(lit("?ref=home&id="), g))
+        .otherwise(""),
+      when(d % 11 === 0, concat(lit("#sec"), d % 3)).otherwise(""))
+  }
+
+  /** URL canonicalization, one codegen'd projection: lowercase scheme
+    * and host, strip the scheme's default port (http:80 / https:443,
+    * others kept), strip trailing slashes from the path, drop tracking
+    * params (utm_*, fbclid, gclid, ref) keeping the rest in original
+    * order, drop the fragment — the C4/Dolma pre-dedup normalization.
+    * Structure comes from parse_url (never hand-split), params from one
+    * array HOF over the query string.
+    */
+  private[queries] def urlCanon(url: Column): Column = {
+    def part(p: String) = call_function("parse_url", url, lit(p))
+    val proto = lower(part("PROTOCOL"))
+    val host = lower(part("HOST"))
+    val port = regexp_extract(part("AUTHORITY"), ":(\\d+)$", 1)
+    val portPart = when(port =!= "" &&
+        !(proto === "http" && port === "80") &&
+        !(proto === "https" && port === "443"),
+      concat(lit(":"), port)).otherwise("")
+    val q = part("QUERY")
+    val keptQ = array_join(filter(split(q, "&"),
+      p => !p.rlike("^(utm_[a-z]+|fbclid|gclid|ref)=")), "&")
+    val queryPart = when(q.isNull || keptQ === "", lit(""))
+      .otherwise(concat(lit("?"), keptQ))
+    concat(proto, lit("://"), host, portPart,
+      rtrim(part("PATH"), "/"), queryPart)
+  }
+
+  /** Per-doc argmax of the multiclass NB language model (see
+    * q_langid_nb's scaladoc): (doc_id, lang, pred_lang, score_nano).
+    * The train token-count table is localCheckpointed because it feeds
+    * THREE consumers (per-lang totals, vocab size, the weight table);
+    * the per-lang constants and the vocab×L weight table are broadcast
+    * into the scoring join, so the corpus token stream shuffles once —
+    * on doc_id, for the per-(doc, lang) hash-agg.
+    */
+  private def langidBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val train = docs.filter(splitCol(col("doc_id")) === "train")
+      .select(col("lang").as("mlang"), col("text"))
+      .localCheckpoint()
+    val cnt = train
+      .select(col("mlang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("mlang"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tl = cnt.groupBy(col("mlang")).agg(sum(col("c")).as("tl"))
+    val vv = cnt.agg(count_distinct(col("tok")).as("v"))
+    val lc = tl
+      .join(train.groupBy(col("mlang")).agg(count(lit(1)).as("dl")), "mlang")
+      .crossJoin(vv)
+      .crossJoin(train.agg(count(lit(1)).as("dt")))
+      .select(col("mlang"),
+        floor(log(col("dl").cast("double") / col("dt")) * 1e9 + 0.5)
+          .cast("long").as("prior"),
+        floor(log(lit(1.0) / (col("tl") + col("v"))) * 1e9 + 0.5)
+          .cast("long").as("w0"))
+    val w = cnt.join(tl, "mlang").crossJoin(vv)
+      .select(col("tok"), col("mlang"),
+        floor(log((col("c") + lit(1.0)) / (col("tl") + col("v"))) * 1e9
+          + 0.5).cast("long").as("w_nano"))
+    val nt = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val hit = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(w), Seq("tok"))
+      .groupBy(col("doc_id"), col("mlang"))
+      .agg(sum(col("w_nano")).as("sw"), count(lit(1)).as("n_hit"))
+    nt.crossJoin(broadcast(lc))
+      .join(hit, Seq("doc_id", "mlang"), "left")
+      .select(col("doc_id"), col("lang"), col("mlang"),
+        (col("prior") + coalesce(col("sw"), lit(0L)) +
+          (col("n_tokens") - coalesce(col("n_hit"), lit(0L))) * col("w0"))
+          .as("score_nano"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max(struct(col("score_nano"), col("mlang"))).as("best"))
+      .select(col("doc_id"), col("lang"),
+        col("best.mlang").as("pred_lang"),
+        col("best.score_nano").as("score_nano"))
+  }
+
   private def bpeCtes(rounds: Int): String = {
     val v0 =
       """v0 AS (
@@ -3046,6 +3212,116 @@ object Docs {
       |    LEFT JOIN nb_w w ON w.tok = h.tok
       |    GROUP BY 1, 2, 3) s, nb_const c)""".stripMargin
 
+  /** DuckDB twin of [[langidBest]] — same nano-unit multiclass NB, but
+    * the argmax is an independent formulation (row_number over
+    * (score DESC, mlang DESC) vs Spark's max(struct)), so a green row
+    * proves both pick the same language. Ends in
+    * `lid_best(doc_id, lang, pred_lang, score_nano, rn)`; consumers
+    * filter rn = 1. Expects `splits` in scope.
+    */
+  private val langidCtes =
+    """lid_tr AS (
+      |  SELECT d.lang AS mlang, d.text FROM documents d
+      |  JOIN splits s ON s.doc_id = d.doc_id WHERE s.split = 'train'),
+      |lid_cnt AS (
+      |  SELECT mlang, tok, count(*) AS c FROM (
+      |    SELECT mlang, unnest(string_split(text, ' ')) AS tok
+      |    FROM lid_tr)
+      |  GROUP BY 1, 2),
+      |lid_tl AS (SELECT mlang, CAST(sum(c) AS BIGINT) AS tl
+      |  FROM lid_cnt GROUP BY 1),
+      |lid_v AS (SELECT count(DISTINCT tok) AS v FROM lid_cnt),
+      |lid_dl AS (SELECT mlang, count(*) AS dl FROM lid_tr GROUP BY 1),
+      |lid_dt AS (SELECT count(*) AS dt FROM lid_tr),
+      |lid_lc AS (
+      |  SELECT mlang,
+      |    CAST(floor(ln(CAST(dl AS DOUBLE) / dt) * 1000000000 + 0.5)
+      |      AS BIGINT) AS prior,
+      |    CAST(floor(ln(1.0 / (tl + v)) * 1000000000 + 0.5) AS BIGINT)
+      |      AS w0
+      |  FROM lid_tl JOIN lid_dl USING (mlang), lid_v, lid_dt),
+      |lid_w AS (
+      |  SELECT tok, c.mlang,
+      |    CAST(floor(ln((c + 1.0) / (tl + v)) * 1000000000 + 0.5)
+      |      AS BIGINT) AS w_nano
+      |  FROM lid_cnt c JOIN lid_tl USING (mlang), lid_v),
+      |lid_nt AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |lid_hit AS (
+      |  SELECT t.doc_id, w.mlang, CAST(sum(w.w_nano) AS BIGINT) AS sw,
+      |    count(*) AS n_hit
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents) t
+      |  JOIN lid_w w ON w.tok = t.tok
+      |  GROUP BY 1, 2),
+      |lid_sc AS (
+      |  SELECT n.doc_id, n.lang, l.mlang,
+      |    CAST(l.prior + COALESCE(h.sw, 0)
+      |      + (n.n_tokens - COALESCE(h.n_hit, 0)) * l.w0 AS BIGINT)
+      |      AS score_nano
+      |  FROM lid_nt n CROSS JOIN lid_lc l
+      |  LEFT JOIN lid_hit h ON h.doc_id = n.doc_id AND h.mlang = l.mlang),
+      |lid_best AS (
+      |  SELECT doc_id, lang, mlang AS pred_lang, score_nano,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score_nano DESC, mlang DESC) AS rn
+      |  FROM lid_sc)""".stripMargin
+
+  /** DuckDB twin of q_dedup_url: the raw URLs are [[synthUrl]]'s exact
+    * arithmetic, the canonical form is recomputed INDEPENDENTLY from
+    * regexp string functions (no parse_url in DuckDB — which is the
+    * point: hash-equality proves the two parsers agree on every rule).
+    */
+  private val urlCtes =
+    """u AS (
+      |  SELECT doc_id,
+      |    concat(
+      |      CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://',
+      |      CASE WHEN doc_id % 4 = 0
+      |        THEN upper('www.site' || (doc_id // 10) || '.example.com')
+      |        ELSE 'www.site' || (doc_id // 10) || '.example.com' END,
+      |      CASE WHEN doc_id % 10 = 7 THEN ':8080'
+      |           WHEN doc_id % 6 = 0 THEN ':80'
+      |           WHEN doc_id % 6 = 3 THEN ':443' ELSE '' END,
+      |      '/docs/', (doc_id // 10),
+      |      CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+      |      CASE WHEN doc_id % 7 = 0 THEN concat('?id=', (doc_id // 10),
+      |             '&utm_source=feed&utm_campaign=sync')
+      |           WHEN doc_id % 7 = 1 THEN '?utm_medium=rss'
+      |           WHEN doc_id % 7 = 2 THEN concat('?ref=home&id=',
+      |             (doc_id // 10))
+      |           ELSE '' END,
+      |      CASE WHEN doc_id % 11 = 0 THEN '#sec' || (doc_id % 3)
+      |           ELSE '' END) AS url
+      |  FROM documents),
+      |uparts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS proto,
+      |    regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS auth,
+      |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS q
+      |  FROM u),
+      |unorm AS (
+      |  SELECT doc_id, proto,
+      |    lower(regexp_replace(auth, ':[0-9]+$', '')) AS host,
+      |    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+      |    rtrim(path, '/') AS cpath,
+      |    array_to_string(list_filter(string_split(q, '&'), p ->
+      |      NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid|ref)=')),
+      |      '&') AS cq
+      |  FROM uparts),
+      |ucanon AS (
+      |  SELECT doc_id,
+      |    proto || '://' || host ||
+      |    (CASE WHEN port <> '' AND NOT (proto = 'http' AND port = '80')
+      |       AND NOT (proto = 'https' AND port = '443')
+      |       THEN ':' || port ELSE '' END) ||
+      |    cpath ||
+      |    (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canon_url
+      |  FROM unorm)""".stripMargin
+
   private val dsirCtes =
     """toksd AS (SELECT doc_id, source, string_split(text, ' ') AS t
       |  FROM documents),
@@ -3090,7 +3366,7 @@ object Docs {
     * CTE.
     */
   private val synthLinesCte =
-    """slbase AS (
+    s"""slbase AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
       |    4 + doc_id % 5 AS lw
       |  FROM documents),
@@ -3104,9 +3380,7 @@ object Docs {
       |  SELECT doc_id, lang,
       |    list_concat(
       |      CASE WHEN doc_id % 13 = 0 THEN
-      |           ['shared boilerplate navigation menu.',
-      |            'subscribe to our newsletter today.',
-      |            'copyright footer all rights reserved.']
+      |           [${headerLines.map(l => s"'$l'").mkString(", ")}]
       |           ELSE CAST([] AS VARCHAR[]) END,
       |    list_concat(list_concat(list_concat(list_concat(base,
       |      CASE WHEN doc_id % 5 = 0 THEN base[1:1]
@@ -4385,6 +4659,25 @@ object Docs {
         |  FROM y)
         |SELECT lang, lang_id, count(*) AS n_docs, lang = lang_id AS agree
         |FROM z GROUP BY 1, 2""".stripMargin,
+
+    "q_langid_nb" ->
+      s"""WITH $splitsCte,
+        |$langidCtes
+        |SELECT doc_id, lang, pred_lang, score_nano,
+        |  lang = pred_lang AS agree
+        |FROM lid_best WHERE rn = 1""".stripMargin,
+
+    "q_langid_confusion" ->
+      s"""WITH $splitsCte,
+        |$langidCtes
+        |SELECT lang, pred_lang, count(*) AS n_docs,
+        |  lang = pred_lang AS agree
+        |FROM lid_best WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+
+    "q_dedup_url" ->
+      s"""WITH $urlCtes
+        |SELECT canon_url, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM ucanon GROUP BY 1""".stripMargin,
 
     // kappa from the UNROUNDED po/pe (the display columns round
     // separately) — boolean-gate-from-rounded-value is the r12 defect

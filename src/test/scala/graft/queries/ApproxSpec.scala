@@ -42,9 +42,9 @@ class ApproxSpec extends AnyFunSuite {
     * pin a 5× multiple so a broken sketch merge fails loudly while normal
     * estimator variance never does.
     */
-  test("q_perplexity_band_approx: the sketch's tertile edges honor the " +
-      "rank-error contract on every language, and band sizes from the " +
-      "edges stay within tolerance of the exact thirds") {
+  test("q_perplexity_band_approx: every language's rank_ok verdict holds " +
+      "— the query's own two-sided tie-aware rank contract on both " +
+      "tertile edges") {
     val rows = Docs.queries("q_perplexity_band_approx")(spark,
       "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)

@@ -457,10 +457,7 @@ class CurationOpsSpec extends AnyFunSuite {
     if (docId % 7 == 0)
       out :+= "please enable javascript and accept our cookie policy"
     if (docId % 101 == 0) out :+= "lorem ipsum { }"
-    if (docId % 13 == 0) out = Vector(
-      "shared boilerplate navigation menu.",
-      "subscribe to our newsletter today.",
-      "copyright footer all rights reserved.") ++ out
+    if (docId % 13 == 0) out = Docs.headerLines.toVector ++ out
     out
   }
 

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The r17 additions: URL-canonicalization dedup (the C4/Dolma
+  * pre-content-dedup stage) and the Naive-Bayes classifier language-ID
+  * (the fastText-grade component CCNet/Gopher/Dolma lead with).
+  *
+  * q_dedup_url gets a THIRD independent implementation here
+  * (java.net.URI + plain string ops, vs Spark's parse_url projection and
+  * the oracle's DuckDB regexps) so all three parsers must agree on every
+  * canonicalization rule; the langid rows are pinned on the claim that
+  * justified them — the classifier's confusion diagonal must beat the
+  * n-gram heuristic it replaces.
+  */
+class UrlLangIdSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** synthUrl's arithmetic, reimplemented. */
+  private def refUrl(d: Long): String = {
+    val g = d / 10
+    val host = s"www.site$g.example.com"
+    val sb = new StringBuilder
+    sb ++= (if (d % 2 == 0) "HTTP" else "https")
+    sb ++= "://"
+    sb ++= (if (d % 4 == 0) host.toUpperCase else host)
+    sb ++= (if (d % 10 == 7) ":8080"
+            else if (d % 6 == 0) ":80"
+            else if (d % 6 == 3) ":443" else "")
+    sb ++= s"/docs/$g"
+    if (d % 5 == 0) sb ++= "/"
+    if (d % 7 == 0) sb ++= s"?id=$g&utm_source=feed&utm_campaign=sync"
+    else if (d % 7 == 1) sb ++= "?utm_medium=rss"
+    else if (d % 7 == 2) sb ++= s"?ref=home&id=$g"
+    if (d % 11 == 0) sb ++= s"#sec${d % 3}"
+    sb.toString
+  }
+
+  /** The canonicalization policy, via java.net.URI. */
+  private def refCanon(url: String): String = {
+    val u = new java.net.URI(url)
+    val proto = u.getScheme.toLowerCase
+    val port = u.getPort // -1 when absent
+    val keepPort = port != -1 &&
+      !(proto == "http" && port == 80) &&
+      !(proto == "https" && port == 443)
+    val path = u.getPath.reverse.dropWhile(_ == '/').reverse
+    val q = Option(u.getQuery)
+      .map(_.split("&")
+        .filterNot(_.matches("^(utm_[a-z]+|fbclid|gclid|ref)=.*"))
+        .mkString("&"))
+      .filter(_.nonEmpty)
+    proto + "://" + u.getHost.toLowerCase +
+      (if (keepPort) s":$port" else "") + path +
+      q.map("?" + _).getOrElse("")
+  }
+
+  test("q_dedup_url: group sizes and keep-first survivors match a " +
+      "java.net.URI reimplementation of the canonicalization policy, " +
+      "doc for doc") {
+    val ids = graft.engine.Sources.table(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.map(d => refCanon(refUrl(d)) -> d)
+      .groupBy(_._1).map { case (c, ds) =>
+        c -> ((ds.length.toLong, ds.map(_._2).min)) }
+    val got = Docs.queries("q_dedup_url")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // the rules the synthesis exercises both ways, visible in the output:
+    // non-default ports survive, everything canonicalization removes is gone
+    assert(got.keys.exists(_.contains(":8080")))
+    assert(got.keys.exists(_.contains("?id=")))
+    got.keys.foreach { c =>
+      assert(!c.contains("utm_") && !c.contains("ref=") &&
+        !c.contains("#") && !c.contains(":80/") && !c.endsWith("/") &&
+        c == c.toLowerCase, s"un-canonical survivor: $c")
+    }
+  }
+
+  test("q_langid_nb: one argmax row per doc, agree consistent, " +
+      "predictions drawn from the declared label set") {
+    val docs = graft.engine.Sources.table(spark, dir, "documents")
+    val langs = docs.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    val rows = Docs.queries("q_langid_nb")(spark, dir).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      assert(langs.contains(r.getString(2)))
+      assert(r.getBoolean(4) == (r.getString(1) == r.getString(2)))
+    }
+  }
+
+  test("q_langid_confusion: the classifier's diagonal beats the n-gram " +
+      "heuristic's (the claim that justifies replacing it), and it " +
+      "actually separates classes instead of collapsing to the prior") {
+    def diag(name: String, predIdx: Int): (Long, Int) = {
+      val rows = Docs.queries(name)(spark, dir).collect()
+      (rows.collect { case r if r.getString(0) == r.getString(predIdx) =>
+        r.getLong(2) }.sum,
+        rows.map(_.getString(predIdx)).distinct.length)
+    }
+    val (nbDiag, nbLangs) = diag("q_langid_confusion", 1)
+    val (hDiag, hLangs) = diag("q_lang_confusion", 1)
+    assert(nbDiag > hDiag,
+      s"NB diagonal $nbDiag does not beat heuristic $hDiag")
+    assert(nbLangs > hLangs,
+      s"NB predicts $nbLangs classes vs heuristic $hLangs")
+  }
+}

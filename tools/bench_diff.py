@@ -15,6 +15,14 @@ subset — comparison runs over the intersection.
 """
 import json, sys
 
+# 1-min loadavg gap (absolute) above which the two artifacts were
+# recorded under materially different host contention. The single-core
+# md5 probe CANNOT see 32-thread contention — in the r16 round the probe
+# read the loaded host as FASTER (44 -> 34 ms) and amplified phantom
+# regressions by 1/0.77 — so when the loads differ this much, rows above
+# threshold are demoted to suspects instead of failing the gate.
+LOAD_GAP = 1.5
+
 
 def load(path):
     raw = open(path).read().strip()
@@ -24,17 +32,27 @@ def load(path):
     return json.loads(raw)
 
 
+def load1(artifact):
+    """1-min loadavg at recording start, or None (pre-r16 artifacts)."""
+    s = artifact.get("loadavg_start")
+    try:
+        return float(s.split()[0]) if s else None
+    except (ValueError, AttributeError):
+        return None
+
+
 def diff(old, new, threshold=2.0):
     """Probe-normalized per-query comparison of two loaded artifacts.
 
     Returns (rows, regressions, suspects, norm, both_probed): rows are
     (query, old_sec, new_sec, normalized_ratio) sorted worst-first;
     regressions is the subset above `threshold` that is ALSO slower in
-    raw wall time (> 1.25x); suspects are rows above `threshold`
-    normalized whose raw ratio sits UNDER the floor — reported, never
-    silently dropped.
+    raw wall time (> 1.25x) AND was not recorded under materially
+    different host load; suspects are (row, reason) pairs above
+    `threshold` normalized that fail one of those demotion checks —
+    reported for adjudication, never silently dropped.
 
-    Why both bounds: the probe exists to catch a SLOWER container
+    Why the raw floor: the probe exists to catch a SLOWER container
     masking a real regression (r11: raw 1.6-2.5x on a quiet host, probe
     agreed — normalization cleared the engine). The symmetric artifact
     is a FASTER probe on a raw-equal run: the single-core md5 chain
@@ -44,14 +62,26 @@ def diff(old, new, threshold=2.0):
     new_raw < old_raw, which no engine regression can produce. But the
     fixed 1.25x floor is blind to a genuine regression the faster host
     partially absorbs (host 2.1x faster + engine 2.5x slower -> raw
-    1.19x <= 1.25, normalized 2.5x > 2.0): such rows are now returned
-    as `suspects` — above threshold after normalization, under the raw
-    floor — so the caller prints them for adjudication (re-measure in
+    1.19x <= 1.25, normalized 2.5x > 2.0): such rows are returned as
+    suspects — above threshold after normalization, under the raw floor
+    — so the caller prints them for adjudication (re-measure in
     isolation) instead of the gate eating them.
+
+    Why the load check: both artifacts carry loadavg_start (r16+). When
+    the 1-min loads differ by more than LOAD_GAP, the slower artifact
+    was measured under contention the probe cannot represent (r16: the
+    driver bench ran at loadavg 2.94 rising to 5.04 and flagged
+    q_triangles at 2.01x, while the quiet re-run of the same HEAD was
+    FASTER than the prior round). Such rows demote to suspects with a
+    "loaded host" reason — re-record on a quiet host to adjudicate.
     """
     po, pn = old.get("cpu_probe_ms"), new.get("cpu_probe_ms")
     both_probed = bool(po and pn and po > 0 and pn > 0)
     norm = (pn / po) if both_probed else 1.0
+    lo, ln = load1(old), load1(new)
+    loaded = (lo is not None and ln is not None and abs(ln - lo) > LOAD_GAP)
+    load_reason = (f"loaded host (loadavg_start {lo:.2f} vs {ln:.2f})"
+                   if loaded else None)
     oq, nq = old["queries"], new["queries"]
     rows = []
     for q in sorted(set(oq) & set(nq)):
@@ -60,8 +90,15 @@ def diff(old, new, threshold=2.0):
         rows.append((q, oq[q], nq[q], (nq[q] / oq[q]) / norm))
     rows.sort(key=lambda r: -r[3])
     over = [r for r in rows if r[3] > threshold]
-    regressions = [r for r in over if r[2] / r[1] > 1.25]
-    suspects = [r for r in over if r[2] / r[1] <= 1.25]
+    regressions, suspects = [], []
+    for r in over:
+        if loaded:
+            suspects.append((r, load_reason))
+        elif r[2] / r[1] > 1.25:
+            regressions.append(r)
+        else:
+            suspects.append((r, "raw <= 1.25x floor — container drift or "
+                                "a regression absorbed by a faster host"))
     return rows, regressions, suspects, norm, both_probed
 
 
@@ -75,6 +112,12 @@ def main(old_path, new_path, threshold=2.0):
     else:
         print("no probe in one/both artifacts: raw ratios "
               "(host drift not separable)")
+    lo, ln = load1(old), load1(new)
+    if lo is not None and ln is not None:
+        print(f"loadavg_start: {lo:.2f} -> {ln:.2f}"
+              + (f" — gap > {LOAD_GAP}, above-threshold rows demote to "
+                 f"suspect (single-core probe can't see 32-thread "
+                 f"contention)" if abs(ln - lo) > LOAD_GAP else ""))
     oq, nq = old["queries"], new["queries"]
     common = sorted(set(oq) & set(nq))
     if not common:
@@ -90,12 +133,11 @@ def main(old_path, new_path, threshold=2.0):
         print(f"  {q:30s} {o:8.3f}s -> {n:8.3f}s  {r:5.2f}x{flag}")
     if suspects:
         print(f"{len(suspects)} SUSPECT row(s): above {threshold}x "
-              f"normalized but raw <= 1.25x floor — container drift or a "
-              f"regression absorbed by a faster host; re-measure in "
-              f"isolation to adjudicate:")
-        for q, o, n, r in suspects:
+              f"normalized but demoted — re-measure in isolation to "
+              f"adjudicate:")
+        for (q, o, n, r), reason in suspects:
             print(f"  {q:30s} {o:8.3f}s -> {n:8.3f}s  {r:5.2f}x norm, "
-                  f"{n/o:5.2f}x raw")
+                  f"{n/o:5.2f}x raw — {reason}")
     if regressions:
         print(f"{len(regressions)} queries above {threshold}x normalized")
         return 1
