@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Consistent F× replication of the WHOLE fixture star (every table, FK
@@ -81,26 +81,41 @@ object ScaleFixture {
         // free pairwise). A pairwise-everywhere-different permutation
         // family on 26 letters caps at 26 rows (each position must take
         // 26 distinct values across rows — a Latin-square column), so
-        // the SECOND block of 26 composes the same cycle powers with a
-        // per-word character REVERSAL. Cross-block word coincidences
-        // need pos(w[i]) − pos(w[n−1−i]) constant across i; verified
-        // exhaustively over the fixture's 31-word vocabulary, the only
-        // such word is the palindrome 'a' (at equal powers), and the
-        // corpus's longest consecutive-palindrome run is 4 < the 5-token
-        // shingle — so no 5-gram shingle, no whole-doc fingerprint, and
-        // no ≥20-token substring span can ever coincide across replicas,
-        // raising the clean-replication ceiling from 26× to 52×. The
-        // reversal is a bijection on [a-z]+ words applied uniformly, so
-        // within-replica duplicate/near-dup geometry, tokenization,
-        // lengths, and whitespace structure are all preserved exactly.
+        // blocks beyond the first compose the same cycle powers with a
+        // per-word POSITION bijection: block 1 reverses each word,
+        // block 2 swaps its first two characters, block 3 rotates it by
+        // two characters. Cross-block word coincidences (t1(w) equal to
+        // some cycle power of t2(w)) were verified exhaustively over the
+        // fixture's 31-word vocabulary × all 26 relative powers × all
+        // transform pairs: the only coinciding words are 'a' (length-1 —
+        // invariant under every position bijection, at equal powers) and
+        // 'agg' (whose swap01 and rot2 images are both the palindrome
+        // 'gag', so blocks 2↔3 coincide on it at equal powers). The
+        // corpus's longest consecutive run of {a, agg} is 4 < the
+        // 5-token shingle at every SF — so no 5-gram shingle, no
+        // whole-doc fingerprint, and no ≥20-token substring span can
+        // ever coincide across replicas, raising the clean-replication
+        // ceiling from 26× (one block) through 52× (reversal, r15) to
+        // 104× (the four-block family, r17). Every transform is a
+        // bijection on [a-z]+ words applied uniformly, so within-replica
+        // duplicate/near-dup geometry, tokenization, lengths, and
+        // whitespace structure are all preserved exactly.
         val k = r % SubstAlphabet.length
         val to = SubstAlphabet.drop(k) + SubstAlphabet.take(k)
         val subbed =
           df.withColumn("text", translate(col("text"), SubstAlphabet, to))
-        if (r < SubstAlphabet.length) subbed
-        else subbed.withColumn("text",
-          array_join(transform(split(col("text"), " "), w => reverse(w)),
-            " "))
+        def mapWords(f: Column => Column) = subbed.withColumn("text",
+          array_join(transform(split(col("text"), " "), f), " "))
+        r / SubstAlphabet.length match {
+          case 0 => subbed
+          case 1 => mapWords(w => reverse(w))
+          case 2 => mapWords(w => when(length(w) >= 2,
+              concat(substring(w, 2, 1), substring(w, 1, 1),
+                substring(w, 3, 1000000))).otherwise(w))
+          case _ => mapWords(w => when(length(w) >= 2,
+              concat(substring(w, 3, 1000000), substring(w, 1, 2)))
+            .otherwise(w))
+        }
       case "customer" =>
         // Pairwise-similarity queries (Fellegi-Sunter ER) block on name
         // variants and balance bands: verbatim replicas put F copies of
@@ -116,16 +131,25 @@ object ScaleFixture {
             lpad(col("c_custkey").cast("string"), 9, "0")))
           .withColumn("c_acctbal", col("c_acctbal") + lit(r * 100000.0))
       case "embeddings" =>
-        // Cyclic rotation by r: an over-long slice length returns "to the
-        // end", so size(e) keeps this dimension-agnostic (a rotation at
-        // r ≥ dim would alias back toward identity, but replicateTable
-        // guards factor ≤ dim before any perturb runs). Never pass
-        // Int.MaxValue as the length — slice's start+length overflows and
-        // downstream HOFs (aggregate) silently read a corrupted array
-        // (observed on Spark 4.1.2: the fold returned last-element² only).
-        df.withColumn("embedding", concat(
-          slice(col("embedding"), lit(r + 1), size(col("embedding"))),
-          slice(col("embedding"), 1, r)))
+        // Cyclic rotation by r mod dim, NEGATED once r wraps past the
+        // dimension: negation preserves norms and every within-replica
+        // cosine/dot exactly (⟨−x,−y⟩ = ⟨x,y⟩) while a cross-wrap pair's
+        // cosine is the NEGATIVE of its rotated value — a same-rotation
+        // pair (r, r+dim) reads exactly −1, so no near-dup threshold or
+        // max-dot top-k can ever select a cross-replica twin. This lifts
+        // the embedding ceiling from dim× to 2·dim× (128× at the
+        // fixture's 64 dims), matching the documents family's 104.
+        // An over-long slice length returns "to the end", so size(e)
+        // keeps this dimension-agnostic. Never pass Int.MaxValue as the
+        // length — slice's start+length overflows and downstream HOFs
+        // (aggregate) silently read a corrupted array (observed on
+        // Spark 4.1.2: the fold returned last-element² only).
+        val e = col("embedding")
+        val d = size(e)
+        val k = pmod(lit(r), d)
+        val rot = concat(slice(e, k + lit(1), d), slice(e, lit(1), k))
+        df.withColumn("embedding",
+          when(lit(r) < d, rot).otherwise(transform(rot, x => -x)))
       case _ => df
     }
 
@@ -135,27 +159,29 @@ object ScaleFixture {
     */
   def replicateTable(spark: SparkSession, srcDir: String, table: String,
       factor: Int): DataFrame = {
-    // Beyond 2×|SubstAlphabet| replicas the (cycle power, reversal)
-    // perturbation key wraps and replicas 52 apart become byte-identical
+    // Beyond 4×|SubstAlphabet| replicas the (cycle power, word bijection)
+    // perturbation key wraps and replicas 104 apart become byte-identical
     // text — the F² duplicate artifact this fixture exists to avoid
     // would silently return and the scale ledger would blame the engine
     // for it. Fail loudly instead.
-    require(factor <= 2 * SubstAlphabet.length,
-      s"factor $factor > ${2 * SubstAlphabet.length}: the per-replica " +
-        "(substitution, reversal) perturbation family would wrap and " +
-        "reintroduce quadratic duplicate structure; compose another " +
+    require(factor <= 4 * SubstAlphabet.length,
+      s"factor $factor > ${4 * SubstAlphabet.length}: the per-replica " +
+        "(substitution × word-bijection) perturbation family would wrap " +
+        "and reintroduce quadratic duplicate structure; compose another " +
         "orthogonal bijection to go bigger")
     val src = spark.read.parquet(s"$srcDir/$table.parquet")
-    // An embedding rotation at r >= dim aliases toward identity and would
-    // quietly reintroduce cross-replica duplicate vectors. One head probe
-    // at fixture-build time (never per row, never in a query path).
+    // An embedding (rotation, sign) key at r >= 2·dim aliases back to
+    // replica r − 2·dim and would quietly reintroduce cross-replica
+    // duplicate vectors. One head probe at fixture-build time (never per
+    // row, never in a query path).
     if (table == "embeddings" && factor > 1) {
       val head = src.select(size(col("embedding")).as("d")).head(1)
       head.headOption.foreach { row =>
         val dim = row.getInt(0)
-        require(factor <= dim,
-          s"factor $factor > embedding dim $dim: replica rotation would " +
-            "wrap and reintroduce cross-replica duplicate vectors")
+        require(factor <= 2 * dim,
+          s"factor $factor > 2x embedding dim $dim: the replica " +
+            "(rotation, sign) key would wrap and reintroduce " +
+            "cross-replica duplicate vectors")
       }
     }
     val cols = shiftCols.getOrElse(table,

@@ -82,12 +82,65 @@ class ScaleFixtureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("offset"))
   }
 
-  test("a factor past the (substitution, reversal) family fails loudly " +
-      "instead of wrapping into quadratic duplicate structure") {
+  test("a factor past the (substitution x word-bijection) family fails " +
+      "loudly instead of wrapping into quadratic duplicate structure") {
     val e = intercept[IllegalArgumentException] {
-      ScaleFixture.replicateTable(spark, dir, "documents", 53)
+      ScaleFixture.replicateTable(spark, dir, "documents", 105)
     }
     assert(e.getMessage.contains("wrap"))
+  }
+
+  test("fourth-decade factors keep every replica pair SHINGLE-disjoint " +
+      "on an adversarial corpus built from the exception words") {
+    // The four-block family's verified exception set is {a, agg}: 'a' is
+    // invariant under every position bijection and 'agg' maps to the
+    // palindrome 'gag' under both swap01 and rot2, so those words DO
+    // coincide across equal-power replica pairs — safety rests on the
+    // corpus never running 5 of them consecutively (measured max run: 4
+    // at every SF). Replicate a handcrafted worst-case corpus (runs of
+    // exactly 4, embedded mid-document) at the FULL factor 104 and
+    // assert zero cross-replica 5-token shingle matches — covering the
+    // block boundaries (25,26), (51,52), (77,78) and every equal-power
+    // cross-block pair (r, r+26k).
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("scalefix-f104")
+      .toString
+    Seq(
+      (0L, "a agg a agg the query spark a agg a agg hash join value"),
+      (1L, "data a agg a agg data window sort a agg agg a merge key"),
+      (2L, "agg a agg a stream table a a agg agg batch filter row"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val docs = ScaleFixture.replicateTable(spark, tmp, "documents", 104)
+      .select((col("doc_id") / ScaleFixture.Offset).cast("int").as("r"),
+        col("text"))
+    val sh = docs.select(col("r"), explode(expr(
+      "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1))," +
+        " i -> array_join(slice(split(text, ' '), i, 5), ' '))"))
+      .as("shingle"))
+    val crossReplica = sh.groupBy(col("shingle"))
+      .agg(countDistinct(col("r")).as("nr"))
+      .filter(col("nr") > 1).count()
+    assert(crossReplica === 0)
+  }
+
+  test("fourth-decade embeddings: the wrap block negates (norms and " +
+      "within-replica geometry exact, cross-wrap cosine is -1, pairwise " +
+      "distinct)") {
+    // sf0.001 embeddings are 64-dim, so factor 104 exercises the
+    // negation block (r >= 64). Replica 64 is rotation 0 negated: its
+    // vectors must be the exact elementwise negation of replica 0 —
+    // cosine -1, never +1, so no dedup/top-k can pick the pair.
+    val emb = ScaleFixture.replicateTable(spark, dir, "embeddings", 104)
+      .filter(col("vec_id") % ScaleFixture.Offset === 0)
+      .select((col("vec_id") / ScaleFixture.Offset).cast("int").as("r"),
+        col("embedding"))
+    val rows = emb.filter(col("r").isin(0, 1, 64, 65)).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(rows(64) == rows(0).map(-_))
+    assert(rows(65) == rows(1).map(-_))
+    // distinctness across the whole replica axis for one base vector:
+    // 104 distinct (rotation, sign) images
+    assert(emb.select("embedding").distinct().count() === 104)
   }
 
   test("third-decade factors keep every replica pair SHINGLE-disjoint: " +
@@ -126,8 +179,8 @@ class ScaleFixtureSpec extends AnyFunSuite {
     assert(collisions === 0)
   }
 
-  test("a factor past the embedding dimension fails loudly instead of " +
-      "aliasing replica rotations") {
+  test("a factor past twice the embedding dimension fails loudly instead " +
+      "of aliasing replica (rotation, sign) keys") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("scalefix-dim")
       .toString
@@ -135,9 +188,12 @@ class ScaleFixtureSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$tmp/embeddings.parquet")
     val e = intercept[IllegalArgumentException] {
-      ScaleFixture.replicateTable(spark, tmp, "embeddings", 4)
+      ScaleFixture.replicateTable(spark, tmp, "embeddings", 7)
     }
     assert(e.getMessage.contains("dim"))
+    // 2x dim exactly still replicates cleanly (6 distinct images)
+    assert(ScaleFixture.replicateTable(spark, tmp, "embeddings", 6)
+      .select("embedding").distinct().count() === 6)
   }
 
   test("an empty source table replicates to empty, no NPE from the " +
