@@ -40,14 +40,20 @@ object ScaleGraph {
     "q_hits", "q_graph_assortativity")
 
   /** Per-name (scaled_sec, scaled_shuffle) out of a committed ScaleSuite
-    * ledger, skipping names the prior run recorded as scaled timeouts
-    * (their `scaled` field is the watchdog cutoff, not a measurement).
+    * ledger, skipping names the prior run recorded as scaled timeouts OR
+    * scaled failures (a timeout's `scaled` field is the watchdog cutoff
+    * and a failure's is time-to-crash with a partial shuffle — neither is
+    * a measurement a growth baseline may rest on). Query rows carry
+    * failure status only in the ledger-level `scaled_failed` array (their
+    * inline fields have no status), so both arrays are parsed.
     */
   private[graft] def priorScaled(ledger: String)
       : Map[String, (Double, Long)] = {
-    val timedOut = """"scaled_timeout":\[([^\]]*)\]""".r
-      .findFirstMatchIn(ledger).map(_.group(1)).getOrElse("")
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet
+    def names(field: String): Set[String] =
+      (s""""$field":\\[([^\\]]*)\\]""").r
+        .findFirstMatchIn(ledger).map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet
+    val timedOut = names("scaled_timeout") ++ names("scaled_failed")
     val row = ("\"([A-Za-z0-9_]+)\":\\{\"base\":[0-9.]+," +
       "\"scaled\":([0-9.]+),([^{}]*?)\"scaled_shuffle\":([0-9]+)").r
     row.findAllMatchIn(ledger).collect {
@@ -69,13 +75,36 @@ object ScaleGraph {
       sys.env.getOrElse("SPARK_GRAFT_SCALE_TIMEOUT", "900").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Bench.defaultCpus)
     val priorPath = java.nio.file.Paths.get(ScaleSuite.ledgerName(refFactor))
-    val prior =
+    val priorLedger =
       if (java.nio.file.Files.exists(priorPath))
-        priorScaled(new String(java.nio.file.Files.readAllBytes(priorPath),
+        Some(new String(java.nio.file.Files.readAllBytes(priorPath),
           java.nio.charset.StandardCharsets.UTF_8))
-      else Map.empty[String, (Double, Long)]
+      else None
+    val prior = priorLedger.map(priorScaled)
+      .getOrElse(Map.empty[String, (Double, Long)])
+    // Same pre-flight guards as ScaleSuite, against the reference decade
+    // scaled by the factor ratio: the dial rule (builds at 2x budget,
+    // queries at 1x) and the scratch-capacity rule — the f104 attempt
+    // burned 71 minutes on a disk failure the f52 ledger's largest
+    // shuffle already predicted.
+    if (!sys.env.get("SPARK_GRAFT_SCALE_FORCE").contains("1")) {
+      priorLedger.foreach { ledger =>
+        val ratio = factor.toDouble / refFactor
+        ScaleSuite.timeoutGuard(ledger, timeoutSec, ratio)
+          .orElse(ScaleSuite.diskGuard(ledger, ratio,
+            java.nio.file.Files.getFileStore(
+              java.nio.file.Paths.get("/tmp")).getUsableSpace,
+            ScaleSuite.executionMemoryBytes()))
+          .foreach { reason =>
+            System.err.println(s"REFUSING factor-$factor graph decade " +
+              s"(prior: factor-$refFactor ${priorPath.getFileName}): " +
+              reason)
+            sys.exit(2)
+          }
+      }
+    }
 
-    val spark = SparkSession.builder()
+    val spark = Bench.withBoundedStore(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

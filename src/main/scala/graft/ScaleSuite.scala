@@ -95,15 +95,21 @@ object ScaleSuite {
     * at a per-query timeout whose 2x build budget (600 s) was under
     * m_triangle_state's last-known ~757 s wall at that factor, and the
     * guaranteed build timeout cascaded recompute timeouts into all four
-    * triangle-state consumers. Given the PRIOR committed ledger for this
-    * factor, refuse to start when (a) the largest ok-status priced
-    * build's scaled wall does not fit the 2x build budget, or (b) the
-    * prior run recorded scaled timeouts at a dial >= the requested one
-    * (same dial, same outcome — re-running buys no information).
+    * triangle-state consumers. Given a PRIOR committed ledger (the same
+    * factor's, or a smaller decade's with `ratio` = factor/priorFactor,
+    * the wall growth a linear cost model predicts), refuse to start when
+    * (a) the largest ok-status priced build's scaled wall × ratio does
+    * not fit the 2x build budget, (b) the prior run recorded scaled
+    * timeouts at an effective dial >= the requested one (same dial, same
+    * outcome — re-running buys no information), or (c) the largest
+    * ok-status QUERY row's scaled wall × ratio does not fit the 1x query
+    * budget — a dial can clear every build and still sit under a prior
+    * per-query wall (q_triangles measured 319 s at f52; a 300 s dial
+    * would re-time-out that row while passing the build rule).
     * Override with SPARK_GRAFT_SCALE_FORCE=1.
     */
-  private[graft] def timeoutGuard(priorLedger: String, timeoutSec: Long)
-      : Option[String] = {
+  private[graft] def timeoutGuard(priorLedger: String, timeoutSec: Long,
+      ratio: Double = 1.0): Option[String] = {
     val priorDial = """"timeout_sec":(\d+)""".r
       .findFirstMatchIn(priorLedger).map(_.group(1).toLong)
     val priorTimeouts = """"scaled_timeout":\[([^\]]*)\]""".r
@@ -111,17 +117,107 @@ object ScaleSuite {
     val maxBuild = """"scaled":([0-9.]+),"x":[^,]*,"base_status":"[a-z]+","scaled_status":"ok"""".r
       .findAllMatchIn(priorLedger).map(_.group(1).toDouble)
       .foldLeft(0.0)(math.max)
-    if (timeoutSec * 2 < maxBuild)
+    // ok QUERY rows: inline fields carry no status (base_pre follows x),
+    // and non-measurements live in the scaled_timeout / scaled_failed
+    // arrays — exclude both (a timeout's wall is the cutoff, a failure's
+    // is time-to-crash).
+    val notOk = Seq("scaled_timeout", "scaled_failed").flatMap { f =>
+      (s""""$f":\\[([^\\]]*)\\]""").r.findFirstMatchIn(priorLedger)
+        .map(_.group(1)).getOrElse("").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }.toSet
+    val queryRow =
+      """"([A-Za-z0-9_]+)":\{"base":[0-9.]+,"scaled":([0-9.]+),"x":[^,]*,"base_pre"""".r
+    val maxQuery = queryRow.findAllMatchIn(priorLedger)
+      .collect { case m if !notOk.contains(m.group(1)) =>
+        m.group(2).toDouble }
+      .foldLeft(0.0)(math.max)
+    if (timeoutSec * 2 < maxBuild * ratio)
       Some(f"dial $timeoutSec s gives a ${timeoutSec * 2} s build budget " +
-        f"< the prior ledger's largest ok build wall $maxBuild%.1f s — " +
-        "the build WILL time out and cascade; raise " +
+        f"< the prior ledger's largest ok build wall $maxBuild%.1f s x " +
+        f"$ratio%.2f growth = ${maxBuild * ratio}%.1f s — the build WILL " +
+        "time out and cascade; raise " +
         "SPARK_GRAFT_SCALE_TIMEOUT (or SPARK_GRAFT_SCALE_FORCE=1)")
-    else if (priorTimeouts.nonEmpty && priorDial.exists(timeoutSec <= _))
+    else if (timeoutSec < maxQuery * ratio)
+      Some(f"dial $timeoutSec s (query budget is 1x the dial) < the " +
+        f"prior ledger's largest ok query wall $maxQuery%.1f s x " +
+        f"$ratio%.2f growth = ${maxQuery * ratio}%.1f s — that query " +
+        "WILL time out; raise SPARK_GRAFT_SCALE_TIMEOUT (or " +
+        "SPARK_GRAFT_SCALE_FORCE=1)")
+    else if (priorTimeouts.nonEmpty &&
+        priorDial.exists(timeoutSec <= _ * ratio))
       Some(s"prior ledger recorded scaled timeouts [$priorTimeouts] at " +
         s"dial ${priorDial.get} s; re-running at $timeoutSec s repeats " +
         "the mistake — raise SPARK_GRAFT_SCALE_TIMEOUT (or " +
         "SPARK_GRAFT_SCALE_FORCE=1)")
     else None
+  }
+
+  /** Pre-flight scratch-capacity guard — makes the r17 f104 burn (71
+    * minutes to a predictable SPILL_OUT_OF_MEMORY) structurally
+    * unrepeatable: the single-box peak scratch for a decade is the
+    * largest shuffle write plus its concurrent reduce-wave spill
+    * (≈ shuffle − execution memory; README "Fourth decade" arithmetic,
+    * measured: f104's ~54 GB wedge shuffle peaked at ~94-108 GB against
+    * 76 GB free, while f52's ~27 GB fit). Scale the prior ledger's
+    * largest scaled shuffle by the factor ratio, estimate the peak, and
+    * refuse — with the arithmetic printed — when it exceeds the scratch
+    * filesystem's free bytes. Override with SPARK_GRAFT_SCALE_FORCE=1.
+    */
+  private[graft] def diskGuard(priorLedger: String, ratio: Double,
+      freeBytes: Long, execBytes: Long): Option[String] = {
+    val maxShuffle = """"scaled_shuffle":(\d+)""".r
+      .findAllMatchIn(priorLedger).map(_.group(1).toLong)
+      .foldLeft(0L)(math.max)
+    val est = maxShuffle * ratio
+    val spillWave = math.max(0.0, est - execBytes)
+    val peak = est + spillWave
+    def gb(b: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(b / 1e9))
+    if (peak > freeBytes)
+      Some(s"estimated peak scratch ${gb(est)} GB shuffle (prior ledger " +
+        s"max ${gb(maxShuffle.toDouble)} GB x ${String.format(
+          java.util.Locale.ROOT, "%.2f", Double.box(ratio))} growth) + " +
+        s"${gb(spillWave)} GB reduce-wave spill (shuffle - ${gb(
+          execBytes.toDouble)} GB execution memory) = ${gb(peak)} GB > " +
+        s"${gb(freeBytes.toDouble)} GB free — the decade WILL die " +
+        "mid-build with SPILL_OUT_OF_MEMORY; free scratch, raise " +
+        "SPARK_DRIVER_MEM, or SPARK_GRAFT_SCALE_FORCE=1")
+    else None
+  }
+
+  /** Spark's unified-memory estimate for this JVM (the forked run JVM's
+    * -Xmx is the SPARK_DRIVER_MEM dial): (heap − 300 MB reserve) × 0.6 —
+    * 24 g ⇒ ~14 GB, the number the README's measured f104 spill
+    * arithmetic implies.
+    */
+  private[graft] def executionMemoryBytes(): Long =
+    ((Runtime.getRuntime.maxMemory - 300L * 1024 * 1024) * 0.6).toLong
+
+  /** Nearest committed prior-decade ledger at or below `factor`: scan the
+    * working directory for ScaleSuite ledger names (BENCH_SF{n} = factor
+    * 10n, BENCH_SFx{n} = factor n; ScaleGraph's *_graph ledgers have a
+    * different row shape and are excluded by the pattern) and return the
+    * largest-factor match. This is what lets the guards fire on a FRESH
+    * factor (the f104 attempt had no f104 ledger to read — only the f52
+    * one that already predicted the failure).
+    */
+  private[graft] def priorLedgerFile(factor: Int,
+      dir: java.nio.file.Path = java.nio.file.Paths.get("."))
+      : Option[(Int, java.nio.file.Path)] = {
+    val pat = """BENCH_SF(x?)(\d+)\.json""".r
+    val listing = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case pat(x, n) =>
+            val f = if (x == "x") n.toInt else n.toInt * 10
+            if (f <= factor) Some(f -> p) else None
+          case _ => None
+        }
+      }.toSeq.sortBy(-_._1).headOption
+    } finally listing.close()
   }
 
   /** Ledger file name for a factor: 10/20/... land on the effective-SF
@@ -166,16 +262,29 @@ object ScaleSuite {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Bench.defaultCpus)
     val out = ledgerName(factor)
     val outPath = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(outPath) &&
-        !sys.env.get("SPARK_GRAFT_SCALE_FORCE").contains("1")) {
-      timeoutGuard(new String(java.nio.file.Files.readAllBytes(outPath),
-          java.nio.charset.StandardCharsets.UTF_8), timeoutSec).foreach {
-        reason =>
-          System.err.println(s"REFUSING factor-$factor decade: $reason")
-          sys.exit(2)
+    // Pre-flight guards against the NEAREST committed decade at or below
+    // this factor (same-factor ledger when one exists): the dial guard
+    // scaled by the factor ratio, plus the scratch-capacity guard — a
+    // fresh factor with no own ledger (the r17 f104 burn) is exactly the
+    // case where the smaller decade already predicts the failure.
+    if (!sys.env.get("SPARK_GRAFT_SCALE_FORCE").contains("1")) {
+      priorLedgerFile(factor).foreach { case (priorFactor, path) =>
+        val ledger = new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val ratio = factor.toDouble / priorFactor
+        timeoutGuard(ledger, timeoutSec, ratio)
+          .orElse(diskGuard(ledger, ratio,
+            java.nio.file.Files.getFileStore(
+              java.nio.file.Paths.get("/tmp")).getUsableSpace,
+            executionMemoryBytes()))
+          .foreach { reason =>
+            System.err.println(s"REFUSING factor-$factor decade " +
+              s"(prior: factor-$priorFactor ${path.getFileName}): $reason")
+            sys.exit(2)
+          }
       }
     }
-    val spark = SparkSession.builder()
+    val spark = Bench.withBoundedStore(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -15,12 +15,18 @@ subset — comparison runs over the intersection.
 """
 import json, sys
 
-# 1-min loadavg gap (absolute) above which the two artifacts were
-# recorded under materially different host contention. The single-core
+# 1-min loadavg gap above which the NEW artifact was recorded under
+# materially more host contention than the old one. The single-core
 # md5 probe CANNOT see 32-thread contention — in the r16 round the probe
 # read the loaded host as FASTER (44 -> 34 ms) and amplified phantom
-# regressions by 1/0.77 — so when the loads differ this much, rows above
-# threshold are demoted to suspects instead of failing the gate.
+# regressions by 1/0.77 — so when the NEW side is loaded by this much,
+# rows above threshold are demoted to suspects instead of failing the
+# gate. The gap is DIRECTIONAL (r18, per the r17 advice): when the OLD
+# artifact was the loaded one and the new run is quiet, an
+# above-threshold row was just CONFIRMED on a quiet host — demoting it
+# would weaken the gate in exactly the direction the r16 incident
+# taught; such rows stay hard regressions, flagged with the old-side
+# load as supporting evidence.
 LOAD_GAP = 1.5
 
 
@@ -44,13 +50,16 @@ def load1(artifact):
 def diff(old, new, threshold=2.0):
     """Probe-normalized per-query comparison of two loaded artifacts.
 
-    Returns (rows, regressions, suspects, norm, both_probed): rows are
-    (query, old_sec, new_sec, normalized_ratio) sorted worst-first;
-    regressions is the subset above `threshold` that is ALSO slower in
-    raw wall time (> 1.25x) AND was not recorded under materially
-    different host load; suspects are (row, reason) pairs above
-    `threshold` normalized that fail one of those demotion checks —
-    reported for adjudication, never silently dropped.
+    Returns (rows, regressions, suspects, norm, both_probed,
+    old_loaded): rows are (query, old_sec, new_sec, normalized_ratio)
+    sorted worst-first; regressions is the subset above `threshold` that
+    is ALSO slower in raw wall time (> 1.25x) AND whose NEW artifact was
+    not recorded under materially higher host load than the old one;
+    suspects are (row, reason) pairs above `threshold` normalized that
+    fail one of those demotion checks — reported for adjudication, never
+    silently dropped. old_loaded reports the symmetric case (the OLD
+    artifact carried the contention): regressions then stand CONFIRMED
+    by the quiet new run, and the caller should say so.
 
     Why the raw floor: the probe exists to catch a SLOWER container
     masking a real regression (r11: raw 1.6-2.5x on a quiet host, probe
@@ -68,20 +77,30 @@ def diff(old, new, threshold=2.0):
     isolation) instead of the gate eating them.
 
     Why the load check: both artifacts carry loadavg_start (r16+). When
-    the 1-min loads differ by more than LOAD_GAP, the slower artifact
-    was measured under contention the probe cannot represent (r16: the
-    driver bench ran at loadavg 2.94 rising to 5.04 and flagged
+    the NEW artifact's 1-min load exceeds the old's by LOAD_GAP, the new
+    run was measured under contention the probe cannot represent (r16:
+    the driver bench ran at loadavg 2.94 rising to 5.04 and flagged
     q_triangles at 2.01x, while the quiet re-run of the same HEAD was
     FASTER than the prior round). Such rows demote to suspects with a
-    "loaded host" reason — re-record on a quiet host to adjudicate.
+    "loaded host" reason — re-record on a quiet host to adjudicate. The
+    check is one-sided: contention on the OLD side makes old_sec too
+    big and ratios too SMALL, so a row still above threshold against a
+    loaded old artifact is a regression a quiet re-run just confirmed —
+    demoting it (the pre-r18 abs() behavior) would have let genuine
+    regressions ride a historically-loaded baseline through the gate.
     """
     po, pn = old.get("cpu_probe_ms"), new.get("cpu_probe_ms")
     both_probed = bool(po and pn and po > 0 and pn > 0)
     norm = (pn / po) if both_probed else 1.0
     lo, ln = load1(old), load1(new)
-    loaded = (lo is not None and ln is not None and abs(ln - lo) > LOAD_GAP)
+    # Directional: only NEW-side contention inflates new_sec and warrants
+    # demotion. OLD-side contention inflates old_sec, which UNDER-reads
+    # ratios — an above-threshold row despite a loaded old artifact was
+    # confirmed by the quiet new run and must stay a hard regression.
+    new_loaded = (lo is not None and ln is not None and ln - lo > LOAD_GAP)
+    old_loaded = (lo is not None and ln is not None and lo - ln > LOAD_GAP)
     load_reason = (f"loaded host (loadavg_start {lo:.2f} vs {ln:.2f})"
-                   if loaded else None)
+                   if new_loaded else None)
     oq, nq = old["queries"], new["queries"]
     rows = []
     for q in sorted(set(oq) & set(nq)):
@@ -92,20 +111,21 @@ def diff(old, new, threshold=2.0):
     over = [r for r in rows if r[3] > threshold]
     regressions, suspects = [], []
     for r in over:
-        if loaded:
+        if new_loaded:
             suspects.append((r, load_reason))
         elif r[2] / r[1] > 1.25:
             regressions.append(r)
         else:
             suspects.append((r, "raw <= 1.25x floor — container drift or "
                                 "a regression absorbed by a faster host"))
-    return rows, regressions, suspects, norm, both_probed
+    return rows, regressions, suspects, norm, both_probed, old_loaded
 
 
 def main(old_path, new_path, threshold=2.0):
     old, new = load(old_path), load(new_path)
     po, pn = old.get("cpu_probe_ms"), new.get("cpu_probe_ms")
-    rows, regressions, suspects, norm, both_probed = diff(old, new, threshold)
+    rows, regressions, suspects, norm, both_probed, old_loaded = \
+        diff(old, new, threshold)
     if both_probed:
         print(f"host normalization: probe {po} -> {pn} ms "
               f"(dividing ratios by {norm:.2f})")
@@ -114,10 +134,15 @@ def main(old_path, new_path, threshold=2.0):
               "(host drift not separable)")
     lo, ln = load1(old), load1(new)
     if lo is not None and ln is not None:
-        print(f"loadavg_start: {lo:.2f} -> {ln:.2f}"
-              + (f" — gap > {LOAD_GAP}, above-threshold rows demote to "
-                 f"suspect (single-core probe can't see 32-thread "
-                 f"contention)" if abs(ln - lo) > LOAD_GAP else ""))
+        note = ""
+        if ln - lo > LOAD_GAP:
+            note = (f" — NEW side loaded by > {LOAD_GAP}, above-threshold "
+                    f"rows demote to suspect (single-core probe can't see "
+                    f"32-thread contention)")
+        elif old_loaded:
+            note = (f" — OLD side was the loaded one; above-threshold rows "
+                    f"stand CONFIRMED by this quiet run (no demotion)")
+        print(f"loadavg_start: {lo:.2f} -> {ln:.2f}{note}")
     oq, nq = old["queries"], new["queries"]
     common = sorted(set(oq) & set(nq))
     if not common:

@@ -35,8 +35,12 @@ def main(new_path="target/bench.json", snap_path="BENCH_FULL.json",
         print(f"no previous snapshot at {snap_path}: writing first snapshot")
     suspect_banner = []
     if old is not None:
-        rows, regressions, suspects, norm, both_probed = \
+        rows, regressions, suspects, norm, both_probed, old_loaded = \
             diff(old, new, threshold)
+        if old_loaded:
+            print("note: previous snapshot was recorded under higher load "
+                  "— any regression below stands confirmed by this "
+                  "quieter run")
         kind = "probe-normalized" if both_probed else "RAW (no probe)"
         print(f"diff vs {snap_path}: {len(rows)} common queries, "
               f"norm {norm:.2f} ({kind})")

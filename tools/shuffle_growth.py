@@ -64,6 +64,11 @@ ap.add_argument("small", help="smaller-factor ScaleSuite ledger JSON")
 ap.add_argument("large", help="larger-factor ScaleSuite ledger JSON")
 ap.add_argument("--prior", default=None, metavar="LEDGER",
                 help="earliest-decade ledger for flag reclassification")
+ap.add_argument("--write-classes", action="store_true",
+                help="persist the classification back into the LARGER "
+                     "ledger as a `shuffle_classes` section, so the "
+                     "committed artifact is self-describing instead of "
+                     "the adjudication living only in README prose")
 cli = ap.parse_args()
 prior = json.load(open(cli.prior)) if cli.prior else None
 small = json.load(open(cli.small))
@@ -71,12 +76,40 @@ large = json.load(open(cli.large))
 ratio = large["factor"] / small["factor"]
 quad = set(large.get("quadratic_baselines", {})) | GROUND_TRUTH_QUADRATIC
 
+
+def row_shuffle(row):
+    """Scaled shuffle bytes from either ledger shape: ScaleSuite rows
+    carry scaled_shuffle; ScaleGraph (targeted-decade) rows carry
+    shuffle + status."""
+    if row.get("status") not in (None, "ok"):
+        return None
+    if "scaled_shuffle" in row:
+        return row["scaled_shuffle"]
+    return row.get("shuffle")
+
+
+# ScaleGraph ledgers also price the materialized builds per decade —
+# include them (they carry the suite's LARGEST shuffles by design, and
+# their declared cost models are the point of the fourth decade).
+def rows_of(ledger):
+    rows = dict(ledger["queries"])
+    for name, row in ledger.get("materializations", {}).items():
+        if "scaled_status" in row and row["scaled_status"] != "ok":
+            continue
+        rows.setdefault(name, row)
+    return rows
+
+
+large_rows = rows_of(large)
+small_rows = rows_of(small)
 boundary, clean, transition, flagged = [], [], [], []
-for q, lv in sorted(large["queries"].items()):
-    sv = small["queries"].get(q)
+for q, lv in sorted(large_rows.items()):
+    sv = small_rows.get(q)
     if sv is None:
         continue
-    s_sh, l_sh = sv.get("scaled_shuffle", 0), lv.get("scaled_shuffle", 0)
+    s_sh, l_sh = row_shuffle(sv), row_shuffle(lv)
+    if s_sh is None or l_sh is None:
+        continue
     if l_sh < 64 * 1024 * 1024:
         continue
     if s_sh < 4 * 1024 * 1024:
@@ -109,19 +142,22 @@ def show(rows, label):
 # growth sat within the linear budget is a second broadcast-edge
 # crossing, not a quadratic component (which would have been superlinear
 # in the prior decade too). Evidence printed, never silent.
+reclassified = []
 if prior is not None and flagged:
     p_ratio = small["factor"] / prior["factor"]
     still = []
     for row in flagged:
         growth, q, s_sh, l_sh = row
-        pv = prior["queries"].get(q, {})
-        p_sh = pv.get("scaled_shuffle", 0)
+        pv = rows_of(prior).get(q, {})
+        p_sh = row_shuffle(pv) or 0
         if p_sh > 0 and s_sh / p_sh <= p_ratio * 1.5:
             transition.append(row)
-            print(f"reclassified {q}: prior decade "
-                  f"({prior['factor']}x -> {small['factor']}x) grew "
-                  f"x{s_sh/p_sh:.2f} <= linear budget {p_ratio*1.5:.2f} "
-                  f"— second broadcast-edge crossing, not quadratic")
+            evidence = (f"prior decade ({prior['factor']}x -> "
+                        f"{small['factor']}x) grew x{s_sh/p_sh:.2f} <= "
+                        f"linear budget {p_ratio*1.5:.2f} — second "
+                        f"broadcast-edge crossing, not quadratic")
+            reclassified.append({"name": q, "evidence": evidence})
+            print(f"reclassified {q}: {evidence}")
         else:
             still.append(row)
     flagged = still
@@ -136,4 +172,26 @@ if boundary:
     print(f"boundary-crossing (broadcast at the smaller fixture; plan "
           f"pins are the check): {[q for q, _, _ in boundary]}")
 show(flagged, "FLAGGED (faster than quadratic)")
+
+if cli.write_classes:
+    def named(rows):
+        return [{"name": q, "small_shuffle": s, "large_shuffle": l,
+                 "growth": round(g, 2)}
+                for g, q, s, l in sorted(rows, reverse=True)]
+    large["shuffle_classes"] = {
+        "vs": cli.small, "vs_factor": small["factor"],
+        "ratio": round(ratio, 4),
+        "linear_budget": round(ratio * 1.5, 4),
+        "quadratic_budget": round(ratio * ratio * 1.5, 4),
+        "clean": sorted(q for _, q, _, _ in clean),
+        "transition": named(transition),
+        "boundary": [{"name": q, "small_shuffle": s, "large_shuffle": l}
+                     for q, s, l in boundary],
+        "flagged": named(flagged),
+        "reclassified": reclassified,
+    }
+    with open(cli.large, "w") as f:
+        json.dump(large, f, separators=(",", ":"))
+        f.write("\n")
+    print(f"shuffle_classes section written into {cli.large}")
 sys.exit(1 if flagged else 0)
