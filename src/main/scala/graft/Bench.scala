@@ -26,6 +26,35 @@ object Bench {
     */
   private[graft] val defaultCpus = "32"
 
+  /** Status-store retention dialed to near-zero for every measuring
+    * session. Even with the UI disabled, AppStatusListener +
+    * SQLAppStatusListener retain the last 1000 executions / stages —
+    * each SQL execution holds the FULL plan description and metric
+    * graph, and this registry's plans are deep. Over a 285-query suite
+    * (x2: warmup + timed) that is hundreds of MB of old-gen by the last
+    * alphabetical rows: the r17 quiet bench measured ~10x gc_millis on
+    * the final ~15 queries (q_window_ntile 0.73 s -> 2.30 s) at
+    * byte-identical shuffle — accumulated store growth, not plans.
+    * Keeping a handful of entries preserves post-run debuggability
+    * (PlanProbe reads the LAST execution) while bounding the heap.
+    */
+  private[graft] val storeRetention: Seq[(String, String)] = Seq(
+    "spark.sql.ui.retainedExecutions" -> "4",
+    "spark.ui.retainedJobs" -> "50",
+    "spark.ui.retainedStages" -> "100",
+    "spark.ui.retainedTasks" -> "1000",
+    "spark.ui.retainedDeadExecutors" -> "0",
+    "spark.worker.ui.retainedExecutors" -> "10",
+    "spark.worker.ui.retainedDrivers" -> "10",
+  )
+
+  /** Apply [[storeRetention]] to a session builder — one shared dial so
+    * Bench/ScaleSuite/ScaleGraph/Verify can't drift apart on it.
+    */
+  private[graft] def withBoundedStore(b: SparkSession.Builder)
+      : SparkSession.Builder =
+    storeRetention.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   /** Force a query through its FULL physical plan and throw the rows away
     * executor-side — same effect as a noop-datasource write (`.count()`
     * would let Catalyst prune final sorts/projections), but it executes
