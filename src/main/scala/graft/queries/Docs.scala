@@ -651,6 +651,17 @@ object Docs {
         .agg(count(lit(1)).as("n_docs"))
         .withColumn("agree", col("lang") === col("pred_lang"))),
 
+    // The char-trigram upgrade of q_langid_confusion: same NB scoring
+    // pipeline over position grams instead of whitespace unigrams — the
+    // feature family that keeps working on unsegmented scripts (CJK,
+    // Thai), where whitespace tokenization yields one whole-sentence
+    // "token" per doc and the unigram model collapses to the prior.
+    "q_langid_chargram" -> ((s, dir) =>
+      langidChargram(s, dir)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("agree", col("lang") === col("pred_lang"))),
+
     // Inter-filter agreement (Cohen's kappa) between the heuristic
     // quality filter and the Gopher SHAPE rules (word count, mean word
     // length, alpha ratio, symbol ratios — the stop-word rule is
@@ -2677,9 +2688,11 @@ object Docs {
     * docs share a host+path; the decorations that canonicalization must
     * remove (case, default ports, tracking params, trailing slash,
     * fragment) and must KEEP (the :8080 non-default port, the id= real
-    * param) vary by residue so every rule is exercised both ways.
+    * param) vary by residue so every rule is exercised both ways. The
+    * d%7 ∈ {3,4} residues carry the SAME two kept params in both orders,
+    * so the param-sort rule is exercised both ways too.
     */
-  private def synthUrl: Column = {
+  private[graft] def synthUrl: Column = {
     val d = col("doc_id")
     val g = (d / 10).cast("long")
     val host = concat(lit("www.site"), g, lit(".example.com"))
@@ -2694,6 +2707,8 @@ object Docs {
           concat(lit("?id="), g, lit("&utm_source=feed&utm_campaign=sync")))
         .when(d % 7 === 1, "?utm_medium=rss")
         .when(d % 7 === 2, concat(lit("?ref=home&id="), g))
+        .when(d % 7 === 3, concat(lit("?id="), g, lit("&page=2")))
+        .when(d % 7 === 4, concat(lit("?page=2&id="), g))
         .otherwise(""),
       when(d % 11 === 0, concat(lit("#sec"), d % 3)).otherwise(""))
   }
@@ -2701,12 +2716,14 @@ object Docs {
   /** URL canonicalization, one codegen'd projection: lowercase scheme
     * and host, strip the scheme's default port (http:80 / https:443,
     * others kept), strip trailing slashes from the path, drop tracking
-    * params (utm_*, fbclid, gclid, ref) keeping the rest in original
-    * order, drop the fragment — the C4/Dolma pre-dedup normalization.
-    * Structure comes from parse_url (never hand-split), params from one
-    * array HOF over the query string.
+    * params (utm_*, fbclid, gclid, ref) and SORT the kept params
+    * lexicographically (re-crawls differing only in param order must
+    * collapse — C4/Dolma-grade canonicalizers sort), drop the fragment —
+    * the C4/Dolma pre-dedup normalization. Structure comes from
+    * parse_url (never hand-split), params from one array HOF over the
+    * query string.
     */
-  private[queries] def urlCanon(url: Column): Column = {
+  private[graft] def urlCanon(url: Column): Column = {
     def part(p: String) = call_function("parse_url", url, lit(p))
     val proto = lower(part("PROTOCOL"))
     val host = lower(part("HOST"))
@@ -2716,8 +2733,8 @@ object Docs {
         !(proto === "https" && port === "443"),
       concat(lit(":"), port)).otherwise("")
     val q = part("QUERY")
-    val keptQ = array_join(filter(split(q, "&"),
-      p => !p.rlike("^(utm_[a-z]+|fbclid|gclid|ref)=")), "&")
+    val keptQ = array_join(array_sort(filter(split(q, "&"),
+      p => !p.rlike("^(utm_[a-z]+|fbclid|gclid|ref)="))), "&")
     val queryPart = when(q.isNull || keptQ === "", lit(""))
       .otherwise(concat(lit("?"), keptQ))
     concat(proto, lit("://"), host, portPart,
@@ -2731,14 +2748,22 @@ object Docs {
     * the per-lang constants and the vocab×L weight table are broadcast
     * into the scoring join, so the corpus token stream shuffles once —
     * on doc_id, for the per-(doc, lang) hash-agg.
+    *
+    * Parameterized on the FEATURE extractor (`feats` array per doc,
+    * `nFeats` its length) so the whitespace-unigram model and the
+    * fastText-style char-n-gram model (which survives unsegmented
+    * scripts — CJK/Thai tokenize to whole sentences under whitespace
+    * splitting and the unigram model collapses; Joulin 2016 §2, CCNet
+    * §3.1) share one scoring pipeline and one plan shape.
     */
-  private def langidBest(s: SparkSession, dir: String): DataFrame = {
+  private def langidBestOn(s: SparkSession, dir: String,
+      feats: Column => Column, nFeats: Column => Column): DataFrame = {
     val docs = t(s, dir, "documents")
     val train = docs.filter(splitCol(col("doc_id")) === "train")
       .select(col("lang").as("mlang"), col("text"))
       .localCheckpoint()
     val cnt = train
-      .select(col("mlang"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("mlang"), explode(feats(col("text"))).as("tok"))
       .groupBy(col("mlang"), col("tok")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val tl = cnt.groupBy(col("mlang")).agg(sum(col("c")).as("tl"))
@@ -2757,9 +2782,9 @@ object Docs {
         floor(log((col("c") + lit(1.0)) / (col("tl") + col("v"))) * 1e9
           + 0.5).cast("long").as("w_nano"))
     val nt = docs.select(col("doc_id"), col("lang"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      nFeats(col("text")).cast("long").as("n_tokens"))
     val hit = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), explode(feats(col("text"))).as("tok"))
       .join(broadcast(w), Seq("tok"))
       .groupBy(col("doc_id"), col("mlang"))
       .agg(sum(col("w_nano")).as("sw"), count(lit(1)).as("n_hit"))
@@ -2775,6 +2800,29 @@ object Docs {
         col("best.mlang").as("pred_lang"),
         col("best.score_nano").as("score_nano"))
   }
+
+  /** The whitespace-unigram NB (the r17 model). */
+  private def langidBest(s: SparkSession, dir: String): DataFrame =
+    langidBestOn(s, dir, t => split(t, " "), t => size(split(t, " ")))
+
+  /** Char-trigram features: every position of the raw text (spaces
+    * included, so word-boundary grams like " th" are features too —
+    * fastText's subword trick at n=3). One `transform` over a position
+    * sequence — codegen'd, no UDF; a text shorter than 3 chars yields
+    * its single truncated gram, so no doc scores on an empty feature
+    * set.
+    */
+  private def chargrams(t: Column): Column =
+    transform(sequence(lit(1), greatest(length(t) - 2, lit(1))),
+      i => t.substr(i, lit(3)))
+
+  /** The char-trigram NB — identical scoring pipeline and plan shape
+    * (one broadcast weight table, one scoring scan, per-doc hash-agg);
+    * only the feature extractor differs.
+    */
+  private def langidChargram(s: SparkSession, dir: String): DataFrame =
+    langidBestOn(s, dir, chargrams,
+      t => greatest(length(t) - 2, lit(1)))
 
   private def bpeCtes(rounds: Int): String = {
     val v0 =
@@ -3219,6 +3267,66 @@ object Docs {
     * `lid_best(doc_id, lang, pred_lang, score_nano, rn)`; consumers
     * filter rn = 1. Expects `splits` in scope.
     */
+  /** langidCtes with char-trigram features: tokens are every substring
+    * position i..i+2 of the raw text (spaces included), a sub-3-char
+    * text contributing its single truncated gram — exactly
+    * [[chargrams]]' arithmetic. range(1, n+1) because DuckDB range is
+    * end-exclusive.
+    */
+  private val chargramCtes =
+    """cg_tr AS (
+      |  SELECT d.lang AS mlang, d.text FROM documents d
+      |  JOIN splits s ON s.doc_id = d.doc_id WHERE s.split = 'train'),
+      |cg_cnt AS (
+      |  SELECT mlang, tok, count(*) AS c FROM (
+      |    SELECT mlang, unnest(list_transform(
+      |      range(1, greatest(length(text) - 2, 1) + 1),
+      |      i -> substring(text, CAST(i AS INTEGER), 3))) AS tok
+      |    FROM cg_tr)
+      |  GROUP BY 1, 2),
+      |cg_tl AS (SELECT mlang, CAST(sum(c) AS BIGINT) AS tl
+      |  FROM cg_cnt GROUP BY 1),
+      |cg_v AS (SELECT count(DISTINCT tok) AS v FROM cg_cnt),
+      |cg_dl AS (SELECT mlang, count(*) AS dl FROM cg_tr GROUP BY 1),
+      |cg_dt AS (SELECT count(*) AS dt FROM cg_tr),
+      |cg_lc AS (
+      |  SELECT mlang,
+      |    CAST(floor(ln(CAST(dl AS DOUBLE) / dt) * 1000000000 + 0.5)
+      |      AS BIGINT) AS prior,
+      |    CAST(floor(ln(1.0 / (tl + v)) * 1000000000 + 0.5) AS BIGINT)
+      |      AS w0
+      |  FROM cg_tl JOIN cg_dl USING (mlang), cg_v, cg_dt),
+      |cg_w AS (
+      |  SELECT tok, c.mlang,
+      |    CAST(floor(ln((c + 1.0) / (tl + v)) * 1000000000 + 0.5)
+      |      AS BIGINT) AS w_nano
+      |  FROM cg_cnt c JOIN cg_tl USING (mlang), cg_v),
+      |cg_nt AS (
+      |  SELECT doc_id, lang,
+      |    CAST(greatest(length(text) - 2, 1) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |cg_hit AS (
+      |  SELECT t.doc_id, w.mlang, CAST(sum(w.w_nano) AS BIGINT) AS sw,
+      |    count(*) AS n_hit
+      |  FROM (SELECT doc_id, unnest(list_transform(
+      |          range(1, greatest(length(text) - 2, 1) + 1),
+      |          i -> substring(text, CAST(i AS INTEGER), 3))) AS tok
+      |        FROM documents) t
+      |  JOIN cg_w w ON w.tok = t.tok
+      |  GROUP BY 1, 2),
+      |cg_sc AS (
+      |  SELECT n.doc_id, n.lang, l.mlang,
+      |    CAST(l.prior + COALESCE(h.sw, 0)
+      |      + (n.n_tokens - COALESCE(h.n_hit, 0)) * l.w0 AS BIGINT)
+      |      AS score_nano
+      |  FROM cg_nt n CROSS JOIN cg_lc l
+      |  LEFT JOIN cg_hit h ON h.doc_id = n.doc_id AND h.mlang = l.mlang),
+      |cg_best AS (
+      |  SELECT doc_id, lang, mlang AS pred_lang, score_nano,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score_nano DESC, mlang DESC) AS rn
+      |  FROM cg_sc)""".stripMargin
+
   private val langidCtes =
     """lid_tr AS (
       |  SELECT d.lang AS mlang, d.text FROM documents d
@@ -3292,6 +3400,10 @@ object Docs {
       |           WHEN doc_id % 7 = 1 THEN '?utm_medium=rss'
       |           WHEN doc_id % 7 = 2 THEN concat('?ref=home&id=',
       |             (doc_id // 10))
+      |           WHEN doc_id % 7 = 3 THEN concat('?id=', (doc_id // 10),
+      |             '&page=2')
+      |           WHEN doc_id % 7 = 4 THEN concat('?page=2&id=',
+      |             (doc_id // 10))
       |           ELSE '' END,
       |      CASE WHEN doc_id % 11 = 0 THEN '#sec' || (doc_id % 3)
       |           ELSE '' END) AS url
@@ -3308,8 +3420,8 @@ object Docs {
       |    lower(regexp_replace(auth, ':[0-9]+$', '')) AS host,
       |    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
       |    rtrim(path, '/') AS cpath,
-      |    array_to_string(list_filter(string_split(q, '&'), p ->
-      |      NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid|ref)=')),
+      |    array_to_string(list_sort(list_filter(string_split(q, '&'), p ->
+      |      NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid|ref)='))),
       |      '&') AS cq
       |  FROM uparts),
       |ucanon AS (
@@ -4673,6 +4785,13 @@ object Docs {
         |SELECT lang, pred_lang, count(*) AS n_docs,
         |  lang = pred_lang AS agree
         |FROM lid_best WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+
+    "q_langid_chargram" ->
+      s"""WITH $splitsCte,
+        |$chargramCtes
+        |SELECT lang, pred_lang, count(*) AS n_docs,
+        |  lang = pred_lang AS agree
+        |FROM cg_best WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_url" ->
       s"""WITH $urlCtes
