@@ -569,6 +569,82 @@ object Streams {
     }
   }
 
+  /** Canonical-URL keep-first dedup state, maintained incrementally over
+    * arriving crawl batches — the streaming twin of `q_dedup_url` (the
+    * family convention: every dedup/decontam/drift operator ships a
+    * journal monitor). Each micro-batch canonicalizes its URLs
+    * ([[graft.queries.Docs.urlCanon]], the SAME codegen'd projection the
+    * batch query runs) and journals the batch-local partial aggregate
+    * (canon_url → n_docs, min id) under `urls/b{batchId}` behind a
+    * commit marker, so an at-least-once replay of a committed batch is a
+    * no-op. The fold is mergeable by construction — count sums and min
+    * of mins — so [[urlDedupFromJournal]] over committed batches equals
+    * the one-shot query over the union of the batches' rows (pinned in
+    * StreamsSpec). Scale shape: the batch agg is map-side combinable on
+    * the canon string; the journal holds one row per distinct canonical
+    * URL per batch, never raw URLs twice.
+    */
+  def startUrlDedupJournal(docs: DataFrame, stateDir: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      urlCol: String = "url")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        urlDedupBatchIdempotent(batch, stateDir, batchId, idCol, urlCol)
+      }
+      .start()
+
+  /** The per-batch step of [[startUrlDedupJournal]]. */
+  private[graft] def urlDedupBatchIdempotent(batch: DataFrame,
+      stateDir: String, batchId: Long, idCol: String = "doc_id",
+      urlCol: String = "url"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val marker = new Path(stateDir, s"_graft_commits/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    batch
+      .select(col(idCol).as("first_doc"),
+        graft.queries.Docs.urlCanon(col(urlCol)).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col("first_doc")).as("first_doc"))
+      .write.mode("overwrite").parquet(s"$stateDir/urls/b$batchId")
+    try fs.create(marker, false).close() // exclusive: lost race = no-op
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    }
+  }
+
+  /** Fold the committed journal into the keep-first answer: reads ONLY
+    * batch dirs whose commit marker exists (a crash between the parquet
+    * write and the marker leaves a half-batch that a replay will
+    * overwrite — reading it would double-count), then merges the partial
+    * aggregates. Equals the one-shot `q_dedup_url` over the union of the
+    * committed batches' rows.
+    */
+  def urlDedupFromJournal(spark: SparkSession, stateDir: String)
+      : DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(stateDir, "urls")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter { t =>
+          t.length > 1 && t.length <= 19 && t.startsWith("b") &&
+            t.drop(1).forall(_.isDigit) &&
+            fs.exists(new Path(stateDir, s"_graft_commits/${t.drop(1)}"))
+        }
+    require(committed.nonEmpty, s"no committed url-dedup batches under $root")
+    spark.read.parquet(committed.map(t => s"$stateDir/urls/$t"): _*)
+      .groupBy(col("canon_url"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        min(col("first_doc")).as("first_doc"))
+  }
+
   /** Materialize the distinct eval-side 5-gram set as 8-byte xxhash64 keys
     * — the static reference relation [[startDecontamMonitor]] probes. The
     * gram TEXT never lands: band membership/equality only needs an

@@ -143,6 +143,70 @@ class ScaleFixtureSpec extends AnyFunSuite {
     assert(emb.select("embedding").distinct().count() === 104)
   }
 
+  test("the four-block family's coincidence set and max exception-word " +
+      "run are recomputed from the REAL fixture vocabulary at every SF " +
+      "(the safety argument must not live only in a comment and a " +
+      "handcrafted corpus)") {
+    // Independent reimplementation of the replica transform family on
+    // single words: replica r applies the (r mod 26)-th cycle power,
+    // then the (r / 26)-th position bijection; translate (per-char sub)
+    // commutes with position bijections, so the image is
+    // block(sub(w, k)) in either order.
+    val alpha = "etaoinshrdlcumwfgypbvkjxqz"
+    def sub(w: String, k: Int): String = w.map { ch =>
+      val i = alpha.indexOf(ch)
+      if (i < 0) ch else alpha((i + k) % alpha.length)
+    }
+    def block(w: String, b: Int): String = b match {
+      case 0 => w
+      case 1 => w.reverse
+      case 2 => if (w.length >= 2) s"${w(1)}${w(0)}${w.drop(2)}" else w
+      case _ => if (w.length >= 2) w.drop(2) + w.take(2) else w
+    }
+    // every SF the scale harness can use as a base (ScaleSuite default
+    // is sf0.1; specs and the warmup use the smaller two)
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val texts = spark.read.parquet(s"$d/documents.parquet")
+        .select("text").collect().map(_.getString(0))
+      val vocab = texts.flatMap(_.split(" ")).distinct.toSeq
+      // vocabulary contract the cycle-power argument rests on: words are
+      // pure lowercase a-z (a word outside the substitution alphabet —
+      // e.g. '...' or 'x1' — would be partially or fully INVARIANT under
+      // every transform and silently join the exception set)
+      vocab.foreach(w => assert(w.matches("[a-z]+"),
+        s"non-alphabetic fixture word '$w' in $d breaks the " +
+          "fixed-point-free substitution argument"))
+      // the coincidence set: words whose 104 replica images are not all
+      // distinct (any repeat = two replicas agree on this word)
+      val exceptions = vocab.filter { w =>
+        val images =
+          for (b <- 0 to 3; k <- 0 until alpha.length)
+            yield block(sub(w, k), b)
+        images.distinct.size < images.size
+      }.toSet
+      assert(exceptions.subsetOf(Set("a", "agg")),
+        s"coincidence set $exceptions in $d exceeds the documented " +
+          "{a, agg} bound — a new fixture word collides across blocks " +
+          "(e.g. any 2-letter word: swap01 = reverse and rot2 = id)")
+      // the max consecutive run of exception words in the REAL corpus
+      // must stay under the 5-token shingle, or cross-replica shingle /
+      // fingerprint coincidences become possible
+      val maxRun = texts.map { t =>
+        var run = 0
+        var best = 0
+        t.split(" ").foreach { w =>
+          if (exceptions.contains(w)) { run += 1; best = math.max(best, run) }
+          else run = 0
+        }
+        best
+      }.max
+      assert(maxRun < 5,
+        s"max exception-word run $maxRun in $d reaches the 5-token " +
+          "shingle — cross-replica shingle coincidence is possible")
+    }
+  }
+
   test("third-decade factors keep every replica pair SHINGLE-disjoint: " +
       "the reversal block composes cleanly with the cycle powers") {
     // factor 30 exercises both blocks plus the cross-block equal-power

@@ -886,6 +886,49 @@ class StreamsSpec extends AnyFunSuite {
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
+
+  test("startUrlDedupJournal: the journal fold equals the one-shot " +
+      "q_dedup_url over the same corpus, through an at-least-once " +
+      "replay of a committed batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-urls")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      // the SAME synthesized crawl q_dedup_url canonicalizes, split into
+      // three arriving batches by id residue (arbitrary, disjoint)
+      val crawl = graft.engine.Sources.table(spark, dir, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          graft.queries.Docs.synthUrl.as("url"))
+        .as[(Long, String)].collect().toSeq
+      val batches = (0 to 2).map(r => crawl.filter(_._1 % 3 == r))
+      val in = MemoryStream[(Long, String)]
+      val q = Streams.startUrlDedupJournal(
+        in.toDF().toDF("doc_id", "url"), s"$root/state", s"$root/ckpt")
+      runBatches(q)(batches.map(b => () => in.addData(b: _*)): _*)
+
+      def fold() = Streams.urlDedupFromJournal(spark, s"$root/state")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = graft.queries.Docs.queries("q_dedup_url")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(fold() == want,
+        "journal fold must equal the one-shot batch answer")
+
+      // foreachBatch is at-least-once: a replayed COMMITTED batch (even
+      // with mutated content) must be a no-op behind the commit marker
+      Streams.urlDedupBatchIdempotent(
+        batches(1).take(3).toDF("doc_id", "url"), s"$root/state",
+        batchId = 1L)
+      assert(fold() == want, "replayed committed batch must be a no-op")
+      // a half-written batch with NO marker is invisible to the fold
+      batches(2).take(2).toDF("doc_id", "url")
+        .write.mode("overwrite").parquet(s"$root/state/urls/b99")
+      assert(fold() == want, "uncommitted batch dir must be ignored")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
 }
 
 /** Minimal GroupState stub for direct unit-testing of the session fold
