@@ -432,7 +432,18 @@ object Graph {
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
     val closing = ori.select(col("src").as("v"), col("dst").as("w"))
-    wedges.join(closing, Seq("v", "w"))
+    // The closing join probes an EDGE-sized relation with the Σd²-sized
+    // wedge stream. Default SMJ sorts the wedge stream, and at factor 78
+    // that sort's spill on top of the build's own accumulated shuffle
+    // files overran the single box's scratch (r18 measured:
+    // SPILL_OUT_OF_MEMORY after ~68 GB consumed in 8 minutes inside this
+    // stage). SHUFFLE_HASH builds the hash table from the hinted edge
+    // side (|E|/partitions rows — MBs at every factor) and STREAMS the
+    // wedges unsorted: the same shuffle bytes, zero sort spill. On a
+    // real cluster the same argument holds — the build side stays
+    // node/edge-sized while the probe side is the quadratic stream, so
+    // SHJ dominates SMJ for this join at any scale.
+    wedges.join(closing.hint("shuffle_hash"), Seq("v", "w"))
       .select(col("src").as("a"), col("v").as("b"), col("w").as("c"))
   }
 
