@@ -438,12 +438,28 @@ object Graph {
     // files overran the single box's scratch (r18 measured:
     // SPILL_OUT_OF_MEMORY after ~68 GB consumed in 8 minutes inside this
     // stage). SHUFFLE_HASH builds the hash table from the hinted edge
-    // side (|E|/partitions rows — MBs at every factor) and STREAMS the
-    // wedges unsorted: the same shuffle bytes, zero sort spill. On a
-    // real cluster the same argument holds — the build side stays
-    // node/edge-sized while the probe side is the quadratic stream, so
-    // SHJ dominates SMJ for this join at any scale.
-    wedges.join(closing.hint("shuffle_hash"), Seq("v", "w"))
+    // side and STREAMS the wedges unsorted: the same shuffle bytes, zero
+    // sort spill. On a real cluster the same argument holds — the build
+    // side stays edge-sized while the probe side is the quadratic
+    // stream, so SHJ dominates SMJ for this join at any scale.
+    //
+    // The partition count must scale with |E|, not sit at the session
+    // default: at factor 78 the 93M-edge set over 32 partitions is a
+    // ~3M-row (~200 MB, skew-inflated) hash map per task — over the
+    // 1/2N per-task execution-memory quota, and the r18 follow-up
+    // failure ("not enough memory to build hash map"). |E| is free to
+    // read (ori is localCheckpointed); target ~500k build rows (~32 MB)
+    // per partition. Explicit repartition(n, keys) co-partitions both
+    // sides AND pins the layout — AQE does not coalesce user-specified
+    // partitioning, so the maps cannot silently re-merge past the quota.
+    val eCount = ori.count()
+    val defaultParts =
+      ori.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val nParts = math.min(4096,
+      math.max(defaultParts, (eCount / 500000L).toInt + 1))
+    wedges.repartition(nParts, col("v"), col("w"))
+      .join(closing.repartition(nParts, col("v"), col("w"))
+        .hint("shuffle_hash"), Seq("v", "w"))
       .select(col("src").as("a"), col("v").as("b"), col("w").as("c"))
   }
 
