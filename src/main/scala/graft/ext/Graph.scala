@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Storage level for EDGE-SCALE checkpoint blocks (the canonical edge
+    * set and the oriented list feeding the wedge join): serialized, not
+    * the localCheckpoint default of deserialized. A disk-evicted
+    * deserialized block is re-materialized on read as a vector of row
+    * OBJECTS (~100 B/row), and at factor 78 the 93M-row edge list times
+    * 32 racing readers exhausted a 24 GB heap inside
+    * maybeCacheDiskValuesInMemory (r18 measured: OutOfMemoryError in
+    * DeserializedValuesHolder). Serialized blocks store the compact
+    * UnsafeRow bytes (~20 B/row) and re-cache with bounded chunk
+    * allocation — the node/iteration-scale checkpoints elsewhere in this
+    * file stay on the default, where object form is cheap and saves
+    * per-read deserialization.
+    */
+  private val edgeStorage =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
   /** Rank mass each node starts with (1.0 in nano-units). */
   val ScaleNano = 1000000000L
 
@@ -52,7 +68,7 @@ object Graph {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(true, edgeStorage)
     // Null ids would collapse into one null-keyed pseudo-node — fail
     // loudly (same posture as Dedup.connectedComponents).
     if (e.filter(col("src").isNull || col("dst").isNull).limit(1).count() > 0)
@@ -90,7 +106,7 @@ object Graph {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(true, edgeStorage)
     if (e.filter(col("src").isNull || col("dst").isNull).limit(1).count() > 0)
       throw new IllegalArgumentException(
         s"personalizedPageRankNano: ids in '$srcCol'/'$dstCol' are null " +
@@ -139,7 +155,7 @@ object Graph {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(true, edgeStorage)
     if (e.filter(col("src").isNull || col("dst").isNull).limit(1).count() > 0)
       throw new IllegalArgumentException(
         s"hitsMicro: ids in '$srcCol'/'$dstCol' are null after cast to " +
@@ -199,7 +215,7 @@ object Graph {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(true, edgeStorage)
     if (e.filter(col("src").isNull || col("dst").isNull).limit(1).count() > 0)
       throw new IllegalArgumentException(
         s"bfsHops: ids in '$srcCol'/'$dstCol' are null after cast to " +
@@ -252,7 +268,7 @@ object Graph {
     p.filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("lo"),
         greatest(col("x"), col("y")).as("hi"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(true, edgeStorage)
   }
 
   /** k-truss membership (Cohen 2008, "Trusses: cohesive subgraphs for
@@ -300,7 +316,7 @@ object Graph {
     var e = orig.join(
         support.filter(col("nsup") >= k - 2).select(col("lo"), col("hi")),
         Seq("lo", "hi"))
-      .localCheckpoint()
+      .localCheckpoint(true, edgeStorage)
     for (_ <- 2 to rounds) e = peelOnce(e, k)
     trussReport(orig, e)
   }
@@ -312,7 +328,7 @@ object Graph {
   private def peelOnce(e: DataFrame, k: Int): DataFrame = {
     val sup = supportFrom(trianglesFrom(e)).filter(col("nsup") >= k - 2)
     e.join(sup.select(col("lo"), col("hi")), Seq("lo", "hi"))
-      .localCheckpoint()
+      .localCheckpoint(true, edgeStorage)
   }
 
   /** Per-edge triangle support of an enumerated triangle set — each
@@ -421,7 +437,7 @@ object Graph {
             col("dlo").as("dd"))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"),
         col("e.dd").as("ddeg"))
-      .localCheckpoint()
+      .localCheckpoint(true, edgeStorage)
     // Wedges (src; v, w) with v before w in the SAME (deg, id) order, so
     // the closing edge — if present — is oriented exactly v -> w.
     val e1 = ori.select(col("src"), col("dst").as("v"),
@@ -531,7 +547,7 @@ object Graph {
     val und = canonicalEdges(pairs, aCol, bCol)
     val nbr = und.select(col("lo").as("id"), col("hi").as("nb"))
       .unionAll(und.select(col("hi").as("id"), col("lo").as("nb")))
-      .localCheckpoint()
+      .localCheckpoint(true, edgeStorage)
     val nodes = und.select(col("lo").as("id"))
       .union(und.select(col("hi").as("id"))).distinct().localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("lbl"))
@@ -577,7 +593,7 @@ object Graph {
       val surv = degrees(e).filter(col("deg") >= k).select(col("id"))
       e = e.join(surv.select(col("id").as("lo")), Seq("lo"))
         .join(surv.select(col("id").as("hi")), Seq("hi"))
-        .select(col("lo"), col("hi")).localCheckpoint()
+        .select(col("lo"), col("hi")).localCheckpoint(true, edgeStorage)
     }
     val core = degrees(e).filter(col("deg") >= k)
       .select(col("id"), lit(true).as("core"))
