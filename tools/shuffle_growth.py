@@ -69,6 +69,14 @@ ap.add_argument("--write-classes", action="store_true",
                      "ledger as a `shuffle_classes` section, so the "
                      "committed artifact is self-describing instead of "
                      "the adjudication living only in README prose")
+ap.add_argument("--adjudicate", action="append", default=[],
+                metavar="NAME=EVIDENCE",
+                help="reclassify a flagged row as a boundary crossing "
+                     "with EXPLICIT executed-plan evidence (e.g. a "
+                     "PlanProbe BHJ->SMJ printout) — the r15/r16 manual "
+                     "adjudication path, now recorded in the artifact "
+                     "instead of only README prose; never silent, the "
+                     "evidence string is persisted verbatim")
 cli = ap.parse_args()
 prior = json.load(open(cli.prior)) if cli.prior else None
 small = json.load(open(cli.small))
@@ -161,6 +169,21 @@ if prior is not None and flagged:
         else:
             still.append(row)
     flagged = still
+# Explicit-evidence adjudication: a flagged row named in --adjudicate
+# moves to the transition band with the evidence persisted beside it.
+for spec in cli.adjudicate:
+    name, _, evidence = spec.partition("=")
+    if not evidence:
+        sys.exit(f"--adjudicate needs NAME=EVIDENCE, got {spec!r}")
+    hits = [row for row in flagged if row[1] == name]
+    if not hits:
+        sys.exit(f"--adjudicate {name}: not in the flagged set "
+                 f"{[q for _, q, _, _ in flagged]}")
+    for row in hits:
+        flagged.remove(row)
+        transition.append(row)
+        reclassified.append({"name": name, "evidence": evidence})
+        print(f"adjudicated {name}: {evidence}")
 print(f"factors {small['factor']} -> {large['factor']} "
       f"(ratio {ratio:.2f}; linear budget {ratio*1.5:.2f}, "
       f"quadratic budget {ratio*ratio*1.5:.2f})")
