@@ -74,28 +74,64 @@ object Bench {
     * A listener sees every task of every job in the query's wall-clock
     * window, checkpoints and subqueries included.
     */
+  /** One settled reading of the task-level tallies: shuffle writes plus
+    * the executor-side cost split (CPU, GC, task deserialization, disk
+    * spill) — the per-query breakdown that lets a scale ledger say
+    * WHERE a wall went (the r18 f78 graph walls grew superlinear at
+    * linear bytes on an ATTRIBUTED-but-unmeasured serialized-checkpoint
+    * deserialization tax; cpu_ms growth at flat gc/bytes is the
+    * measurement that attribution needs). Block-deserialization CPU has
+    * no dedicated task metric — it lands inside executorCpuTime, which
+    * is exactly why cpuMs rides next to gcMs: superlinear cpu at linear
+    * bytes and flat gc isolates compute (deserialize included) from
+    * memory pressure and I/O wait.
+    */
+  private[graft] final case class TaskSnap(bytes: Long, cpuMs: Long,
+      gcMs: Long, deserMs: Long, spillBytes: Long) {
+    def -(o: TaskSnap): TaskSnap = TaskSnap(bytes - o.bytes,
+      cpuMs - o.cpuMs, gcMs - o.gcMs, deserMs - o.deserMs,
+      spillBytes - o.spillBytes)
+  }
+
   private[graft] class ShuffleTally
       extends org.apache.spark.scheduler.SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val deserMs = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    // Settle watch: counts every delivery, so a task that writes zero
+    // shuffle bytes still advances the watched counter.
+    val tasks = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
-      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        deserMs.addAndGet(m.executorDeserializeTime)
+        spillBytes.addAndGet(m.diskBytesSpilled)
+      }
+      tasks.incrementAndGet()
     }
-    /** Listener delivery is async: read only after the counter has been
-      * stable for 50 ms (bounded at 2 s). Runs OUTSIDE the query timer.
+    /** Listener delivery is async: read only after the task counter has
+      * been stable for 50 ms (bounded at 2 s). Runs OUTSIDE the query
+      * timer.
       */
-    def settled(): Long = {
+    def settledSnap(): TaskSnap = {
       val deadline = System.nanoTime() + 2000000000L
       var prev = -1L
-      var cur = bytes.get
+      var cur = tasks.get
       while (cur != prev && System.nanoTime() < deadline) {
         prev = cur
         Thread.sleep(50)
-        cur = bytes.get
+        cur = tasks.get
       }
-      cur
+      TaskSnap(bytes.get, cpuNs.get / 1000000L, gcMs.get, deserMs.get,
+        spillBytes.get)
     }
+    def settled(): Long = settledSnap().bytes
   }
 
   /** Drop all state a query run may have left behind — checkpointed /

@@ -90,10 +90,16 @@ object ScaleGraph {
     if (!sys.env.get("SPARK_GRAFT_SCALE_FORCE").contains("1")) {
       priorLedger.foreach { ledger =>
         val ratio = factor.toDouble / refFactor
-        ScaleSuite.timeoutGuard(ledger, timeoutSec, ratio)
+        // Query-budget and prior-timeout rules filtered to the family
+        // this run actually executes: a non-graph query's prior wall
+        // (or timeout) must not refuse a graph decade that fits the
+        // dial. Builds stay unfiltered — every priced materialization
+        // runs here too.
+        ScaleSuite.timeoutGuard(ledger, timeoutSec, ratio,
+            queryNames = Some(family.toSet))
           .orElse(ScaleSuite.diskGuard(ledger, ratio,
             java.nio.file.Files.getFileStore(
-              java.nio.file.Paths.get("/tmp")).getUsableSpace,
+              ScaleSuite.scratchPath()).getUsableSpace,
             ScaleSuite.executionMemoryBytes()))
           .foreach { reason =>
             System.err.println(s"REFUSING factor-$factor graph decade " +
@@ -159,7 +165,7 @@ object ScaleGraph {
         val timed = once()
         if (timed.status == "ok")
           ScaleSuite.Res(math.min(pre.sec, timed.sec), "ok", timed.shuffle,
-            pre = pre.sec, timed = timed.sec)
+            pre = pre.sec, timed = timed.sec, cost = timed.cost)
         else timed
       } else pre)
     }
@@ -178,7 +184,8 @@ object ScaleGraph {
         s""""shuffle":${r.shuffle},""" +
         s""""prior_sec":${p.map(v => fmt(v._1)).getOrElse("null")},""" +
         s""""prior_shuffle":${p.map(_._2.toString).getOrElse("null")},""" +
-        s""""x_vs_prior":$x,"x_shuffle_vs_prior":$xs}"""
+        s""""x_vs_prior":$x,"x_shuffle_vs_prior":$xs,""" +
+        ScaleSuite.costJson("run", r) + "}"
     }
 
     // growth flag: wall above ~1.1x linear (the VERDICT "≤ ~2.2x per 2x

@@ -42,7 +42,8 @@ object ScaleSuite {
     * in the ledger instead of silently collapsing into the min.
     */
   private[graft] final case class Res(sec: Double, status: String,
-      shuffle: Long, pre: Double = -1.0, timed: Double = -1.0)
+      shuffle: Long, pre: Double = -1.0, timed: Double = -1.0,
+      cost: Bench.TaskSnap = Bench.TaskSnap(0L, -1L, -1L, -1L, -1L))
 
   /** Execute one thunk on a watchdog thread inside a cancellable job
     * group; cancel at the deadline and record `timeout`. Shared by the
@@ -58,7 +59,7 @@ object ScaleSuite {
     val sc = spark.sparkContext
     val group = s"scale:$name"
     @volatile var status = "ok"
-    val sh0 = tally.settled()
+    val s0 = tally.settledSnap()
     val t = new Thread(() => {
       sc.setJobGroup(group, name, interruptOnCancel = true)
       try body()
@@ -78,7 +79,8 @@ object ScaleSuite {
       if (t.isAlive) zombie = Some(t)
     }
     val sec = (System.nanoTime() - t0) / 1e9
-    val res = Res(sec, status, tally.settled() - sh0)
+    val s1 = tally.settledSnap()
+    val res = Res(sec, status, s1.bytes - s0.bytes, cost = s1 - s0)
     Bench.resetState(spark)
     // Queries run in sorted name order, so a query scheduled right after
     // a multi-GB-shuffle neighbor inherits its GC debt — the r13 ledger
@@ -107,13 +109,25 @@ object ScaleSuite {
     * per-query wall (q_triangles measured 319 s at f52; a 300 s dial
     * would re-time-out that row while passing the build rule).
     * Override with SPARK_GRAFT_SCALE_FORCE=1.
+    *
+    * `queryNames`: the QUERY set the caller will actually execute —
+    * a targeted run (ScaleGraph's graph family) must not be refused on
+    * the wall of a query it never runs, and a prior ledger's recorded
+    * timeout on an un-run query buys the caller no information either
+    * way. None = the full registry (ScaleSuite). Builds stay unfiltered:
+    * both harnesses run every priced materialization.
     */
   private[graft] def timeoutGuard(priorLedger: String, timeoutSec: Long,
-      ratio: Double = 1.0): Option[String] = {
+      ratio: Double = 1.0, queryNames: Option[Set[String]] = None)
+      : Option[String] = {
     val priorDial = """"timeout_sec":(\d+)""".r
       .findFirstMatchIn(priorLedger).map(_.group(1).toLong)
     val priorTimeouts = """"scaled_timeout":\[([^\]]*)\]""".r
       .findFirstMatchIn(priorLedger).map(_.group(1).trim).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty)
+      .filter(n => queryNames.forall(_.contains(n)))
+      .mkString(",")
     val maxBuild = """"scaled":([0-9.]+),"x":[^,]*,"base_status":"[a-z]+","scaled_status":"ok"""".r
       .findAllMatchIn(priorLedger).map(_.group(1).toDouble)
       .foldLeft(0.0)(math.max)
@@ -129,7 +143,8 @@ object ScaleSuite {
     val queryRow =
       """"([A-Za-z0-9_]+)":\{"base":[0-9.]+,"scaled":([0-9.]+),"x":[^,]*,"base_pre"""".r
     val maxQuery = queryRow.findAllMatchIn(priorLedger)
-      .collect { case m if !notOk.contains(m.group(1)) =>
+      .collect { case m if !notOk.contains(m.group(1)) &&
+          queryNames.forall(_.contains(m.group(1))) =>
         m.group(2).toDouble }
       .foldLeft(0.0)(math.max)
     if (timeoutSec * 2 < maxBuild * ratio)
@@ -194,6 +209,21 @@ object ScaleSuite {
   private[graft] def executionMemoryBytes(): Long =
     ((Runtime.getRuntime.maxMemory - 300L * 1024 * 1024) * 0.6).toLong
 
+  /** Scratch filesystem the shuffle actually lands on — the path
+    * [[diskGuard]]'s free-space probe must measure. Spark resolves
+    * local dirs as SPARK_LOCAL_DIRS (first entry) else spark.local.dir
+    * else java.io.tmpdir; the guard runs BEFORE any SparkSession
+    * exists, so it walks the same chain over the env/property view the
+    * session will see. The previous hardcoded /tmp probed the wrong
+    * filesystem whenever the scratch was relocated.
+    */
+  private[graft] def scratchPath(): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.env.get("SPARK_LOCAL_DIRS")
+        .map(_.split(",")(0).trim).filter(_.nonEmpty)
+        .orElse(sys.props.get("spark.local.dir").filter(_.nonEmpty))
+        .getOrElse(System.getProperty("java.io.tmpdir", "/tmp")))
+
   /** Nearest committed prior-decade ledger at or below `factor`: scan the
     * working directory for ScaleSuite ledger names (BENCH_SF{n} = factor
     * 10n, BENCH_SFx{n} = factor n; ScaleGraph's *_graph ledgers have a
@@ -219,6 +249,15 @@ object ScaleSuite {
       }.toSeq.sortBy(-_._1).headOption
     } finally listing.close()
   }
+
+  /** The executor-cost fields of one ledger row — shared with
+    * ScaleGraph so the two ledgers spell the breakdown identically.
+    */
+  private[graft] def costJson(prefix: String, r: Res): String =
+    s""""${prefix}_cpu_ms":${r.cost.cpuMs},""" +
+      s""""${prefix}_gc_ms":${r.cost.gcMs},""" +
+      s""""${prefix}_deser_ms":${r.cost.deserMs},""" +
+      s""""${prefix}_spill_bytes":${r.cost.spillBytes}"""
 
   /** Ledger file name for a factor: 10/20/... land on the effective-SF
     * names (BENCH_SF1, ...), everything else on BENCH_SFx{factor}.
@@ -274,8 +313,7 @@ object ScaleSuite {
         val ratio = factor.toDouble / priorFactor
         timeoutGuard(ledger, timeoutSec, ratio)
           .orElse(diskGuard(ledger, ratio,
-            java.nio.file.Files.getFileStore(
-              java.nio.file.Paths.get("/tmp")).getUsableSpace,
+            java.nio.file.Files.getFileStore(scratchPath()).getUsableSpace,
             executionMemoryBytes()))
           .foreach { reason =>
             System.err.println(s"REFUSING factor-$factor decade " +
@@ -388,8 +426,11 @@ object ScaleSuite {
         n -> (if (pre(n).status == "ok") {
           val timed = run(n, dir)
           if (timed.status == "ok")
+            // cost split follows the shuffle convention: the timed run's
+            // tallies (deterministic per plan; the pre-pass includes
+            // fixture-build work)
             Res(math.min(pre(n).sec, timed.sec), "ok", timed.shuffle,
-              pre = pre(n).sec, timed = timed.sec)
+              pre = pre(n).sec, timed = timed.sec, cost = timed.cost)
           else timed
         } else pre(n))
       }.toMap -> mats
@@ -416,10 +457,21 @@ object ScaleSuite {
         if (r.pre < 0) s""""${prefix}_pre":null,"${prefix}_timed":null"""
         else s""""${prefix}_pre":${fmt(r.pre)},"${prefix}_timed":${
           fmt(r.timed)}"""
+      // Executor cost split per side (timed-run tallies): cpu_ms growth
+      // at linear bytes and flat gc is the measurement that attributes
+      // a superlinear WALL to compute (checkpoint deserialization
+      // included) rather than to memory pressure or host contention —
+      // the r18 f78 graph rows carried exactly that attribution as
+      // prose; these fields make it a ledger fact. Appended AFTER
+      // x_shuffle so every existing ledger-row regex keeps matching.
+      val xc = if (b.status == "ok" && s.status == "ok" && b.cost.cpuMs > 0)
+        fmt(s.cost.cpuMs.toDouble / b.cost.cpuMs) else "null"
       s""""$n":{"base":${fmt(b.sec)},"scaled":${fmt(s.sec)},"x":$x,""" +
         two("base", b) + "," + two("scaled", s) + "," +
         s""""base_shuffle":${b.shuffle},"scaled_shuffle":${s.shuffle},""" +
-        s""""x_shuffle":$xs}"""
+        s""""x_shuffle":$xs,""" +
+        costJson("base", b) + "," + costJson("scaled", s) +
+        s""","x_cpu":$xc}"""
     }.mkString("{", ",", "}")
 
     // Superlinear flag: materially above the growth the query's declared
@@ -487,7 +539,8 @@ object ScaleSuite {
       s""""$mn":{"base":${fmt(b.sec)},"scaled":${fmt(s.sec)},"x":$x,""" +
         s""""base_status":"${b.status}","scaled_status":"${s.status}",""" +
         s""""base_shuffle":${b.shuffle},"scaled_shuffle":${s.shuffle},""" +
-        s""""x_shuffle":$xs}"""
+        s""""x_shuffle":$xs,""" +
+        costJson("base", b) + "," + costJson("scaled", s) + "}"
     }.mkString("{", ",", "}")
     def lst(ns: Seq[String]) = ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed = names.filter(n => scaledRes(n).status == "failed")

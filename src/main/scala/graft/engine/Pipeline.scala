@@ -374,7 +374,7 @@ object Pipeline {
     * or no old dir) is left alone. Returns an error string if recovery
     * itself fails.
     */
-  private[engine] def recoverStrandedSwap(
+  private[graft] def recoverStrandedSwap(
       fs: org.apache.hadoop.fs.FileSystem,
       live: org.apache.hadoop.fs.Path,
       old: org.apache.hadoop.fs.Path): Option[String] =

@@ -662,6 +662,19 @@ object Docs {
         .agg(count(lit(1)).as("n_docs"))
         .withColumn("agree", col("lang") === col("pred_lang"))),
 
+    // fastText-proper (Joulin 2016 §2: char 3-5-grams JOINTLY): the
+    // trigram model's feature stream widened with the 4- and 5-gram
+    // positions — longer grams see morpheme-sized context, so languages
+    // sharing trigram inventories separate. Same plan shape: the gram
+    // streams are 8-byte hashes end to end, one broadcast weight table,
+    // one scoring scan, per-doc hash-agg; the string-keyed oracle twin
+    // doubles as the hash-injectivity proof (chargramHashes scaladoc).
+    "q_langid_chargram35" -> ((s, dir) =>
+      langidChargram35(s, dir)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("agree", col("lang") === col("pred_lang"))),
+
     // Inter-filter agreement (Cohen's kappa) between the heuristic
     // quality filter and the Gopher SHAPE rules (word count, mean word
     // length, alpha ratio, symbol ratios — the stop-word rule is
@@ -2756,13 +2769,59 @@ object Docs {
     * splitting and the unigram model collapses; Joulin 2016 §2, CCNet
     * §3.1) share one scoring pipeline and one plan shape.
     */
+  /** The (lang, text) training rows the langid family trains on — the
+    * hash-split's train docs with the declared lang as the weak label.
+    * Shared with [[graft.streaming.Streams.writeLangidModel]] so the
+    * streaming monitor's static model is trained on EXACTLY the rows
+    * the batch query uses (the parity pin depends on it).
+    */
+  private[graft] def langidTrain(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(splitCol(col("doc_id")) === "train")
+      .select(col("lang"), col("text"))
+
   private def langidBestOn(s: SparkSession, dir: String,
-      feats: Column => Column, nFeats: Column => Column): DataFrame = {
+      feats: Column => Column, nFeats: Column => Column,
+      widen: Boolean = false): DataFrame = {
     val docs = t(s, dir, "documents")
-    val train = docs.filter(splitCol(col("doc_id")) === "train")
+    val train = langidTrain(s, dir)
       .select(col("lang").as("mlang"), col("text"))
       .localCheckpoint()
-    val cnt = train
+    val (w, lc) = langidModel(train, feats, widen)
+    langidScore(docs, w, lc, feats, nFeats, widen)
+  }
+
+  /** Train the multiclass-NB model tables from (mlang, text) rows:
+    * the vocab×L weight table `(tok, mlang, w_nano)` and the per-lang
+    * constants `(mlang, prior, w0)`. Factored out of [[langidBestOn]]
+    * so the streaming confusion monitor
+    * ([[graft.streaming.Streams.startLangidMonitor]]) scores arriving
+    * batches against the SAME model tables the batch query trains —
+    * the model is the static broadcast side of that stream.
+    */
+  /** Widen a narrow scan feeding a per-row-HEAVY stage: the fixture
+    * tables arrive as one parquet split (584 KB at sf0.1), so a gram
+    * explode costing ~10³ expression evaluations per row would
+    * otherwise run single-core regardless of session width (r19
+    * measured q_langid_chargram at 5.3 s with 31 idle threads).
+    * Round-robin repartition ONLY when the source has fewer splits
+    * than the session's parallelism — at production scale the scan has
+    * more splits than cores and this is a no-op, never a full-corpus
+    * text shuffle. Opt-IN per feature family: the unigram explode is
+    * ~10x lighter per row and measured FASTER unwidened at fixture
+    * scale (1.4 s vs 2.6 s — the extra exchange's stage latency
+    * outweighs the parallelism on a thin stream), so only the chargram
+    * extractors ask for it.
+    */
+  private def widened(df: DataFrame, widen: Boolean): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (widen && df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+
+  private[graft] def langidModel(train: DataFrame,
+      feats: Column => Column, widen: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val cnt = widened(train, widen)
       .select(col("mlang"), explode(feats(col("text"))).as("tok"))
       .groupBy(col("mlang"), col("tok")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
@@ -2781,9 +2840,19 @@ object Docs {
       .select(col("tok"), col("mlang"),
         floor(log((col("c") + lit(1.0)) / (col("tl") + col("v"))) * 1e9
           + 0.5).cast("long").as("w_nano"))
+    (w, lc)
+  }
+
+  /** Score (doc_id, lang, text) rows against trained model tables and
+    * take the per-doc argmax — the read side of [[langidModel]]'s
+    * split, shared by the batch rows and the streaming monitor.
+    */
+  private[graft] def langidScore(docs: DataFrame, w: DataFrame,
+      lc: DataFrame, feats: Column => Column, nFeats: Column => Column,
+      widen: Boolean = false): DataFrame = {
     val nt = docs.select(col("doc_id"), col("lang"),
       nFeats(col("text")).cast("long").as("n_tokens"))
-    val hit = docs
+    val hit = widened(docs, widen)
       .select(col("doc_id"), explode(feats(col("text"))).as("tok"))
       .join(broadcast(w), Seq("tok"))
       .groupBy(col("doc_id"), col("mlang"))
@@ -2802,27 +2871,58 @@ object Docs {
   }
 
   /** The whitespace-unigram NB (the r17 model). */
-  private def langidBest(s: SparkSession, dir: String): DataFrame =
-    langidBestOn(s, dir, t => split(t, " "), t => size(split(t, " ")))
+  private[graft] val langidUnigramFeats: Column => Column =
+    t => split(t, " ")
+  private[graft] val langidUnigramNFeats: Column => Column =
+    t => size(split(t, " ")).cast("long")
 
-  /** Char-trigram features: every position of the raw text (spaces
-    * included, so word-boundary grams like " th" are features too —
-    * fastText's subword trick at n=3). One `transform` over a position
-    * sequence — codegen'd, no UDF; a text shorter than 3 chars yields
-    * its single truncated gram, so no doc scores on an empty feature
-    * set.
+  private def langidBest(s: SparkSession, dir: String): DataFrame =
+    langidBestOn(s, dir, langidUnigramFeats, langidUnigramNFeats)
+
+  /** Char-n-gram features as 8-byte xxhash64 keys: every position of
+    * the raw text (spaces included, so word-boundary grams like " th"
+    * are features too — fastText's subword trick); a text shorter than
+    * n yields its single truncated gram, so no doc scores on an empty
+    * feature set. One `transform` over a position sequence — codegen'd,
+    * no UDF.
+    *
+    * Why hashes and not the gram strings (r18 measured the string form
+    * at 6.25 s / sf0.1, pure CPU in the string-keyed hash-agg + join
+    * probes): the NB pipeline only ever tests gram EQUALITY — count,
+    * distinct, join — so an injective-in-practice 8-byte key carries
+    * the whole computation (the dedup family's shuffle-payload
+    * discipline, [[graft.streaming.Streams.writeEvalGrams]]). The
+    * DuckDB twin deliberately stays STRING-keyed: its exact hash match
+    * is then a per-round proof that xxhash64 collided nowhere on the
+    * fixture vocabulary (a collision would merge two grams' counts and
+    * shift scores), which a both-sides-hashed oracle could never show.
     */
-  private def chargrams(t: Column): Column =
-    transform(sequence(lit(1), greatest(length(t) - 2, lit(1))),
-      i => t.substr(i, lit(3)))
+  private[graft] def chargramHashes(n: Int)(t: Column): Column =
+    transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+      i => xxhash64(t.substr(i, lit(n))))
 
   /** The char-trigram NB — identical scoring pipeline and plan shape
     * (one broadcast weight table, one scoring scan, per-doc hash-agg);
     * only the feature extractor differs.
     */
   private def langidChargram(s: SparkSession, dir: String): DataFrame =
-    langidBestOn(s, dir, chargrams,
-      t => greatest(length(t) - 2, lit(1)))
+    langidBestOn(s, dir, chargramHashes(3),
+      t => greatest(length(t) - 2, lit(1)), widen = true)
+
+  /** fastText-proper features (Joulin 2016 §2 uses char 3-5-grams
+    * jointly): the concatenated 3/4/5-gram hash streams. Feature count
+    * is the sum of the per-n counts, matching the truncated-gram rule
+    * per n.
+    */
+  private[graft] val chargram35Feats: Column => Column = t =>
+    concat(chargramHashes(3)(t), chargramHashes(4)(t),
+      chargramHashes(5)(t))
+  private[graft] val chargram35NFeats: Column => Column = t =>
+    greatest(length(t) - 2, lit(1)) + greatest(length(t) - 3, lit(1)) +
+      greatest(length(t) - 4, lit(1))
+
+  private def langidChargram35(s: SparkSession, dir: String): DataFrame =
+    langidBestOn(s, dir, chargram35Feats, chargram35NFeats, widen = true)
 
   private def bpeCtes(rounds: Int): String = {
     val v0 =
@@ -3267,21 +3367,31 @@ object Docs {
     * `lid_best(doc_id, lang, pred_lang, score_nano, rn)`; consumers
     * filter rn = 1. Expects `splits` in scope.
     */
-  /** langidCtes with char-trigram features: tokens are every substring
-    * position i..i+2 of the raw text (spaces included), a sub-3-char
-    * text contributing its single truncated gram — exactly
-    * [[chargrams]]' arithmetic. range(1, n+1) because DuckDB range is
-    * end-exclusive.
+  /** One DuckDB gram-position list for [[chargramCtesFor]]: every
+    * substring position i..i+n-1 of the raw text (spaces included), a
+    * sub-n-char text contributing its single truncated gram — exactly
+    * [[chargramHashes]]' arithmetic, on the STRINGS the Spark side
+    * hashes (the twin's exact match is the injectivity proof).
+    * range(1, k+1) because DuckDB range is end-exclusive.
     */
-  private val chargramCtes =
-    """cg_tr AS (
+  private def gramListSql(n: Int): String =
+    s"list_transform(range(1, greatest(length(text) - ${n - 1}, 1) + 1)," +
+      s" i -> substring(text, CAST(i AS INTEGER), $n))"
+
+  /** langidCtes with char-n-gram features over the gram lengths `ns`
+    * (trigram-only for q_langid_chargram, 3-5 jointly for the
+    * fastText-proper row).
+    */
+  private def chargramCtesFor(ns: Seq[Int]): String = {
+    val toks = ns.map(gramListSql).reduce((a, b) => s"list_concat($a, $b)")
+    val nTok =
+      ns.map(n => s"greatest(length(text) - ${n - 1}, 1)").mkString(" + ")
+    s"""cg_tr AS (
       |  SELECT d.lang AS mlang, d.text FROM documents d
       |  JOIN splits s ON s.doc_id = d.doc_id WHERE s.split = 'train'),
       |cg_cnt AS (
       |  SELECT mlang, tok, count(*) AS c FROM (
-      |    SELECT mlang, unnest(list_transform(
-      |      range(1, greatest(length(text) - 2, 1) + 1),
-      |      i -> substring(text, CAST(i AS INTEGER), 3))) AS tok
+      |    SELECT mlang, unnest($toks) AS tok
       |    FROM cg_tr)
       |  GROUP BY 1, 2),
       |cg_tl AS (SELECT mlang, CAST(sum(c) AS BIGINT) AS tl
@@ -3303,14 +3413,12 @@ object Docs {
       |  FROM cg_cnt c JOIN cg_tl USING (mlang), cg_v),
       |cg_nt AS (
       |  SELECT doc_id, lang,
-      |    CAST(greatest(length(text) - 2, 1) AS BIGINT) AS n_tokens
+      |    CAST($nTok AS BIGINT) AS n_tokens
       |  FROM documents),
       |cg_hit AS (
       |  SELECT t.doc_id, w.mlang, CAST(sum(w.w_nano) AS BIGINT) AS sw,
       |    count(*) AS n_hit
-      |  FROM (SELECT doc_id, unnest(list_transform(
-      |          range(1, greatest(length(text) - 2, 1) + 1),
-      |          i -> substring(text, CAST(i AS INTEGER), 3))) AS tok
+      |  FROM (SELECT doc_id, unnest($toks) AS tok
       |        FROM documents) t
       |  JOIN cg_w w ON w.tok = t.tok
       |  GROUP BY 1, 2),
@@ -3326,6 +3434,10 @@ object Docs {
       |    row_number() OVER (PARTITION BY doc_id
       |      ORDER BY score_nano DESC, mlang DESC) AS rn
       |  FROM cg_sc)""".stripMargin
+  }
+
+  private val chargramCtes = chargramCtesFor(Seq(3))
+  private val chargram35Ctes = chargramCtesFor(Seq(3, 4, 5))
 
   private val langidCtes =
     """lid_tr AS (
@@ -4789,6 +4901,13 @@ object Docs {
     "q_langid_chargram" ->
       s"""WITH $splitsCte,
         |$chargramCtes
+        |SELECT lang, pred_lang, count(*) AS n_docs,
+        |  lang = pred_lang AS agree
+        |FROM cg_best WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+
+    "q_langid_chargram35" ->
+      s"""WITH $splitsCte,
+        |$chargram35Ctes
         |SELECT lang, pred_lang, count(*) AS n_docs,
         |  lang = pred_lang AS agree
         |FROM cg_best WHERE rn = 1 GROUP BY 1, 2""".stripMargin,

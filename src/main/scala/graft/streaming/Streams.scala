@@ -511,6 +511,19 @@ object Streams {
     * (the decomposition the batch oracle pins), so downstream
     * verify/cluster stages read one directory and never rescan history.
     */
+  /** Numeric id of a journal batch-dir name `b<id>`, None for any
+    * non-tag directory (a stray file must be ignored, never crash a
+    * micro-batch or a fold). Try-parse instead of a digit-count bound:
+    * the previous `length <= 19` guard allowed at most 18 digits after
+    * the 'b', silently excluding lawful ids >= 10^18 (Long.MaxValue is
+    * 19 digits, dir-name length 20); an id past Long.MaxValue now
+    * rejects by failing the parse rather than by an off-by-one.
+    */
+  private[graft] def batchTag(t: String): Option[Long] =
+    if (t.length > 1 && t.startsWith("b") && t.drop(1).forall(_.isDigit))
+      scala.util.Try(t.drop(1).toLong).toOption
+    else None
+
   def startDedupJournal(docs: DataFrame, stateDir: String,
       checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text")
@@ -546,14 +559,7 @@ object Streams {
     val priorTags =
       if (fs.exists(bandsRoot))
         fs.listStatus(bandsRoot).toSeq.map(_.getPath.getName)
-          .filter { t =>
-            // length guards: bare "b" passes a vacuous forall(isDigit)
-            // and then "".toLong throws; >18 digits overflows Long. A
-            // stray non-tag directory must be ignored, not crash every
-            // subsequent micro-batch.
-            t.length > 1 && t.length <= 19 && t.startsWith("b") &&
-              t.drop(1).forall(_.isDigit) && t.drop(1).toLong < batchId
-          }
+          .filter(t => batchTag(t).exists(_ < batchId))
       else Seq.empty
     val oldBands =
       if (priorTags.isEmpty) newBands.filter(lit(false))
@@ -618,31 +624,173 @@ object Streams {
     }
   }
 
-  /** Fold the committed journal into the keep-first answer: reads ONLY
-    * batch dirs whose commit marker exists (a crash between the parquet
-    * write and the marker leaves a half-batch that a replay will
-    * overwrite — reading it would double-count), then merges the partial
-    * aggregates. Equals the one-shot `q_dedup_url` over the union of the
-    * committed batches' rows.
+  /** Fold the committed journal into the keep-first answer: reads the
+    * `_compacted` snapshot (when one exists) plus every batch dir whose
+    * commit marker exists (a crash between the parquet write and the
+    * marker leaves a half-batch that a replay will overwrite — reading
+    * it would double-count), then merges the partial aggregates. Equals
+    * the one-shot `q_dedup_url` over the union of the committed
+    * batches' rows — compaction only re-associates the mergeable fold
+    * (count sums, min of mins).
     */
   def urlDedupFromJournal(spark: SparkSession, stateDir: String)
       : DataFrame = {
     import org.apache.hadoop.fs.Path
     val root = new Path(stateDir, "urls")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed =
+    val dirs =
       if (!fs.exists(root)) Seq.empty
       else fs.listStatus(root).toSeq.map(_.getPath.getName)
         .filter { t =>
-          t.length > 1 && t.length <= 19 && t.startsWith("b") &&
-            t.drop(1).forall(_.isDigit) &&
-            fs.exists(new Path(stateDir, s"_graft_commits/${t.drop(1)}"))
+          // the snapshot folds only already-committed batches, so it
+          // carries no marker of its own; batch dirs still require one
+          t == "_compacted" || batchTag(t).exists(id =>
+            fs.exists(new Path(stateDir, s"_graft_commits/$id")))
         }
-    require(committed.nonEmpty, s"no committed url-dedup batches under $root")
-    spark.read.parquet(committed.map(t => s"$stateDir/urls/$t"): _*)
+    require(dirs.nonEmpty, s"no committed url-dedup batches under $root")
+    spark.read.parquet(dirs.map(t => s"$stateDir/urls/$t"): _*)
       .groupBy(col("canon_url"))
       .agg(sum(col("n_docs")).as("n_docs"),
         min(col("first_doc")).as("first_doc"))
+  }
+
+  /** Fold the whole committed URL journal into ONE `_compacted` partial,
+    * atomically replacing `stateDir/urls` — the growth bound for a
+    * journal that otherwise appends one parquet dir per batch forever
+    * ([[graft.engine.Rollup.compactJournal]]'s pattern on the
+    * per-batch-dir layout): after the swap, [[urlDedupFromJournal]]
+    * reads one snapshot dir plus whatever batches land later, and the
+    * fold is unchanged because the partials are mergeable by
+    * construction. The commit markers live OUTSIDE the swapped dir
+    * (`stateDir/_graft_commits/`) and are untouched, so an
+    * at-least-once replay of a compacted batchId remains a no-op — the
+    * marker is exactly that claim. An UNcommitted half-batch present at
+    * compaction time is dropped with the old dir; its replay recomputes
+    * it from scratch, which is what a replay of an uncommitted batch
+    * does anyway. Single-writer contract as Rollup.compactJournal:
+    * compaction belongs in the journal writer's quiesce window.
+    */
+  def compactUrlDedupJournal(spark: SparkSession, stateDir: String)
+      : graft.engine.Pipeline.StageReport = {
+    import org.apache.hadoop.fs.Path
+    val stage = "compact_url_journal"
+    val pLive = new Path(stateDir, "urls")
+    val pTmp = new Path(stateDir, "urls.compact-tmp")
+    val pOld = new Path(stateDir, "urls.compact-old")
+    val fs = pLive.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.engine.Pipeline.recoverStrandedSwap(fs, pLive, pOld) match {
+      case Some(err) =>
+        return graft.engine.Pipeline.StageReport(stage, ok = false, err)
+      case None => ()
+    }
+    // Materializes the fold BEFORE any rename: the write below executes
+    // the read of the live dir into the tmp snapshot.
+    urlDedupFromJournal(spark, stateDir).coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new Path(pTmp, "_compacted").toString)
+    fs.delete(pOld, true)
+    if (!fs.rename(pLive, pOld))
+      return graft.engine.Pipeline.StageReport(stage, ok = false,
+        "could not stage current journal aside; journal untouched")
+    if (!fs.rename(pTmp, pLive)) {
+      val restored = fs.rename(pOld, pLive)
+      return graft.engine.Pipeline.StageReport(stage, ok = false,
+        if (restored) "swap failed; original restored"
+        else s"swap failed AND restore failed — journal stranded at $pOld")
+    }
+    fs.delete(pOld, true)
+    graft.engine.Pipeline.StageReport(stage, ok = true,
+      s"compacted $pLive")
+  }
+
+  /** Persist the static language-ID model — the broadcast side of
+    * [[startLangidMonitor]]: the unigram-NB weight table and per-lang
+    * constants trained by the SAME
+    * [[graft.queries.Docs.langidModel]] pipeline the batch
+    * `q_langid_nb`/`q_langid_confusion` rows run, from (lang, text)
+    * training rows. Rewrite on retrain — that starts a new monitoring
+    * epoch (confusion partials are defined relative to one model).
+    */
+  def writeLangidModel(train: DataFrame, modelDir: String): Unit = {
+    val (w, lc) = graft.queries.Docs.langidModel(
+      train.select(col("lang").as("mlang"), col("text")),
+      graft.queries.Docs.langidUnigramFeats)
+    w.write.mode("overwrite").parquet(s"$modelDir/weights")
+    lc.write.mode("overwrite").parquet(s"$modelDir/consts")
+  }
+
+  /** Streaming language-ID confusion monitor — the continuous-ingest
+    * twin of `q_langid_confusion` (the family convention: every
+    * classifier/dedup/drift operator ships a journal monitor). Each
+    * arriving micro-batch of documents is scored against the STATIC
+    * model tables ([[writeLangidModel]]) by the same
+    * [[graft.queries.Docs.langidScore]] composition the batch query
+    * runs — per-doc argmax is a pure function of (doc, model), so the
+    * per-batch (lang, pred_lang) count partials are mergeable by
+    * construction and [[langidConfusionFromJournal]]'s fold equals the
+    * one-shot confusion over the union of the batches (pinned in
+    * StreamsSpec). Idempotence is the dedup journal's marker ledger:
+    * a committed batch replays as a no-op. Scale shape: per trigger the
+    * model broadcasts (Zipf-small), the batch shuffles once on doc_id
+    * for the per-doc agg, and the journal holds O(L²) rows per batch —
+    * never documents.
+    */
+  def startLangidMonitor(docs: DataFrame, modelDir: String,
+      stateDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        langidBatchIdempotent(batch, modelDir, stateDir, batchId)
+      }
+      .start()
+
+  /** The per-batch step of [[startLangidMonitor]]. */
+  private[graft] def langidBatchIdempotent(batch: DataFrame,
+      modelDir: String, stateDir: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val marker = new Path(stateDir, s"_graft_commits/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    val w = spark.read.parquet(s"$modelDir/weights")
+    val lc = spark.read.parquet(s"$modelDir/consts")
+    graft.queries.Docs.langidScore(batch, w, lc,
+        graft.queries.Docs.langidUnigramFeats,
+        graft.queries.Docs.langidUnigramNFeats)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$stateDir/confusion/b$batchId")
+    try fs.create(marker, false).close() // exclusive: lost race = no-op
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    }
+  }
+
+  /** Fold the committed confusion journal into the running matrix —
+    * count sums per (lang, pred_lang), with the agree flag recomputed
+    * on the folded rows. Equals the one-shot `q_langid_confusion` over
+    * the union of the committed batches' documents under the same
+    * model.
+    */
+  def langidConfusionFromJournal(spark: SparkSession, stateDir: String)
+      : DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(stateDir, "confusion")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(t => batchTag(t).exists(id =>
+          fs.exists(new Path(stateDir, s"_graft_commits/$id"))))
+    require(committed.nonEmpty,
+      s"no committed langid confusion batches under $root")
+    spark.read.parquet(committed.map(t => s"$stateDir/confusion/$t"): _*)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .withColumn("agree", col("lang") === col("pred_lang"))
   }
 
   /** Materialize the distinct eval-side 5-gram set as 8-byte xxhash64 keys

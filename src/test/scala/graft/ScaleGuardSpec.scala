@@ -118,6 +118,26 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(ScaleSuite.timeoutGuard(prior, 320).isEmpty)
   }
 
+  test("rule (c) with queryNames only binds on queries the caller will " +
+      "run (the ADVICE-r18 case: a non-graph wall must not refuse a " +
+      "graph decade), and the prior-timeout rule filters the same way") {
+    // q_triangles 319 s is NOT in the caller's family → a 300 s dial
+    // passes the query rule; with the row in the family it refuses
+    val prior = ledgerWithQuery(600, 500.0, "q_triangles", 319.3)
+    assert(ScaleSuite.timeoutGuard(prior, 300,
+      queryNames = Some(Set("q_pagerank"))).isEmpty)
+    assert(ScaleSuite.timeoutGuard(prior, 300,
+      queryNames = Some(Set("q_triangles"))).isDefined)
+    // a prior scaled TIMEOUT on an un-run query must not trip rule (b)
+    val withTimeout = ledgerWithQuery(600, 80.0, "q_small", 10.0)
+      .replace(""""scaled_timeout":[]""",
+        """"scaled_timeout":["q_sim_neardup"]""")
+    assert(ScaleSuite.timeoutGuard(withTimeout, 600,
+      queryNames = Some(Set("q_small"))).isEmpty)
+    assert(ScaleSuite.timeoutGuard(withTimeout, 600,
+      queryNames = Some(Set("q_sim_neardup"))).isDefined)
+  }
+
   test("rule (c) ignores query rows listed in scaled_failed (their wall " +
       "is time-to-crash, not a measurement)") {
     // q_big FAILED at 400 s — rule (c) must not treat 400 s as a known

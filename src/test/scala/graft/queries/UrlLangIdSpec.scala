@@ -138,4 +138,23 @@ class UrlLangIdSpec extends AnyFunSuite {
       s"chargram diagonal $cgDiag under the unigram NB's $nbDiag")
     assert(cgLangs >= 2, s"chargram collapsed to $cgLangs class(es)")
   }
+
+  /** [[diag]] at the sf0.01 fixture — the scale the r18 chargram
+    * numbers were quoted at, so the 3-5-gram pin is comparable.
+    */
+  private def diag001(name: String): Long = {
+    val rows = Docs.queries(name)(spark, "/root/testdata/sf0.01").collect()
+    rows.collect { case r if r.getString(0) == r.getString(1) =>
+      r.getLong(2) }.sum
+  }
+
+  test("q_langid_chargram35: joint char 3-5-grams (fastText proper, " +
+      "Joulin 2016 §2) clear the 300-of-500 bar at sf0.01 and beat the " +
+      "trigram-only model (r19 measured 378 vs 282 vs 238 unigram)") {
+    val cg35 = diag001("q_langid_chargram35")
+    val cg3 = diag001("q_langid_chargram")
+    assert(cg35 >= 300, s"3-5-gram diagonal $cg35 under the 300/500 bar")
+    assert(cg35 > cg3,
+      s"3-5-gram diagonal $cg35 does not beat trigram-only $cg3")
+  }
 }

@@ -926,6 +926,112 @@ class StreamsSpec extends AnyFunSuite {
       batches(2).take(2).toDF("doc_id", "url")
         .write.mode("overwrite").parquet(s"$root/state/urls/b99")
       assert(fold() == want, "uncommitted batch dir must be ignored")
+
+      // COMPACTION (the journal's growth bound): fold the committed
+      // batch dirs into ONE `_compacted` snapshot. The fold answer is
+      // unchanged, the half-batch b99 is dropped (a replay recomputes
+      // it — same semantics as before compaction), and the commit
+      // markers survive OUTSIDE the swapped dir, so an at-least-once
+      // replay of a COMPACTED batch is still a no-op.
+      val rep = Streams.compactUrlDedupJournal(spark, s"$root/state")
+      assert(rep.ok, rep.detail)
+      val dirs = new java.io.File(s"$root/state/urls")
+        .listFiles().map(_.getName).filterNot(_.startsWith(".")).toSet
+      assert(dirs == Set("_compacted"),
+        s"expected one snapshot dir after compaction, got $dirs")
+      assert(fold() == want,
+        "fold through the compacted snapshot must equal the one-shot")
+      Streams.urlDedupBatchIdempotent(
+        batches(0).take(3).toDF("doc_id", "url"), s"$root/state",
+        batchId = 0L)
+      assert(fold() == want,
+        "replay of a compacted committed batch must remain a no-op")
+      // a batch arriving AFTER compaction merges onto the snapshot:
+      // re-ingesting 5 known urls under a fresh id bumps exactly those
+      // canon groups' counts (min first_doc unchanged — these doc_ids
+      // already participated)
+      val extra = batches(0).take(5)
+      Streams.urlDedupBatchIdempotent(
+        extra.toDF("doc_id", "url"), s"$root/state", batchId = 100L)
+      val canonOf = extra.toDF("doc_id", "url")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          graft.queries.Docs.urlCanon(
+            org.apache.spark.sql.functions.col("url")).as("c"))
+        .collect().map(_.getString(1))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val wantMerged = want.map { case (c, n, first) =>
+        (c, n + canonOf.getOrElse(c, 0L), first) }
+      assert(fold() == wantMerged,
+        "post-compaction batch must merge onto the snapshot")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
+  test("batchTag parses the full Long id range and rejects non-tags " +
+      "(the r18 `length <= 19` bound was off by one: Long.MaxValue is " +
+      "19 digits, dir-name length 20)") {
+    assert(Streams.batchTag("b0").contains(0L))
+    assert(Streams.batchTag("b123456789012345678").contains(123456789012345678L))
+    // 19-digit ids inside the Long range parse (the old bound dropped them)
+    assert(Streams.batchTag(s"b${Long.MaxValue}").contains(Long.MaxValue))
+    // past Long.MaxValue the parse itself rejects — no wraparound id
+    assert(Streams.batchTag("b9223372036854775808").isEmpty)
+    assert(Streams.batchTag("b").isEmpty)
+    assert(Streams.batchTag("b12x").isEmpty)
+    assert(Streams.batchTag("_compacted").isEmpty)
+    assert(Streams.batchTag("12").isEmpty)
+  }
+
+  test("startLangidMonitor: the confusion-journal fold equals the " +
+      "one-shot q_langid_confusion under the same static model, " +
+      "through an at-least-once replay of a committed batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-langid")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      // static model: trained on EXACTLY the rows the batch query
+      // trains on (Docs.langidTrain — the shared accessor is the pin's
+      // precondition)
+      Streams.writeLangidModel(
+        graft.queries.Docs.langidTrain(spark, dir), s"$root/model")
+      val docs = graft.engine.Sources.table(spark, dir, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.col("text"))
+        .as[(Long, String, String)].collect().toSeq
+      val batches = (0 to 2).map(r => docs.filter(_._1 % 3 == r))
+      val in = MemoryStream[(Long, String, String)]
+      val q = Streams.startLangidMonitor(
+        in.toDF().toDF("doc_id", "lang", "text"),
+        s"$root/model", s"$root/state", s"$root/ckpt")
+      runBatches(q)(batches.map(b => () => in.addData(b: _*)): _*)
+
+      def fold() = Streams
+        .langidConfusionFromJournal(spark, s"$root/state")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getBoolean(3)))
+        .toSet
+      val want = graft.queries.Docs
+        .queries("q_langid_confusion")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getBoolean(3)))
+        .toSet
+      assert(fold() == want,
+        "confusion fold must equal the one-shot batch answer")
+
+      // at-least-once: a replayed COMMITTED batch (mutated content)
+      // must be a no-op behind the commit marker
+      Streams.langidBatchIdempotent(
+        batches(1).take(4).toDF("doc_id", "lang", "text"),
+        s"$root/model", s"$root/state", batchId = 1L)
+      assert(fold() == want, "replayed committed batch must be a no-op")
+      // a half-written batch with NO marker is invisible to the fold
+      batches(2).take(2).toDF("doc_id", "lang", "text")
+        .write.mode("overwrite").parquet(s"$root/state/confusion/b99")
+      assert(fold() == want, "uncommitted batch dir must be ignored")
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }

@@ -58,8 +58,14 @@ def diff(old, new, threshold=2.0):
     suspects are (row, reason) pairs above `threshold` normalized that
     fail one of those demotion checks — reported for adjudication, never
     silently dropped. old_loaded reports the symmetric case (the OLD
-    artifact carried the contention): regressions then stand CONFIRMED
-    by the quiet new run, and the caller should say so.
+    artifact carried the contention): an above-threshold row then stands
+    as a regression only if its RAW wall ratio also clears the full
+    threshold — old-side contention can distort the probe itself (an
+    inflated old probe shrinks norm = pn/po and inflates every
+    normalized ratio), so a row that is above threshold only AFTER
+    normalization against a loaded baseline is a suspect to re-measure,
+    not a verdict. Raw wall against an inflated old_sec UNDER-reads, so
+    raw > threshold cannot be a load phantom.
 
     Why the raw floor: the probe exists to catch a SLOWER container
     masking a real regression (r11: raw 1.6-2.5x on a quiet host, probe
@@ -113,6 +119,16 @@ def diff(old, new, threshold=2.0):
     for r in over:
         if new_loaded:
             suspects.append((r, load_reason))
+        elif old_loaded and r[2] / r[1] <= threshold:
+            # The old-side load that inflated old_sec can also have
+            # inflated the old PROBE, shrinking norm and inflating every
+            # normalized ratio — the raw 1.25x floor alone does not rule
+            # that phantom out. Demand the raw ratio clear the full
+            # threshold before a loaded baseline convicts a row.
+            suspects.append((r, "old side loaded — above threshold only "
+                                f"after probe normalization (raw "
+                                f"{r[2]/r[1]:.2f}x <= {threshold}x); "
+                                "re-measure against a quiet baseline"))
         elif r[2] / r[1] > 1.25:
             regressions.append(r)
         else:
@@ -141,7 +157,9 @@ def main(old_path, new_path, threshold=2.0):
                     f"32-thread contention)")
         elif old_loaded:
             note = (f" — OLD side was the loaded one; above-threshold rows "
-                    f"stand CONFIRMED by this quiet run (no demotion)")
+                    f"stand only if their RAW ratio also clears the "
+                    f"threshold (old-side load can distort the probe "
+                    f"normalization itself)")
         print(f"loadavg_start: {lo:.2f} -> {ln:.2f}{note}")
     oq, nq = old["queries"], new["queries"]
     common = sorted(set(oq) & set(nq))
