@@ -223,8 +223,14 @@ object Dedup {
       shingleN: Int = 5): DataFrame = {
     val raw = docShingles(docs, idCol, textCol, shingleN)
     val prof = minhashFromShingles(raw, idCol, k).localCheckpoint()
+    // r19: the distinct shingle set dedups on top of an id-keyed
+    // repartition (no second exchange — id co-locates (id, shash)), so
+    // the checkpoint lands id-partitioned: the verify stage's size
+    // aggregate and its doc_a probe side then reuse it exchange-free
+    // (guide §2.4).
     val shh = raw.select(col(idCol), xxhash64(col("shingle")).as("shash"))
-      .distinct().localCheckpoint()
+      .repartition(col(idCol))
+      .dropDuplicates(Seq(idCol, "shash")).localCheckpoint()
     minhashVerifiedPairsFrom(shh, prof, idCol, threshold, k, rowsPerBand)
   }
 
@@ -250,9 +256,13 @@ object Dedup {
       threshold: Double, shingleN: Int = 5): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
+    // r19: id-partitioned checkpoint (the minhashVerifiedPairs
+    // rationale) — the per-doc size agg, the position window and the
+    // verify probe all key on id and reuse this one exchange.
     val shh = docShingles(docs, idCol, textCol, shingleN)
       .select(col(idCol), xxhash64(col("shingle")).as("shash"))
-      .distinct().localCheckpoint()
+      .repartition(col(idCol))
+      .dropDuplicates(Seq(idCol, "shash")).localCheckpoint()
     val dfreq = shh.groupBy(col("shash")).agg(count(lit(1)).as("dfreq"))
     val sizes = shh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val w = org.apache.spark.sql.expressions.Window
@@ -444,8 +454,14 @@ object Dedup {
       bCol: String, maxIter: Int = 20): (DataFrame, Int) = {
     val p = pairs.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b"))
+    // Doubled edges dedup'd on top of a b-keyed repartition:
+    // HashPartitioning(b) co-locates equal (a, b) rows, so dropDuplicates
+    // adds no second exchange and the checkpoint lands partitioned by b —
+    // the key every round's neighbor join probes, so the edge side joins
+    // exchange-free all `maxIter` rounds (r19; guide §2.4).
     val edges = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+      .repartition(col("b"))
+      .dropDuplicates(Seq("a", "b")).localCheckpoint()
     // A non-numeric id (e.g. "doc-17") casts to NULL silently, which would
     // collapse unrelated nodes into one null-keyed pseudo-cluster — fail
     // loudly instead, matching the convergence posture below. The probe is
@@ -454,10 +470,18 @@ object Dedup {
       throw new IllegalArgumentException(
         s"connectedComponents: ids in '$aCol'/'$bCol' are null after " +
           "cast to long — pair ids must be non-null and numeric")
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // Round 1, fused (r19): with every label starting at its own id, the
+    // first round's neighbor-min is just min(b) per a — one hash-agg with
+    // no join, no left-join and no movement probe (on a non-empty
+    // symmetric edge set SOME label always moves in round 1: for the
+    // component-minimum pair u < v, v adopts a label <= u < v). Identical
+    // labels to running the generic round from the identity labeling.
+    var labels = edges.groupBy(col("a").as("id"))
+      .agg(min(col("b")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("label"))
+      .localCheckpoint()
     var changed = 1L
-    var iter = 0
+    var iter = 1
     while (changed > 0 && iter < maxIter) {
       val neighborMin = edges
         .join(labels.select(col("id").as("nid"), col("label").as("nlabel")),
@@ -529,6 +553,7 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .distinct().localCheckpoint()
+    var eCount = e.count()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -537,11 +562,16 @@ object Dedup {
       val mn = adj.groupBy(col("x"))
         .agg(min(col("y")).as("nmin"))
         .select(col("x"), least(col("x"), col("nmin")).as("m"))
-      // large-star: y > x >= m(x), so (y, m) is already larger→smaller
+      // large-star: y > x >= m(x), so (y, m) is already larger→smaller.
+      // Dedup on top of a u-keyed repartition (HashPartitioning(u)
+      // co-locates equal (u, v) rows — no second exchange), so the
+      // small-star aggregation AND its join back both reuse this one
+      // exchange instead of re-shuffling eL (r19; guide §2.4).
       val eL = adj.join(mn, "x")
         .filter(col("y") > col("x") && col("y") =!= col("m"))
         .select(col("y").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint()
+        .repartition(col("u"))
+        .dropDuplicates(Seq("u", "v")).localCheckpoint()
       // small-star over larger→smaller edges: per node u, min smaller
       // neighbor m; re-parent the other smaller neighbors and u to m
       val mnS = eL.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -553,9 +583,13 @@ object Dedup {
         .select(greatest(col("a"), col("b")).as("u"),
           least(col("a"), col("b")).as("v"))
         .distinct().localCheckpoint()
-      done = eNew.count() == e.count() &&
+      // The previous round's count is carried, not recomputed — one
+      // fewer action per round (r19).
+      val eNewCount = eNew.count()
+      done = eNewCount == eCount &&
         eNew.exceptAll(e).limit(1).count() == 0
       e = eNew
+      eCount = eNewCount
       iter += 1
     }
     if (!done)
@@ -593,12 +627,17 @@ object Dedup {
     */
   def substringDupPositions(docs: DataFrame, idCol: String, textCol: String,
       l: Int): DataFrame = {
+    // r19: the digest shuffles as unhex(md5) — the same 128 bits as
+    // 16-byte binary instead of a 32-char hex string, halving the width
+    // of the one gram-keyed exchange (the window partitioning) at
+    // unchanged exactness (guide §2.3 "narrower types"); unhex is a
+    // bijection on md5 output, so occurrence counts are identical.
     val grams = docs
       .filter(size(split(col(textCol), " ")) >= l)
       .select(col(idCol),
         posexplode(shingles(col(textCol), l)).as(Seq("pos", "gram")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
-        md5(col("gram").cast("binary")).as("h"))
+        unhex(md5(col("gram").cast("binary"))).as("h"))
     import org.apache.spark.sql.expressions.Window
     grams
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("h"))))
@@ -619,12 +658,14 @@ object Dedup {
     */
   def substringMatchPositions(docs: DataFrame, ref: DataFrame,
       idCol: String, textCol: String, l: Int): DataFrame = {
+    // r19: 16-byte binary digests on both semi-join sides (the
+    // substringDupPositions rationale) — half the probe-side shuffle.
     def grams(df: DataFrame): DataFrame = df
       .filter(size(split(col(textCol), " ")) >= l)
       .select(col(idCol),
         posexplode(shingles(col(textCol), l)).as(Seq("pos", "gram")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
-        md5(col("gram").cast("binary")).as("h"))
+        unhex(md5(col("gram").cast("binary"))).as("h"))
     grams(docs)
       .join(grams(ref).select(col("h")).distinct(), Seq("h"), "left_semi")
       .select(col(idCol), col("pos"))

@@ -47,6 +47,35 @@ object Graph {
     else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
   }
 
+  /** Directed edge set normalized to (src, dst) longs, deduplicated and
+    * checkpointed HASH-PARTITIONED BY src. Every per-round consumer joins
+    * the edge table on src (rank/hub contribution, frontier expansion),
+    * so establishing the src partitioning once at the checkpoint lets
+    * all `iters` rounds reuse it with zero edge-side exchange — the
+    * r19 optimization pass measured the per-round edge shuffle as the
+    * dominant exchange of the pagerank/hits/bfs family (guide §2.4:
+    * "two operations keyed the same way share one exchange"). The
+    * dedup runs as dropDuplicates ON TOP of the src partitioning
+    * (HashPartitioning(src) co-locates equal (src, dst) rows, so the
+    * aggregate inserts no second exchange and PRESERVES src
+    * partitioning into the checkpoint) — same bytes shuffled as the
+    * old distinct(), one fewer exchange downstream per round.
+    */
+  private def directedEdges(edges: DataFrame, srcCol: String,
+      dstCol: String, what: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
+      .localCheckpoint(true, edgeStorage)
+    if (e.filter(col("src").isNull || col("dst").isNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"$what: ids in '$srcCol'/'$dstCol' are null after cast " +
+          "to long — edge endpoints must be non-null and numeric")
+    e
+  }
+
   /** Rank mass each node starts with (1.0 in nano-units). */
   val ScaleNano = 1000000000L
 
@@ -82,18 +111,14 @@ object Graph {
   def pageRankNano(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint(true, edgeStorage)
     // Null ids would collapse into one null-keyed pseudo-node — fail
     // loudly (same posture as Dedup.connectedComponents).
-    if (e.filter(col("src").isNull || col("dst").isNull).limit(1).count() > 0)
-      throw new IllegalArgumentException(
-        s"pageRankNano: ids in '$srcCol'/'$dstCol' are null after cast " +
-          "to long — edge endpoints must be non-null and numeric")
+    val e = directedEdges(edges, srcCol, dstCol, "pageRankNano")
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    // Exchange-free on the src-partitioned checkpoint, and the output
+    // KEEPS that partitioning, so the per-round node-sized share join
+    // (ranks ⋈ outdeg) is itself co-partitioned.
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
       .localCheckpoint()
     var ranks = nodes.select(col("id"), lit(ScaleNano).as("r"))
@@ -120,14 +145,7 @@ object Graph {
   def personalizedPageRankNano(edges: DataFrame, srcCol: String,
       dstCol: String, iters: Int, seed: Column): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint(true, edgeStorage)
-    if (e.filter(col("src").isNull || col("dst").isNull).limit(1).count() > 0)
-      throw new IllegalArgumentException(
-        s"personalizedPageRankNano: ids in '$srcCol'/'$dstCol' are null " +
-          "after cast to long — edge endpoints must be non-null and numeric")
+    val e = directedEdges(edges, srcCol, dstCol, "personalizedPageRankNano")
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .withColumn("base",
@@ -169,25 +187,26 @@ object Graph {
   def hitsMicro(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint(true, edgeStorage)
-    if (e.filter(col("src").isNull || col("dst").isNull).limit(1).count() > 0)
-      throw new IllegalArgumentException(
-        s"hitsMicro: ids in '$srcCol'/'$dstCol' are null after cast to " +
-          "long — edge endpoints must be non-null and numeric")
+    val e = directedEdges(edges, srcCol, dstCol, "hitsMicro")
+    // The hub half-round joins on dst, so it gets its own dst-partitioned
+    // checkpoint: one extra edge shuffle at build, zero per round — the
+    // pageRank directedEdges argument, once per join key (guide §2.4).
+    val eByDst = e.repartition(col("dst")).localCheckpoint(true, edgeStorage)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
-    // Renormalize (id, s) to max = Scale; nodes absent from raw get 0.
-    // A positive max is guaranteed whenever raw is non-empty (sums of
-    // positive scores); on an empty raw the coalesce keeps zeros.
+    // Renormalize (id, s) to max = Scale. r19: nodes ABSENT from raw stay
+    // absent through the rounds instead of being null-padded to 0 — an
+    // absent row contributes exactly what a 0-score row does to the next
+    // half-round's inner join and to the max, so deferring the
+    // node-completion to the single left-join at the end removes one
+    // node-sized outer join per half-round (2·iters of them) at
+    // identical output. A positive max is guaranteed whenever raw is
+    // non-empty (sums of positive scores).
     def normalized(raw: DataFrame, out: String): DataFrame = {
       val mx = raw.agg(max(col("s")).as("mx"))
-      nodes.join(raw, Seq("id"), "left").crossJoin(broadcast(mx))
+      raw.crossJoin(broadcast(mx))
         .select(col("id"),
-          coalesce(
-            expr(s"(s * $HitsScaleMicro) div mx"), lit(0L)).as(out))
+          expr(s"(s * $HitsScaleMicro) div mx").as(out))
     }
     var hubs = nodes.select(col("id"), lit(HitsScaleMicro).as("hub"))
     var auths = nodes.select(col("id"), lit(0L).as("auth"))
@@ -197,14 +216,16 @@ object Graph {
           .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("s")),
         "auth").localCheckpoint()
       hubs = normalized(
-        e.join(auths.select(col("id").as("dst"), col("auth")), Seq("dst"))
+        eByDst.join(auths.select(col("id").as("dst"), col("auth")),
+            Seq("dst"))
           .groupBy(col("src").as("id")).agg(sum(col("auth")).as("s")),
         "hub").localCheckpoint()
     }
     nodes
-      .join(hubs, Seq("id")).join(auths, Seq("id"))
-      .select(col("id").as("node_id"), col("hub").as("hub_micro"),
-        col("auth").as("auth_micro"))
+      .join(hubs, Seq("id"), "left").join(auths, Seq("id"), "left")
+      .select(col("id").as("node_id"),
+        coalesce(col("hub"), lit(0L)).as("hub_micro"),
+        coalesce(col("auth"), lit(0L)).as("auth_micro"))
   }
 
   /** Multi-source BFS hop distances: min #hops from any seed node to
@@ -229,14 +250,7 @@ object Graph {
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
       seed: Column, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint(true, edgeStorage)
-    if (e.filter(col("src").isNull || col("dst").isNull).limit(1).count() > 0)
-      throw new IllegalArgumentException(
-        s"bfsHops: ids in '$srcCol'/'$dstCol' are null after cast to " +
-          "long — edge endpoints must be non-null and numeric")
+    val e = directedEdges(edges, srcCol, dstCol, "bfsHops")
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var settled = nodes.filter(seed)
@@ -282,10 +296,18 @@ object Graph {
       bCol: String): DataFrame = {
     val p = pairs.select(col(aCol).cast("long").as("x"),
       col(bCol).cast("long").as("y"))
+    // Dedup on top of a lo-only repartition: HashPartitioning(lo)
+    // co-locates equal (lo, hi) rows, so dropDuplicates adds no second
+    // exchange and the checkpoint lands PARTITIONED BY lo — the key the
+    // downstream degree joins probe (trianglesFrom, assortativity), so
+    // those reuse it exchange-free. Same shuffled bytes as the old
+    // (lo, hi)-keyed distinct (guide §2.4).
     p.filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("lo"),
         greatest(col("x"), col("y")).as("hi"))
-      .distinct().localCheckpoint(true, edgeStorage)
+      .repartition(col("lo"))
+      .dropDuplicates(Seq("lo", "hi"))
+      .localCheckpoint(true, edgeStorage)
   }
 
   /** k-truss membership (Cohen 2008, "Trusses: cohesive subgraphs for
@@ -454,6 +476,12 @@ object Graph {
             col("dlo").as("dd"))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"),
         col("e.dd").as("ddeg"))
+      // src-partitioned checkpoint: the wedge self-join below probes BOTH
+      // sides on src, so both reuse this one exchange (r19; guide §2.4) —
+      // previously each side of the self-join re-shuffled the oriented
+      // list. Skew-safe by construction: orientation bounds per-src
+      // fanout at O(√E).
+      .repartition(col("src"))
       .localCheckpoint(true, edgeStorage)
     // Wedges (src; v, w) with v before w in the SAME (deg, id) order, so
     // the closing edge — if present — is oriented exactly v -> w.
@@ -562,8 +590,15 @@ object Graph {
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val und = canonicalEdges(pairs, aCol, bCol)
+    // nb-partitioned checkpoint: the per-round label join probes the
+    // neighbor list on nb, so all `iters` rounds reuse this one exchange
+    // instead of re-shuffling the edge-sized list every round (r19;
+    // guide §2.4). The labels side arrives id-partitioned from its own
+    // checkpoint, which the rename to nb preserves — so the round's only
+    // substantial exchanges are the two aggregation steps' own.
     val nbr = und.select(col("lo").as("id"), col("hi").as("nb"))
       .unionAll(und.select(col("hi").as("id"), col("lo").as("nb")))
+      .repartition(col("nb"))
       .localCheckpoint(true, edgeStorage)
     val nodes = und.select(col("lo").as("id"))
       .union(und.select(col("hi").as("id"))).distinct().localCheckpoint()
@@ -630,24 +665,44 @@ object Graph {
       : DataFrame = {
     val und = canonicalEdges(pairs, aCol, bCol)
     val deg = degrees(und)
-    val both = und.select(col("lo").as("a"), col("hi").as("b"))
-      .unionAll(und.select(col("hi").as("a"), col("lo").as("b")))
-    both
-      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
-      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    // r19: join the degree table onto the CANONICAL edge list (E rows)
+    // and double to both directions afterwards with a map-side explode —
+    // the old shape doubled first and paid both joins on 2E rows, and
+    // its union of two projections would otherwise evaluate the join
+    // subtree twice (guide §2.3 "shuffle fewer bytes"). The lo-side join
+    // reuses the canonical checkpoint's lo partitioning exchange-free;
+    // corr is the same Catalyst aggregate over the same doubled multiset.
+    und
+      .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), Seq("lo"))
+      .join(deg.select(col("id").as("hi"), col("deg").as("dhi")), Seq("hi"))
+      .select(explode(array(
+        struct(col("dlo").as("da"), col("dhi").as("db")),
+        struct(col("dhi").as("da"), col("dlo").as("db")))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
       .agg(count(lit(1)).as("n_directed_edges"),
         round(corr(col("da"), col("db")), 4).as("assortativity"))
   }
 
-  /** One round's in-contribution table (id, c) — equi-join of ranks and
-    * outdegree onto the edge list, hash-agg on dst with map-side partial
-    * sums. Factored out so PlanSpec can pin the round's physical shape
-    * (the loop's plans truncate at each localCheckpoint).
+  /** One round's in-contribution table (id, c). The per-source share
+    * `r div od` is computed on the NODE-sized ranks ⋈ outdeg join first,
+    * then attached to the edge list with a single equi-join on src —
+    * the r19 rewrite of the old e ⋈ ranks ⋈ outdeg chain, which paid
+    * TWO edge-sized join stages per round (guide §3: join the small
+    * tables together before touching the big one; the sum over edges of
+    * a per-src constant is identical either way). With the edge
+    * checkpoint src-partitioned and both node tables arriving
+    * id-partitioned from their own checkpoints, the only exchange per
+    * round is the dst hash-agg's, with map-side partial sums. Factored
+    * out so PlanSpec can pin the round's physical shape (the loop's
+    * plans truncate at each localCheckpoint).
     */
   private[ext] def contrib(e: DataFrame, ranks: DataFrame,
-      outdeg: DataFrame): DataFrame =
-    e.join(ranks.select(col("id").as("src"), col("r")), Seq("src"))
+      outdeg: DataFrame): DataFrame = {
+    val share = ranks.select(col("id").as("src"), col("r"))
       .join(outdeg, Seq("src"))
+      .select(col("src"), expr("r div od").as("sh"))
+    e.join(share, Seq("src"))
       .groupBy(col("dst").as("id"))
-      .agg(sum(expr("r div od")).as("c"))
+      .agg(sum(col("sh")).as("c"))
+  }
 }

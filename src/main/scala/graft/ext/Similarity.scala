@@ -743,12 +743,21 @@ object Similarity {
       .select(col(idCol),
         posexplode(asDouble(col(vecCol))).as(Seq("i", "xv")))
       .withColumn("xq", floor(col("xv") * 1e6 + lit(0.5)).cast("long"))
-    x.crossJoin(
-        emb.sparkSession.range(outDim).select(col("id").as("j")))
+    // r19: s(i, j) takes d·outDim distinct values, but the old shape
+    // recomputed the md5 chain on every one of the n·d·outDim exploded
+    // rows — the dominant CPU of the rp family at the bench fixture
+    // (guide §1.2 step 2: per-task work after the algorithm is right).
+    // Precompute the d×outDim sign matrix once (the distinct-i pass
+    // collapses map-side to ≤d rows per partition) and broadcast-join it
+    // on i; the md5 input expression is IDENTICAL, so every sign — and
+    // every projected coordinate — is bit-identical to the old shape.
+    val signs = x.select(col("i")).distinct()
+      .crossJoin(emb.sparkSession.range(outDim).select(col("id").as("j")))
       .withColumn("s",
         when(conv(substring(md5(concat(lit("rp:"), col("j"), lit(":"),
           col("i"))), 1, 1), 16, 10).cast("long") % 2 === 0, 1L)
           .otherwise(-1L))
+    x.join(broadcast(signs), Seq("i"))
       .groupBy(col(idCol), col("j"))
       .agg(sum(col("xq") * col("s")).as("y"))
   }

@@ -131,10 +131,15 @@ object Vectors {
     // Micro-unit integer inputs make every projected coordinate an
     // order-free integer sum; the projected table is long-format
     // (id, j, y) — the shape that ships at scale.
+    // r19: the projected table is localCheckpointed — longFormatTopK
+    // consumes it from THREE subtrees (norms, the query rows, the dot-
+    // product probe), and without materialization each re-ran the whole
+    // explode+sign+agg projection (guide §5: persist when reuse beats
+    // recompute; the table is n·outDim longs — tiny).
     "q_sim_rp_topk" -> ((s, dir) =>
       Similarity.longFormatTopK(
         Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id",
-          "embedding", outDim = 16),
+          "embedding", outDim = 16).localCheckpoint(),
         "vec_id", querySet, k = 5)),
 
     // The JL audit: recall@5 of the 16-dim projected ranking against the
@@ -150,7 +155,7 @@ object Vectors {
         "vec_id", "embedding", querySet, k = 5)
       val rp = Similarity.longFormatTopK(
         Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id",
-          "embedding", outDim = 16),
+          "embedding", outDim = 16).localCheckpoint(), // r19: see rp_topk
         "vec_id", querySet, k = 5)
       brute.select(col("query_id"), col("neighbor_id"))
         .join(rp.select(col("query_id"), col("neighbor_id"),
