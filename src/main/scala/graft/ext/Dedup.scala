@@ -330,14 +330,23 @@ object Dedup {
     * path) don't pay a second corpus explode.
     */
   def jaccardFromShingles(sh: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
+    jaccardFromHashed(
+      sh.select(col(idCol), xxhash64(col("shingle")).as("shash")),
+      idCol, threshold)
+
+  /** [[jaccardFromShingles]] over the ALREADY-HASHED distinct shingle
+    * view (id, shash) — the r19 entry point that lets callers dedup and
+    * shuffle the 8-byte keys instead of the gram TEXT (the family's
+    * shuffle-payload discipline): the old shape distinct'd the raw
+    * (id, shingle-string) stream, carrying ~n·5-token grams through the
+    * dedup exchange only to hash them immediately after.
+    */
+  def jaccardFromHashed(shh: DataFrame, idCol: String,
       threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    // Same 8-byte-key discipline as [[minhashVerifiedPairsFrom]]: the
-    // inverted-index join keys on xxhash64(shingle), never the gram text.
-    val a = sh.select(col(idCol).as("doc_a"),
-      xxhash64(col("shingle")).as("shash"))
-    val b = sh.select(col(idCol).as("doc_b"),
-      xxhash64(col("shingle")).as("sh_b"))
+    val sizes = shh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = shh.select(col(idCol).as("doc_a"), col("shash"))
+    val b = shh.select(col(idCol).as("doc_b"), col("shash").as("sh_b"))
     val common = a.join(b,
         a("shash") === b("sh_b") && a("doc_a") < b("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -353,12 +362,19 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
-    * (inverted-index join), thresholded.
+    * (inverted-index join), thresholded. r19: the distinct runs over
+    * (id, xxhash64) — 8-byte keys, id-partitioned for the size agg and
+    * probe sides (the minhashVerifiedPairs rationale) — and is
+    * checkpointed because three subtrees consume it.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 5): DataFrame =
-    jaccardFromShingles(
-      docShingles(docs, idCol, textCol, shingleN).distinct(), idCol, threshold)
+    jaccardFromHashed(
+      docShingles(docs, idCol, textCol, shingleN)
+        .select(col(idCol), xxhash64(col("shingle")).as("shash"))
+        .repartition(col(idCol))
+        .dropDuplicates(Seq(idCol, "shash")).localCheckpoint(),
+      idCol, threshold)
 
   /** SimHash signatures per doc: explode tokens, project the two per-token
     * md5s once, then their 8 long quarters once, one hash-agg of 64
@@ -393,6 +409,10 @@ object Dedup {
     // fat — per-candidate work and the width of what flows through the join
     // both matter.
     val hiWidth = math.min(32, positions)
+    // r19: materialized before the banded self-join — physical-plan
+    // exchange reuse is not guaranteed across self-join re-aliasing (the
+    // minhashPairs lesson), so without this the whole token explode +
+    // 64-agg signature pass ran once per join side. Doc-sized table.
     val sig = simhashSignatures(docs, idCol, textCol, positions)
       .withColumn("sig_hi",
         conv(substring(col("simhash"), 1, hiWidth), 2, 10).cast("long"))
@@ -401,6 +421,7 @@ object Dedup {
           conv(substring(col("simhash"), 33, positions - 32), 2, 10)
             .cast("long")
         else lit(0L))
+      .localCheckpoint()
     val blocks = sig.select(col(idCol), col("sig_hi"), col("sig_lo"),
       posexplode(array((0 until 4).map(j =>
         substring(col("simhash"), j * bandWidth + 1, bandWidth)): _*))

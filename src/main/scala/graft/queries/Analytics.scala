@@ -37,8 +37,14 @@ object Analytics {
     * on neighbor id. Pair volume is Σ per-order basket², never |items|².
     */
   private def cfNeighbors(s: SparkSession, dir: String): DataFrame = {
+    // r19: the distinct dedups on top of an orderkey repartition (no
+    // second exchange — orderkey co-locates the full key), so the
+    // checkpoint lands orderkey-partitioned and the basket self-join
+    // probes BOTH sides exchange-free (guide §2.4).
     val items = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey"))
+      .dropDuplicates(Seq("l_orderkey", "l_partkey"))
       .localCheckpoint() // both self-join sides + marginals
     val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
     val b = items.select(col("l_orderkey").as("ok_b"),
@@ -80,8 +86,11 @@ object Analytics {
     // picks broadcast vs shuffle from measured size), the 1-row order
     // count broadcasts.
     "q_basket_lift" -> ((s, dir) => {
+      // r19: orderkey-partitioned checkpoint — the cfNeighbors rationale.
       val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(col("l_orderkey"))
+        .dropDuplicates(Seq("l_orderkey", "l_partkey"))
         .localCheckpoint() // both self-join sides + marginals + total
       val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
       val b = items.select(col("l_orderkey").as("ok_b"),

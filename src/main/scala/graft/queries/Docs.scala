@@ -340,12 +340,22 @@ object Docs {
     // detected, recall) — the number that justifies shipping the O(docs ×
     // bands) path instead of the hot-shingle-quadratic exact join at 100 TB.
     "q_dedup_recall" -> ((s, dir) => {
-      val sh = Dedup.docShingles(t(s, dir, "documents"), "doc_id", "text")
-        .distinct().localCheckpoint()
-      val truth = Dedup.jaccardFromShingles(sh, "doc_id", 0.5)
+      // r19: the shared materialization is the HASHED distinct set, not
+      // the raw text shingles — the truth join only tests gram equality
+      // (8-byte keys suffice, the family discipline), and the minhash
+      // signature is duplicate-insensitive so it reads the RAW exploded
+      // stream directly (bit-identical mins; map-side combine ships only
+      // per-doc partials). The old shape distinct'd and checkpointed the
+      // full gram TEXT stream to feed both paths.
+      val raw = Dedup.docShingles(t(s, dir, "documents"), "doc_id", "text")
+      val shh = raw
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
+        .repartition(col("doc_id"))
+        .dropDuplicates(Seq("doc_id", "shash")).localCheckpoint()
+      val truth = Dedup.jaccardFromHashed(shh, "doc_id", 0.5)
         .select("doc_a", "doc_b")
       val cand = Dedup.bandsToCandidatePairs(
-        Dedup.lshBands(Dedup.minhashFromShingles(sh, "doc_id")
+        Dedup.lshBands(Dedup.minhashFromShingles(raw, "doc_id")
           .localCheckpoint(), "doc_id"), "doc_id")
       val scored = truth
         .join(cand.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
@@ -2248,12 +2258,18 @@ object Docs {
         .filter(col("rk") === 1).drop("rk")
         .filter(splitCol(col("doc_id")) === "train")
         .localCheckpoint() // feeds the shingle explode AND the anti join
+      // r19: the contamination probe keys on xxhash64(gram) — 8-byte
+      // keys instead of the 5-token gram STRINGS through the distinct
+      // and the join (the family's shuffle-payload discipline, same as
+      // q_decontam_ngram's probe), and a LEFT SEMI join replaces
+      // inner+distinct so matching grams never fan out.
       val evalGrams = Dedup.docShingles(
           t(s, dir, "documents").filter(splitCol(col("doc_id")) =!= "train"),
           "doc_id", "text")
-        .select(col("shingle")).distinct()
+        .select(xxhash64(col("shingle")).as("gh")).distinct()
       val contaminated = Dedup.docShingles(deduped, "doc_id", "text")
-        .join(evalGrams, "shingle")
+        .select(col("doc_id"), xxhash64(col("shingle")).as("gh"))
+        .join(evalGrams, Seq("gh"), "left_semi")
         .select(col("doc_id")).distinct()
       val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
         .localCheckpoint() // weights agg + membership filter both read it
@@ -2287,9 +2303,17 @@ object Docs {
     // only on shared fingerprints, and the winnowed set is ~2/(w+1) the
     // gram count, so the join input is a fraction of the jaccard one's.
     "q_winnow_containment" -> ((s, dir) => {
+      // r19: fingerprints dedup on top of an fp-keyed repartition, so the
+      // checkpoint lands fp-partitioned and the self-join below probes
+      // BOTH sides exchange-free (guide §2.4); the fingerprint shuffles
+      // as unhex(md5) 16-byte binary — same 128 bits, half the hex-string
+      // width (§2.3). Both rewrites are bijective, so the pair set is
+      // unchanged.
       val fps = Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id",
           "text")
-        .select(col("doc_id"), col("fp")).distinct()
+        .select(col("doc_id"), unhex(col("fp")).as("fp"))
+        .repartition(col("fp"))
+        .dropDuplicates(Seq("doc_id", "fp"))
         .localCheckpoint() // consumed by both sides of the self-join
       // distinct column names per side: same-lineage a("fp") === b("fp")
       // trips Spark's ambiguous-self-join disambiguation (WARN + reliance
@@ -2340,11 +2364,16 @@ object Docs {
     // explode → per-doc distinct → gram hash-agg (min doc) → join back;
     // all linear with map-side combine.
     "q_ngram_novelty" -> ((s, dir) => {
+      // r19: dedup on top of a g-keyed repartition — the first-seen
+      // aggregate AND the join-back both key on g, so the checkpoint's
+      // one exchange serves all three steps (guide §2.4); the old
+      // (doc_id, g)-keyed distinct forced both consumers to re-shuffle.
       val sh = Dedup.docShingles(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"),
           conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
             .as("g"))
-        .distinct()
+        .repartition(col("g"))
+        .dropDuplicates(Seq("doc_id", "g"))
         .localCheckpoint() // first-seen agg + join-back side
       val firstSeen = sh.groupBy(col("g"))
         .agg(min(col("doc_id")).as("first_doc"))
