@@ -42,10 +42,25 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** Exploded (doc_id, shingle) view. */
+  /** Widen a narrow scan feeding a per-row-HEAVY stage (the langid
+    * `widened` rationale, r19 applied family-wide): the fixture doc
+    * table arrives as ONE parquet split, so a shingle explode + md5 per
+    * gram would run single-core regardless of session width. Round-robin
+    * repartition ONLY when the source has fewer splits than the
+    * session's parallelism — at production scale the scan has more
+    * splits than cores and this is a no-op, never a gratuitous
+    * full-corpus shuffle.
+    */
+  private def widened(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+
+  /** Exploded (doc_id, shingle) view, widened (see [[widened]]). */
   def docShingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame =
-    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+    widened(docs)
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
 
   /** Winnowed fingerprint frame (id, fp, n_grams), one row per selected
     * fingerprint occurrence — THE definition of the winnowing pipeline
@@ -61,7 +76,7 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs.select(col(idCol),
+    val grams = widened(docs).select(col(idCol),
       posexplode(shingles(col(textCol), k)).as(Seq("pos", "gram")))
     val hashed = grams.select(col(idCol), col("pos"),
       md5(col("gram").cast("binary")).as("h"))
@@ -223,11 +238,9 @@ object Dedup {
       shingleN: Int = 5): DataFrame = {
     val raw = docShingles(docs, idCol, textCol, shingleN)
     val prof = minhashFromShingles(raw, idCol, k).localCheckpoint()
-    // r19: the distinct shingle set dedups on top of an id-keyed
-    // repartition (no second exchange — id co-locates (id, shash)), so
-    // the checkpoint lands id-partitioned: the verify stage's size
-    // aggregate and its doc_a probe side then reuse it exchange-free
-    // (guide §2.4).
+    // id-keyed layout into the checkpoint (r19, measured): the dedup
+    // itself adds no exchange over the id layout, and the verify joins
+    // read session-width blocks instead of an AQE-coalesced handful.
     val shh = raw.select(col(idCol), xxhash64(col("shingle")).as("shash"))
       .repartition(col(idCol))
       .dropDuplicates(Seq(idCol, "shash")).localCheckpoint()
@@ -256,9 +269,7 @@ object Dedup {
       threshold: Double, shingleN: Int = 5): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    // r19: id-partitioned checkpoint (the minhashVerifiedPairs
-    // rationale) — the per-doc size agg, the position window and the
-    // verify probe all key on id and reuse this one exchange.
+    // id-keyed checkpoint layout — the minhashVerifiedPairs rationale.
     val shh = docShingles(docs, idCol, textCol, shingleN)
       .select(col(idCol), xxhash64(col("shingle")).as("shash"))
       .repartition(col(idCol))
@@ -363,8 +374,7 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
     * (inverted-index join), thresholded. r19: the distinct runs over
-    * (id, xxhash64) — 8-byte keys, id-partitioned for the size agg and
-    * probe sides (the minhashVerifiedPairs rationale) — and is
+    * (id, xxhash64) — 8-byte keys instead of the gram text — and is
     * checkpointed because three subtrees consume it.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -384,7 +394,8 @@ object Dedup {
       positions: Int = 64): DataFrame = {
     val (ha, hb) = Text.simhashHashes(col("tok"))
     val aggs = Text.simhashAggs(positions)
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    widened(docs)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .select(col(idCol) +: Text.simhashQuarters(ha, hb): _*)
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
@@ -475,14 +486,8 @@ object Dedup {
       bCol: String, maxIter: Int = 20): (DataFrame, Int) = {
     val p = pairs.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b"))
-    // Doubled edges dedup'd on top of a b-keyed repartition:
-    // HashPartitioning(b) co-locates equal (a, b) rows, so dropDuplicates
-    // adds no second exchange and the checkpoint lands partitioned by b —
-    // the key every round's neighbor join probes, so the edge side joins
-    // exchange-free all `maxIter` rounds (r19; guide §2.4).
     val edges = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("b"))
-      .dropDuplicates(Seq("a", "b")).localCheckpoint()
+      .distinct().localCheckpoint()
     // A non-numeric id (e.g. "doc-17") casts to NULL silently, which would
     // collapse unrelated nodes into one null-keyed pseudo-cluster — fail
     // loudly instead, matching the convergence posture below. The probe is
@@ -583,16 +588,11 @@ object Dedup {
       val mn = adj.groupBy(col("x"))
         .agg(min(col("y")).as("nmin"))
         .select(col("x"), least(col("x"), col("nmin")).as("m"))
-      // large-star: y > x >= m(x), so (y, m) is already larger→smaller.
-      // Dedup on top of a u-keyed repartition (HashPartitioning(u)
-      // co-locates equal (u, v) rows — no second exchange), so the
-      // small-star aggregation AND its join back both reuse this one
-      // exchange instead of re-shuffling eL (r19; guide §2.4).
+      // large-star: y > x >= m(x), so (y, m) is already larger→smaller
       val eL = adj.join(mn, "x")
         .filter(col("y") > col("x") && col("y") =!= col("m"))
         .select(col("y").as("u"), col("m").as("v"))
-        .repartition(col("u"))
-        .dropDuplicates(Seq("u", "v")).localCheckpoint()
+        .distinct().localCheckpoint()
       // small-star over larger→smaller edges: per node u, min smaller
       // neighbor m; re-parent the other smaller neighbors and u to m
       val mnS = eL.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -653,7 +653,7 @@ object Dedup {
     // of the one gram-keyed exchange (the window partitioning) at
     // unchanged exactness (guide §2.3 "narrower types"); unhex is a
     // bijection on md5 output, so occurrence counts are identical.
-    val grams = docs
+    val grams = widened(docs)
       .filter(size(split(col(textCol), " ")) >= l)
       .select(col(idCol),
         posexplode(shingles(col(textCol), l)).as(Seq("pos", "gram")))
@@ -681,7 +681,7 @@ object Dedup {
       idCol: String, textCol: String, l: Int): DataFrame = {
     // r19: 16-byte binary digests on both semi-join sides (the
     // substringDupPositions rationale) — half the probe-side shuffle.
-    def grams(df: DataFrame): DataFrame = df
+    def grams(df: DataFrame): DataFrame = widened(df)
       .filter(size(split(col(textCol), " ")) >= l)
       .select(col(idCol),
         posexplode(shingles(col(textCol), l)).as(Seq("pos", "gram")))

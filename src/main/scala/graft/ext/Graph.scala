@@ -48,18 +48,20 @@ object Graph {
   }
 
   /** Directed edge set normalized to (src, dst) longs, deduplicated and
-    * checkpointed HASH-PARTITIONED BY src. Every per-round consumer joins
-    * the edge table on src (rank/hub contribution, frontier expansion),
-    * so establishing the src partitioning once at the checkpoint lets
-    * all `iters` rounds reuse it with zero edge-side exchange — the
-    * r19 optimization pass measured the per-round edge shuffle as the
-    * dominant exchange of the pagerank/hits/bfs family (guide §2.4:
-    * "two operations keyed the same way share one exchange"). The
-    * dedup runs as dropDuplicates ON TOP of the src partitioning
-    * (HashPartitioning(src) co-locates equal (src, dst) rows, so the
-    * aggregate inserts no second exchange and PRESERVES src
-    * partitioning into the checkpoint) — same bytes shuffled as the
-    * old distinct(), one fewer exchange downstream per round.
+    * checkpointed — the shared build + null guard of the pagerank/HITS/
+    * BFS family (r19 factoring; the per-family error message rides in
+    * `what`), deduplicated ON TOP of a src-keyed repartition.
+    *
+    * What the repartition buys (r19, measured): NOT exchange
+    * elimination — under AQE the partitioning metadata does not survive
+    * a localCheckpoint (probe: the next join re-exchanged a keyed
+    * checkpoint regardless) — but a session-width keyed LAYOUT in the
+    * checkpointed blocks: the plain distinct's output arrives through
+    * an AQE-coalesced read whose few fat partitions then underparallelize
+    * every per-round scan of the edge table. A/B at sf0.1:
+    * q_pagerank 6.5 s keyed vs 8.1 s plain, q_graph_bfs 4.2 vs 5.4.
+    * dropDuplicates on the full (src, dst) key on top of the src hash
+    * layout adds no second exchange (src co-locates the pair key).
     */
   private def directedEdges(edges: DataFrame, srcCol: String,
       dstCol: String, what: String): DataFrame = {
@@ -116,9 +118,6 @@ object Graph {
     val e = directedEdges(edges, srcCol, dstCol, "pageRankNano")
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
-    // Exchange-free on the src-partitioned checkpoint, and the output
-    // KEEPS that partitioning, so the per-round node-sized share join
-    // (ranks ⋈ outdeg) is itself co-partitioned.
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
       .localCheckpoint()
     var ranks = nodes.select(col("id"), lit(ScaleNano).as("r"))
@@ -188,10 +187,6 @@ object Graph {
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = directedEdges(edges, srcCol, dstCol, "hitsMicro")
-    // The hub half-round joins on dst, so it gets its own dst-partitioned
-    // checkpoint: one extra edge shuffle at build, zero per round — the
-    // pageRank directedEdges argument, once per join key (guide §2.4).
-    val eByDst = e.repartition(col("dst")).localCheckpoint(true, edgeStorage)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     // Renormalize (id, s) to max = Scale. r19: nodes ABSENT from raw stay
@@ -216,8 +211,7 @@ object Graph {
           .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("s")),
         "auth").localCheckpoint()
       hubs = normalized(
-        eByDst.join(auths.select(col("id").as("dst"), col("auth")),
-            Seq("dst"))
+        e.join(auths.select(col("id").as("dst"), col("auth")), Seq("dst"))
           .groupBy(col("src").as("id")).agg(sum(col("auth")).as("s")),
         "hub").localCheckpoint()
     }
@@ -296,12 +290,8 @@ object Graph {
       bCol: String): DataFrame = {
     val p = pairs.select(col(aCol).cast("long").as("x"),
       col(bCol).cast("long").as("y"))
-    // Dedup on top of a lo-only repartition: HashPartitioning(lo)
-    // co-locates equal (lo, hi) rows, so dropDuplicates adds no second
-    // exchange and the checkpoint lands PARTITIONED BY lo — the key the
-    // downstream degree joins probe (trianglesFrom, assortativity), so
-    // those reuse it exchange-free. Same shuffled bytes as the old
-    // (lo, hi)-keyed distinct (guide §2.4).
+    // lo-keyed layout into the checkpoint — the directedEdges rationale
+    // (parallel per-round scans; the dedup itself adds no exchange).
     p.filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("lo"),
         greatest(col("x"), col("y")).as("hi"))
@@ -476,12 +466,6 @@ object Graph {
             col("dlo").as("dd"))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"),
         col("e.dd").as("ddeg"))
-      // src-partitioned checkpoint: the wedge self-join below probes BOTH
-      // sides on src, so both reuse this one exchange (r19; guide §2.4) —
-      // previously each side of the self-join re-shuffled the oriented
-      // list. Skew-safe by construction: orientation bounds per-src
-      // fanout at O(√E).
-      .repartition(col("src"))
       .localCheckpoint(true, edgeStorage)
     // Wedges (src; v, w) with v before w in the SAME (deg, id) order, so
     // the closing edge — if present — is oriented exactly v -> w.
@@ -590,15 +574,8 @@ object Graph {
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val und = canonicalEdges(pairs, aCol, bCol)
-    // nb-partitioned checkpoint: the per-round label join probes the
-    // neighbor list on nb, so all `iters` rounds reuse this one exchange
-    // instead of re-shuffling the edge-sized list every round (r19;
-    // guide §2.4). The labels side arrives id-partitioned from its own
-    // checkpoint, which the rename to nb preserves — so the round's only
-    // substantial exchanges are the two aggregation steps' own.
     val nbr = und.select(col("lo").as("id"), col("hi").as("nb"))
       .unionAll(und.select(col("hi").as("id"), col("lo").as("nb")))
-      .repartition(col("nb"))
       .localCheckpoint(true, edgeStorage)
     val nodes = und.select(col("lo").as("id"))
       .union(und.select(col("hi").as("id"))).distinct().localCheckpoint()
@@ -669,9 +646,8 @@ object Graph {
     // and double to both directions afterwards with a map-side explode —
     // the old shape doubled first and paid both joins on 2E rows, and
     // its union of two projections would otherwise evaluate the join
-    // subtree twice (guide §2.3 "shuffle fewer bytes"). The lo-side join
-    // reuses the canonical checkpoint's lo partitioning exchange-free;
-    // corr is the same Catalyst aggregate over the same doubled multiset.
+    // subtree twice (guide §2.3 "shuffle fewer bytes"); corr is the same
+    // Catalyst aggregate over the same doubled multiset.
     und
       .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), Seq("lo"))
       .join(deg.select(col("id").as("hi"), col("deg").as("dhi")), Seq("hi"))
@@ -689,12 +665,9 @@ object Graph {
     * the r19 rewrite of the old e ⋈ ranks ⋈ outdeg chain, which paid
     * TWO edge-sized join stages per round (guide §3: join the small
     * tables together before touching the big one; the sum over edges of
-    * a per-src constant is identical either way). With the edge
-    * checkpoint src-partitioned and both node tables arriving
-    * id-partitioned from their own checkpoints, the only exchange per
-    * round is the dst hash-agg's, with map-side partial sums. Factored
-    * out so PlanSpec can pin the round's physical shape (the loop's
-    * plans truncate at each localCheckpoint).
+    * a per-src constant is identical either way). Factored out so
+    * PlanSpec can pin the round's physical shape (the loop's plans
+    * truncate at each localCheckpoint).
     */
   private[ext] def contrib(e: DataFrame, ranks: DataFrame,
       outdeg: DataFrame): DataFrame = {

@@ -138,7 +138,9 @@ object Docs {
     * gaps-and-islands merge and running-max coverage rewrite unchanged.
     */
   private def c4DupSpanStarts(docs: DataFrame): DataFrame = {
-    val occ = docs
+    // r19: widened — the synthLines + md5-per-triple explode is the
+    // langid chargram cost class, and the fixture scan is one split.
+    val occ = widened(docs, widen = true)
       .select(col("doc_id"),
         synthLines(col("doc_id"), col("text")).as("lines"))
       .filter(size(col("lines")) >= 3)
@@ -2303,16 +2305,13 @@ object Docs {
     // only on shared fingerprints, and the winnowed set is ~2/(w+1) the
     // gram count, so the join input is a fraction of the jaccard one's.
     "q_winnow_containment" -> ((s, dir) => {
-      // r19: fingerprints dedup on top of an fp-keyed repartition, so the
-      // checkpoint lands fp-partitioned and the self-join below probes
-      // BOTH sides exchange-free (guide §2.4); the fingerprint shuffles
-      // as unhex(md5) 16-byte binary — same 128 bits, half the hex-string
-      // width (§2.3). Both rewrites are bijective, so the pair set is
-      // unchanged.
+      // r19: the fingerprint shuffles as unhex(md5) 16-byte binary —
+      // same 128 bits, half the hex-string width (guide §2.3); unhex is
+      // bijective on md5 output, so the pair set is unchanged.
       val fps = Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id",
           "text")
         .select(col("doc_id"), unhex(col("fp")).as("fp"))
-        .repartition(col("fp"))
+        .repartition(col("fp")) // keyed session-width layout (r19 A/B)
         .dropDuplicates(Seq("doc_id", "fp"))
         .localCheckpoint() // consumed by both sides of the self-join
       // distinct column names per side: same-lineage a("fp") === b("fp")
@@ -2364,10 +2363,8 @@ object Docs {
     // explode → per-doc distinct → gram hash-agg (min doc) → join back;
     // all linear with map-side combine.
     "q_ngram_novelty" -> ((s, dir) => {
-      // r19: dedup on top of a g-keyed repartition — the first-seen
-      // aggregate AND the join-back both key on g, so the checkpoint's
-      // one exchange serves all three steps (guide §2.4); the old
-      // (doc_id, g)-keyed distinct forced both consumers to re-shuffle.
+      // g-keyed checkpoint layout (r19, measured 2.0 s vs 2.4 s plain):
+      // the first-seen agg and the join-back read session-width blocks.
       val sh = Dedup.docShingles(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"),
           conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")

@@ -600,11 +600,8 @@ object Joins {
       val d2 = (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
         (col("lon") - col("qlon")) * (col("lon") - col("qlon"))
       // ε-neighborhoods INCLUDING self (the paper's |N_ε(p)| ≥ minPts).
-      // r19: checkpointed pid-partitioned — the core-degree aggregate,
-      // the coreEdges semi-joins and the border anti-join all probe this
-      // table on pid, so they reuse the one exchange (guide §2.4)
-      // instead of each re-shuffling the ε-pair set off its (cx, cy)
-      // join partitioning.
+      // pid-keyed session-width checkpoint layout (r19 A/B: 3.5 s vs
+      // 4.0 s off the AQE-coalesced grid-join output).
       val nbr = left.join(right, Seq("cx", "cy")).filter(d2 <= 0.16)
         .select(col("pid"), col("qid"))
         .repartition(col("pid")).localCheckpoint()
