@@ -505,7 +505,7 @@ object Dedup {
     var labels = edges.groupBy(col("a").as("id"))
       .agg(min(col("b")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var changed = 1L
     var iter = 1
     while (changed > 0 && iter < maxIter) {
@@ -513,13 +513,16 @@ object Dedup {
         .join(labels.select(col("id").as("nid"), col("label").as("nlabel")),
           col("b") === col("nid"))
         .groupBy(col("a").as("id")).agg(min(col("nlabel")).as("nmin"))
+      // Lazy checkpoint: the movement probe right below is a FULL count,
+      // so it materializes the blocks itself — one job per round instead
+      // of checkpoint-then-count (r19).
       val updated = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"),
           (col("nmin") < col("label")).as("moved"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = updated.filter(col("moved")).count()
       labels = updated.drop("moved")
       iter += 1
@@ -592,7 +595,7 @@ object Dedup {
       val eL = adj.join(mn, "x")
         .filter(col("y") > col("x") && col("y") =!= col("m"))
         .select(col("y").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(false)
       // small-star over larger→smaller edges: per node u, min smaller
       // neighbor m; re-parent the other smaller neighbors and u to m
       val mnS = eL.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -603,9 +606,10 @@ object Dedup {
         .filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("u"),
           least(col("a"), col("b")).as("v"))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(false)
       // The previous round's count is carried, not recomputed — one
-      // fewer action per round (r19).
+      // fewer action per round; the count is the lazy checkpoint's
+      // materializing action (r19).
       val eNewCount = eNew.count()
       done = eNewCount == eCount &&
         eNew.exceptAll(e).limit(1).count() == 0

@@ -70,7 +70,7 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .repartition(col("src"))
       .dropDuplicates(Seq("src", "dst"))
-      .localCheckpoint(true, edgeStorage)
+      .localCheckpoint(false, edgeStorage)
     if (e.filter(col("src").isNull || col("dst").isNull).limit(1).count() > 0)
       throw new IllegalArgumentException(
         s"$what: ids in '$srcCol'/'$dstCol' are null after cast " +
@@ -101,9 +101,9 @@ object Graph {
     * the edge table (equi-join rank on src — the node-sized rank side is
     * broadcast-eligible under AQE when it fits) followed by a hash-agg on
     * dst with map-side partial sums, i.e. O(E) per round with no
-    * quadratic anything; ranks are localCheckpointed per round so the
-    * plan does not deepen with the iteration count (the
-    * connectedComponents precedent in graft.ext.Dedup).
+    * quadratic anything; the rounds compose lazily into ONE executed
+    * query (r19 — ranks is referenced once per round, so the unrolled
+    * plan is a linear chain and needs no per-round truncation).
     *
     * Overflow headroom: a node's in-contribution is bounded by total mass
     * N·Scale; at N = 10^8 nodes that is 10^17, and ×85 stays inside the
@@ -117,16 +117,24 @@ object Graph {
     // loudly (same posture as Dedup.connectedComponents).
     val e = directedEdges(edges, srcCol, dstCol, "pageRankNano")
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(false)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // r19: the rounds compose LAZILY into one plan — ranks is referenced
+    // exactly once per round (inside contrib's share), so the unrolled
+    // plan is a linear chain of join+agg stages, executed as ONE query.
+    // The old per-round eager localCheckpoint paid one job launch plus a
+    // full row-copying cache pass per round for lineage truncation the
+    // fixed small round count never needs; the multi-referenced leaves
+    // (e, nodes, outdeg) stay checkpointed (lazily) so each is computed
+    // once and cache-read per round.
     var ranks = nodes.select(col("id"), lit(ScaleNano).as("r"))
     for (_ <- 1 to iters) {
       ranks = nodes.join(contrib(e, ranks, outdeg), Seq("id"), "left")
         .select(col("id"),
           (lit(BaseNano) +
             expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("r"))
-        .localCheckpoint()
     }
     ranks.select(col("id").as("node_id"), col("r").as("rank_nano"))
   }
@@ -149,9 +157,10 @@ object Graph {
       .union(e.select(col("dst").as("id"))).distinct()
       .withColumn("base",
         when(seed, lit(BaseNano)).otherwise(lit(0L)))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // Lazy round composition — the pageRankNano rationale verbatim.
     var ranks = nodes.select(col("id"),
       when(col("base") > 0, lit(ScaleNano)).otherwise(lit(0L)).as("r"))
     for (_ <- 1 to iters) {
@@ -159,7 +168,6 @@ object Graph {
         .select(col("id"),
           (col("base") +
             expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("r"))
-        .localCheckpoint()
     }
     ranks.select(col("id").as("node_id"), col("r").as("rank_nano"))
   }
@@ -180,15 +188,16 @@ object Graph {
     * reintroduce engine drift. The max rides in as a one-row broadcast
     * cross join (scalar-subquery shape), never a driver collect.
     * Each round is two edge-table equi-joins + two dst/src hash-aggs —
-    * O(E) per round like [[pageRankNano]]; scores localCheckpointed per
-    * round. Returns (node_id, hub_micro, auth_micro).
+    * O(E) per round like [[pageRankNano]]; scores lazily checkpointed
+    * per half-round. Returns (node_id, hub_micro, auth_micro).
     */
   def hitsMicro(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = directedEdges(edges, srcCol, dstCol, "hitsMicro")
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(false)
     // Renormalize (id, s) to max = Scale. r19: nodes ABSENT from raw stay
     // absent through the rounds instead of being null-padded to 0 — an
     // absent row contributes exactly what a 0-score row does to the next
@@ -205,15 +214,19 @@ object Graph {
     }
     var hubs = nodes.select(col("id"), lit(HitsScaleMicro).as("hub"))
     var auths = nodes.select(col("id"), lit(0L).as("auth"))
+    // Per-half-round checkpoints stay (normalized() consumes `raw` twice,
+    // so an un-truncated chain would double the plan each half-round) but
+    // LAZILY: the next half-round's job materializes the blocks — one job
+    // launch and one cache-read pass fewer per half-round than eager.
     for (_ <- 1 to iters) {
       auths = normalized(
         e.join(hubs.select(col("id").as("src"), col("hub")), Seq("src"))
           .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("s")),
-        "auth").localCheckpoint()
+        "auth").localCheckpoint(false)
       hubs = normalized(
         e.join(auths.select(col("id").as("dst"), col("auth")), Seq("dst"))
           .groupBy(col("src").as("id")).agg(sum(col("auth")).as("s")),
-        "hub").localCheckpoint()
+        "hub").localCheckpoint(false)
     }
     nodes
       .join(hubs, Seq("id"), "left").join(auths, Seq("id"), "left")
@@ -230,8 +243,9 @@ object Graph {
     * Classic frontier expansion — the Pregel/GraphX SSSP layout as plain
     * DataFrame rounds: the frontier joins the edge table (one O(E)
     * shuffle), newly reached nodes (LEFT ANTI against the settled set)
-    * become the next frontier, and both sides are localCheckpointed so
-    * the plan never deepens. Work per round is O(E) worst-case but
+    * become the next frontier; the frontier is lazily localCheckpointed
+    * (the isEmpty probe materializes it) and the settled set is a union
+    * of those checkpointed leaves. Work per round is O(E) worst-case but
     * proportional to the frontier's out-edges in practice; the loop
     * stops early on an empty frontier (one bounded count per round —
     * the connectedComponents convergence-probe precedent). Distances are
@@ -248,19 +262,25 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var settled = nodes.filter(seed)
-      .select(col("id"), lit(0L).as("dist")).localCheckpoint()
+      .select(col("id"), lit(0L).as("dist")).localCheckpoint(false)
     var frontier = settled.select(col("id"))
     var hop = 0
+    // r19: the per-round frontier checkpoint is LAZY — the isEmpty probe
+    // (the next action) materializes it, folding what used to be a
+    // separate checkpoint job into the probe. settled needs no checkpoint
+    // at all: it is a unionAll of checkpointed frontier leaves, so both
+    // its per-round consumers (the anti-join and the final read) scan
+    // cached blocks; the plan grows by one leaf per hop, bounded by
+    // maxHops.
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
       frontier = frontier
         .join(e, frontier("id") === e("src"))
         .select(col("dst").as("id")).distinct()
         .join(settled, Seq("id"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
       settled = settled
         .unionAll(frontier.select(col("id"), lit(hop.toLong).as("dist")))
-        .localCheckpoint()
     }
     settled.select(col("id").as("node_id"), col("dist"))
   }
@@ -356,6 +376,9 @@ object Graph {
     */
   private def peelOnce(e: DataFrame, k: Int): DataFrame = {
     val sup = supportFrom(trianglesFrom(e)).filter(col("nsup") >= k - 2)
+    // Eager (the kCore rationale): the next peel's trianglesFrom
+    // references the survivor set multiple ways with no materializing
+    // action in between.
     e.join(sup.select(col("lo"), col("hi")), Seq("lo", "hi"))
       .localCheckpoint(true, edgeStorage)
   }
@@ -466,7 +489,9 @@ object Graph {
             col("dlo").as("dd"))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"),
         col("e.dd").as("ddeg"))
-      .localCheckpoint(true, edgeStorage)
+      // Lazy: the eCount action below materializes the blocks — the
+      // count IS the checkpoint pass instead of following one.
+      .localCheckpoint(false, edgeStorage)
     // Wedges (src; v, w) with v before w in the SAME (deg, id) order, so
     // the closing edge — if present — is oriented exactly v -> w.
     val e1 = ori.select(col("src"), col("dst").as("v"),
@@ -579,6 +604,11 @@ object Graph {
       .localCheckpoint(true, edgeStorage)
     val nodes = und.select(col("lo").as("id"))
       .union(und.select(col("hi").as("id"))).distinct().localCheckpoint()
+    // Rounds stay EAGERLY checkpointed here — the r19 lazy-composition
+    // A/B (which pays off for pageRankNano) measured ~1 s WORSE on this
+    // operator at sf0.1 (two aggregation exchanges per round; the eager
+    // per-round materialization was consistently faster across
+    // interleaved reps), so the measured shape stands.
     var labels = nodes.select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to iters) {
       // argmax by (count, -label): max struct comparison is
@@ -616,10 +646,14 @@ object Graph {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val und0 = canonicalEdges(pairs, aCol, bCol)
     val nodes = und0.select(col("lo").as("id"))
-      .union(und0.select(col("hi").as("id"))).distinct().localCheckpoint()
+      .union(und0.select(col("hi").as("id"))).distinct()
+      .localCheckpoint(false)
     var e = und0
     for (_ <- 1 to rounds) {
       val surv = degrees(e).filter(col("deg") >= k).select(col("id"))
+      // Eager: the next round references e FOUR ways (degree agg + both
+      // semi-joins) with no intervening action — a lazy leaf would be
+      // race-materialized by concurrent AQE stages (cache-lock blocking).
       e = e.join(surv.select(col("id").as("lo")), Seq("lo"))
         .join(surv.select(col("id").as("hi")), Seq("hi"))
         .select(col("lo"), col("hi")).localCheckpoint(true, edgeStorage)
