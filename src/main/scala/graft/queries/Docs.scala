@@ -137,12 +137,24 @@ object Docs {
     * join back on the digest is AQE-skew-splittable. Feeds the family's
     * gaps-and-islands merge and running-max coverage rewrite unchanged.
     */
-  private def c4DupSpanStarts(docs: DataFrame): DataFrame = {
+  private def c4DupSpanStarts(docs: DataFrame): DataFrame =
+    c4DupSpanStartsFromLines(docLines(docs))
+
+  /** The widened (doc_id, lines) ladder projection — shared so a
+    * consumer that ALSO needs the line tokens (q_dedup_c4_kept) can
+    * checkpoint it once instead of paying the synthLines transform per
+    * subtree (r19: the ladder evaluation, not the shuffle, is this
+    * family's cost).
+    */
+  private def docLines(docs: DataFrame): DataFrame =
     // r19: widened — the synthLines + md5-per-triple explode is the
     // langid chargram cost class, and the fixture scan is one split.
-    val occ = widened(docs, widen = true)
+    widened(docs, widen = true)
       .select(col("doc_id"),
         synthLines(col("doc_id"), col("text")).as("lines"))
+
+  private def c4DupSpanStartsFromLines(lines: DataFrame): DataFrame = {
+    val occ = lines
       .filter(size(col("lines")) >= 3)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), size(col("lines")) - 3),
@@ -303,14 +315,17 @@ object Docs {
     // keeper occurrence keeps its sentences unless a DIFFERENT flagged
     // span overlaps them — all-but-one semantics, localized to the span.
     "q_dedup_c4_kept" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val toks = docs
-        .select(col("doc_id"),
-          synthLines(col("doc_id"), col("text")).as("lines"))
+      // ONE ladder evaluation feeds both the flag side (md5-per-triple
+      // explode) and the token side (r19: the query paid the synthLines
+      // transform twice). Lazy checkpoint — c4DupSpanStartsFromLines'
+      // eager occ checkpoint is the materializing action, after which
+      // the token explode reads cached line arrays.
+      val lines = docLines(t(s, dir, "documents")).localCheckpoint(false)
+      val toks = lines
         .select(col("doc_id"),
           posexplode(col("lines")).as(Seq("pos", "token")))
         .withColumn("pos", col("pos").cast("long"))
-      coverageRewriteToks(toks, c4DupSpanStarts(docs), l = 3)
+      coverageRewriteToks(toks, c4DupSpanStartsFromLines(lines), l = 3)
     }),
 
     // Near-dup provenance matrix: verified pairs annotated with BOTH sides'
