@@ -198,14 +198,40 @@ object Incremental {
     * depends on suite order or warmup-fixture presence.
     */
   def ensureBuilt(s: SparkSession, dir: String): Unit = {
-    analyticsDir(s, dir)
-    compactedDir(s, dir)
-    backfilledDir(s, dir)
-    dedupJournalDir(s, dir)
-    rollupJournalDir(s, dir)
-    rollupCompactedDir(s, dir)
-    histJournalDir(s, dir)
-    psiJournalDir(s, dir)
+    // The eight builds are independent by contract (distinct scratch
+    // dirs; no build reads another's output) and each is a sequence of
+    // tiny latency-bound jobs (micro-batch writes), so they run as
+    // CONCURRENT driver-thread jobs: while one build's small job tails
+    // off, the next build's tasks backfill the freed slots (the guide's
+    // overlap-independent-jobs pattern). Four in flight keeps the
+    // scheduler busy without thrashing; Scratch.cached is a
+    // ConcurrentHashMap computeIfAbsent, so build-once-per-key holds and
+    // a racing reader of the SAME key blocks until its build lands.
+    val builds: Seq[() => Unit] = Seq(
+      () => { analyticsDir(s, dir); () },
+      () => { compactedDir(s, dir); () },
+      () => { backfilledDir(s, dir); () },
+      () => { dedupJournalDir(s, dir); () },
+      () => { rollupJournalDir(s, dir); () },
+      () => { rollupCompactedDir(s, dir); () },
+      () => { histJournalDir(s, dir); () },
+      () => { psiJournalDir(s, dir); () })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs =
+        builds.map(b => pool.submit(new Runnable { def run(): Unit = b() }))
+      // Settle EVERY build before propagating the first failure — a
+      // thrown get() mid-list would leave sibling jobs running into the
+      // caller's next timed region.
+      val errs = futs.flatMap { f =>
+        try { f.get(); None }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Some(e.getCause)
+        }
+      }
+      errs.headOption.foreach(e => throw e)
+    } finally pool.shutdown()
   }
 
   private def latestView(s: SparkSession, dir: String,
