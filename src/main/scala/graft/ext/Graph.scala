@@ -426,23 +426,53 @@ object Graph {
       outDir: String): Unit = {
     val spark = pairs.sparkSession
     val und = canonicalEdges(pairs, aCol, bCol)
-    und.write.mode("overwrite").parquet(s"$outDir/edges")
-    degrees(und).write.mode("overwrite").parquet(s"$outDir/degrees")
-    // The one wedge join, persisted; support and per-node counts derive
-    // from the PARQUET read so the enumeration runs exactly once.
-    trianglesFrom(und).write.mode("overwrite").parquet(s"$outDir/triangles")
+    // Two concurrent write phases (the ensureBuilt overlap pattern): the
+    // edge and degree dumps are independent of the wedge-join write and
+    // hide under it; support and per-node counts both derive from the
+    // triangles PARQUET read (so the enumeration runs exactly once) and
+    // overlap each other. und is eagerly checkpointed by canonicalEdges,
+    // so the concurrent consumers read settled cache blocks.
+    concurrently(Seq(
+      () => und.write.mode("overwrite").parquet(s"$outDir/edges"),
+      () => degrees(und).write.mode("overwrite")
+        .parquet(s"$outDir/degrees"),
+      () => trianglesFrom(und).write.mode("overwrite")
+        .parquet(s"$outDir/triangles")))
     val tri = spark.read.schema("a LONG, b LONG, c LONG")
       .parquet(s"$outDir/triangles")
-    supportFrom(tri).write.mode("overwrite").parquet(s"$outDir/support")
     val nodes = und.select(col("lo").as("id"))
       .union(und.select(col("hi").as("id"))).distinct()
     val perNode = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n"))
-    nodes.join(perNode, Seq("id"), "left")
-      .select(col("id").as("node_id"),
-        coalesce(col("n"), lit(0L)).as("n_triangles"))
-      .write.mode("overwrite").parquet(s"$outDir/tri_counts")
+    concurrently(Seq(
+      () => supportFrom(tri).write.mode("overwrite")
+        .parquet(s"$outDir/support"),
+      () => nodes.join(perNode, Seq("id"), "left")
+        .select(col("id").as("node_id"),
+          coalesce(col("n"), lit(0L)).as("n_triangles"))
+        .write.mode("overwrite").parquet(s"$outDir/tri_counts")))
+  }
+
+  /** Run independent write jobs concurrently from driver threads so one
+    * job's task tail backfills the others' freed slots; every task
+    * settles before the first failure propagates.
+    */
+  private def concurrently(tasks: Seq[() => Unit]): Unit = {
+    val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val futs =
+        tasks.map(b => pool.submit(new Runnable { def run(): Unit = b() }))
+      val errs = futs.flatMap { f =>
+        try { f.get(); None }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Some(e.getCause)
+        }
+      }
+      errs.headOption.foreach(e => throw e)
+    } finally pool.shutdown()
   }
 
   /** Readers over a [[writeTriangleState]] layout. Explicit schemas keep
