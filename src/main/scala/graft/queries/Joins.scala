@@ -34,9 +34,10 @@ object Joins {
     */
   private[queries] def deletionVariants(n: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = array_union(
-    array(md5(n)),
+    array(unhex(md5(n))),
     transform(sequence(lit(1), length(n)), i =>
-      md5(concat(n.substr(lit(1), i - 1), n.substr(i + 1, length(n))))))
+      unhex(md5(concat(n.substr(lit(1), i - 1),
+        n.substr(i + 1, length(n)))))))
 
   /** The co-purchase pair list (parts sharing an order, both directions,
     * self-pairs dropped) — the edge feed of the whole graph family, ONE
@@ -410,11 +411,16 @@ object Joins {
       val b = c.select(col("c_custkey").as("cust_b"),
         col("c_name").as("name_b"), col("c_nationkey").as("nk"),
         col("c_acctbal").as("bal_b"), col("c_mktsegment").as("seg_b"))
-      def nameSide(df: DataFrame, nameCol: String, idCol: String) = df
-        .select(col(idCol), col("nk"),
-          explode(deletionVariants(col(nameCol))).as("k"))
-      val nameArm = nameSide(a, "name_a", "cust_a")
-        .join(nameSide(b, "name_b", "cust_b"), Seq("nk", "k"))
+      // ONE variant explode feeds both self-join sides (r19: the md5-
+      // per-deletion transform is the query's CPU and ran once per side;
+      // the simhashPairs checkpoint-before-self-join convention applies).
+      // Variants shuffle as 16-byte unhex(md5) binaries, not 32-char hex.
+      val nv = c.select(col("c_custkey").as("ck"), col("c_nationkey")
+          .as("nk"), explode(deletionVariants(col("c_name"))).as("k"))
+        .localCheckpoint()
+      val nameArm = nv.select(col("ck").as("cust_a"), col("nk"), col("k"))
+        .join(nv.select(col("ck").as("cust_b"), col("nk"), col("k")),
+          Seq("nk", "k"))
         .filter(col("cust_a") < col("cust_b"))
         .select("cust_a", "cust_b")
       val balArm = a
