@@ -206,7 +206,14 @@ object Graph {
     // node-sized outer join per half-round (2·iters of them) at
     // identical output. A positive max is guaranteed whenever raw is
     // non-empty (sums of positive scores).
-    def normalized(raw: DataFrame, out: String): DataFrame = {
+    // The RAW half-round sum is what checkpoints (lazily — the max
+    // broadcast's scan is the materializing action): normalized()
+    // references its input twice (max agg + crossJoin), so checkpointing
+    // the OUTPUT left the edge join to run once per reference, while the
+    // cached raw table makes both references cache reads and the
+    // re-executed part just the one-column normalize projection (r19).
+    def normalized(rawPlan: DataFrame, out: String): DataFrame = {
+      val raw = rawPlan.localCheckpoint(false)
       val mx = raw.agg(max(col("s")).as("mx"))
       raw.crossJoin(broadcast(mx))
         .select(col("id"),
@@ -214,19 +221,15 @@ object Graph {
     }
     var hubs = nodes.select(col("id"), lit(HitsScaleMicro).as("hub"))
     var auths = nodes.select(col("id"), lit(0L).as("auth"))
-    // Per-half-round checkpoints stay (normalized() consumes `raw` twice,
-    // so an un-truncated chain would double the plan each half-round) but
-    // LAZILY: the next half-round's job materializes the blocks — one job
-    // launch and one cache-read pass fewer per half-round than eager.
     for (_ <- 1 to iters) {
       auths = normalized(
         e.join(hubs.select(col("id").as("src"), col("hub")), Seq("src"))
           .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("s")),
-        "auth").localCheckpoint(false)
+        "auth")
       hubs = normalized(
         e.join(auths.select(col("id").as("dst"), col("auth")), Seq("dst"))
           .groupBy(col("src").as("id")).agg(sum(col("auth")).as("s")),
-        "hub").localCheckpoint(false)
+        "hub")
     }
     nodes
       .join(hubs, Seq("id"), "left").join(auths, Seq("id"), "left")
