@@ -81,7 +81,7 @@ object Bpe {
   def learnMerges(docs: DataFrame, textCol: String, rounds: Int)
       : (Seq[MergeRule], DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var v = vocab(docs, textCol).localCheckpoint()
+    var v = vocab(docs, textCol).localCheckpoint(false)
     val rules = Seq.newBuilder[MergeRule]
     var step = 1
     var exhausted = false

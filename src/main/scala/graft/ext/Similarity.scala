@@ -687,7 +687,8 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = emb.sparkSession
     import spark.implicits._
-    val corpus = withNorm(emb, idCol, vecCol).localCheckpoint()
+    // Lazy: the seed argmin collect right below materializes the blocks.
+    val corpus = withNorm(emb, idCol, vecCol).localCheckpoint(false)
     val seedRow = corpus.agg(min(col(idCol))).collect() // bounded: 1 row
     var selected = Vector.empty[(Long, Long, Double)]
     if (!seedRow(0).isNullAt(0)) {

@@ -83,7 +83,7 @@ object Unigram {
     * the distinct dedups exactly).
     */
   def seedPieces(words: DataFrame, maxLen: Int, topK: Int): DataFrame = {
-    val sc = substringCounts(words, maxLen).localCheckpoint()
+    val sc = substringCounts(words, maxLen).localCheckpoint(false)
     sc.orderBy(col("cnt").desc, col("piece").asc).limit(topK)
       .unionByName(sc.filter(length(col("piece")) === 1))
       .distinct()
@@ -160,7 +160,7 @@ object Unigram {
       seedTopK: Int = 48, keepK: Int = 32): (Seq[Piece], DataFrame) = {
     require(maxLen >= 1 && seedTopK >= 1 && keepK >= 1,
       s"bad dials: maxLen=$maxLen seedTopK=$seedTopK keepK=$keepK")
-    val words = vocabWords(docs, textCol).localCheckpoint()
+    val words = vocabWords(docs, textCol).localCheckpoint(false)
     // Bounded collects throughout: |seed| <= seedTopK + alphabet, and
     // every later piece set only shrinks.
     val seed = seedPieces(words, maxLen, seedTopK).collect()
@@ -173,7 +173,8 @@ object Unigram {
         col("freq").cast("long").as("freq"), lit(0L).as("cost_micro"),
         lit(0L).as("n_pieces"), lit("").as("pieces")).where(lit(false)))
     val p1 = withCosts(seed)
-    val use1 = usageCounts(segment(words, p1, maxLen)).localCheckpoint()
+    val use1 = usageCounts(segment(words, p1, maxLen))
+      .localCheckpoint(false)
     val top2 = use1.orderBy(col("cnt").desc, col("piece").asc).limit(keepK)
     // Coverage floor: every single char survives the prune, at its
     // round-1 usage (0 if unused — the smoothed cost keeps it finite).
